@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data curation at scale:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Design for 100 TB:
+  *   - Exact dedup is a single hash-shuffle on a 128-bit digest (never on
+  *     the full text — shuffling digests moves ~32 bytes/row, not pages).
+  *   - Near-dup never goes all-pairs: candidates come from an inverted
+  *     index (token join), LSH band buckets, or SimHash chunk buckets;
+  *     only candidates pay the exact-similarity verification.
+  *   - All hashing is `xxhash64` (codegen'd, deterministic across runs and
+  *     executors) — no RNG, so results are reproducible and resumable.
+  */
+object Dedup {
+
+  /** Exact dedup: keep, per distinct normalized text, the row with the
+    * smallest `idCol`. Implemented as min-id-per-digest + semi-join back so
+    * the wide `textCol` never shuffles; only (digest, id) pairs do.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val digest = md5(Text.normalize(col(textCol))).as("__digest")
+    val keep = df.select(digest, col(idCol))
+      .groupBy("__digest").agg(min(idCol).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
+    * explode distinct shingles → self-join on shingle → count common →
+    * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.
+    *
+    * Emits (idA, idB, jaccard) with idA < idB. `maxShingleDocFreq` drops
+    * stop-shingles from the index (a shingle in >N docs generates N² join
+    * rows — the classic skew bomb at scale); 0 disables the cutoff, which
+    * keeps results exactly equal to the all-pairs definition.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double,
+                        maxShingleDocFreq: Long = 0L): DataFrame = {
+    val shingled = df.select(col(idCol).as("__id"),
+      Text.wordShingles(col(textCol), n).as("__sh"))
+      .withColumn("__size", size(col("__sh")))
+    val index0 = shingled
+      .select(col("__id"), col("__size"), explode(col("__sh")).as("__s"))
+    val index =
+      if (maxShingleDocFreq <= 0) index0
+      else {
+        val hot = index0.groupBy("__s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDocFreq).select("__s")
+        index0.join(broadcast(hot), Seq("__s"), "left_anti")
+      }
+    val a = index.select(col("__s"), col("__id").as("id_a"), col("__size").as("__na"))
+    val b = index.select(col("__s"), col("__id").as("id_b"), col("__size").as("__nb"))
+    a.join(b, Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("jaccard",
+        col("__common").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature as an array column: for permutation i,
+    * min over shingles s of xxhash64(s, i). Pure expressions. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding near-dup candidate pairs, verified with exact
+    * shingle Jaccard. `bands` × `rowsPerBand` hashes; two docs collide if
+    * any band signature matches (P[collide] = 1-(1-j^r)^b). Candidates are
+    * generated per band bucket (never all-pairs), deduped across bands,
+    * then verified by joining back the shingle sets.
+    * Emits (id_a, id_b, jaccard) with jaccard ≥ `threshold`, idA < idB.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleLen: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val shingled = df.select(col(idCol).as("__id"),
+      Text.charShingles(col(textCol), shingleLen).as("__sh"))
+    val sig = shingled.withColumn("__sig",
+      minhashSignature(col("__sh"), bands * rowsPerBand))
+    // one row per (band, bucket-hash-of-r-minhashes, id)
+    val banded = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b)))
+        .as(Seq("__band", "__bucket")))
+    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val candidates = l.join(r, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification on the candidate set only
+    val withA = candidates.join(shingled.withColumnRenamed("__id", "id_a")
+      .withColumnRenamed("__sh", "__sha"), Seq("id_a"))
+    val withB = withA.join(shingled.withColumnRenamed("__id", "id_b")
+      .withColumnRenamed("__sh", "__shb"), Seq("id_b"))
+    withB.withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
+          size(array_union(col("__sha"), col("__shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff
+    * the sum over tokens of sign(bit j of xxhash64(token)) is positive.
+    * Pure expressions: per-bit vote via aggregate HOF.
+    */
+  def simhash64(textCol: Column): Column = {
+    // Token hashes computed once, then a ±1 vote per bit position; the
+    // per-bit aggregates are static Scala-side so shift amounts stay
+    // literal (codegen-friendly). A custom Expression could do this in one
+    // pass over tokens; at document sizes the HOF form is already cheap.
+    val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit chunks (pigeonhole — a
+    * pair within hamming distance ≤ maxHamming ≤ 3 shares at least one
+    * chunk), verify with exact `bit_count(xor)`.
+    * Emits (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    val hashed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h"))
+    val chunkExprs = (0 until 4).map(ci =>
+      shiftright(col("__h"), ci * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunked = hashed.select(col("__id"), col("__h"),
+      posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
+    val l = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha"))
+    val r = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb"))
+    l.join(r, Seq("__chunk", "__ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs. Candidates via hyperplane-LSH
+    * buckets ([[Similarity.hyperplaneBucket]]) when `lshBits > 0`
+    * (scale path), else all-pairs (exact small-scale / oracle path);
+    * both verify with exact cosine ≥ threshold. Emits (id_a, id_b, cosine).
+    */
+  def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double, lshBits: Int = 0): DataFrame = {
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val candidates =
+      if (lshBits <= 0) {
+        val a = vecs.select(col("__id").as("id_a"), col("__v").as("__va"))
+        val b = vecs.select(col("__id").as("id_b"), col("__v").as("__vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      } else {
+        val bucketed = vecs.withColumn("__bkt", Similarity.hyperplaneBucket(col("__v"), lshBits))
+        val a = bucketed.select(col("__bkt"), col("__id").as("id_a"), col("__v").as("__va"))
+        val b = bucketed.select(col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb"))
+        a.join(b, Seq("__bkt")).filter(col("id_a") < col("id_b")).drop("__bkt")
+      }
+    candidates
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ranking / entity-matching operators (SURVEY.md §2.4, §2.6):
+  *   - W1 top-k per group            — reference inst/reports/malawi-report.qmd:102-123
+  *   - A2/W2 unique-per-key flag     — reference R/merge_trips.R:87-98
+  *   - J8 1:1 entity match           — reference R/merge_trips.R:103-109
+  *   - J10 suffix-match lookup join  — reference R/validation-functions.R:364-374
+  */
+object Matching {
+
+  /** W1: keep the top `k` rows per group ordered by `order` (reference
+    * `arrange(.by_group) |> slice_head(n=10)`). One shuffle on the group
+    * keys; `row_number` (not rank) matches slice_head's exact-k semantics.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(groupCols: _*).orderBy(order: _*)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
+  /** A2/W2: non-reducing per-key count flag — `n() == 1` over the key
+    * window (reference R/merge_trips.R:87-88). Null keys form their own
+    * group, exactly like dplyr `group_by` with NA keys.
+    */
+  def uniquePerKey(df: DataFrame, keys: Seq[String], flagName: String = "unique_trip_per_day"): DataFrame =
+    df.withColumn(flagName,
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)) === 1)
+
+  /** J8, the flagship join: 1:1 entity match. Each side is restricted to
+    * rows whose key is unique within that side (via [[uniquePerKey]]), then
+    * inner-joined on the keys. Faithful to the reference's
+    * full_join + filter(!is.na both) which reduces to an inner equi-join of
+    * the two deduplicated sides (R/merge_trips.R:103-109).
+    *
+    * Scale: both sides shuffle once on `keys`, reused by the window AND the
+    * join (same partitioning → no extra exchange).
+    */
+  def oneToOneMatch(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    flagName: String = "unique_trip_per_day"): DataFrame = {
+    val l = uniquePerKey(left, keys, flagName).filter(col(flagName))
+    val r = uniquePerKey(right, keys, flagName).filter(col(flagName))
+    l.join(r, keys :+ flagName, "inner")
+  }
+
+  /** J10/A7/V6 core: suffix-match lookup against a small registry.
+    * `probe` rows match a `registry` value when the registry string ends
+    * with the probe string (reference regex `paste0(imei, "$")`,
+    * R/validation-functions.R:365-366). Registry is broadcast; the
+    * non-equi condition runs as BroadcastNestedLoopJoin — fine because the
+    * registry is a device list (tiny), while `probe` streams through.
+    * Returns probe ++ (match_count, matched_value: the unique match else
+    * null).
+    */
+  def suffixMatchCount(probe: DataFrame, probeCol: String,
+                       registry: DataFrame, registryCol: String): DataFrame = {
+    val reg = registry.select(col(registryCol).cast("string").as("__reg")).distinct()
+    val joined = probe.join(broadcast(reg),
+      col("__reg").endsWith(col(probeCol).cast("string")), "left")
+    joined.groupBy(probe.columns.map(c => col(s"`$c`")): _*)
+      .agg(
+        count(col("__reg")).as("match_count"),
+        min(col("__reg")).as("__only"))
+      .withColumn("matched_value", when(col("match_count") === 1, col("__only")))
+      .drop("__only")
+  }
+}

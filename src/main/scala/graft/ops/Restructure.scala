@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structural operators: flatten, explode-with-index, union-by-name,
+  * renames, splits, column padding/reordering.
+  *
+  * Re-expresses the reference's restructuring family (SURVEY.md §2.2):
+  *   - R1 recursive flatten        — reference R/ingestion.R:375-393
+  *   - R2 survey denormalizer      — reference R/ingestion.R:132-272
+  *   - R4 string split into cols   — reference R/preprocessing.R:276-280
+  *   - R5 rename by regex          — reference R/ingestion.R:84-89
+  *   - R6 reorder / relocate       — reference R/validation.R:81-87
+  *   - SO3 union-by-name w/ fill   — reference R/ingestion.R:92
+  *   - S4 missing-column padding   — reference R/storage.R:39-44
+  *
+  * All operators are pure `DataFrame => DataFrame` column-level rewrites:
+  * no shuffles are introduced — explode is a narrow Generate, renames and
+  * flattens are projections, so Catalyst keeps pushdown/pruning intact.
+  */
+object Restructure {
+
+  /** R1: recursively flatten nested struct columns into top-level columns
+    * named by the dot-joined path (reference `flatten_with_names`,
+    * R/ingestion.R:375-393; reference joins names with "." too).
+    * Arrays are left intact (they need explode, a row-generating op).
+    */
+  def flattenStructs(df: DataFrame, sep: String = "."): DataFrame = {
+    def expand(schema: StructType, prefix: String): Seq[Column] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}"
+        val colRef = if (prefix.isEmpty) col(s"`${f.name}`")
+                     else col(prefix.split(java.util.regex.Pattern.quote(sep))
+                       .map(p => s"`$p`").mkString(".") + s".`${f.name}`")
+        f.dataType match {
+          case st: StructType => expandInner(colRef, st, path, sep)
+          case _ => Seq(colRef.as(path))
+        }
+      }
+    def expandInner(parent: Column, st: StructType, prefix: String, sep: String): Seq[Column] =
+      st.fields.flatMap { f =>
+        val path = s"$prefix$sep${f.name}"
+        f.dataType match {
+          case inner: StructType => expandInner(parent.getField(f.name), inner, path, sep)
+          case _ => Seq(parent.getField(f.name).as(path))
+        }
+      }
+    df.select(expand(df.schema, ""): _*)
+  }
+
+  /** R2 core: explode an array column keeping all parent columns, adding a
+    * 1-based element index (reference assigns `vessel_number`/`catch_number`
+    * starting at 1, R/ingestion.R:162-188,218-258). `outer=true` emits a
+    * null placeholder row for empty/null arrays — the reference's
+    * "vessel with no catches" placeholder row (R/ingestion.R:224-237).
+    * Parent-attribute replication (R/ingestion.R:259-270) is free: explode
+    * carries the other columns.
+    */
+  def explodeWithIndex(df: DataFrame, arrayCol: String, indexName: String,
+                       elemName: String, outer: Boolean = true): DataFrame = {
+    val gen = if (outer) posexplode_outer(col(arrayCol)) else posexplode(col(arrayCol))
+    df.select(col("*"), gen.as(Seq("__pos", elemName)))
+      .withColumn(indexName, when(col("__pos").isNotNull, col("__pos") + 1))
+      .drop("__pos", arrayCol)
+  }
+
+  /** SO3: union frames by column name, padding columns missing on either
+    * side with nulls, tagging each input with its origin name (reference
+    * `bind_rows(.id = "form_name")`, R/ingestion.R:92).
+    */
+  def unionByNameTagged(tagCol: String, frames: Seq[(String, DataFrame)]): DataFrame =
+    frames.map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** S4: pad any missing columns of `schema` with typed nulls and order
+    * columns per the contract (reference pads absent columns with NA and
+    * re-applies stored column order, R/storage.R:36-48).
+    */
+  def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    val cols = schema.fields.map { f =>
+      if (present(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** R5: rename every column through a rewrite function (reference
+    * `rename_with(str_remove/str_replace)`, R/ingestion.R:84-89,
+    * R/preprocessing.R:50-53). Single projection, not N withColumnRenamed.
+    */
+  def renameAll(df: DataFrame, rewrite: String => String): DataFrame =
+    df.select(df.columns.map(c => col(s"`$c`").as(rewrite(c))).toSeq: _*)
+
+  /** R4: split a delimited string column into typed columns, keeping a
+    * subset (reference `tidyr::separate` of "lat lon alt acc" keeping 2,
+    * R/preprocessing.R:276-280). Null/short input yields nulls (separate's
+    * fill-right behavior).
+    */
+  def splitInto(df: DataFrame, src: String, delim: String,
+                parts: Seq[(String, Int, DataType)], keepSrc: Boolean = false): DataFrame = {
+    val tokens = split(col(src), delim)
+    val out = parts.foldLeft(df) { case (d, (name, idx, dt)) =>
+      // get() (not getItem) — null on out-of-bounds under ANSI mode,
+      // matching separate's fill-right NA behavior
+      d.withColumn(name, get(tokens, lit(idx)).cast(dt))
+    }
+    if (keepSrc) out else out.drop(src)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data curation:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs) so they fuse into the
+  * scan's WholeStageCodegen span — at 100 TB these run at parquet-read
+  * speed with zero shuffles.
+  */
+object Text {
+
+  /** Canonical normalization used before fingerprinting/dedup:
+    * lowercase, collapse whitespace runs, trim.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text (empty input → empty array). */
+  def tokens(c: Column): Column =
+    filter(split(normalize(c), " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, single digits, and isolated
+    * punctuation each count as one token (a cheap proxy for GPT-style BPE
+    * pre-tokenization — word pieces upper-bounded by letter runs).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct whitespace tokens. */
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** Character n-gram shingles of the normalized text. Texts shorter than
+    * `n` chars yield a single shingle (the whole text), so every document
+    * participates in shingle-based dedup.
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val norm = normalize(c)
+    when(length(norm) <= n, array(norm)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(norm) - lit(n - 1)),
+        i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by " "). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) <= n, array(concat_ws(" ", t))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  // Tiny per-language stopword profiles (public common-word lists) for the
+  // n-gram/stopword language-ID heuristic.
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Per-language stopword hit count over the document's token set. */
+  def langScore(c: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(distinctTokens(c),
+      array(stopwords.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of stopword-profile hits; ties and
+    * zero-hit documents resolve to "und" (undetermined). Deterministic:
+    * a strictly-greater score is required to beat earlier profiles.
+    */
+  def langId(c: Column): Column = {
+    val scored = langProfiles.map { case (lang, words) => (lang, langScore(c, words)) }
+    val best = scored.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality metrics: chars, tokens, mean token length, punctuation ratio,
+    * stopword ratio, uppercase ratio — the standard cheap text-quality
+    * signals (cf. C4/Gopher-style filters).
+    */
+  def qualityStruct(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val nChar = length(c)
+    val punct = size(regexp_extract_all(c, lit("[\\.,;:!\\?\"']"), lit(0)))
+    val upper = size(regexp_extract_all(c, lit("[A-Z]"), lit(0)))
+    val stop = langScore(c, langProfiles.head._2)
+    struct(
+      nChar.cast(LongType).as("n_chars"),
+      nTok.cast(LongType).as("n_tokens"),
+      when(nTok > 0, (nChar - nTok + 1).cast(DoubleType) / nTok).otherwise(lit(0.0)).as("mean_token_len"),
+      when(nChar > 0, punct.cast(DoubleType) / nChar).otherwise(lit(0.0)).as("punct_ratio"),
+      when(nChar > 0, upper.cast(DoubleType) / nChar).otherwise(lit(0.0)).as("upper_ratio"),
+      when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(lit(0.0)).as("stopword_hit_ratio"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text — stable across
+    * engines (DuckDB md5 produces identical hex).
+    */
+  def fingerprintMd5(c: Column): Column = md5(normalize(c))
+
+  /** 64-bit rolling (polynomial) fingerprint over the normalized text's
+    * tokens: Horner's rule with base 31 on xxhash64 token hashes. Pure
+    * expressions via `aggregate` HOF; deterministic.
+    */
+  def fingerprintRolling(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Bounds, Matching}
+
+/** Correctness-gate queries for the aggregation/window families
+  * (SURVEY.md §2.5-§2.6) plus the report analytics (A3/A4/A6/W1/SO1/SO2).
+  *
+  * Floating-point discipline: sums over inexact doubles go through exact
+  * DECIMAL(18,2) accumulation (order-insensitive) and come back as double;
+  * l_quantity is integer-valued so plain double sums are exact.
+  */
+object AggQueries {
+
+  /** A1: 10-minute tumbling-window GPS aggregation shape (reference
+    * R/export.R:165-174 — floor_date to 10 min + group mean). The window
+    * start is emitted as a formatted string for engine-stable compare.
+    * Streaming-ready: the same expression works under readStream with a
+    * watermark (see graft.streaming).
+    */
+  val a1Tumbling = Q("q_a1_tumbling_10min",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("min_value"), col("max_value"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""SELECT STRFTIME(TIME_BUCKET(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+              event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** A3+SO1: group count with descending sort (reference qmd:56-63). */
+  val a3GroupCount = Q("q_a3_group_count",
+    (s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("o_orderpriority")),
+    Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+            GROUP BY 1 ORDER BY n DESC, o_orderpriority"""))
+
+  /** A4+W1+SO2 — the report's catch-composition query re-expressed: total
+    * weight per (district=nation, species=brand), top 10 per district
+    * (reference qmd:102-123). l_quantity is integer-valued → exact sums.
+    */
+  val a4TopSpecies = Q("q_a4_w1_top_species",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val joined = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val totals = joined.groupBy(col("n_name").as("district"), col("p_brand").as("species"))
+        .agg(sum(col("l_quantity")).as("tot_weight"))
+      totals
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("district").orderBy(col("tot_weight").desc, col("species").asc)))
+        .filter(col("rank") <= 10)
+        .orderBy("district", "rank")
+    },
+    Some("""WITH totals AS (
+              SELECT n_name AS district, p_brand AS species, SUM(l_quantity) AS tot_weight
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2)
+            SELECT district, species, tot_weight,
+              CAST(ROW_NUMBER() OVER (PARTITION BY district ORDER BY tot_weight DESC, species) AS INTEGER) AS rank
+            FROM totals
+            QUALIFY rank <= 10
+            ORDER BY district, rank"""))
+
+  /** A5 — the custom LocScaleB bounds aggregate (single-pass
+    * TypedImperativeAggregate; reference univOutl formula, SURVEY.md A5).
+    * Transcendental outputs rounded to 9 digits for engine-stable hashing.
+    */
+  val a5Bounds = Q("q_a5_locscaleb_bounds",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(Bounds.locscaleb(col("l_quantity"), 2.5, logt = true).as("b"))
+        .select(col("l_returnflag"), col("b.n").as("n"),
+          round(col("b.median"), 9).as("median"),
+          round(col("b.mad"), 9).as("mad"),
+          round(col("b.lower_low"), 9).as("lower_low"),
+          round(col("b.upper_up"), 9).as("upper_up"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH x AS (
+              SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS raw,
+                     LN(1 + CAST(l_quantity AS DOUBLE)) AS t
+              FROM lineitem WHERE l_quantity IS NOT NULL),
+            med AS (
+              SELECT g, COUNT(*) AS n, MEDIAN(raw) AS mraw, MEDIAN(t) AS mt,
+                     MAX(CASE WHEN raw <> 0 THEN 1 ELSE 0 END) AS nz
+              FROM x GROUP BY g),
+            mads AS (
+              SELECT x.g, MEDIAN(ABS(x.raw - med.mraw)) AS madraw,
+                     MEDIAN(ABS(x.t - med.mt)) AS madt
+              FROM x JOIN med ON x.g = med.g GROUP BY x.g)
+            SELECT med.g AS l_returnflag, med.n AS n,
+              ROUND(med.mt, 9) AS median,
+              ROUND(1.4826 * mads.madt, 9) AS mad,
+              CASE WHEN med.nz = 0 OR 1.4826 * mads.madraw <= 0 THEN NULL
+                   ELSE ROUND(med.mt - 2.5 * 1.4826 * mads.madt, 9) END AS lower_low,
+              CASE WHEN med.nz = 0 OR 1.4826 * mads.madraw <= 0 THEN NULL
+                   ELSE ROUND(med.mt + 2.5 * 1.4826 * mads.madt, 9) END AS upper_up
+            FROM med JOIN mads ON med.g = mads.g
+            ORDER BY l_returnflag"""))
+
+  /** A6/W3: non-reducing per-group mean via window (reference qmd:155-157).
+    * l_quantity integer-valued → window avg exact in any order.
+    */
+  val a6WindowMean = Q("q_a6_window_mean",
+    (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        avg(col("l_quantity")).over(Window.partitionBy("l_orderkey")).as("mean_qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+              AVG(l_quantity) OVER (PARTITION BY l_orderkey) AS mean_qty
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** A8/SO7: distinct (reference R/preprocessing.R:310, R/export.R:137). */
+  val a8Distinct = Q("q_a8_distinct",
+    (s, dir) =>
+      Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  def all: Seq[Q] = Seq(a1Tumbling, a3GroupCount, a4TopSpecies, a5Bounds,
+    a6WindowMean, a8Distinct)
+}

@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Cleanse, Matching, Restructure}
+
+/** Correctness-gate queries for the structural/projection/join/window
+  * operator families (SURVEY.md §2.1-§2.4, §2.6-§2.7), each re-expressed
+  * over the driver's synthetic tables with a DuckDB oracle.
+  */
+object CoreQueries {
+
+  /** S4: scan + schema-contract conformance — missing column padded with a
+    * typed null, contract order applied (reference R/storage.R:36-48).
+    */
+  val s4ScanConform = Q("q_s4_scan_conform",
+    (s, dir) => {
+      val contract = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_comment", StringType), // absent in the data → padded null
+        StructField("l_quantity", DoubleType)))
+      Restructure.conformTo(Tables.lineitem(s, dir), contract)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, CAST(NULL AS VARCHAR) AS l_comment, l_quantity
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** R1: recursive struct flatten with dot-joined path names (reference
+    * flatten_with_names, R/ingestion.R:375-393). The nested input is built
+    * in-plan; the flatten is the operator under test.
+    */
+  val r1Flatten = Q("q_r1_flatten",
+    (s, dir) => {
+      val nested = Tables.lineitem(s, dir).select(
+        struct(col("l_orderkey"), col("l_linenumber")).as("key"),
+        struct(
+          struct(col("l_quantity"), col("l_discount")).as("amounts"),
+          col("l_returnflag")).as("attrs"))
+      Restructure.flattenStructs(nested)
+        .orderBy(col("`key.l_orderkey`"), col("`key.l_linenumber`"),
+          col("`attrs.amounts.l_quantity`"), col("`attrs.amounts.l_discount`"))
+    },
+    Some("""SELECT l_orderkey AS "key.l_orderkey", l_linenumber AS "key.l_linenumber",
+              l_quantity AS "attrs.amounts.l_quantity", l_discount AS "attrs.amounts.l_discount",
+              l_returnflag AS "attrs.l_returnflag"
+            FROM lineitem ORDER BY 1, 2, 3, 4"""))
+
+  /** R2: the survey-denormalizer shape — children nested per parent, then
+    * posexplode_outer with a 1-based index and a null placeholder row for
+    * parents with no children (reference process_survey,
+    * R/ingestion.R:132-272; placeholder at :224-237).
+    */
+  val r2ExplodeIndex = Q("q_r2_explode_index",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        struct(col("o_orderkey"), col("o_totalprice")).as("item"))
+      val nested = o.groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      val base = Tables.customer(s, dir).select(col("c_custkey"))
+        .join(nested, col("c_custkey") === col("o_custkey"), "left")
+        .drop("o_custkey")
+      Restructure.explodeWithIndex(base, "items", "order_number", "item")
+        .select(col("c_custkey"), col("order_number"),
+          col("item.o_orderkey").as("o_orderkey"),
+          col("item.o_totalprice").as("o_totalprice"))
+        .orderBy("c_custkey", "order_number")
+    },
+    Some("""SELECT c.c_custkey,
+              CASE WHEN o.o_orderkey IS NOT NULL THEN
+                CAST(ROW_NUMBER() OVER (PARTITION BY c.c_custkey ORDER BY o.o_orderkey) AS INTEGER)
+              END AS order_number,
+              o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            ORDER BY c_custkey, order_number"""))
+
+  /** R4+R5+R6: delimiter split into typed columns, regex column rename,
+    * explicit reorder (reference R/preprocessing.R:276-280, :50-53;
+    * R/validation.R:81-87).
+    */
+  val r4SplitRename = Q("q_r4_split_rename",
+    (s, dir) => {
+      val split3 = Restructure.splitInto(Tables.part(s, dir), "p_name", " ",
+        Seq(("name_1", 0, StringType), ("name_2", 1, StringType), ("name_3", 2, StringType)))
+      Restructure.renameAll(split3, c => c.replaceFirst("^p_", "part_"))
+        .select("part_partkey", "part_brand", "name_1", "name_2", "name_3")
+        .orderBy("part_partkey")
+    },
+    Some("""SELECT p_partkey AS part_partkey, p_brand AS part_brand,
+              NULLIF(SPLIT_PART(p_name, ' ', 1), '') AS name_1,
+              NULLIF(SPLIT_PART(p_name, ' ', 2), '') AS name_2,
+              NULLIF(SPLIT_PART(p_name, ' ', 3), '') AS name_3
+            FROM part ORDER BY part_partkey"""))
+
+  /** P1+P7: coalesce-harmonization across form vocabularies (reference
+    * R/preprocessing.R:56-92) + surrogate key with R paste's NA→"NA"
+    * rendering (R/preprocessing.R:49; SURVEY.md §7 trap 1).
+    */
+  val p1Harmonize = Q("q_p1_p7_harmonize_key",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.select(
+        col("o_orderkey"),
+        Cleanse.pasteNA("-", col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")),
+          col("o_orderpriority")).as("survey_id"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), col("o_orderstatus")).as("prio_or_status"),
+        coalesce(when(col("o_totalprice") > 200000.0, col("o_totalprice")), lit(0.0)).as("big_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+              CONCAT_WS('-', COALESCE(CAST(o_orderkey AS VARCHAR), 'NA'),
+                             COALESCE(NULLIF(o_orderstatus, 'O'), 'NA'),
+                             COALESCE(o_orderpriority, 'NA')) AS survey_id,
+              COALESCE(NULLIF(o_orderpriority, '1-URGENT'), o_orderstatus) AS prio_or_status,
+              COALESCE(CASE WHEN o_totalprice > 200000.0 THEN o_totalprice END, 0.0) AS big_price
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** P3+J1 fused form: the gear-effort CASE WHEN bank — a per-discriminator
+    * source-column selection followed by suffix-family coalesce (reference
+    * R/preprocessing.R:94-272). The reference materializes 9 frames and
+    * 10-way full-outer-joins them back on the same key; since every frame
+    * derives from the same scan this fuses to a single projection
+    * (SURVEY.md J1 "fused" form) — no joins, no shuffle.
+    */
+  val p3CaseBank = Q("q_p3_casewhen_bank",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val typed = e.select(
+        col("event_id"),
+        col("event_type"),
+        Cleanse.sourceByDiscriminator(col("event_type"),
+          Seq(Seq("click", "view") -> col("value").cast(StringType))).as("ui_n_hrs"),
+        Cleanse.sourceByDiscriminator(col("event_type"),
+          Seq(Seq("purchase") -> col("value").cast(StringType))).as("buy_n_hrs"),
+        Cleanse.sourceByDiscriminator(col("event_type"),
+          Seq(Seq("signup", "error") -> col("value").cast(StringType))).as("sys_n_sets"))
+      typed.select(
+        col("event_id"), col("event_type"),
+        Cleanse.coalesceFamily(typed, "n_hrs").as("effort_hrs"),
+        Cleanse.coalesceFamily(typed, "n_sets").as("effort_sets"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type,
+              COALESCE(CASE WHEN event_type IN ('click','view') THEN CAST(value AS VARCHAR) END,
+                       CASE WHEN event_type = 'purchase' THEN CAST(value AS VARCHAR) END) AS effort_hrs,
+              CASE WHEN event_type IN ('signup','error') THEN CAST(value AS VARCHAR) END AS effort_sets
+            FROM events ORDER BY event_id"""))
+
+  /** P4+P8: value recodes with pass-through default, lower/trim, and the
+    * filter bank (reference R/preprocessing.R:357-398; P8 filters).
+    */
+  val p4Recode = Q("q_p4_p8_recode_filter",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.filter(col("lang").isNotNull && col("source") =!= "src0")
+        .select(
+          col("doc_id"),
+          Cleanse.recode(col("lang"), Seq("en" -> "english", "fr" -> "french", "de" -> "german")).as("lang_recode"),
+          trim(lower(col("source"))).as("source_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN lang = 'en' THEN 'english'
+                   WHEN lang = 'fr' THEN 'french'
+                   WHEN lang = 'de' THEN 'german'
+                   ELSE lang END AS lang_recode,
+              TRIM(LOWER(source)) AS source_clean
+            FROM documents WHERE lang IS NOT NULL AND source <> 'src0'
+            ORDER BY doc_id"""))
+
+  /** P5: R as.numeric semantics — unparseable → null, no error (reference
+    * R/preprocessing.R:291-307; try_cast on both engines).
+    */
+  val p5TryCast = Q("q_p5_trycast",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      Cleanse.lenientCastDouble(
+        e.select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("k_str"),
+          col("event_type").as("bad_str")),
+        Seq("k_str", "bad_str"))
+        .withColumnRenamed("k_str", "k_val").withColumnRenamed("bad_str", "bad_val")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              TRY_CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS DOUBLE) AS k_val,
+              TRY_CAST(event_type AS DOUBLE) AS bad_val
+            FROM events ORDER BY event_id"""))
+
+  /** P6+P10: derived ratio metric and constant currency scale (reference
+    * R/preprocessing.R:308, inst/reports/malawi-report.qmd:152). Scalar
+    * IEEE ops — full precision, deterministic cross-engine.
+    */
+  val p6Derived = Q("q_p6_p10_derived",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", col("l_extendedprice") / col("l_quantity"))
+          .otherwise(col("l_extendedprice")).as("price_kg"),
+        (col("l_extendedprice") * 0.0006).as("price_usd"))
+        .orderBy("l_orderkey", "l_linenumber", "price_kg", "price_usd")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_returnflag = 'R' THEN l_extendedprice / l_quantity
+                   ELSE l_extendedprice END AS price_kg,
+              l_extendedprice * 0.0006 AS price_usd
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, price_kg, price_usd"""))
+
+  /** J3: broadcast left join against a small dimension (reference catch
+    * bounds join, R/validation-functions.R:225 — bounds/device tables are
+    * tiny, so the build side broadcasts; no shuffle of the fact side).
+    */
+  val j3BroadcastLeft = Q("q_j3_broadcast_left",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_retailprice"), col("p_brand"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_brand"),
+          (col("p_retailprice") - col("l_extendedprice") / col("l_quantity")).as("margin"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("margin"))
+    },
+    // (l_orderkey, l_linenumber, l_partkey) is not unique in the synthetic
+    // data, so margin joins the sort key for a deterministic row order.
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, p_brand,
+              p_retailprice - l_extendedprice / l_quantity AS margin
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            ORDER BY l_orderkey, l_linenumber, l_partkey, margin NULLS FIRST"""))
+
+  /** J5+J6: validator re-merge (left-join chain replacing columns) and the
+    * alert unite — concat_ws natively skips nulls like tidyr::unite
+    * na.rm (reference R/validation.R:70-95).
+    */
+  val j5Remerge = Q("q_j5_j6_remerge_unite",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val v1 = o.select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, lit(1)).as("alert_price"))
+      val v2 = o.select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit(2)).as("alert_status"))
+      o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .join(v1, Seq("o_orderkey"), "left")
+        .join(v2, Seq("o_orderkey"), "left")
+        .withColumn("alert_number",
+          concat_ws("-", col("alert_price"), col("alert_status")))
+        .drop("alert_price", "alert_status")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus,
+              CONCAT_WS('-', CASE WHEN o_totalprice > 300000.0 THEN 1 END,
+                             CASE WHEN o_orderstatus = 'F' THEN 2 END) AS alert_number
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** J8+A2/W2 — the flagship 1:1 entity match: both sides restricted to
+    * keys unique within the side (windowed count flag, not a reducing agg)
+    * then inner-joined (reference R/merge_trips.R:85-109). Purchases play
+    * the landings side, views the PDS-trips side.
+    */
+  val j8Match = Q("q_j8_match_1to1",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val landings = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), to_date(col("ts")).as("day"), col("event_id").as("landing_id"))
+      val trips = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), to_date(col("ts")).as("day"), col("event_id").as("trip_id"))
+      Matching.oneToOneMatch(landings, trips, Seq("k", "day"))
+        .select("k", "day", "unique_trip_per_day", "landing_id", "trip_id")
+        .orderBy("k", "day")
+    },
+    Some("""WITH l AS (
+              SELECT user_id AS k, CAST(ts AS DATE) AS day, event_id AS landing_id
+              FROM events WHERE event_type = 'purchase'
+              QUALIFY COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) = 1),
+            r AS (
+              SELECT user_id AS k, CAST(ts AS DATE) AS day, event_id AS trip_id
+              FROM events WHERE event_type = 'view'
+              QUALIFY COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) = 1)
+            SELECT l.k, l.day, TRUE AS unique_trip_per_day, l.landing_id, r.trip_id
+            FROM l JOIN r ON l.k = r.k AND l.day = r.day
+            ORDER BY 1, 2"""))
+
+  /** J9: track-points enrichment — big fact left-joined with a small
+    * broadcast dimension (reference R/export.R:154-160).
+    */
+  val j9Enrich = Q("q_j9_points_enrich",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      e.join(broadcast(c), col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, c_mktsegment
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            ORDER BY event_id"""))
+
+  /** J10+A7: suffix-match lookup join against a broadcast registry with
+    * per-probe match counts (reference R/validation-functions.R:364-374).
+    */
+  val j10Suffix = Q("q_j10_suffix_match",
+    (s, dir) => {
+      val probe = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_custkey").cast(StringType).as("imei"))
+      val registry = Tables.supplier(s, dir)
+        .select((lit(100000) + col("s_suppkey")).cast(StringType).as("r"))
+      Matching.suffixMatchCount(probe, "imei", registry, "r")
+        .orderBy("c_custkey")
+    },
+    Some("""WITH reg AS (SELECT DISTINCT CAST(100000 + s_suppkey AS VARCHAR) AS r FROM supplier),
+              p AS (SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS imei FROM customer)
+            SELECT p.c_custkey, p.imei, COUNT(reg.r) AS match_count,
+              CASE WHEN COUNT(reg.r) = 1 THEN MIN(reg.r) END AS matched_value
+            FROM p LEFT JOIN reg ON reg.r LIKE '%' || p.imei
+            GROUP BY p.c_custkey, p.imei
+            ORDER BY p.c_custkey"""))
+
+  /** SO3: union-by-name with missing-column fill + origin tag (reference
+    * bind_rows(.id="form_name"), R/ingestion.R:92).
+    */
+  val so3Union = Q("q_so3_union_by_name",
+    (s, dir) => {
+      val n = Tables.nation(s, dir).select(col("n_name").as("name"), col("n_nationkey").as("key"))
+      val r = Tables.region(s, dir).select(col("r_name").as("name"))
+      Restructure.unionByNameTagged("form_name", Seq("nation" -> n, "region" -> r))
+        .select("form_name", "name", "key")
+        .orderBy("form_name", "name")
+    },
+    Some("""SELECT 'nation' AS form_name, n_name AS name, n_nationkey AS key FROM nation
+            UNION ALL
+            SELECT 'region' AS form_name, r_name AS name, CAST(NULL AS INTEGER) AS key FROM region
+            ORDER BY form_name, name"""))
+
+  /** SO6+P9: cross-join scaffold of all key combinations, left-joined and
+    * null-filled (reference tidyr::complete, qmd:69,124 + replace_na).
+    */
+  val so6Complete = Q("q_so6_complete_scaffold",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val counts = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      val scaffold = o.select("o_orderpriority").distinct()
+        .crossJoin(o.select("o_orderstatus").distinct())
+      scaffold.join(counts, Seq("o_orderpriority", "o_orderstatus"), "left")
+        .na.fill(0L, Seq("n"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some("""WITH counts AS (
+              SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+            SELECT s1.o_orderpriority, s2.o_orderstatus, COALESCE(c.n, 0) AS n
+            FROM (SELECT DISTINCT o_orderpriority FROM orders) s1
+            CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s2
+            LEFT JOIN counts c ON c.o_orderpriority = s1.o_orderpriority
+                              AND c.o_orderstatus = s2.o_orderstatus
+            ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(
+    s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
+    p3CaseBank, p4Recode, p5TryCast, p6Derived, j3BroadcastLeft, j5Remerge,
+    j8Match, j9Enrich, j10Suffix, so3Union, so6Complete)
+}

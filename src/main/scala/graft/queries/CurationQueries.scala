@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, Text}
+
+/** Correctness-gate queries for the training-data-curation operator set
+  * (dedup / similarity search / text analysis / multimodal plumbing) over
+  * `documents` and `embeddings`.
+  *
+  * Hash-based candidate generators (MinHash-LSH, SimHash, hyperplane LSH)
+  * have no cross-engine SQL equivalent — their exact-verified outputs are
+  * compared against exact all-pairs oracles where recall allows, otherwise
+  * registered without an oracle (driver falls back to rows-only checks).
+  */
+object CurationQueries {
+
+  /** Exact dedup by normalized-text digest; survivors = min doc_id per
+    * digest. One shuffle of (digest, id) pairs — text never shuffles.
+    */
+  val dedupExact = Q("q_dedup_exact",
+    (s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM documents
+            WHERE doc_id IN (
+              SELECT MIN(doc_id) FROM documents
+              GROUP BY TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id"""))
+
+  /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
+    * (never all-pairs). Oracle recomputes the same definition
+    * relationally in DuckDB.
+    */
+  val dedupJaccard = Q("q_dedup_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (
+              SELECT doc_id, LEN(shingles) AS nsh, UNNEST(shingles) AS s FROM sh)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)), 9) AS jaccard
+            FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+            HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.2
+            ORDER BY id_a, id_b"""))
+
+  /** MinHash(128) + LSH(32 bands × 4 rows) candidate pairs over char-5
+    * shingles, verified with exact Jaccard ≥ 0.5. Hash-based candidate
+    * set → no SQL oracle (rows-only check); recall is property-tested in
+    * the suite against the exact definition.
+    */
+  val dedupMinhash = Q("q_dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+        shingleLen = 5, bands = 32, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash(64-bit) near-dup pairs within hamming distance 3 via 16-bit
+    * chunk bucketing (pigeonhole-complete for d ≤ 3). xxhash64-based → no
+    * SQL oracle (rows-only check).
+    */
+  val dedupSimhash = Q("q_dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** Embedding-cosine near-dup pairs, exact all-pairs path (the oracle
+    * definition); the LSH-bucketed scale path is exercised by
+    * [[dedupCosineLsh]].
+    */
+  val dedupCosine = Q("q_dedup_embed_cosine",
+    (s, dir) =>
+      Dedup.cosineDupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.6, lshBits = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
+        .orderBy("id_a", "id_b"),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 9) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.6
+            ORDER BY id_a, id_b"""))
+
+  /** Hyperplane-LSH bucketed variant of cosine dedup — the 100 TB path
+    * (candidates within bucket only). Approximate → rows-only check.
+    */
+  val dedupCosineLsh = Q("q_dedup_embed_cosine_lsh",
+    (s, dir) =>
+      Dedup.cosineDupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.6, lshBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** Exact brute-force cosine top-k for a query subset — the ANN baseline.
+    * Deterministic tie-break (cosine desc, neighbor_id asc).
+    */
+  val knnBrute = Q("q_knn_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 16),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     LIST_COSINE_SIMILARITY(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
+  /** Approximate LSH top-k (multiprobe hyperplane buckets) — rows-only. */
+  val knnLsh = Q("q_knn_cosine_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, bits = 8, probeHamming = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Text quality metrics + token counting (whitespace and BPE-ish). */
+  val textQuality = Q("q_text_quality",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), Text.qualityStruct(col("text")).as("q"),
+        Text.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"), col("q.mean_token_len").as("mean_token_len"),
+          col("q.punct_ratio").as("punct_ratio"), col("q.upper_ratio").as("upper_ratio"),
+          col("q.stopword_hit_ratio").as("stopword_hit_ratio"), col("n_bpeish"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, text,
+                LEN(text) AS n_chars,
+                LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+                LEN(REGEXP_EXTRACT_ALL(text, '[\.,;:!\?"'']')) AS n_punct,
+                LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) AS n_upper,
+                LEN(LIST_INTERSECT(
+                  LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')),
+                  ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
+                LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+              FROM documents)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+              CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+              CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS upper_ratio,
+              CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_hit_ratio,
+              CAST(n_bpeish AS BIGINT) AS n_bpeish
+            FROM t ORDER BY doc_id"""))
+
+  /** Heuristic language ID: per-language stopword-profile hits, first
+    * profile achieving the max wins, zero hits → "und".
+    */
+  val textLangid = Q("q_text_langid",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scores = Text.langProfiles.map { case (lang, words) =>
+        Text.langScore(col("text"), words).as(s"s_$lang")
+      }
+      d.select(col("doc_id") +: Text.langId(col("text")).as("lang_pred") +: scores: _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val profiles = Text.langProfiles
+      val scoreExprs = profiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ')), $arr)) AS s_$lang"""
+      }.mkString(",\n                ")
+      val best = profiles.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val caseArms = profiles.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString("\n                ")
+      s"""WITH scored AS (
+              SELECT doc_id,
+                $scoreExprs
+              FROM documents),
+            best_of AS (SELECT *, $best AS best FROM scored)
+            SELECT doc_id,
+              CASE WHEN best = 0 THEN 'und'
+                $caseArms
+                ELSE 'und' END AS lang_pred,
+              s_en, s_es, s_fr, s_de, s_zh
+            FROM best_of ORDER BY doc_id"""
+    })
+
+  /** Document fingerprinting: md5 of normalized text (engine-stable). The
+    * xxhash64 rolling fingerprint has no DuckDB twin → unit-tested.
+    */
+  val textFingerprint = Q("q_text_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.fingerprintMd5(col("text")).as("fp_md5"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp_md5,
+              CAST(LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal plumbing: text treated as an opaque binary payload column
+    * with typed metadata (byte length + sha256) — the decode/feature steps
+    * ride on this schema via mapPartitions (graft.ops.Multimodal; decode
+    * itself is a deterministic stub, container has no codec libs).
+    */
+  val mmBinary = Q("q_mm_binary_meta",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("text").cast(BinaryType).as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha256"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+              SHA256(text) AS sha256
+            FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupCosine, dedupCosineLsh, knnBrute, knnLsh, textQuality, textLangid,
+    textFingerprint, mmBinary)
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variant of the 10-minute track aggregation
+  * (SURVEY.md O-STREAM; batch form at reference R/export.R:165-174).
+  *
+  * The reference is batch-only (cron every 2 days); the GPS-point stream
+  * is the natural streaming candidate: event-time tumbling window +
+  * watermark. Policy per SURVEY.md §7: 10-minute tumbling windows,
+  * 1-hour watermark (late points beyond it dropped), update output mode.
+  *
+  * The SAME transform serves batch and streaming — pass a readStream
+  * DataFrame and it plans an event-time stateful aggregation; pass a batch
+  * frame and it's exactly the export aggregation.
+  */
+object TrackStream {
+
+  /** points: (Trip, Time, Lat, Lng, ...) → per (Trip, 10-min window) mean
+    * position + point count.
+    */
+  def aggregate(points: DataFrame,
+                watermark: String = "1 hour",
+                window10: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (points.isStreaming) points.withWatermark("Time", watermark) else points
+    withWm
+      .groupBy(col("Trip"), window(col("Time"), window10).as("w"))
+      .agg(
+        avg(col("Lat")).as("lat"),
+        avg(col("Lng")).as("lon"),
+        count(lit(1)).as("n_points"))
+      .select(col("Trip"), col("w.start").as("time"), col("lat"), col("lon"), col("n_points"))
+  }
+}
