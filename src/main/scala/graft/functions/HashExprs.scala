@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hash-sketch hot paths.
+  *
+  * The HOF formulations (`transform`/`aggregate` lambdas in
+  * graft.ops.Dedup) evaluate one interpreted lambda call per array element
+  * per hash — ~50-100× slower than a single fused eval. These expressions
+  * compute the whole sketch in one `eval` per row (CodegenFallback: one
+  * virtual call per row, the loop itself is plain JVM code — the next
+  * step, `doGenCode`, isn't needed because per-row work dominates).
+  *
+  * Hash parity: both use Spark's own `XxHash64Function` with the same
+  * seeding scheme as the SQL `xxhash64(...)` builtin, so the HOF and
+  * expression forms produce bit-identical results (property-tested).
+  */
+object HashExprs {
+
+  private val SqlSeed = 42L
+
+  /** MinHash signature: for permutation i in [0, numHashes),
+    * sig(i) = min over shingles s of xxhash64(s, i)
+    * (= hashInt(i, hash(s, seed=42)), matching the SQL builtin's fold).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      // base xxhash64 of each shingle, computed once
+      val base = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        base(j) = XxHash64Function.hash(arr.getUTF8String(j), StringType, SqlSeed)
+        j += 1
+      }
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < numHashes) {
+        var k = 0
+        var min = Long.MaxValue
+        while (k < n) {
+          val h = XxHash64Function.hash(i, IntegerType, base(k))
+          if (h < min) min = h
+          k += 1
+        }
+        sig(i) = min
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over a token array: bit j of the output is 1 iff the
+    * sum over tokens of ±1 (bit j of xxhash64(token)) is positive.
+    */
+  case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, SqlSeed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingles), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+}

@@ -68,8 +68,15 @@ object Dedup {
   }
 
   /** MinHash signature as an array column: for permutation i,
-    * min over shingles s of xxhash64(s, i). Pure expressions. */
+    * min over shingles s of xxhash64(s, i). Evaluated by the fused
+    * [[graft.functions.HashExprs.MinHashSig]] expression (one eval/row);
+    * [[minhashSignatureHof]] is the equivalent HOF form kept for
+    * property-testing the expression against Spark builtins.
+    */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.HashExprs.minhashSig(shingles, numHashes)
+
+  def minhashSignatureHof(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, s => xxhash64(s, i))))
 
@@ -114,11 +121,13 @@ object Dedup {
     * the sum over tokens of sign(bit j of xxhash64(token)) is positive.
     * Pure expressions: per-bit vote via aggregate HOF.
     */
-  def simhash64(textCol: Column): Column = {
-    // Token hashes computed once, then a ±1 vote per bit position; the
-    // per-bit aggregates are static Scala-side so shift amounts stay
-    // literal (codegen-friendly). A custom Expression could do this in one
-    // pass over tokens; at document sizes the HOF form is already cheap.
+  def simhash64(textCol: Column): Column =
+    graft.functions.HashExprs.simhash64(Text.tokens(textCol))
+
+  /** HOF-builtin form of [[simhash64]], kept to property-test the fused
+    * expression (bit-identical by construction).
+    */
+  def simhash64Hof(textCol: Column): Column = {
     val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
     val bits: Seq[Column] = (0 until 64).map { j =>
       val vote = aggregate(hashes, lit(0), (acc, h) =>

@@ -79,12 +79,27 @@ object Restructure {
     * re-applies stored column order, R/storage.R:36-48).
     */
   def conformTo(df: DataFrame, schema: StructType): DataFrame = {
-    val present = df.columns.toSet
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = schema.fields.map { f =>
-      if (present(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      (present.get(f.name), f.dataType) match {
+        case (None, _) => lit(null).cast(f.dataType).as(f.name)
+        case (Some(ArrayType(src: StructType, _)), ArrayType(tgt: StructType, _)) =>
+          // element-wise pad/reorder: a plain cast requires identical field
+          // sets, but forms deliver nested records with varying fields
+          // (reference pads required_vars, R/preprocessing.R:328-333)
+          conformElement(col(s"`${f.name}`"), src, tgt).as(f.name)
+        case _ => col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toSeq: _*)
+  }
+
+  private def conformElement(c: Column, src: StructType, tgt: StructType): Column = {
+    val present = src.fieldNames.toSet
+    transform(c, g => struct(tgt.fields.map { f =>
+      (if (present(f.name)) g.getField(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }.toIndexedSeq: _*))
   }
 
   /** R5: rename every column through a rewrite function (reference

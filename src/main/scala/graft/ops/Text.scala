@@ -108,11 +108,11 @@ object Text {
     */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))
 
-  /** 64-bit rolling (polynomial) fingerprint over the normalized text's
-    * tokens: Horner's rule with base 31 on xxhash64 token hashes. Pure
-    * expressions via `aggregate` HOF; deterministic.
+  /** 64-bit rolling fingerprint over the normalized text's tokens: a
+    * left fold chaining each token into the running hash (order-sensitive,
+    * like a polynomial rolling hash, but expressed as an xxhash64 chain —
+    * plain `acc * p + h` would trip ANSI overflow checking).
     */
   def fingerprintRolling(c: Column): Column =
-    aggregate(tokens(c), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 }

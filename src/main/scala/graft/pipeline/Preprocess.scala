@@ -24,8 +24,22 @@ object Preprocess {
     "group_location/", "group_vessel_data/group_vessel/",
     "group_vessel_data/group_gear/", "group_vessel_data/group_trade/")
 
-  def stripPrefixes(df: DataFrame): DataFrame =
-    Restructure.renameAll(df, c => prefixes.foldLeft(c)((n, p) => n.replace(p, "")))
+  /** When a legacy form already carries the plain name and a newer form the
+    * prefixed one, stripping would collide — the two are the same logical
+    * field across vocabularies, so colliding sources coalesce (in column
+    * order) instead of erroring like dplyr::rename_with would.
+    */
+  def stripPrefixes(df: DataFrame): DataFrame = {
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    df.columns.foreach { c =>
+      val target = prefixes.foldLeft(c)((n, p) => n.replace(p, ""))
+      grouped.update(target, grouped.getOrElse(target, Vector.empty) :+ c)
+    }
+    df.select(grouped.map { case (target, sources) =>
+      if (sources.size == 1) col(s"`${sources.head}`").as(target)
+      else coalesce(sources.map(s => col(s"`$s`")): _*).as(target)
+    }.toSeq: _*)
+  }
 
   /** P7 + R5 + P2: survey key, prefix strip, drop `_*` scratch columns
     * (reference R/preprocessing.R:47-54).

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** A5 — LocScaleB bounds: single-pass aggregate vs two-pass DataFrame
+  * equivalence, the reference's guards, and the one executable reference
+  * example (`get_bounds(c(1,2,3,4,5), k=3)`,
+  * reference R/validation-functions.R:387).
+  */
+class BoundsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def aggBounds(values: Seq[Double], k: Double, logt: Boolean): Row =
+    values.toDF("x").agg(Bounds.locscaleb(col("x"), k, logt).as("b"))
+      .select("b.*").collect().head
+
+  test("matches the reference example get_bounds(1..5, k=3) formula") {
+    val r = aggBounds(Seq(1, 2, 3, 4, 5), 3.0, logt = true)
+    val t = Seq(1, 2, 3, 4, 5).map(v => math.log1p(v.toDouble))
+    val med = t(2)
+    val mad = 1.4826 * (med - t(1)) // median abs deviation = ln4 - ln3
+    assert(r.getAs[Long]("n") == 5)
+    assert(math.abs(r.getAs[Double]("median") - med) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lower_low") - (med - 3 * mad)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("upper_up") - (med + 3 * mad)) < 1e-12)
+  }
+
+  test("single-pass aggregate equals two-pass DataFrame formulation") {
+    val rng = new scala.util.Random(7)
+    val data = Seq.tabulate(500)(i => (s"g${i % 3}", rng.nextDouble() * 100))
+    val df = data.toDF("g", "x")
+    val viaAgg = df.groupBy("g").agg(Bounds.locscaleb(col("x"), 2.5, logt = true).as("b"))
+      .select(col("g"), col("b.n"), col("b.median"), col("b.mad"),
+        col("b.lower_low"), col("b.upper_up"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val viaTwoPass = Bounds.boundsTwoPass(df, Seq("g"), "x", 2.5, logt = true)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(viaAgg.keySet == viaTwoPass.keySet)
+    viaAgg.foreach { case (g, a) =>
+      val b = viaTwoPass(g)
+      a.zip(b).foreach {
+        case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-12, s"group $g: $a vs $b")
+        case (x, y) => assert(x == y, s"group $g: $a vs $b")
+      }
+    }
+  }
+
+  test("guard: all-zero input yields null bounds (reference :34)") {
+    val r = aggBounds(Seq(0, 0, 0, 0), 2.5, logt = true)
+    assert(r.isNullAt(r.fieldIndex("lower_low")) && r.isNullAt(r.fieldIndex("upper_up")))
+  }
+
+  test("guard: zero raw MAD yields null bounds (reference :38)") {
+    val r = aggBounds(Seq(5, 5, 5, 5, 100), 2.5, logt = true) // median dev = 0
+    assert(r.isNullAt(r.fieldIndex("upper_up")))
+  }
+
+  test("bounds widen monotonically in k") {
+    val widths = Seq(1.0, 2.0, 3.0).map { k =>
+      val r = aggBounds(Seq(1, 3, 4, 7, 11, 2, 9), k, logt = false)
+      r.getAs[Double]("upper_up") - r.getAs[Double]("lower_low")
+    }
+    assert(widths == widths.sorted && widths.distinct.size == 3)
+  }
+
+  test("nulls are ignored like na.rm") {
+    val withNulls = Seq[java.lang.Double](1.0, null, 2.0, 3.0, null, 4.0, 5.0)
+      .toDF("x").agg(Bounds.locscaleb(col("x"), 3.0, logt = true).as("b"))
+      .select("b.*").collect().head
+    val without = aggBounds(Seq(1, 2, 3, 4, 5), 3.0, logt = true)
+    assert(withNulls.getAs[Long]("n") == 5)
+    assert(withNulls.getAs[Double]("median") == without.getAs[Double]("median"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Dedup operator semantics: exact survivors, fused hash expressions vs
+  * HOF builtins (bit parity), LSH recall against the exact definition,
+  * hamming pigeonhole completeness, cosine pair thresholds.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "THE  QUICK brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1 (normalized)
+    (4L, "completely different text about spark catalyst optimizer rules and plans"),
+    (5L, "another unrelated document mentioning parquet columnar storage formats"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text") {
+    val ids = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L, 5L)) // 3 collapses into 1
+  }
+
+  test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
+    val sh = Text.charShingles(col("text"), 5)
+    val both = docs.select(
+      Dedup.minhashSignature(sh, 16).as("expr"),
+      Dedup.minhashSignatureHof(sh, 16).as("hof")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("SimHash64 expression is bit-identical to the HOF form") {
+    val both = docs.select(
+      Dedup.simhash64(col("text")).as("expr"),
+      Dedup.simhash64Hof(col("text")).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash LSH pairs equal the exact jaccard definition on near-dups") {
+    val viaLsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 5, 64, 2, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact: compute jaccard of char-5 shingle sets in plain Scala
+    def shingles(t: String): Set[String] = {
+      val n = t.toLowerCase.replaceAll("\\s+", " ").trim
+      if (n.length <= 5) Set(n) else n.sliding(5).toSet
+    }
+    val local = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val exact = (for {
+      a <- local.keys; b <- local.keys if a < b
+      j = local(a).intersect(local(b)).size.toDouble / local(a).union(local(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(viaLsh == exact)
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L))) // non-trivial
+  }
+
+  test("simhash pairs: chunk bucketing is complete for hamming <= 3") {
+    val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 3
+    } yield (a, b, d)).toSet
+    val viaBuckets = Dedup.simhashPairs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue)).toSet
+    assert(viaBuckets.map(t => (t._1, t._2, t._3.toInt)) == exact)
+  }
+
+  test("cosine dup pairs: exact and LSH paths find identical-direction vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),   // same direction as 1 → cosine 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    // cos((0.9,0.1),(1,0)) ≈ 0.9939 — threshold above it isolates the 1↔2 pair
+    val exact = Dedup.cosineDupPairs(vecs, "embedding", "vec_id", 0.999, lshBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = Dedup.cosineDupPairs(vecs, "embedding", "vec_id", 0.999, lshBits = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L))) // identical vectors share every hyperplane bucket
+  }
+
+  test("ngram jaccard pairs with doc-frequency cutoff still finds the near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("normalize lowers, collapses whitespace, trims") {
+    val out = Seq("  Hello   WORLD \t x ").toDF("t")
+      .select(Text.normalize(col("t"))).collect().head.getString(0)
+    assert(out == "hello world x")
+  }
+
+  test("tokens and counts") {
+    val r = Seq("The cat, the hat!").toDF("t").select(
+      Text.tokenCount(col("t")).as("n"),
+      Text.bpeishTokenCount(col("t")).as("bpe")).collect().head
+    assert(r.getAs[Int]("n") == 4)
+    assert(r.getAs[Int]("bpe") == 6) // The cat , the hat !
+  }
+
+  test("charShingles: short text yields the whole text as one shingle") {
+    val r = Seq("abc", "abcdefg").toDF("t")
+      .select(Text.charShingles(col("t"), 5)).collect()
+    assert(r(0).getSeq[String](0) == Seq("abc"))
+    assert(r(1).getSeq[String](0).toSet == Set("abcde", "bcdef", "cdefg"))
+  }
+
+  test("langId scores stopword profiles, und on zero hits") {
+    val r = Seq(
+      "the cat sat of the mat and it is that for",
+      "el perro y la casa de los que se en un por",
+      "zzz qqq www").toDF("t")
+      .select(Text.langId(col("t"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quality struct ratios") {
+    val r = Seq("The cat.").toDF("t").select(Text.qualityStruct(col("t")).as("q"))
+      .select("q.*").collect().head
+    assert(r.getAs[Long]("n_chars") == 8)
+    assert(r.getAs[Long]("n_tokens") == 2)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("upper_ratio") - 1.0 / 8) < 1e-12)
+  }
+
+  test("fingerprints are stable under whitespace/case noise") {
+    val r = Seq("Hello  World", "hello world").toDF("t").select(
+      Text.fingerprintMd5(col("t")).as("md5"),
+      Text.fingerprintRolling(col("t")).as("roll")).collect()
+    assert(r(0).getString(0) == r(1).getString(0))
+    assert(r(0).getLong(1) == r(1).getLong(1))
+  }
+}

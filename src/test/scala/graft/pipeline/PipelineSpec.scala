@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.Restructure
+
+/** End-to-end pipeline fixtures (SURVEY.md §5, FIXTURES.md A1-A4): nested
+  * Kobo submissions → ingest → preprocess → validate → merge → export.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jsonDf(rows: String*): DataFrame =
+    spark.read.json(rows.toDS)
+
+  // FIXTURES.md A1 shape: newer vocabulary (group_vessel_data/group_catch)
+  private val newFormJson = Seq(
+    """{"_id": 101, "today": "2024-03-12", "landing_date": "2024-03-11",
+       "group_location/sample_district": "Mangochi",
+       "group_location/landing_beach": "Msaka",
+       "group_location/gps_location": "-14.0421 34.8801 471.2 4.9",
+       "fishing_today": "yes", "n_vessels": "12",
+       "group_vessel_data": [
+         {"group_vessel_data/group_vessel/vessel_type": "B+E",
+          "group_vessel_data/group_vessel/crew_number": "3",
+          "group_vessel_data/group_vessel/imei_number": "869606024123456",
+          "group_vessel_data/group_gear/gear_type": "Gillnet",
+          "group_vessel_data/group_gillnets": [
+            {"gillnet_mesh_mm": "38", "gillnet_length_m": "90", "net_type": "multifilament"}],
+          "group_vessel_data/group_catch": [
+            {"fish_species": "Usipa", "weight": "24.5", "weight_type": "kg",
+             "value_species": "30000", "value_type": "total", "catch_use": "sale"},
+            {"fish_species": "Chambo", "weight": "3.0", "weight_type": "kg",
+             "value_species": "4500", "value_type": "per_kg", "catch_use": "home"}]},
+         {"group_vessel_data/group_vessel/vessel_type": "Dugout Canoe",
+          "group_vessel_data/group_vessel/crew_number": "1",
+          "group_vessel_data/group_gear/gear_type": "other gear",
+          "group_vessel_data/group_catch": []}
+       ]}""",
+    """{"_id": 102, "today": "2024-03-12", "fishing_today": "no"}""")
+
+  // legacy vocabulary: vessels / fish_repeat (R/ingestion.R:146-152,173-177)
+  private val legacyFormJson = Seq(
+    """{"_id": 201, "today": "2023-05-02", "date_of_landing": "2023-05-01",
+       "group_location/sample_district": "Nkhotakota",
+       "vessels": [
+         {"vessel_type": "B-E", "crew_number": "2",
+          "fish_repeat": [
+            {"fish_species": "Kampango", "weight_kg": "7.5", "weight_type": "kg",
+             "value_species": "1200", "value_type": "total", "catch_use": "sale"}]}
+       ]}""")
+
+  private lazy val ingested: DataFrame = Ingest(Seq(
+    "FieldDataApp-2024" -> jsonDf(newFormJson: _*),
+    "Malawi SSF" -> jsonDf(legacyFormJson: _*)))
+
+  test("ingest denormalizes to one row per (vessel, catch) with placeholder") {
+    val rows = ingested.select("form_name", "submission_id", "vessel_number",
+      "catch_number", "fish_species")
+      .orderBy("submission_id", "vessel_number", "catch_number")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+    assert(rows.toSeq == Seq(
+      ("FieldDataApp-2024", 101L, Some(1), Some(1), Some("Usipa")),
+      ("FieldDataApp-2024", 101L, Some(1), Some(2), Some("Chambo")),
+      ("FieldDataApp-2024", 101L, Some(2), None, None), // vessel with no catches
+      ("FieldDataApp-2024", 102L, None, None, None),    // survey-only submission
+      ("Malawi SSF", 201L, Some(1), Some(1), Some("Kampango"))))
+  }
+
+  test("ingest tags nested gillnets with 1-based gillnet_number") {
+    val g = ingested.filter(col("submission_id") === 101 && col("vessel_number") === 1)
+      .select(explode(col("gillnets")).as("g")).select("g.*").collect()
+    assert(g.length == 2) // replicated across the two catch rows
+    assert(g.head.getAs[String]("gillnet_number") == "1")
+    assert(g.head.getAs[String]("gillnet_mesh_mm") == "38")
+  }
+
+  private lazy val preprocessed: DataFrame =
+    Preprocess(Restructure.conformTo(Preprocess.stripPrefixes(ingested), Schemas.rawLandings))
+
+  test("preprocess: survey_id renders missing indices as NA like R paste") {
+    val ids = preprocessed.select("survey_id").collect().map(_.getString(0)).sorted
+    assert(ids.contains("101-1-1") && ids.contains("101-2-NA") && ids.contains("102-NA-NA"))
+  }
+
+  test("preprocess: harmonization, GPS split, casts, price_kg, recodes") {
+    val r = preprocessed.filter(col("survey_id") === "101-1-1").collect().head
+    assert(r.getAs[Double]("lat") == -14.0421 && r.getAs[Double]("lon") == 34.8801)
+    assert(r.getAs[String]("vessel_type") == "motorised boat") // recode B+E
+    assert(r.getAs[Double]("catch_kg") == 24.5)
+    assert(math.abs(r.getAs[Double]("price_kg") - 30000.0 / 24.5) < 1e-9) // total → divide
+    assert(r.getAs[String]("catch_taxon") == "usipa") // lowered
+    val perKg = preprocessed.filter(col("survey_id") === "101-1-2").collect().head
+    assert(perKg.getAs[Double]("price_kg") == 4500.0) // per_kg passes through
+    val legacy = preprocessed.filter(col("survey_id") === "201-1-1").collect().head
+    assert(legacy.getAs[java.sql.Timestamp]("landing_date").toString.startsWith("2023-05-01"))
+    assert(legacy.getAs[String]("vessel_type") == "unmotorised boat") // recode B-E
+    val noCatch = preprocessed.filter(col("survey_id") === "101-2-NA").collect().head
+    assert(noCatch.getAs[String]("gear") == "other_gear") // recode
+  }
+
+  test("preprocess: gillnets become typed nested structs") {
+    val g = preprocessed.filter(col("survey_id") === "101-1-1")
+      .select(explode(col("gillnets")).as("g")).select("g.*").collect().head
+    assert(g.getAs[Double]("gillnet_mesh_mm") == 38.0)
+    assert(g.getAs[Double]("gillnet_length_m") == 90.0)
+    assert(g.getAs[Double]("gillnet_number") == 1.0)
+    assert(g.getAs[String]("net_type") == "multifilament")
+  }
+
+  test("preprocess: fused gear-effort assembly equals the faithful join chain") {
+    val raw = Restructure.conformTo(Preprocess.stripPrefixes(ingested), Schemas.rawLandings)
+    val core = Preprocess.coreData(raw)
+    val a = Preprocess.gearEffortFused(core).orderBy("survey_id").collect().map(_.toSeq)
+    val b = Preprocess.gearEffortJoined(core).orderBy("survey_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("validate: date cutoff, negative counts, alert unite") {
+    val data = Seq(
+      ("f", "s1", "2019-06-01", 3.0, 2.0, "usipa", 10.0, 100.0, 10.0),
+      ("f", "s2", "2024-06-01", -1.0, 2.0, "usipa", 11.0, 110.0, 10.0),
+      ("f", "s3", "2024-06-02", 3.0, 2.0, "usipa", 12.0, 120.0, 10.0),
+      ("f", "s4", "2024-06-03", 4.0, 2.0, "usipa", 13.0, 130.0, 10.0))
+      .toDF("form_name", "survey_id", "landing_date", "n_fishers", "n_boats",
+        "catch_taxon", "catch_kg", "catch_price", "price_kg")
+      .withColumn("landing_date", to_timestamp(col("landing_date")))
+    val res = Validate(data)
+    val flags = res.alertFlags.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(flags("s1") == "1")  // pre-cutoff date
+    assert(flags("s2") == "2")  // negative n_fishers
+    assert(flags("s3") == "")   // clean
+    val validated = res.validated.filter(col("survey_id") === "s2").collect().head
+    assert(validated.isNullAt(validated.fieldIndex("n_fishers"))) // masked
+  }
+
+  test("merge: only 1:1 (date, imei) pairs match; tz conversions applied") {
+    val landings = Seq(
+      ("s1", "2024-03-11T00:00:00Z", "111"),
+      ("s2", "2024-03-11T01:00:00Z", "222"), // dup imei+day on landing side
+      ("s3", "2024-03-11T02:00:00Z", "222"),
+      ("s4", "2024-03-12T05:00:00Z", "333"))
+      .toDF("survey_id", "landing_date", "imei")
+      .withColumn("landing_date", to_timestamp(col("landing_date")))
+    val trips = Seq(
+      (9001L, "111", "2024-03-10T22:00:00Z", "2024-03-11T03:30:00Z"),
+      (9002L, "333", "2024-03-12T01:00:00Z", "2024-03-12T09:00:00Z"),
+      (9003L, "333", "2024-03-12T10:00:00Z", "2024-03-12T11:00:00Z")) // dup day trip side
+      .toDF("Trip", "IMEI", "Started", "Ended")
+      .withColumn("Started", to_timestamp(col("Started")))
+      .withColumn("Ended", to_timestamp(col("Ended")))
+    val merged = MergeTrips(landings, trips)
+    val rows = merged.select("survey_id", "Trip").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("s1", 9001L))) // s2/s3 dup landings, 333 dup trips
+    // Africa/Blantyre = UTC+2: 03:30Z → 05:30
+    val started = merged.select("Ended").collect().head.getTimestamp(0).toString
+    assert(started.startsWith("2024-03-11 05:30"))
+  }
+
+  test("export: matched tracks aggregate positions into 10-minute buckets") {
+    val mergedTrips = Seq(("101", "101-1-1", "motorised boat", "Gillnet", "usipa", 24.5, 9001L))
+      .toDF("submission_id", "survey_id", "vessel_type", "gear", "catch_taxon", "catch_kg", "Trip")
+    val points = Seq(
+      (9001L, "2024-03-11T06:01:00Z", -14.01, 34.88),
+      (9001L, "2024-03-11T06:04:00Z", -14.03, 34.90),
+      (9001L, "2024-03-11T06:12:00Z", -14.05, 34.92))
+      .toDF("Trip", "Time", "Lat", "Lng")
+      .withColumn("Time", to_timestamp(col("Time")))
+    val out = Export.matchedTracks(mergedTrips, points)
+      .orderBy("time").collect()
+    assert(out.length == 2)
+    assert(math.abs(out.head.getAs[Double]("lat") - (-14.02)) < 1e-9) // mean of first bucket
+    assert(out.head.getAs[java.sql.Timestamp]("time").toString.startsWith("2024-03-11 06:00"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Structured Streaming variant of the 10-minute track aggregation:
+  * event-time tumbling window + watermark over a MemoryStream, and
+  * batch/streaming parity of the shared transform.
+  */
+class TrackStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val points = Seq(
+    (9001L, ts("2024-03-11 06:01:00"), -14.01, 34.88),
+    (9001L, ts("2024-03-11 06:04:00"), -14.03, 34.90),
+    (9001L, ts("2024-03-11 06:12:00"), -14.05, 34.92),
+    (9002L, ts("2024-03-11 06:03:00"), -13.50, 34.50))
+
+  test("streaming aggregation over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double, Double)]
+    val streamDf = stream.toDF.toDF("Trip", "Time", "Lat", "Lng")
+    val query = TrackStream.aggregate(streamDf)
+      .writeStream.format("memory").queryName("tracks_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(points)
+      query.processAllAvailable()
+      val streamed = spark.table("tracks_out")
+        .select("Trip", "time", "lat", "lon", "n_points")
+        .orderBy("Trip", "time").collect().map(_.toSeq)
+      val batch = TrackStream.aggregate(points.toDF("Trip", "Time", "Lat", "Lng"))
+        .orderBy("Trip", "time").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.length == 3) // two buckets for 9001, one for 9002
+      assert(streamed.head(1).toString.startsWith("2024-03-11 06:00"))
+    } finally query.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double, Double)]
+    val streamDf = stream.toDF.toDF("Trip", "Time", "Lat", "Lng")
+    val query = TrackStream.aggregate(streamDf, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tracks_late")
+      .outputMode("append").start() // append finalizes windows past the watermark
+    try {
+      stream.addData(Seq((1L, ts("2024-03-11 08:00:00"), 1.0, 1.0)))
+      query.processAllAvailable()
+      // advance event time far beyond 06:00 + watermark, closing old windows
+      stream.addData(Seq((1L, ts("2024-03-11 09:00:00"), 2.0, 2.0)))
+      query.processAllAvailable()
+      // late point for the long-closed 06:00 window → dropped
+      stream.addData(Seq((1L, ts("2024-03-11 06:00:30"), 9.0, 9.0)))
+      query.processAllAvailable()
+      stream.addData(Seq((1L, ts("2024-03-11 10:00:00"), 3.0, 3.0)))
+      query.processAllAvailable()
+      val finalized = spark.table("tracks_late").select("time").collect()
+        .map(_.getTimestamp(0).toString).sorted
+      assert(!finalized.exists(_.startsWith("2024-03-11 06:00"))) // late row never emitted
+      assert(finalized.exists(_.startsWith("2024-03-11 08:00")))
+    } finally query.stop()
+  }
+}
