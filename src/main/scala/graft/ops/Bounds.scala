@@ -139,6 +139,22 @@ object Bounds {
     GraftShim.column(
       LocScaleBAgg(GraftShim.expression(c.cast(DoubleType)), k, logt).toAggregateExpression())
 
+  /** Grouped bounds via the single-pass aggregate — one shuffle, no
+    * self-joins; same output shape and exact same numbers as
+    * [[boundsTwoPass]] (property-tested). Default for the validators,
+    * where per-group cardinality is modest (the buffer holds the group's
+    * values); switch to [[boundsTwoPass]] when single groups are huge.
+    */
+  def boundsAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Double, logt: Boolean): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(locscaleb(col(valueCol), k, logt).as("__b"))
+      .filter(col("__b").isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col("__b.n").as("n"), col("__b.median").as("median"),
+        col("__b.mad").as("mad"), col("__b.lower_low").as("lower_low"),
+        col("__b.upper_up").as("upper_up")): _*)
+
   /** Two-pass DataFrame formulation; exact same numbers as [[locscaleb]].
     * Pass 1: per-group medians (raw + transformed); pass 2: per-group MADs.
     * Emits one row per group: groupCols ++ (n, median, mad, lower_low,

@@ -42,11 +42,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         maxShingleDocFreq: Long = 0L): DataFrame = {
-    val shingled = df.select(col(idCol).as("__id"),
-      Text.wordShingles(col(textCol), n).as("__sh"))
+    val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
+    // index on 64-bit shingle hashes, not the strings: long join keys keep
+    // the self-join shuffle ~5× smaller (collisions across the shingle
+    // universe are ~|U|²/2⁶⁴ — immaterial)
     val index0 = shingled
-      .select(col("__id"), col("__size"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), col("__size"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
     val index =
       if (maxShingleDocFreq <= 0) index0
       else {
@@ -67,6 +70,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** (id, word-n-gram shingles) frame with the token array materialized in
+    * its own projection — CollapseProject leaves it alone (multiple refs),
+    * so the shingle lambdas slice an attribute instead of re-running the
+    * tokenizer per shingle (see Text.wordShingles scaladoc).
+    */
+  def wordShingled(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), Text.wordShinglesFromTokens(col("__toks"), n).as("__sh"))
+
   /** MinHash signature as an array column: for permutation i,
     * min over shingles s of xxhash64(s, i). Evaluated by the fused
     * [[graft.functions.HashExprs.MinHashSig]] expression (one eval/row);
@@ -86,12 +98,15 @@ object Dedup {
     * generated per band bucket (never all-pairs), deduped across bands,
     * then verified by joining back the shingle sets.
     * Emits (id_a, id_b, jaccard) with jaccard ≥ `threshold`, idA < idB.
+    *
+    * Documents are represented as word n-gram shingles — char shingles on
+    * a small-vocabulary corpus push background Jaccard so high that every
+    * pair collides in some band, degenerating LSH to all-pairs.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      shingleLen: Int, bands: Int, rowsPerBand: Int,
+                      n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val shingled = df.select(col(idCol).as("__id"),
-      Text.charShingles(col(textCol), shingleLen).as("__sh"))
+    val shingled = wordShingled(df, textCol, idCol, n)
     val sig = shingled.withColumn("__sig",
       minhashSignature(col("__sh"), bands * rowsPerBand))
     // one row per (band, bucket-hash-of-r-minhashes, id)

@@ -23,8 +23,15 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; null-safe on zero vectors (returns null).
+    * Fused expression ([[graft.functions.VectorExprs.CosineSim]]) — one
+    * eval per row; [[cosineHof]] is the builtin-HOF twin kept for parity
+    * testing.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = l2norm(a)
     val nb = l2norm(b)
@@ -41,8 +48,12 @@ object Similarity {
   /** Hyperplane-LSH bucket id: `bits` sign bits of projections onto
     * deterministic hyperplanes. Nearby (cosine) vectors collide with high
     * probability; bucket count = 2^bits bounds candidate-set size.
+    * Fused expression; [[hyperplaneBucketHof]] kept for parity testing.
     */
-  def hyperplaneBucket(vec: Column, bits: Int): Column = {
+  def hyperplaneBucket(vec: Column, bits: Int): Column =
+    graft.functions.VectorExprs.hyperplaneBucket(vec, bits)
+
+  def hyperplaneBucketHof(vec: Column, bits: Int): Column = {
     val idx = sequence(lit(0), size(vec) - 1)
     val bitCols: Seq[Column] = (0 until bits).map { p =>
       val proj = aggregate(

@@ -48,14 +48,22 @@ object Text {
         i => norm.substr(i, lit(n)))))
   }
 
-  /** Word n-gram shingles (arrays of n consecutive tokens joined by " "). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by " ").
+    *
+    * Hot paths must pass a MATERIALIZED token array column (own projection)
+    * to [[wordShinglesFromTokens]]: inlining `tokens(c)` here makes every
+    * `slice` inside the per-shingle lambda re-run the whole
+    * regex/split/filter chain — O(shingles × tokens) regex work per row
+    * (observed 10× on the dedup queries).
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(c), n)
+
+  def wordShinglesFromTokens(t: Column, n: Int): Column =
     when(size(t) <= n, array(concat_ws(" ", t))).otherwise(
       array_distinct(transform(
         sequence(lit(0), size(t) - lit(n)),
         i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-  }
 
   // Tiny per-language stopword profiles (public common-word lists) for the
   // n-gram/stopword language-ID heuristic.

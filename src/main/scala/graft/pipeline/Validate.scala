@@ -45,7 +45,7 @@ object Validate {
       when(col(valueCol) < 0, lit(null).cast(DoubleType))
         .otherwise(col(valueCol).cast(DoubleType)).as("__x"))
       .withColumn("__g", lit(1))
-    val bounds = Bounds.boundsTwoPass(base, Seq("__g"), "__x", k, logt = true)
+    val bounds = Bounds.boundsAgg(base, Seq("__g"), "__x", k, logt = true)
       .select(col("__g"), (exp(col("upper_up")) - 1).as("__ub"))
     base.join(broadcast(bounds), Seq("__g"), "left")
       .withColumn("__alert", coalesce(
@@ -69,7 +69,7 @@ object Validate {
     */
   def validateCatch(data: DataFrame, k: Double): DataFrame = {
     val eligible = data.filter(col("catch_taxon") =!= "0" && col("catch_taxon") =!= "no_catch")
-    val bounds = Bounds.boundsTwoPass(eligible,
+    val bounds = Bounds.boundsAgg(eligible,
       Seq("gear", "catch_taxon", "weight_type"), "catch_kg", k, logt = true)
       .select(col("gear"), col("catch_taxon"), col("weight_type"),
         exp(col("upper_up")).as("__ub"))
@@ -86,7 +86,7 @@ object Validate {
     */
   def validatePriceKg(data: DataFrame, k: Double): DataFrame = {
     val eligible = data.filter(col("catch_taxon") =!= "0" && col("catch_taxon") =!= "no_catch")
-    val bounds = Bounds.boundsTwoPass(eligible, Seq("catch_taxon"), "price_kg", k, logt = true)
+    val bounds = Bounds.boundsAgg(eligible, Seq("catch_taxon"), "price_kg", k, logt = true)
       .select(col("catch_taxon"), exp(col("lower_low")).as("__lb"), exp(col("upper_up")).as("__ub"))
     data.join(broadcast(bounds), Seq("catch_taxon"), "left")
       .withColumn("alert_price",

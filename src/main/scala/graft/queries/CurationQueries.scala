@@ -60,7 +60,7 @@ object CurationQueries {
             HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.2
             ORDER BY id_a, id_b"""))
 
-  /** MinHash(128) + LSH(64 bands × 2 rows) candidate pairs over char-5
+  /** MinHash(128) + LSH(64 bands × 2 rows) candidate pairs over word-3
     * shingles, verified with exact Jaccard ≥ 0.5. Banding chosen for
     * near-certain recall at the threshold (miss prob (1-j²)⁶⁴ ≈ 1e-8 at
     * j=0.5), so the verified output equals the exact all-pairs definition
@@ -69,19 +69,20 @@ object CurationQueries {
   val dedupMinhash = Q("q_dedup_minhash_lsh",
     (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
-        shingleLen = 5, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy("id_a", "id_b"),
-    Some("""WITH n AS (
-              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS t
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
               FROM documents),
             sh AS (
               SELECT doc_id,
-                CASE WHEN LEN(t) <= 5 THEN [t]
-                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
-                            i -> SUBSTR(t, i, 5))) END AS s
-              FROM n),
-            idx AS (SELECT doc_id, LEN(s) AS ns, UNNEST(s) AS g FROM sh)
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS ns, UNNEST(shingles) AS g FROM sh)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               ROUND(CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)), 9) AS jaccard
             FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id

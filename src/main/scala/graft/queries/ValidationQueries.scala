@@ -52,7 +52,7 @@ object ValidationQueries {
         when(col("c_acctbal") < 0, 2.0).as("alert_neg"),
         when(col("c_acctbal") < 0, lit(null).cast(DoubleType))
           .otherwise(col("c_acctbal")).as("x"))
-      val b = Bounds.boundsTwoPass(base.withColumn("g", lit(1)), Seq("g"), "x", k, logt = true)
+      val b = Bounds.boundsAgg(base.withColumn("g", lit(1)), Seq("g"), "x", k, logt = true)
         .select(lit(1).as("g"), (exp(col("upper_up")) - 1).as("ub"))
       val out = base.withColumn("g", lit(1))
         .join(broadcast(b), Seq("g"), "left")
@@ -103,7 +103,7 @@ object ValidationQueries {
         col("l_extendedprice").as("catch_price"),
         col("l_quantity").as("catch_kg"))
       val eligible = base.filter(col("catch_taxon") =!= "N")
-      val bounds = Bounds.boundsTwoPass(eligible, Seq("catch_taxon"), "price_kg", k, logt = true)
+      val bounds = Bounds.boundsAgg(eligible, Seq("catch_taxon"), "price_kg", k, logt = true)
         .select(col("catch_taxon"), exp(col("lower_low")).as("lb"), exp(col("upper_up")).as("ub"))
       base.join(broadcast(bounds), Seq("catch_taxon"), "left")
         .withColumn("alert_price",

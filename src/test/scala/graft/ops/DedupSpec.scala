@@ -41,12 +41,13 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhash LSH pairs equal the exact jaccard definition on near-dups") {
-    val viaLsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 5, 64, 2, 0.5)
+    val viaLsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 64, 2, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // exact: compute jaccard of char-5 shingle sets in plain Scala
+    // exact: compute jaccard of word-3 shingle sets in plain Scala
     def shingles(t: String): Set[String] = {
-      val n = t.toLowerCase.replaceAll("\\s+", " ").trim
-      if (n.length <= 5) Set(n) else n.sliding(5).toSet
+      val toks = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq
+      if (toks.length <= 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
     }
     val local = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
     val exact = (for {
