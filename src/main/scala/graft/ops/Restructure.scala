@@ -102,6 +102,23 @@ object Restructure {
     }.toIndexedSeq: _*))
   }
 
+  /** dplyr joins match NA keys by default (`na_matches = "na"`), unlike
+    * SQL equi-joins where NULL ≠ NULL. Faithful ports of the reference's
+    * join chains over possibly-null keys (e.g. `gear` in the J2 assembly,
+    * R/preprocessing.R:275) must use `<=>`; keys are coalesced in the
+    * output like Spark's using-column joins do.
+    */
+  def joinNullSafe(l: DataFrame, r: DataFrame, keys: Seq[String], how: String): DataFrame = {
+    val rr = keys.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    val cond = keys.map(k => l(k) <=> rr(s"__r_$k")).reduce(_ && _)
+    val joined = l.join(rr, cond, how)
+    val keyCols = keys.map(k => coalesce(joined(s"`$k`"), joined(s"`__r_$k`")).as(k))
+    val otherCols = joined.columns
+      .filterNot(c => keys.contains(c) || c.startsWith("__r_"))
+      .map(c => joined(s"`$c`"))
+    joined.select(keyCols ++ otherCols: _*)
+  }
+
   /** R5: rename every column through a rewrite function (reference
     * `rename_with(str_remove/str_replace)`, R/ingestion.R:84-89,
     * R/preprocessing.R:50-53). Single projection, not N withColumnRenamed.

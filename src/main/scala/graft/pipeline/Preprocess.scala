@@ -212,7 +212,10 @@ object Preprocess {
     // J2: reference full-joins merged × gears on (form_name, submission_id,
     // survey_id, gear) — both sides derive 1:1 from core_data so this is a
     // re-assembly too; under fused mode it collapses to a key join.
-    val assembled = merged.join(gears,
+    // Null-safe: gear is null when no gear was recorded, and dplyr's
+    // full_join matches NA keys (na_matches="na") — a plain equi-join
+    // would split such rows in two.
+    val assembled = Restructure.joinNullSafe(merged, gears,
       Seq("form_name", "submission_id", "survey_id", "gear"), "full_outer")
 
     // R4: GPS "lat lon alt acc" split, keep 2 (R/preprocessing.R:276-280)

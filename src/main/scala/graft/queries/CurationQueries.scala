@@ -106,8 +106,10 @@ object CurationQueries {
     */
   val dedupCosine = Q("q_dedup_embed_cosine",
     (s, dir) =>
+      // 0.45 sits inside the corpus' actual similarity range (max ≈ 0.5-0.6)
+      // so the result is non-trivial at every scale factor
       Dedup.cosineDupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
-        threshold = 0.6, lshBits = 0)
+        threshold = 0.45, lshBits = 0)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
         .orderBy("id_a", "id_b"),
     Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -115,7 +117,7 @@ object CurationQueries {
                                            CAST(b.embedding AS DOUBLE[])), 9) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.6
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b"""))
 
   /** Hyperplane-LSH bucketed variant of cosine dedup — the 100 TB path
@@ -124,7 +126,7 @@ object CurationQueries {
   val dedupCosineLsh = Q("q_dedup_embed_cosine_lsh",
     (s, dir) =>
       Dedup.cosineDupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
-        threshold = 0.6, lshBits = 8)
+        threshold = 0.45, lshBits = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
         .orderBy("id_a", "id_b"),
     None)

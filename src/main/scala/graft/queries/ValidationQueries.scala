@@ -149,6 +149,59 @@ object ValidationQueries {
                                  THEN CAST(4.0 AS DOUBLE) END AS alert) a
             ORDER BY survey_id, catch_price NULLS FIRST"""))
 
+  /** V4: upper-only catch bound per (gear, catch_taxon, weight_type) —
+    * back-transform exp(b) WITHOUT -1 (get_catch_bounds :191); alert 4 on
+    * catch_kg ≥ upper, mask. Defined but never invoked by the reference's
+    * validate_landings (SURVEY.md V4) — kept as a first-class operator.
+    * Keys here: gear=l_linestatus, taxon=l_returnflag, weight_type='kg'.
+    */
+  val v4Catch = Q("q_v4_validate_catch",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val k = 2.5
+      val base = li.select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")).as("survey_id"),
+        col("l_linestatus").as("gear"),
+        col("l_returnflag").as("catch_taxon"),
+        lit("kg").as("weight_type"),
+        col("l_quantity").as("catch_kg"))
+      val eligible = base.filter(col("catch_taxon") =!= "N")
+      val bounds = Bounds.boundsAgg(eligible,
+        Seq("gear", "catch_taxon", "weight_type"), "catch_kg", k, logt = true)
+        .select(col("gear"), col("catch_taxon"), col("weight_type"),
+          exp(col("upper_up")).as("ub"))
+      base.join(broadcast(bounds), Seq("gear", "catch_taxon", "weight_type"), "left")
+        .withColumn("alert_catch", when(col("catch_kg") >= col("ub"), 4.0))
+        .select(col("survey_id"),
+          when(col("alert_catch").isNull, col("catch_kg")).as("catch_kg"),
+          col("alert_catch"))
+        .orderBy(col("survey_id"), col("catch_kg"))
+    },
+    Some("""WITH base AS (
+              SELECT CONCAT_WS('-', l_orderkey, l_linenumber, l_partkey, l_suppkey) AS survey_id,
+                     l_linestatus AS gear, l_returnflag AS catch_taxon,
+                     l_quantity AS catch_kg
+              FROM lineitem),
+            x AS (SELECT gear, catch_taxon, catch_kg AS raw, LN(1 + catch_kg) AS t
+                  FROM base WHERE catch_taxon <> 'N' AND catch_kg IS NOT NULL),
+            med AS (SELECT gear, catch_taxon, COUNT(*) n, MEDIAN(raw) AS mraw, MEDIAN(t) AS mt,
+                           MAX(CASE WHEN raw <> 0 THEN 1 ELSE 0 END) AS nz
+                    FROM x GROUP BY 1, 2),
+            mads AS (SELECT x.gear, x.catch_taxon,
+                            MEDIAN(ABS(x.raw - med.mraw)) AS madraw,
+                            MEDIAN(ABS(x.t - med.mt)) AS madt
+                     FROM x JOIN med USING (gear, catch_taxon) GROUP BY 1, 2),
+            bounds AS (
+              SELECT med.gear, med.catch_taxon,
+                CASE WHEN med.nz = 0 OR 1.4826 * mads.madraw <= 0 THEN NULL
+                     ELSE EXP(med.mt + 2.5 * 1.4826 * mads.madt) END AS ub
+              FROM med JOIN mads USING (gear, catch_taxon))
+            SELECT base.survey_id,
+              CASE WHEN base.catch_kg >= b.ub THEN NULL ELSE base.catch_kg END AS catch_kg,
+              CASE WHEN base.catch_kg >= b.ub THEN CAST(4.0 AS DOUBLE) END AS alert_catch
+            FROM base LEFT JOIN bounds b USING (gear, catch_taxon)
+            ORDER BY survey_id, catch_kg NULLS FIRST"""))
+
   /** V6: scalar IMEI validation — null/"0" pass-through, negative→abs,
     * <9999 → alert 1, suffix match against the device registry: exactly
     * one match → canonical value, several → alert 2, none → alert 3
@@ -227,5 +280,5 @@ object ValidationQueries {
                    ELSE 3 END AS alert_number
             FROM matched ORDER BY survey_id"""))
 
-  def all: Seq[Q] = Seq(v1Dates, v2Outlier, v5PriceKg, v6Imei)
+  def all: Seq[Q] = Seq(v1Dates, v2Outlier, v4Catch, v5PriceKg, v6Imei)
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+/** S7 — layered YAML config with environment interpolation (reference
+  * read_config, R/utils.R:65-77 over inst/config.yml: `default` plus an
+  * active profile like `production`/`local`, profile values overriding
+  * defaults; secrets resolved from environment variables).
+  *
+  * `${VAR}` placeholders interpolate from the provided environment
+  * (missing vars resolve to "" like R's Sys.getenv default). Validation
+  * constants (`k_*`, reference inst/config.yml:42-46) surface through
+  * [[ValidationK]].
+  */
+object PipelineConfig {
+
+  case class ValidationK(kNFishers: Double, kNBoats: Double, kCatch: Double, kPriceKg: Double)
+
+  final case class Conf(values: Map[String, Any]) {
+    /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
+    def get(path: String): Option[Any] =
+      path.split('.').foldLeft(Option[Any](values)) {
+        case (Some(m: Map[String @unchecked, Any @unchecked]), key) => m.get(key)
+        case _ => None
+      }
+    def getString(path: String): Option[String] = get(path).map(_.toString)
+    def getDouble(path: String): Option[Double] = getString(path).flatMap(_.toDoubleOption)
+
+    def validationK: ValidationK = ValidationK(
+      getDouble("validation.k_nfishers").getOrElse(2.5),
+      getDouble("validation.k_nboats").getOrElse(2.5),
+      getDouble("validation.k_catch").getOrElse(2.5),
+      getDouble("validation.k_pricekg").getOrElse(3.0))
+  }
+
+  private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r
+
+  private def toScala(v: Any, env: Map[String, String]): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x, env) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala(_, env)).toList
+    case s: String => EnvRef.replaceAllIn(s, m => env.getOrElse(m.group(1), ""))
+    case other => other
+  }
+
+  private def deepMerge(base: Map[String, Any], over: Map[String, Any]): Map[String, Any] =
+    over.foldLeft(base) {
+      case (acc, (k, v: Map[String @unchecked, Any @unchecked])) =>
+        acc.get(k) match {
+          case Some(b: Map[String @unchecked, Any @unchecked]) => acc.updated(k, deepMerge(b, v))
+          case _ => acc.updated(k, v)
+        }
+      case (acc, (k, v)) => acc.updated(k, v)
+    }
+
+  /** Parse layered YAML: the `default` section overlaid by `profile`. */
+  def parse(yamlText: String, profile: String = "default",
+            env: Map[String, String] = sys.env): Conf = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = toScala(yaml.load[java.util.Map[String, Any]](yamlText), env)
+      .asInstanceOf[Map[String, Any]]
+    val base = root.getOrElse("default", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]]
+    val active =
+      if (profile == "default") Map.empty[String, Any]
+      else root.getOrElse(profile, Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+    Conf(deepMerge(base, active))
+  }
+
+  def load(path: String, profile: String = "default"): Conf =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))), profile)
+}

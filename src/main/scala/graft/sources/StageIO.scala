@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Restructure
+
+/** S4/S5 — stage-table IO. The reference's MongoDB collections with
+  * truncate-and-load semantics (mdb_collection_push `remove({})` + insert,
+  * R/storage.R:80-106) become parquet stage tables with overwrite writes;
+  * its column-order metadata document + NA padding on read
+  * (R/storage.R:36-48,92-99) becomes an explicit StructType contract
+  * applied on load (parquet preserves order natively; padding keeps the
+  * union-of-forms tolerance).
+  *
+  * 100 TB notes: [[saveByMonth]] partitions by landing month so downstream
+  * date filters prune partitions (the reference re-reads full history every
+  * run — partition pruning makes incremental reruns touch only changed
+  * months); writers distribute as-is — no coalesce(1)-style single-writer
+  * chokepoints.
+  */
+object StageIO {
+
+  /** S5: truncate-and-load a stage table. */
+  def save(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** S5 at scale: overwrite partitioned by month of `dateCol`. */
+  def saveByMonth(df: DataFrame, dir: String, dateCol: String): Unit =
+    df.withColumn("__month", date_format(col(dateCol), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("__month").parquet(dir)
+
+  /** S4: scan a stage table. */
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** S4 with contract: pad columns missing on disk with typed nulls and
+    * apply the contract's column order (reference R/storage.R:36-48).
+    */
+  def loadConformed(spark: SparkSession, dir: String, contract: StructType): DataFrame =
+    Restructure.conformTo(spark.read.parquet(dir), contract)
+}

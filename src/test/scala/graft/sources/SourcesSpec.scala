@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** S1/S5/S7/S8 + O-ERR: permissive JSON fault tolerance, stage-table
+  * round-trip with contract padding, layered YAML config with env
+  * interpolation, filename versioning.
+  */
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("O-ERR: corrupt submissions are dropped, not thrown (purrr::possibly)") {
+    val payload = Seq(
+      """{"_id": 1, "ok": "yes"}""",
+      """{"_id": 2, "ok": }garbage""", // corrupt
+      """{"_id": 3, "ok": "also"}""")
+    val out = Sources.koboSubmissionsFromPayload(spark, payload)
+    assert(out.select("_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(!out.columns.contains("_corrupt_record"))
+  }
+
+  test("S4/S5: stage table round-trip pads missing contract columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    StageIO.save(Seq((1L, "a")).toDF("id", "x"), s"$dir/t")
+    val contract = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("later_added", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val back = StageIO.loadConformed(spark, s"$dir/t", contract)
+    assert(back.columns.toSeq == Seq("x", "later_added", "id"))
+    assert(back.collect().head.toSeq == Seq("a", null, 1L))
+  }
+
+  test("S5 at scale: month-partitioned overwrite prunes on date filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val df = Seq(("2024-01-05", 1), ("2024-02-11", 2), ("2024-02-12", 3))
+      .toDF("landing_date", "v")
+      .withColumn("landing_date", to_timestamp(col("landing_date")))
+    StageIO.saveByMonth(df, s"$dir/m", "landing_date")
+    val back = StageIO.load(spark, s"$dir/m")
+    assert(back.filter(col("__month") === "2024-02").count() == 2)
+    // partition directories exist on disk → pruning is physical
+    val dirs = new java.io.File(s"$dir/m").listFiles().map(_.getName).filter(_.startsWith("__month="))
+    assert(dirs.toSet == Set("__month=2024-01", "__month=2024-02"))
+  }
+
+  test("S7: layered YAML config merges profile over default and interpolates env") {
+    val yaml =
+      """default:
+        |  storage:
+        |    collection: raw
+        |    conn: ${GRAFT_TEST_CONN}
+        |  validation:
+        |    k_nfishers: 2.5
+        |    k_pricekg: 3
+        |production:
+        |  storage:
+        |    collection: raw_prod
+        |""".stripMargin
+    val conf = PipelineConfig.parse(yaml, "production", Map("GRAFT_TEST_CONN" -> "mongodb://x"))
+    assert(conf.getString("storage.collection").contains("raw_prod")) // overridden
+    assert(conf.getString("storage.conn").contains("mongodb://x"))    // interpolated
+    assert(conf.validationK.kNFishers == 2.5 && conf.validationK.kPriceKg == 3.0)
+    val dflt = PipelineConfig.parse(yaml, "default", Map.empty)
+    assert(dflt.getString("storage.collection").contains("raw"))
+    assert(dflt.getString("storage.conn").contains("")) // missing env → ""
+  }
+
+  test("S8: add_version stamps timestamp + short sha") {
+    val name = Sources.addVersion("landings", "csv", "abcdef0123456",
+      now = java.time.LocalDateTime.of(2024, 3, 12, 8, 30, 5))
+    assert(name == "landings__20240312083005_abcdef0.csv")
+  }
+}
