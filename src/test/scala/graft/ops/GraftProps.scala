@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestBase
+
+/** Property-based invariants (SURVEY.md §5): bounds monotone in k,
+  * explode row-count conservation, validators only ever null-out values.
+  * Few-but-real Spark cases per property (each case runs a job).
+  */
+object GraftProps extends Properties("graft") {
+  import graft.SparkTestBase.spark.implicits._
+  private lazy val spark = SparkTestBase.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val values = Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1000.0))
+
+  property("locscaleb bounds widen monotonically in k") =
+    forAll(values, Gen.chooseNum(0.5, 3.0), Gen.chooseNum(0.5, 3.0)) { (xs, k1, k2) =>
+      val (lo, hi) = if (k1 < k2) (k1, k2) else (k2, k1)
+      def width(k: Double): Option[Double] = {
+        val r = xs.toDF("x").agg(Bounds.locscaleb(col("x"), k, logt = true).as("b"))
+          .select("b.lower_low", "b.upper_up").collect().head
+        if (r.isNullAt(0)) None else Some(r.getDouble(1) - r.getDouble(0))
+      }
+      (width(lo), width(hi)) match {
+        case (Some(a), Some(b)) => a <= b + 1e-12
+        case (a, b) => a.isDefined == b.isDefined // guards trip identically
+      }
+    }
+
+  property("explodeWithIndex conserves rows: sum of sizes + empties") =
+    forAll(Gen.listOf(Gen.listOf(Gen.alphaStr))) { nested =>
+      val df = nested.zipWithIndex.map { case (xs, i) => (i, xs) }.toDF("id", "xs")
+      val out = Restructure.explodeWithIndex(df, "xs", "n", "x")
+      val expected = nested.map(xs => math.max(xs.size, 1)).sum // empty → placeholder row
+      out.count() == expected
+    }
+
+  property("validatePriceKg only masks: outputs are original value or null") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1.0, 500.0), Gen.oneOf("a", "b")))) { rows =>
+      val df = rows.zipWithIndex.map { case ((p, t), i) => ("f", s"s$i", t, p, p * 2, 3.0) }
+        .toDF("form_name", "survey_id", "catch_taxon", "price_kg", "catch_price", "catch_kg")
+      val out = graft.pipeline.Validate.validatePriceKg(df, 2.5).collect()
+      val orig = rows.zipWithIndex.map { case ((p, _), i) => s"s$i" -> p }.toMap
+      out.forall { r =>
+        val sid = r.getString(r.fieldIndex("survey_id"))
+        val idx = r.fieldIndex("price_kg")
+        r.isNullAt(idx) || r.getDouble(idx) == orig(sid)
+      } && out.length == rows.length
+    }
+}
