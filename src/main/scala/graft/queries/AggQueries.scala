@@ -40,6 +40,23 @@ object AggQueries {
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** A2/W2: the non-reducing per-key count flag (reference
+    * `group_by |> mutate(n() == 1)`, R/merge_trips.R:87-88) — standalone;
+    * q_j8_match_1to1 uses it inside the 1:1 match.
+    */
+  val a2WindowFlag = Q("q_a2_window_count_flag",
+    (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("n_per_day",
+          count(lit(1)).over(Window.partitionBy("user_id", "day")))
+        .withColumn("unique_trip_per_day", col("n_per_day") === 1)
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+              COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_per_day,
+              COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) = 1 AS unique_trip_per_day
+            FROM events ORDER BY event_id"""))
+
   /** A3+SO1: group count with descending sort (reference qmd:56-63). */
   val a3GroupCount = Q("q_a3_group_count",
     (s, dir) =>
@@ -146,6 +163,6 @@ object AggQueries {
     Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus"""))
 
-  def all: Seq[Q] = Seq(a1Tumbling, a3GroupCount, a4TopSpecies, a5Bounds,
-    a6WindowMean, a8Distinct)
+  def all: Seq[Q] = Seq(a1Tumbling, a2WindowFlag, a3GroupCount, a4TopSpecies,
+    a5Bounds, a6WindowMean, a8Distinct)
 }

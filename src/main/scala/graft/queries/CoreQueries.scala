@@ -150,6 +150,43 @@ object CoreQueries {
               CASE WHEN event_type IN ('signup','error') THEN CAST(value AS VARCHAR) END AS effort_sets
             FROM events ORDER BY event_id"""))
 
+  /** J1/J2 faithful form: per-category frames full-outer-joined back on
+    * the shared key then family-coalesced — the reference's 10-way reduce
+    * chain shape (R/preprocessing.R:252-272). The fused single-projection
+    * equivalent is exercised by q_p3_casewhen_bank; this query keeps the
+    * join-chain semantics under oracle (including keys present on only
+    * one side surviving the full outer).
+    */
+  val j1MultiwayFullOuter = Q("q_j1_multiway_full_outer",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      def frame(t: String, name: String) =
+        e.filter(col("event_type") === t)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(col("value")).as(name))
+      val frames = Seq(
+        frame("click", "click_n_hrs"), frame("view", "view_n_hrs"),
+        frame("purchase", "purchase_n_sets"), frame("signup", "signup_n_sets"),
+        frame("error", "error_n_hrs"))
+      val joined = frames.reduce((a, b) => a.join(b, Seq("user_id", "day"), "full_outer"))
+      joined.select(
+        col("user_id"), col("day"),
+        Cleanse.coalesceFamily(joined, "n_hrs").as("effort_hrs"),
+        Cleanse.coalesceFamily(joined, "n_sets").as("effort_sets"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH f AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, event_type, MAX(value) AS v
+              FROM events GROUP BY 1, 2, 3)
+            SELECT user_id, day,
+              COALESCE(MAX(CASE WHEN event_type = 'click' THEN v END),
+                       MAX(CASE WHEN event_type = 'view' THEN v END),
+                       MAX(CASE WHEN event_type = 'error' THEN v END)) AS effort_hrs,
+              COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN v END),
+                       MAX(CASE WHEN event_type = 'signup' THEN v END)) AS effort_sets
+            FROM f GROUP BY 1, 2
+            ORDER BY 1, 2"""))
+
   /** P4+P8: value recodes with pass-through default, lower/trim, and the
     * filter bank (reference R/preprocessing.R:357-398; P8 filters).
     */
@@ -360,6 +397,7 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(
     s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
-    p3CaseBank, p4Recode, p5TryCast, p6Derived, j3BroadcastLeft, j5Remerge,
-    j8Match, j9Enrich, j10Suffix, so3Union, so6Complete)
+    p3CaseBank, j1MultiwayFullOuter, p4Recode, p5TryCast, p6Derived,
+    j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, so3Union,
+    so6Complete)
 }

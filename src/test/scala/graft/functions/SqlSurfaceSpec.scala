@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.{Bounds, Dedup, Similarity, Text}
+import graft.pipeline.Model
+
+/** spark.sql surface parity for the custom expressions + the typed
+  * Dataset model for fixed-contract stages.
+  */
+class SqlSurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox", Array(0.5, 0.25, -1.0)),
+        (2L, "jumps over lazy dogs", Array(0.1, 0.9, 0.2)))
+      .toDF("id", "text", "vec").createOrReplaceTempView("t")
+
+    val viaSql = spark.sql(
+      """SELECT id,
+           simhash64(filter(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '),
+                     x -> length(x) > 0)) AS sh,
+           hyperplane_bucket(vec, 4) AS hb,
+           cosine_sim(vec, vec) AS self_cos
+         FROM t ORDER BY id""").collect()
+    val viaCols = spark.table("t").select(
+      col("id"),
+      Dedup.simhash64(col("text")).as("sh"),
+      Similarity.hyperplaneBucket(col("vec"), 4).as("hb"),
+      Similarity.cosine(col("vec"), col("vec")).as("self_cos"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCols.map(_.toSeq).toSeq)
+    assert(viaSql.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-12))
+
+    val agg = spark.sql(
+      "SELECT locscaleb(v, 3.0, true) AS b FROM VALUES (1.0),(2.0),(3.0),(4.0),(5.0) AS x(v)")
+      .select("b.median").collect().head.getDouble(0)
+    assert(math.abs(agg - math.log1p(3.0)) < 1e-12)
+  }
+
+  test("preprocessed stage round-trips through the typed Dataset model") {
+    val raw = graft.ops.Restructure.conformTo(
+      spark.read.json(Seq(
+        """{"_id": 7, "today": "2024-03-12", "landing_date": "2024-03-11",
+           "fish_species": "Usipa", "weight": "24.5", "value_species": "30000",
+           "value_type": "total", "vessel_number": "1", "catch_number": "1"}""").toDS)
+        .withColumnRenamed("_id", "submission_id"),
+      graft.pipeline.Schemas.rawLandings)
+    val pre = graft.pipeline.Preprocess(raw.withColumn("form_name", lit("f")))
+    val ds = Model.asPreprocessed(pre)
+    val row = ds.collect().head
+    assert(row.survey_id.contains("7-1-1"))
+    assert(row.catch_kg.contains(24.5))
+    assert(math.abs(row.price_kg.get - 30000.0 / 24.5) < 1e-9)
+  }
+}
