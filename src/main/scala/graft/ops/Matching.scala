@@ -45,6 +45,59 @@ object Matching {
     l.join(r, keys :+ flagName, "inner")
   }
 
+  /** As-of (backward) join — the time-series operator Spark lacks as a
+    * built-in (SURVEY.md notes J8 is the reference's "as-of-flavored" op;
+    * this is the general form). For every left row, attach the latest
+    * right row with `rightTime <= leftTime` within the same partition
+    * keys.
+    *
+    * Implemented the scale-correct way: NOT a range join (quadratic per
+    * key) but union → single sort per key → running last-known right
+    * values via `last(_, ignoreNulls)` over an ordered window → keep left
+    * rows. One shuffle + one sort regardless of key skew; this is the
+    * plan a custom SparkPlan would produce, so no custom strategy needed.
+    *
+    * Output: all left columns + `valueCols` from the right (null when no
+    * right row precedes).
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__isL", lit(1))
+    val r = right.select((keys.map(col) :+ col(rightTime).as("__t")) ++
+        valueCols.map(c => col(s"`$c`").as(s"__r_$c")): _*)
+      .withColumn("__isL", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before ties on the same timestamp (backward as-of
+    // includes rightTime == leftTime)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isL").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"`__r_$c`"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__isL") === 1)
+      .drop((valueCols.map(c => s"__r_$c") ++ Seq("__t", "__isL")).toIndexedSeq: _*)
+  }
+
+  /** Skew-safe equi-join of a big fact side against a medium build side
+    * (too big to broadcast, hot keys too skewed for a plain shuffle
+    * join): the build side is replicated `saltFactor`× and the fact side
+    * salted DETERMINISTICALLY (hash of its row identity, no RNG — keeps
+    * retries/resumes consistent). Hot keys spread across `saltFactor`
+    * reducers. AQE's skew-join handles moderate skew at runtime; this is
+    * the explicit tool for pathological keys.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String],
+                 saltFactor: Int, how: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(c => col(s"`$c`")).toIndexedSeq: _*), lit(saltFactor))
+        .cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** J10/A7/V6 core: suffix-match lookup against a small registry.
     * `probe` rows match a `registry` value when the registry string ends
     * with the probe string (reference regex `paste0(imei, "$")`,

@@ -355,6 +355,32 @@ object CoreQueries {
             GROUP BY p.c_custkey, p.imei
             ORDER BY p.c_custkey"""))
 
+  /** As-of backward join (extension operator — SURVEY.md notes the
+    * reference's J8 is "as-of-flavored"; this is the general time-series
+    * form): each purchase event picks up the latest preceding view by the
+    * same user. Oracle: DuckDB's native ASOF JOIN.
+    */
+  val asofJoin = Q("q_asof_join_backward",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      Matching.asOfJoinBackward(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id, l.user_id, r.event_id AS view_event_id, r.value AS view_value
+            FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+                            FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY 1"""))
+
   /** SO3: union-by-name with missing-column fill + origin tag (reference
     * bind_rows(.id="form_name"), R/ingestion.R:92).
     */
@@ -398,6 +424,6 @@ object CoreQueries {
   def all: Seq[Q] = Seq(
     s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
     p3CaseBank, j1MultiwayFullOuter, p4Recode, p5TryCast, p6Derived,
-    j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, so3Union,
-    so6Complete)
+    j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
+    so3Union, so6Complete)
 }

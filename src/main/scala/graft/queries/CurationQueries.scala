@@ -233,6 +233,35 @@ object CurationQueries {
             FROM best_of ORDER BY doc_id"""
     })
 
+  /** The curation end-use: filter a corpus on quality signals (Gopher/C4
+    * style) — keep documents inside token/length bands with sane mean
+    * token length. Demonstrates the quality ops composing into the
+    * pipeline's actual purpose.
+    */
+  val curateFilter = Q("q_curate_quality_filter",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), col("lang"), Text.qualityStruct(col("text")).as("q"))
+        .filter(col("q.n_tokens").between(30, 200) &&
+          col("q.mean_token_len").between(2.0, 12.0))
+        .select(col("doc_id"), col("lang"), col("q.n_tokens").as("n_tokens"),
+          col("q.mean_token_len").as("mean_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang,
+                LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+                LEN(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+                     ELSE 0.0 END AS mean_token_len
+              FROM t)
+            SELECT doc_id, lang, n_tokens, mean_token_len FROM q
+            WHERE n_tokens BETWEEN 30 AND 200 AND mean_token_len BETWEEN 2.0 AND 12.0
+            ORDER BY doc_id"""))
+
   /** Document fingerprinting: md5 of normalized text (engine-stable). The
     * xxhash64 rolling fingerprint has no DuckDB twin → unit-tested.
     */
@@ -269,5 +298,5 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupCosine, dedupCosineLsh, knnBrute, knnLsh, textQuality, textLangid,
-    textFingerprint, mmBinary)
+    textFingerprint, curateFilter, mmBinary)
 }

@@ -92,6 +92,31 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1, 2L, null), (2, 1L, "1239"), (3, 0L, null)))
   }
 
+  test("as-of backward join picks the latest right row at or before left time") {
+    val l = Seq((1, "k1", 10), (2, "k1", 20), (3, "k1", 5), (4, "k2", 10))
+      .toDF("id", "k", "t")
+    val r = Seq(("k1", 10, "r10"), ("k1", 15, "r15"), ("k3", 1, "rx"))
+      .toDF("k", "t", "v")
+    val out = Matching.asOfJoinBackward(l, r, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("id").collect()
+      .map(row => (row.getAs[Int]("id"), Option(row.getAs[String]("v"))))
+    assert(out.toSeq == Seq(
+      (1, Some("r10")),  // equal timestamps match (backward inclusive)
+      (2, Some("r15")),  // latest preceding
+      (3, None),         // nothing at or before t=5
+      (4, None)))        // no right rows for k2
+  }
+
+  test("saltedJoin equals the plain join, deterministically") {
+    val fact = Seq.tabulate(100)(i => (i % 3, i)).toDF("k", "v")
+    val build = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "name")
+    val plain = fact.join(build, Seq("k")).orderBy("v").collect().map(_.toSeq)
+    val salted1 = Matching.saltedJoin(fact, build, Seq("k"), 8).orderBy("v").collect().map(_.toSeq)
+    val salted2 = Matching.saltedJoin(fact, build, Seq("k"), 8).orderBy("v").collect().map(_.toSeq)
+    assert(salted1.toSeq == plain.toSeq)
+    assert(salted1.toSeq == salted2.toSeq) // no RNG → identical across runs
+  }
+
   test("W1: topKPerGroup takes exactly k by the given order") {
     val df = Seq(("g", "a", 3), ("g", "b", 2), ("g", "c", 2), ("g", "d", 1), ("h", "e", 9))
       .toDF("g", "id", "v")
