@@ -19,6 +19,19 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Null-tolerant `c >= t` for post-aggregation threshold filters.
+    *
+    * A plain null-intolerant comparison lets Catalyst infer
+    * isnotnull(...) constraints on the operands and push them down to the
+    * scans — SUBSTITUTING the derived expressions, so the entire
+    * shingle/hash pipeline gets re-evaluated per input row inside the
+    * pushed filter (observed 3× on ngram-jaccard at sf0.1). Wrapping in
+    * coalesce(pred, false) keeps identical semantics (null never passes)
+    * without triggering the inference.
+    */
+  private def atLeast(c: Column, t: Double): Column =
+    coalesce(c >= t, lit(false))
+
   /** Exact dedup: keep, per distinct normalized text, the row with the
     * smallest `idCol`. Implemented as min-id-per-digest + semi-join back so
     * the wide `textCol` never shuffles; only (digest, id) pairs do.
@@ -66,7 +79,7 @@ object Dedup {
       .withColumn("jaccard",
         col("__common").cast(DoubleType) /
           (col("__na") + col("__nb") - col("__common")))
-      .filter(col("jaccard") >= threshold)
+      .filter(atLeast(col("jaccard"), threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -128,7 +141,7 @@ object Dedup {
     withB.withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
           size(array_union(col("__sha"), col("__shb"))))
-      .filter(col("jaccard") >= threshold)
+      .filter(atLeast(col("jaccard"), threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -171,7 +184,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(coalesce(col("hamming") <= maxHamming, lit(false)))
   }
 
   /** Embedding-cosine near-dup pairs. Candidates via hyperplane-LSH
@@ -195,7 +208,7 @@ object Dedup {
       }
     candidates
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
+      .filter(atLeast(col("cosine"), threshold))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
