@@ -145,6 +145,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: every vertex starts labeled with itself; each round every
+    * vertex takes the min label across itself and its neighbors; stop when
+    * no label changes. Deterministic; converges in O(graph diameter)
+    * rounds — near-dup clusters are shallow, so a handful. Lineage is cut
+    * per round with localCheckpoint so plans don't grow exponentially.
+    * (For planet-scale graphs swap in large-star/small-star; the API
+    * stays the same.)
+    *
+    * Returns (id, label) for every vertex that appears in `pairs`; the
+    * label is the cluster's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val propagated = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = propagated.as("n")
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).count()
+      labels = propagated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-near-dup-cluster: documents whose id is not the minimum
+    * of its cluster are dropped (isolated documents always survive).
+    */
+  def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold)
+    val losers = connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff
     * the sum over tokens of sign(bit j of xxhash64(token)) is positive.
     * Pure expressions: per-bit vote via aggregate HOF.

@@ -233,6 +233,48 @@ object CurationQueries {
             FROM best_of ORDER BY doc_id"""
     })
 
+  /** Keep-one-per-cluster near-dup removal: word-3-gram Jaccard pairs →
+    * connected components (min-label propagation) → drop every document
+    * that isn't its cluster's minimum id. Oracle: transitive closure via
+    * recursive CTE over the identical pair definition.
+    */
+  val dedupClusters = Q("q_dedup_cluster_keep",
+    (s, dir) =>
+      Dedup.nearDupSurvivors(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.2)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE
+            toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS ns, UNNEST(shingles) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.2),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+            losers AS (SELECT id FROM labels WHERE label <> id)
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+            ORDER BY doc_id"""))
+
   /** The curation end-use: filter a corpus on quality signals (Gopher/C4
     * style) — keep documents inside token/length bands with sane mean
     * token length. Demonstrates the quality ops composing into the
@@ -297,6 +339,6 @@ object CurationQueries {
             FROM documents ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupCosine, dedupCosineLsh, knnBrute, knnLsh, textQuality, textLangid,
-    textFingerprint, curateFilter, mmBinary)
+    dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, textQuality,
+    textLangid, textFingerprint, curateFilter, mmBinary)
 }

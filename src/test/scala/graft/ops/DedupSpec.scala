@@ -87,6 +87,21 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == Set((1L, 2L))) // identical vectors share every hyperplane bucket
   }
 
+  test("connected components: chains collapse to min label") {
+    // 1-2, 2-7, 7-9 form one chain; 4-5 another; 8 isolated (absent)
+    val pairs = Seq((1L, 2L), (2L, 7L), (7L, 9L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("nearDupSurvivors keeps one doc per cluster plus isolated docs") {
+    val out = Dedup.nearDupSurvivors(docs, "text", "doc_id", 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // docs 1,2,3 are one near-dup cluster → keep 1; 4 and 5 isolated
+    assert(out.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("ngram jaccard pairs with doc-frequency cutoff still finds the near-dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
