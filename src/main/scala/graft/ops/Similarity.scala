@@ -85,6 +85,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic IVF coarse quantizer: K seed centroids (the first K
+    * corpus vectors by id — no RNG) refined by one Lloyd step (assign all
+    * vectors to the nearest seed by cosine, then element-wise mean per
+    * cell). Returns (centroid_id, centroid array<double>). One shuffle for
+    * the assignment aggregation; the K-row result broadcasts everywhere
+    * it's used.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val seeds = vecs.orderBy("__id").limit(k)
+      .select(col("__id").as("centroid_id"), col("__v").as("centroid"))
+    val assigned = assignToCentroids(vecs, seeds)
+    // element-wise mean per cell: explode dims, average, re-assemble
+    assigned
+      .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+      .groupBy("centroid_id", "__dim").agg(avg(col("__x")).as("__m"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+      .select(col("centroid_id"),
+        transform(col("__dm"), s => s.getField("__m")).as("centroid"))
+  }
+
+  /** Nearest centroid per vector (centroids broadcast; argmin via
+    * greatest-cosine struct — one pass, no window).
+    */
+  private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val joined = vecs.crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col("__v"), col("centroid")))
+    // max_by over (cosine, centroid_id desc tie-break) — deterministic
+    joined.groupBy("__id")
+      .agg(max(struct(col("__cos"), (-col("centroid_id")).as("__nid"),
+        col("centroid_id"), col("__v"))).as("__best"))
+      .select(col("__id"), col("__best.centroid_id").as("centroid_id"),
+        col("__best.__v").as("__v"))
+  }
+
+  /** IVF approximate top-k: corpus vectors are partitioned into `nlist`
+    * centroid cells; each query scores only the `nprobe` nearest cells.
+    * The 100 TB path when hyperplane LSH's fixed buckets fit the data
+    * poorly — cells adapt to the corpus distribution. ~nprobe/nlist of
+    * the corpus is scanned per query.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus, cId, cVec, nlist)
+    val corpusCells = assignToCentroids(
+      corpus.select(col(cId).as("__id"), col(cVec).cast("array<double>").as("__v")), centroids)
+      .select(col("centroid_id"), col("__id").as("neighbor_id"), col("__v").as("__cv"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col("__qv"), col("centroid")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cos").desc, col("centroid_id"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    broadcast(qCells).join(corpusCells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries bucketed by
     * [[hyperplaneBucket]]; each query only scores its own bucket. The
     * 100 TB path — candidate work divides by 2^bits at some recall cost

@@ -156,6 +156,22 @@ object CurationQueries {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** IVF approximate top-k (adaptive centroid cells, nprobe probing) —
+    * rows-only; exactness at nprobe=nlist is unit-tested against the
+    * brute-force baseline.
+    */
+  val knnIvf = Q("q_knn_cosine_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** Approximate LSH top-k (multiprobe hyperplane buckets) — rows-only. */
   val knnLsh = Q("q_knn_cosine_lsh",
     (s, dir) => {
@@ -339,6 +355,6 @@ object CurationQueries {
             FROM documents ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, textQuality,
-    textLangid, textFingerprint, curateFilter, mmBinary)
+    dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
+    textQuality, textLangid, textFingerprint, curateFilter, mmBinary)
 }

@@ -33,6 +33,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).distinct.length > 1) // buckets actually spread
   }
 
+  test("IVF with nprobe = nlist is exact (equals brute force)") {
+    val exact = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(_.toSeq)
+    val ivf = Similarity.ivfTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(_.toSeq)
+    assert(ivf.toSeq == exact.toSeq)
+  }
+
+  test("IVF centroids: one Lloyd step produces nlist cells covering the corpus") {
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 8).collect()
+    assert(cents.length == 8)
+    assert(cents.forall(_.getSeq[Double](1).length == 16))
+  }
+
   test("bruteForceTopK matches a local exact computation") {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
