@@ -43,6 +43,29 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("mapGroupsWithState: running trip stats accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import TripState._
+    val stream = MemoryStream[(Long, Timestamp, Double, Double)]
+    val pointsDs = stream.toDS.map(t => PointEvent(t._1, t._2, t._3, t._4))
+    val query = runningTripStats(pointsDs)
+      .writeStream.format("memory").queryName("trip_stats")
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq((9001L, ts("2024-03-11 06:01:00"), -14.0, 34.8)))
+      query.processAllAvailable()
+      stream.addData(Seq((9001L, ts("2024-03-11 06:05:00"), -14.2, 35.0)))
+      query.processAllAvailable()
+      // update mode emits one row per batch; the LAST row carries the
+      // accumulated state across both batches
+      val last = spark.table("trip_stats")
+        .orderBy(col("last_time").desc).collect().head
+      assert(last.getAs[Long]("n_points") == 2)
+      assert(math.abs(last.getAs[Double]("lat") - (-14.1)) < 1e-12)
+      assert(last.getAs[java.sql.Timestamp]("last_time") == ts("2024-03-11 06:05:00"))
+    } finally query.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double, Double)]
