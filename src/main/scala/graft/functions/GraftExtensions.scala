@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ops.Bounds
+
+/** SparkSessionExtensions entry point — the deployment path for shipping
+  * the graft function surface cluster-wide without per-session code:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions …
+  *
+  * (Equivalent to [[GraftFunctions.register]], which covers the
+  * per-session path.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (es: Seq[Expression]) => VectorExprs.CosineSim(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket", "hyperplane_bucket(v, bits) - deterministic LSH bucket"),
+      (es: Seq[Expression]) => VectorExprs.HyperplaneBucket(es(0), GraftFunctions.intLit(es(1)))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - MinHash signature"),
+      (es: Seq[Expression]) => HashExprs.MinHashSig(es(0), GraftFunctions.intLit(es(1)))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash"),
+      (es: Seq[Expression]) => HashExprs.SimHash64(es(0))))
+    e.injectFunction((FunctionIdentifier("locscaleb"),
+      info("locscaleb", "locscaleb(x, k, logt) - LocScaleB robust outlier bounds"),
+      (es: Seq[Expression]) => Bounds.LocScaleBAgg(Cast(es(0), DoubleType),
+        GraftFunctions.doubleLit(es(1)), GraftFunctions.boolLit(es(2)))))
+  }
+}

@@ -18,6 +18,10 @@ import graft.ops.Bounds
   */
 object GraftFunctions {
 
+  private[functions] def intLit(e: Expression, name: String = "arg"): Int = intArg(e, name)
+  private[functions] def doubleLit(e: Expression, name: String = "arg"): Double = doubleArg(e, name)
+  private[functions] def boolLit(e: Expression, name: String = "arg"): Boolean = boolArg(e, name)
+
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case Literal(v: Long, _) => v.toInt

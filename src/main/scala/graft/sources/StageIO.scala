@@ -31,6 +31,19 @@ object StageIO {
     df.withColumn("__month", date_format(col(dateCol), "yyyy-MM"))
       .write.mode("overwrite").partitionBy("__month").parquet(dir)
 
+  /** S5 at scale, join-heavy shape: bucketed+sorted stage table. Two
+    * tables bucketed the same way on the join key sort-merge-join with NO
+    * exchange and no sort — the co-location replaces the shuffle entirely
+    * (proved in SourcesSpec by asserting the executed plan has no
+    * hashpartitioning exchange). Requires a catalog table (bucketing
+    * metadata lives in the metastore).
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S4: scan a stage table. */
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

@@ -46,6 +46,21 @@ class SourcesSpec extends SparkTestBase {
     assert(dirs.toSet == Set("__month=2024-01", "__month=2024-02"))
   }
 
+  test("bucketed stage tables join without any shuffle exchange") {
+    val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    StageIO.saveBucketed(a, "graft_bucket_a", "k", 4)
+    StageIO.saveBucketed(b, "graft_bucket_b", "k", 4)
+    val joined = spark.table("graft_bucket_a")
+      .hint("merge") // force SMJ so the bucketing (not a broadcast) does the work
+      .join(spark.table("graft_bucket_b"), Seq("k"))
+    assert(joined.count() == 100)
+    val executed = joined.queryExecution.executedPlan.toString
+    assert(executed.contains("SortMergeJoin"))
+    assert(!executed.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$executed")
+  }
+
   test("S7: layered YAML config merges profile over default and interpolates env") {
     val yaml =
       """default:
