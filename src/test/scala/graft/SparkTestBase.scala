@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkTestBase {
   lazy val spark: SparkSession = {
+    // Per-JVM-run temp warehouse: managed tables (saveAsTable in the
+    // bucketed-stage tests) must not collide with directories left by a
+    // previous `sbt test` run — the catalog is fresh each run but
+    // ./spark-warehouse would persist, failing with LOCATION_ALREADY_EXISTS.
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
@@ -15,6 +20,7 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", warehouse)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

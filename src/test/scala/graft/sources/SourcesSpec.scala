@@ -47,18 +47,34 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("bucketed stage tables join without any shuffle exchange") {
-    val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("k", "va")
-    val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("k", "vb")
-    StageIO.saveBucketed(a, "graft_bucket_a", "k", 4)
-    StageIO.saveBucketed(b, "graft_bucket_b", "k", 4)
-    val joined = spark.table("graft_bucket_a")
-      .hint("merge") // force SMJ so the bucketing (not a broadcast) does the work
-      .join(spark.table("graft_bucket_b"), Seq("k"))
-    assert(joined.count() == 100)
-    val executed = joined.queryExecution.executedPlan.toString
-    assert(executed.contains("SortMergeJoin"))
-    assert(!executed.contains("Exchange hashpartitioning"),
-      s"bucketed join should not shuffle:\n$executed")
+    // Rerun-idempotent: drop catalog entries AND warehouse dirs first (the
+    // temp warehouse in SparkTestBase already isolates runs; this guards
+    // against in-run reuse too).
+    def dropManaged(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    dropManaged("graft_bucket_a"); dropManaged("graft_bucket_b")
+    try {
+      val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      StageIO.saveBucketed(a, "graft_bucket_a", "k", 4)
+      StageIO.saveBucketed(b, "graft_bucket_b", "k", 4)
+      val joined = spark.table("graft_bucket_a")
+        .hint("merge") // force SMJ so the bucketing (not a broadcast) does the work
+        .join(spark.table("graft_bucket_b"), Seq("k"))
+      assert(joined.count() == 100)
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("SortMergeJoin"))
+      assert(!executed.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$executed")
+    } finally {
+      dropManaged("graft_bucket_a"); dropManaged("graft_bucket_b")
+    }
   }
 
   test("S7: layered YAML config merges profile over default and interpolates env") {
