@@ -54,9 +54,11 @@ object VectorExprs {
   /** Hyperplane-LSH bucket: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes, weight(p, i) derived from
     * xxhash64 exactly like the HOF form in Similarity.planeWeight
-    * (bit-parity property-tested).
+    * (bit-parity property-tested). `planeOffset` selects an independent
+    * plane family (planes planeOffset..planeOffset+bits-1) — the
+    * OR-amplification hook: each LSH table t uses offset t*bits.
     */
-  case class HyperplaneBucket(child: Expression, bits: Int)
+  case class HyperplaneBucket(child: Expression, bits: Int, planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = LongType
@@ -81,7 +83,7 @@ object VectorExprs {
         var proj = 0.0
         var i = 0
         while (i < n) {
-          proj += v.getDouble(i) * weight(p, i)
+          proj += v.getDouble(i) * weight(planeOffset + p, i)
           i += 1
         }
         if (proj >= 0) bucket |= (1L << p)
@@ -99,6 +101,6 @@ object VectorExprs {
       GraftShim.expression(a.cast("array<double>")),
       GraftShim.expression(b.cast("array<double>"))))
 
-  def hyperplaneBucket(v: Column, bits: Int): Column =
-    GraftShim.column(HyperplaneBucket(GraftShim.expression(v.cast("array<double>")), bits))
+  def hyperplaneBucket(v: Column, bits: Int, planeOffset: Int = 0): Column =
+    GraftShim.column(HyperplaneBucket(GraftShim.expression(v.cast("array<double>")), bits, planeOffset))
 }

@@ -43,6 +43,39 @@ object Bounds {
 
   val MadConstant = 1.4826
 
+  /** How to compute the per-group bounds — the 100 TB decision.
+    *
+    *   - [[CollectExact]]: single-pass [[LocScaleBAgg]]. One shuffle, but
+    *     the aggregation buffer holds every value of the group: right for
+    *     the validators' small per-taxon groups, WRONG for a global group
+    *     over a 100 TB column (the buffer would be the whole column on one
+    *     reducer).
+    *   - [[TwoPassExact]]: [[boundsTwoPass]] with exact `percentile`. Two
+    *     shuffles; memory bounded by the distinct-value count per group
+    *     (Spark's Percentile keeps a value→count map). The default for
+    *     global / low-cardinality groupings — exact same numbers as
+    *     CollectExact (property-tested), so oracle parity is preserved.
+    *   - [[TwoPassApprox]]: [[boundsTwoPass]] with `percentile_approx`
+    *     (bounded-memory KLL-style sketch). The true planet-scale path for
+    *     continuous-valued global columns; numbers are approximate (the
+    *     sketch returns an actual data value, not the midpoint interp), so
+    *     it is opt-in, never silently substituted where exactness is gated.
+    */
+  sealed trait Strategy
+  case object CollectExact extends Strategy
+  case object TwoPassExact extends Strategy
+  final case class TwoPassApprox(accuracy: Int = 10000) extends Strategy
+
+  /** Strategy dispatcher — same output schema and (for the exact
+    * strategies) identical numbers regardless of route.
+    */
+  def bounds(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             k: Double, logt: Boolean, strategy: Strategy): DataFrame = strategy match {
+    case CollectExact => boundsAgg(df, groupCols, valueCol, k, logt)
+    case TwoPassExact => boundsTwoPass(df, groupCols, valueCol, k, logt)
+    case TwoPassApprox(acc) => boundsTwoPass(df, groupCols, valueCol, k, logt, Some(acc))
+  }
+
   private def medianSorted(v: Array[Double]): Double = {
     val n = v.length
     if (n == 0) Double.NaN
@@ -155,26 +188,33 @@ object Bounds {
         col("__b.mad").as("mad"), col("__b.lower_low").as("lower_low"),
         col("__b.upper_up").as("upper_up")): _*)
 
-  /** Two-pass DataFrame formulation; exact same numbers as [[locscaleb]].
-    * Pass 1: per-group medians (raw + transformed); pass 2: per-group MADs.
-    * Emits one row per group: groupCols ++ (n, median, mad, lower_low,
-    * upper_up) on the transformed scale.
+  /** Two-pass DataFrame formulation; exact same numbers as [[locscaleb]]
+    * when `approxAccuracy` is empty. Pass 1: per-group medians (raw +
+    * transformed); pass 2: per-group MADs. Emits one row per group:
+    * groupCols ++ (n, median, mad, lower_low, upper_up) on the transformed
+    * scale. With `approxAccuracy = Some(a)` medians come from
+    * `percentile_approx` — bounded memory per group, the planet-scale path.
     */
   def boundsTwoPass(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                    k: Double, logt: Boolean): DataFrame = {
+                    k: Double, logt: Boolean,
+                    approxAccuracy: Option[Int] = None): DataFrame = {
+    def med(c: Column): Column = approxAccuracy match {
+      case Some(acc) => percentile_approx(c, lit(0.5), lit(acc))
+      case None => percentile(c, lit(0.5))
+    }
     val vRaw = col(valueCol).cast(DoubleType)
     val vT = if (logt) log1p(vRaw) else vRaw
     val base = df.select(groupCols.map(col) :+ vRaw.as("__raw") :+ vT.as("__t"): _*)
       .filter(col("__raw").isNotNull)
     val meds = base.groupBy(groupCols.map(col): _*).agg(
-      percentile(col("__raw"), lit(0.5)).as("__med_raw"),
-      percentile(col("__t"), lit(0.5)).as("__med_t"),
+      med(col("__raw")).as("__med_raw"),
+      med(col("__t")).as("__med_t"),
       count(lit(1)).as("n"),
       max(when(col("__raw") =!= 0.0, lit(1)).otherwise(lit(0))).as("__any_nonzero"))
     val mads = base.join(meds, groupCols)
       .groupBy(groupCols.map(col): _*).agg(
-        percentile(abs(col("__raw") - col("__med_raw")), lit(0.5)).as("__mad0_raw"),
-        percentile(abs(col("__t") - col("__med_t")), lit(0.5)).as("__mad0_t"))
+        med(abs(col("__raw") - col("__med_raw"))).as("__mad0_raw"),
+        med(abs(col("__t") - col("__med_t"))).as("__mad0_t"))
     meds.join(mads, groupCols)
       .withColumn("__mad_raw", lit(MadConstant) * col("__mad0_raw"))
       .withColumn("mad", lit(MadConstant) * col("__mad0_t"))

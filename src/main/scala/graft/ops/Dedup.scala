@@ -51,10 +51,17 @@ object Dedup {
     * stop-shingles from the index (a shingle in >N docs generates N² join
     * rows — the classic skew bomb at scale); 0 disables the cutoff, which
     * keeps results exactly equal to the all-pairs definition.
+    *
+    * `prefixFilter = true` routes through [[ngramJaccardPairsPrefix]] —
+    * still exactly equal to the all-pairs definition, but the self-join is
+    * cut by the PPJoin-style prefix bound (rare shingles only on one side).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        maxShingleDocFreq: Long = 0L): DataFrame = {
+                        maxShingleDocFreq: Long = 0L,
+                        prefixFilter: Boolean = false): DataFrame = {
+    if (prefixFilter)
+      return ngramJaccardPairsPrefix(df, textCol, idCol, n, threshold)
     val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
     // index on 64-bit shingle hashes, not the strings: long join keys keep
@@ -76,6 +83,59 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb")
       .agg(count(lit(1)).as("__common"))
+      .withColumn("jaccard",
+        col("__common").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("__common")))
+      .filter(atLeast(col("jaccard"), threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard pairs with PPJoin-style prefix filtering (Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    * PPJoin): shingles are globally ordered by document frequency
+    * (rarest first); each doc indexes only its first
+    * `|d| - ceil(t*|d|) + 1` shingles. Candidates come from FULL-side ×
+    * PREFIX-side joins — complete because J(A,B) ≥ t forces |A∩B| > |B| -
+    * prefixLen(B), so some common shingle lands in B's prefix (pigeonhole)
+    * and A's full index supplies the other side. Hot stop-shingles sit at
+    * the END of the df-order and thus almost never in a prefix — the df²
+    * skew bomb deflates to df_full × df_prefix without any lossy cutoff.
+    * Verification computes exact Jaccard on the full shingle sets, so the
+    * output is identical to the all-pairs definition.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    val shingled = wordShingled(df, textCol, idCol, n)
+      .withColumn("__size", size(col("__sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashes = shingled
+      .select(col("__id"), col("__size"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+    val dfreq = hashes.groupBy("__s").agg(count(lit(1)).as("__df"))
+    // per-doc shingles sorted by (global df asc, hash asc); prefix length
+    // |d| - ceil(t*|d|) + 1 (struct sort: array_sort on (df, s) structs)
+    val prefix = hashes.join(dfreq, Seq("__s"))
+      .groupBy("__id", "__size")
+      .agg(array_sort(collect_list(struct(col("__df"), col("__s")))).as("__ds"))
+      .withColumn("__plen",
+        (col("__size") - ceil(lit(threshold) * col("__size")) + 1).cast("int"))
+      .select(col("__id"),
+        explode(transform(slice(col("__ds"), lit(1), col("__plen")), x => x.getField("__s")))
+          .as("__s"))
+    val full = hashes.select(col("__s"), col("__id").as("__idf"))
+    val candidates = full.join(prefix.withColumnRenamed("__id", "__idp"), Seq("__s"))
+      .filter(col("__idf") =!= col("__idp"))
+      .select(least(col("__idf"), col("__idp")).as("id_a"),
+        greatest(col("__idf"), col("__idp")).as("id_b"))
+      .distinct()
+    val withA = candidates.join(
+      shingled.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__size").as("__na")),
+      Seq("id_a"))
+    val withB = withA.join(
+      shingled.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__size").as("__nb")),
+      Seq("id_b"))
+    withB
+      .withColumn("__common", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("jaccard",
         col("__common").cast(DoubleType) /
           (col("__na") + col("__nb") - col("__common")))
@@ -119,7 +179,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
+    // the tokenize→shingle pipeline feeds three consumers (signatures +
+    // both verify joins) — persist so the regex work runs once, not 3×
     val shingled = wordShingled(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = shingled.withColumn("__sig",
       minhashSignature(col("__sh"), bands * rowsPerBand))
     // one row per (band, bucket-hash-of-r-minhashes, id)
@@ -213,16 +276,30 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit chunks (pigeonhole — a
-    * pair within hamming distance ≤ maxHamming ≤ 3 shares at least one
-    * chunk), verify with exact `bit_count(xor)`.
+  /** SimHash near-dup pairs: bucket by `maxHamming + 1` disjoint bit
+    * chunks (pigeonhole — a pair differing in ≤ maxHamming bits has all
+    * its differences in at most maxHamming chunks, so at least one chunk
+    * matches exactly), verify with exact `bit_count(xor)`. The chunk count
+    * is DERIVED from maxHamming, so candidate generation is recall-complete
+    * for every requested radius (maxHamming=3 gives the classic 4×16-bit
+    * split); wider radii mean more/narrower chunks → bigger buckets, the
+    * inherent LSH recall/cost trade.
     * Emits (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming=$maxHamming: beyond 16 the ${maxHamming + 1} chunks degenerate " +
+        "(<4-bit buckets collide constantly); use minhash/ngram dedup instead")
+    val numChunks = maxHamming + 1
+    val width = (64 + numChunks - 1) / numChunks // ceil — chunks cover all 64 bits
+    val chunkExprs = (0 until numChunks).map { ci =>
+      val off = ci * width
+      val w = math.min(width, 64 - off)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col("__h"), off).bitwiseAND(lit(mask))
+    }
     val hashed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h"))
-    val chunkExprs = (0 until 4).map(ci =>
-      shiftright(col("__h"), ci * 16).bitwiseAND(lit(0xFFFFL)))
     val chunked = hashed.select(col("__id"), col("__h"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
     val l = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha"))
@@ -235,13 +312,19 @@ object Dedup {
       .filter(coalesce(col("hamming") <= maxHamming, lit(false)))
   }
 
-  /** Embedding-cosine near-dup pairs. Candidates via hyperplane-LSH
-    * buckets ([[Similarity.hyperplaneBucket]]) when `lshBits > 0`
-    * (scale path), else all-pairs (exact small-scale / oracle path);
-    * both verify with exact cosine ≥ threshold. Emits (id_a, id_b, cosine).
+  /** Embedding-cosine near-dup pairs. Candidates via OR-amplified
+    * hyperplane-LSH when `lshBits > 0` (scale path): `lshTables`
+    * independent plane families, a pair is a candidate if it collides in
+    * ANY table — P[candidate] = 1-(1-p^bits)^tables for per-plane
+    * agreement p = 1-θ/π, so recall amplifies with tables where a single
+    * signature (tables=1) finds almost nothing at moderate thresholds
+    * (p^8 ≈ 3% at cosine 0.45). `lshBits <= 0` is the exact all-pairs
+    * small-scale/oracle path. Both verify with exact cosine ≥ threshold.
+    * Emits (id_a, id_b, cosine).
     */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                     threshold: Double, lshBits: Int = 0): DataFrame = {
+                     threshold: Double, lshBits: Int = 0,
+                     lshTables: Int = 8): DataFrame = {
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val candidates =
       if (lshBits <= 0) {
@@ -249,10 +332,20 @@ object Dedup {
         val b = vecs.select(col("__id").as("id_b"), col("__v").as("__vb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
-        val bucketed = vecs.withColumn("__bkt", Similarity.hyperplaneBucket(col("__v"), lshBits))
-        val a = bucketed.select(col("__bkt"), col("__id").as("id_a"), col("__v").as("__va"))
-        val b = bucketed.select(col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb"))
-        a.join(b, Seq("__bkt")).filter(col("id_a") < col("id_b")).drop("__bkt")
+        // one row per (table, bucket, id); table t uses plane family
+        // [t*bits, (t+1)*bits) so signatures are independent
+        val bucketed = vecs.select(col("__id"), col("__v"),
+          posexplode(array((0 until lshTables).map(t =>
+            Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits)): _*))
+            .as(Seq("__table", "__bkt")))
+        val a = bucketed.select(col("__table"), col("__bkt"), col("__id").as("id_a"))
+        val b = bucketed.select(col("__table"), col("__bkt"), col("__id").as("id_b"))
+        val candIds = a.join(b, Seq("__table", "__bkt"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        candIds
+          .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+          .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       }
     candidates
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))

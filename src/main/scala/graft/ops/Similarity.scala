@@ -48,16 +48,18 @@ object Similarity {
   /** Hyperplane-LSH bucket id: `bits` sign bits of projections onto
     * deterministic hyperplanes. Nearby (cosine) vectors collide with high
     * probability; bucket count = 2^bits bounds candidate-set size.
+    * `planeOffset` selects an independent plane family — table t of an
+    * OR-amplified scheme passes offset t*bits.
     * Fused expression; [[hyperplaneBucketHof]] kept for parity testing.
     */
-  def hyperplaneBucket(vec: Column, bits: Int): Column =
-    graft.functions.VectorExprs.hyperplaneBucket(vec, bits)
+  def hyperplaneBucket(vec: Column, bits: Int, planeOffset: Int = 0): Column =
+    graft.functions.VectorExprs.hyperplaneBucket(vec, bits, planeOffset)
 
-  def hyperplaneBucketHof(vec: Column, bits: Int): Column = {
+  def hyperplaneBucketHof(vec: Column, bits: Int, planeOffset: Int = 0): Column = {
     val idx = sequence(lit(0), size(vec) - 1)
     val bitCols: Seq[Column] = (0 until bits).map { p =>
       val proj = aggregate(
-        zip_with(vec, idx, (x, i) => x * planeWeight(p, i)),
+        zip_with(vec, idx, (x, i) => x * planeWeight(planeOffset + p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -163,11 +165,18 @@ object Similarity {
       .withColumn("__bkt", hyperplaneBucket(col("__cv"), bits))
     val q0 = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
       .withColumn("__qbkt", hyperplaneBucket(col("__qv"), bits))
-    // multiprobe: expand each query to its bucket plus single-bit flips
+    // multiprobe: expand each query to every bucket within Hamming distance
+    // `probeHamming` of its own bucket — C(bits,1)+…+C(bits,r) probes/query
+    // (the flip masks are computed once on the driver; the per-row work is
+    // one XOR per probe)
     val probes: Column =
       if (probeHamming <= 0) array(col("__qbkt"))
       else {
-        val flips = (0 until bits).map(p => col("__qbkt").bitwiseXOR(lit(1L << p)))
+        val flipMasks: Seq[Long] = (1 to math.min(probeHamming, bits)).flatMap(r =>
+          (0 until bits).combinations(r).map(_.map(1L << _).reduce(_ | _)))
+        require(flipMasks.size <= 4096,
+          s"multiprobe explosion: ${flipMasks.size} probes for bits=$bits radius=$probeHamming")
+        val flips = flipMasks.map(m => col("__qbkt").bitwiseXOR(lit(m)))
         array_distinct(array(col("__qbkt") +: flips: _*))
       }
     val q = q0.select(col("query_id"), col("__qv"), explode(probes).as("__bkt"))

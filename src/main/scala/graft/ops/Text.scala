@@ -79,9 +79,11 @@ object Text {
     size(array_intersect(distinctTokens(c),
       array(stopwords.map(lit): _*)))
 
-  /** Heuristic language ID: argmax of stopword-profile hits; ties and
-    * zero-hit documents resolve to "und" (undetermined). Deterministic:
-    * a strictly-greater score is required to beat earlier profiles.
+  /** Heuristic language ID: argmax of stopword-profile hits; zero-hit
+    * documents resolve to "und" (undetermined). Deterministic tie-break:
+    * a strictly-greater score is required to beat earlier profiles, so a
+    * tie resolves to the FIRST (earlier) profile in [[langProfiles]] —
+    * an en/es tie returns "en" (the DuckDB oracle mirrors this).
     */
   def langId(c: Column): Column = {
     val scored = langProfiles.map { case (lang, words) => (lang, langScore(c, words)) }

@@ -2,8 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Restructure
-import graft.sources.StageIO
+import graft.ops.{Bounds, Restructure}
+import graft.sources.{PipelineConfig, StageIO}
 
 /** The six-stage DAG (reference .github/workflows/data-pipeline.yaml:
   * ingest → preprocess → validate → {merge → export-tracks,
@@ -45,11 +45,22 @@ object Runner {
     */
   def validate(spark: SparkSession, tables: StageTables,
                kNFishers: Double = 2.5, kNBoats: Double = 2.5,
-               kPriceKg: Double = 3.0): Unit = {
+               kPriceKg: Double = 3.0,
+               globalBounds: Bounds.Strategy = Bounds.TwoPassExact): Unit = {
     val res = Validate(StageIO.load(spark, tables.preprocessed),
-      kNFishers, kNBoats, kPriceKg)
+      kNFishers, kNBoats, kPriceKg, globalBounds)
     StageIO.save(res.validated, tables.validated)
     StageIO.save(res.alertFlags, tables.alertFlags)
+  }
+
+  /** Config-driven validation: the `validation.k_*` constants come from the
+    * layered YAML config (reference inst/config.yml:42-46 feeds
+    * validate_landings the same way), not call-site defaults.
+    */
+  def validate(spark: SparkSession, tables: StageTables,
+               conf: PipelineConfig.Conf): Unit = {
+    val ks = conf.validationK
+    validate(spark, tables, ks.kNFishers, ks.kNBoats, ks.kPriceKg)
   }
 
   /** Stage 4 — merge_trips: validated IMEIs joined on, then the 1:1

@@ -35,17 +35,25 @@ object Validate {
     * validate_nboats :147-162): negatives → alert + mask, then global
     * LocScaleB upper outliers on the masked column (logt, back-transform
     * exp(b)-1 per alert_outlier :51).
+    *
+    * The grouping here is GLOBAL (one group = the whole column), so the
+    * single-buffer [[Bounds.CollectExact]] aggregate would collect the
+    * entire column on one reducer at scale — the default routes through
+    * the two-pass formulation instead (identical numbers); pass
+    * [[Bounds.TwoPassApprox]] for bounded-memory sketched medians on
+    * planet-scale columns.
     */
   private def validatePositiveOutliers(data: DataFrame, valueCol: String,
                                        alertCode: Double, k: Double,
-                                       outName: String): DataFrame = {
+                                       outName: String,
+                                       strategy: Bounds.Strategy): DataFrame = {
     val base = data.select(
       col("form_name"), col("survey_id"),
       when(col(valueCol) < 0, alertCode).as("__alert_neg"),
       when(col(valueCol) < 0, lit(null).cast(DoubleType))
         .otherwise(col(valueCol).cast(DoubleType)).as("__x"))
       .withColumn("__g", lit(1))
-    val bounds = Bounds.boundsAgg(base, Seq("__g"), "__x", k, logt = true)
+    val bounds = Bounds.bounds(base, Seq("__g"), "__x", k, logt = true, strategy)
       .select(col("__g"), (exp(col("upper_up")) - 1).as("__ub"))
     base.join(broadcast(bounds), Seq("__g"), "left")
       .withColumn("__alert", coalesce(
@@ -56,11 +64,13 @@ object Validate {
         col("__alert").as(outName))
   }
 
-  def validateNFishers(data: DataFrame, k: Double): DataFrame =
-    validatePositiveOutliers(data, "n_fishers", 2.0, k, "alert_n_fishers")
+  def validateNFishers(data: DataFrame, k: Double,
+                       strategy: Bounds.Strategy = Bounds.TwoPassExact): DataFrame =
+    validatePositiveOutliers(data, "n_fishers", 2.0, k, "alert_n_fishers", strategy)
 
-  def validateNBoats(data: DataFrame, k: Double): DataFrame =
-    validatePositiveOutliers(data, "n_boats", 3.0, k, "alert_n_boats")
+  def validateNBoats(data: DataFrame, k: Double,
+                     strategy: Bounds.Strategy = Bounds.TwoPassExact): DataFrame =
+    validatePositiveOutliers(data, "n_boats", 3.0, k, "alert_n_boats", strategy)
 
   /** V4 (reference get_catch_bounds/validate_catch :183-233 — defined but
     * not wired into validate_landings; kept as a first-class op): upper
@@ -134,12 +144,13 @@ object Validate {
 
   def apply(preprocessed: DataFrame,
             kNFishers: Double = 2.5, kNBoats: Double = 2.5,
-            kPriceKg: Double = 3.0): ValidationResult = {
+            kPriceKg: Double = 3.0,
+            globalBounds: Bounds.Strategy = Bounds.TwoPassExact): ValidationResult = {
     val keys = Seq("form_name", "survey_id")
     val outputs = Seq(
       validateDates(preprocessed),
-      validateNFishers(preprocessed, kNFishers),
-      validateNBoats(preprocessed, kNBoats),
+      validateNFishers(preprocessed, kNFishers, globalBounds),
+      validateNBoats(preprocessed, kNBoats, globalBounds),
       validatePriceKg(preprocessed, kPriceKg))
 
     // J5: cleaned columns re-merge

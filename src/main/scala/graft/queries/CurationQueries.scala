@@ -121,12 +121,16 @@ object CurationQueries {
             ORDER BY id_a, id_b"""))
 
   /** Hyperplane-LSH bucketed variant of cosine dedup — the 100 TB path
-    * (candidates within bucket only). Approximate → rows-only check.
+    * (candidates within any of 16 independent 4-bit bucket tables;
+    * OR-amplified recall 1-(1-p⁴)¹⁶ ≈ 0.95 even at the 0.45 threshold's
+    * p ≈ 0.65 per-plane agreement, vs ≈ 3% for a single 8-bit signature).
+    * Approximate → rows-only check; recall vs the exact path is gated
+    * numerically in DedupSpec.
     */
   val dedupCosineLsh = Q("q_dedup_embed_cosine_lsh",
     (s, dir) =>
       Dedup.cosineDupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
-        threshold = 0.45, lshBits = 8)
+        threshold = 0.45, lshBits = 4, lshTables = 16)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
         .orderBy("id_a", "id_b"),
     None)

@@ -48,6 +48,26 @@ class BoundsSpec extends SparkTestBase {
     }
   }
 
+  test("strategy dispatcher: all three routes agree (exact identically, approx closely)") {
+    val rng = new scala.util.Random(11)
+    // skewed positive data + a global single group — the V2/V3 shape where
+    // CollectExact is the scale hazard and TwoPass* is the 100 TB route
+    val df = Seq.tabulate(2000)(i => ("all", math.exp(rng.nextGaussian()) * 10))
+      .toDF("g", "x")
+    def run(s: Bounds.Strategy): Row =
+      Bounds.bounds(df, Seq("g"), "x", 2.5, logt = true, s).collect().head
+    val exact = run(Bounds.CollectExact)
+    val twoPass = run(Bounds.TwoPassExact)
+    val approx = run(Bounds.TwoPassApprox(10000))
+    Seq("median", "mad", "lower_low", "upper_up").foreach { f =>
+      assert(math.abs(exact.getAs[Double](f) - twoPass.getAs[Double](f)) < 1e-12,
+        s"$f: exact vs two-pass")
+      // sketch returns a data value near the true median — close, not equal
+      assert(math.abs(exact.getAs[Double](f) - approx.getAs[Double](f)) < 0.05,
+        s"$f: exact vs approx")
+    }
+  }
+
   test("guard: all-zero input yields null bounds (reference :34)") {
     val r = aggBounds(Seq(0, 0, 0, 0), 2.5, logt = true)
     assert(r.isNullAt(r.fieldIndex("lower_low")) && r.isNullAt(r.fieldIndex("upper_up")))

@@ -107,4 +107,47 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
+
+  test("prefix-filtered jaccard pairs are identical to the plain inverted index (real corpus)") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(prefix: Boolean): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2, prefixFilter = prefix)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val plain = run(prefix = false)
+    val prefixed = run(prefix = true)
+    assert(prefixed == plain)
+    assert(plain.nonEmpty) // non-trivial corpus
+  }
+
+  test("simhash derived chunking stays complete at maxHamming = 5") {
+    val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 5
+    } yield (a, b, d)).toSet
+    val viaBuckets = Dedup.simhashPairs(docs, "text", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toSet
+    assert(viaBuckets == exact)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", 17)
+    }
+  }
+
+  test("cosine LSH OR-amplification: quantified recall vs the exact path (real corpus)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45, lshBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val amplified = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45,
+      lshBits = 4, lshTables = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a candidate filter over the exact verification → always a subset
+    assert(amplified.subsetOf(exact))
+    val recall = amplified.size.toDouble / exact.size
+    assert(recall >= 0.8, s"amplified recall $recall (found ${amplified.size}/${exact.size})")
+  }
 }

@@ -52,6 +52,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(cents.forall(_.getSeq[Double](1).length == 16))
   }
 
+  test("lshTopK probes the full Hamming radius: probeHamming = bits equals brute force") {
+    // with radius = bits every one of the 2^bits buckets is probed, so the
+    // candidate set is the whole corpus — results must equal brute force
+    val exact = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    val allProbes = Similarity.lshTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding",
+      k = 4, bits = 4, probeHamming = 4)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(allProbes == exact)
+  }
+
+  test("multiprobe radius monotonically improves recall (real corpus floors)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lshRecall(radius: Int): Double = {
+      val got = Similarity.lshTopK(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, bits = 8, probeHamming = radius)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = lshRecall(1)
+    val r2 = lshRecall(2)
+    assert(r2 >= r1, s"radius-2 recall $r2 < radius-1 recall $r1")
+    // near-uniform synthetic corpus → recall tracks the scanned fraction
+    // (radius-2 probes 1+8+28 = 37 of 256 buckets ≈ 0.14; measured 0.31);
+    // gate at the scanned-fraction baseline, which clustered data beats
+    assert(r2 >= 37.0 / 256, s"radius-2 recall below scanned-fraction baseline: $r2")
+    def ivfRecall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // the synthetic embeddings are near-uniform, so the honest floor is the
+    // scanned-fraction baseline nprobe/nlist (clustered real data does far
+    // better); measured 0.31 at nprobe=4 — gate at the baseline
+    val i4 = ivfRecall(4)
+    val i8 = ivfRecall(8)
+    assert(i4 >= 4.0 / 16, s"IVF nprobe=4/nlist=16 below scanned-fraction baseline: $i4")
+    assert(i8 >= i4, s"IVF recall not monotone in nprobe: $i8 < $i4")
+    assert(i8 >= 8.0 / 16, s"IVF nprobe=8/nlist=16 below scanned-fraction baseline: $i8")
+  }
+
   test("bruteForceTopK matches a local exact computation") {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum

@@ -59,5 +59,19 @@ class RunnerSpec extends SparkTestBase {
     val flags = StageIO.load(spark, tables.alertFlags)
     assert(flags.count() == 1) // clean survey → empty alert string
     assert(flags.select("alert_number").collect().head.getString(0) == "")
+
+    // config-driven ks (reference inst/config.yml:42-46): re-run the
+    // validate stage with k_* from a fixture config — same clean output
+    val conf = graft.sources.PipelineConfig.parse(
+      """default:
+        |  validation:
+        |    k_nfishers: 2.5
+        |    k_nboats: 2.5
+        |    k_catch: 2.5
+        |    k_pricekg: 3
+        |""".stripMargin)
+    assert(conf.validationK.kPriceKg == 3.0)
+    Runner.validate(spark, tables, conf)
+    assert(StageIO.load(spark, tables.validated).count() == 1)
   }
 }
