@@ -421,9 +421,150 @@ object CoreQueries {
                               AND c.o_orderstatus = s2.o_orderstatus
             ORDER BY 1, 2"""))
 
+  /** J2: the merged×gears full-outer assembly with dplyr NA-key matching
+    * (reference R/preprocessing.R:275 — dplyr joins match NA keys by
+    * default, `na_matches = "na"`): two per-(bucket, nullable-gear)
+    * aggregates over disjoint order subsets, full-outer joined null-safely
+    * via [[Restructure.joinNullSafe]] (`<=>`). The null-gear groups from
+    * each side MUST pair up (unlike SQL equi-join where NULL ≠ NULL).
+    */
+  val j2NullSafeFullOuter = Q("q_j2_nullsafe_full_outer",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val gear = when(col("o_orderpriority") === "1-URGENT",
+        lit(null).cast(StringType)).otherwise(col("o_orderpriority"))
+      val base = o.select((col("o_custkey") % 100).as("k"), gear.as("gear"),
+        col("o_orderkey"), col("o_totalprice"))
+      val l = base.filter(col("o_orderkey") % 3 =!= 0)
+        .groupBy("k", "gear")
+        .agg(count(lit(1)).as("n_l"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_l"))
+      val r = base.filter(col("o_orderkey") % 3 === 0)
+        .groupBy("k", "gear")
+        .agg(count(lit(1)).as("n_r"))
+      Restructure.joinNullSafe(l, r, Seq("k", "gear"), "full_outer")
+        .orderBy("k", "gear")
+    },
+    Some("""WITH base AS (
+              SELECT o_custkey % 100 AS k,
+                CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                     ELSE o_orderpriority END AS gear,
+                o_orderkey, o_totalprice
+              FROM orders),
+            l AS (SELECT k, gear, COUNT(*) AS n_l,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l
+                  FROM base WHERE o_orderkey % 3 <> 0 GROUP BY 1, 2),
+            r AS (SELECT k, gear, COUNT(*) AS n_r
+                  FROM base WHERE o_orderkey % 3 = 0 GROUP BY 1, 2)
+            SELECT COALESCE(l.k, r.k) AS k, COALESCE(l.gear, r.gear) AS gear,
+                   n_l, sum_l, n_r
+            FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k
+                              AND l.gear IS NOT DISTINCT FROM r.gear
+            ORDER BY k, gear NULLS FIRST"""))
+
+  /** J7: IMEI-alerts left join — landings keep every row, device-validation
+    * output attaches (imei, alert_number) where present (reference
+    * R/merge_trips.R:85; wired in pipeline.Runner.mergeTrips).
+    */
+  val j7AlertsLeft = Q("q_j7_imei_alerts_left",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val alerts = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("survey_id"),
+          concat(lit("869"), col("o_custkey").cast(StringType)).as("imei"),
+          when(col("o_custkey") % 7 === 0, 2).otherwise(3).as("alert_number"))
+      o.select(col("o_orderkey").as("survey_id"), col("o_orderstatus"), col("o_totalprice"))
+        .join(alerts, Seq("survey_id"), "left")
+        .orderBy("survey_id")
+    },
+    Some("""SELECT o_orderkey AS survey_id, o_orderstatus, o_totalprice,
+              CASE WHEN o_orderkey % 5 = 0 THEN '869' || CAST(o_custkey AS VARCHAR) END AS imei,
+              CASE WHEN o_orderkey % 5 = 0
+                   THEN CASE WHEN o_custkey % 7 = 0 THEN 2 ELSE 3 END END AS alert_number
+            FROM orders ORDER BY survey_id"""))
+
+  /** R3: list-column standardizer (reference standardize_list_column,
+    * R/preprocessing.R:466-494) — per-order nested sub-table, empty lists
+    * normalized to NULL, then element-wise schema conform (pad the missing
+    * `mesh_mm` field, cast, reorder — the gillnets fix-up,
+    * R/preprocessing.R:328-333) and explode_outer so the normalized-NULL
+    * rows survive as placeholder rows.
+    */
+  val r3ListStandardize = Q("q_r3_list_standardize",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val nested = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(when(col("l_quantity") >= 40,
+          struct(col("l_linenumber").cast(LongType).as("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity"))))).as("sub"))
+      val contract = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("sub", ArrayType(StructType(Seq(
+          StructField("l_linenumber", LongType),
+          StructField("l_partkey", LongType),
+          StructField("l_suppkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("mesh_mm", DoubleType)))))))
+      val conformed = Restructure.conformTo(nested, contract)
+      val standardized = conformed.withColumn("sub",
+        when(size(col("sub")) === 0, lit(null)).otherwise(col("sub")))
+      standardized
+        .select(col("l_orderkey"), explode_outer(col("sub")).as("e"))
+        .select(col("l_orderkey"), col("e.l_linenumber").as("l_linenumber"),
+          col("e.l_partkey").as("l_partkey"), col("e.l_suppkey").as("l_suppkey"),
+          col("e.l_quantity").as("l_quantity"), col("e.mesh_mm").as("mesh_mm"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+    Some("""WITH nested AS (
+              SELECT l_orderkey,
+                LIST(struct_pack(
+                       l_linenumber := CAST(l_linenumber AS BIGINT),
+                       l_partkey := l_partkey,
+                       l_suppkey := l_suppkey,
+                       l_quantity := l_quantity)
+                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity)
+                  FILTER (WHERE l_quantity >= 40) AS sub
+              FROM lineitem GROUP BY 1),
+            std AS (
+              SELECT l_orderkey,
+                CASE WHEN sub IS NULL OR LEN(sub) = 0 THEN NULL ELSE sub END AS sub
+              FROM nested),
+            un AS (
+              SELECT l_orderkey, UNNEST(sub) AS e FROM std WHERE sub IS NOT NULL)
+            SELECT l_orderkey, e.l_linenumber AS l_linenumber,
+                   e.l_partkey AS l_partkey, e.l_suppkey AS l_suppkey,
+                   CAST(e.l_quantity AS DOUBLE) AS l_quantity,
+                   CAST(NULL AS DOUBLE) AS mesh_mm
+            FROM un
+            UNION ALL
+            SELECT l_orderkey, NULL, NULL, NULL, NULL, NULL FROM std WHERE sub IS NULL
+            ORDER BY l_orderkey, l_linenumber NULLS FIRST, l_partkey NULLS FIRST,
+                     l_suppkey NULLS FIRST"""))
+
+  /** P2: drop-columns projections — scratch columns by prefix (`_*`,
+    * reference R/preprocessing.R:54) and the export noise-column list
+    * (reference R/export.R:161-164). The gate pins the schema: dropped
+    * columns must be absent, survivors in order.
+    */
+  val p2DropColumns = Q("q_p2_drop_columns",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("_scratch_gps", concat_ws(" ",
+          col("c_custkey").cast(StringType), col("c_nationkey").cast(StringType)))
+        .withColumn("_corrupt_record", lit("raw"))
+        .withColumn("Heading", lit(123.0))
+        .withColumn("Boat Name", lit("noise"))
+      val noPrefix = c.drop(c.columns.filter(_.startsWith("_")).toIndexedSeq: _*)
+      noPrefix.drop("Boat", "Speed (M/S)", "Range (Meters)", "Heading", "Boat Name", "Community")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer ORDER BY c_custkey"""))
+
   def all: Seq[Q] = Seq(
     s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
-    p3CaseBank, j1MultiwayFullOuter, p4Recode, p5TryCast, p6Derived,
+    p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
+    p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
     so3Union, so6Complete)
 }

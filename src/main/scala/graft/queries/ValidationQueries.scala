@@ -84,6 +84,54 @@ object ValidationQueries {
             FROM x, bounds b
             ORDER BY survey_id"""))
 
+  /** V3: validate_nboats — same shape as V2 (reference
+    * R/validation-functions.R:147-162), alert code 3, over the supplier
+    * balance column. Deliberately routed through the TWO-PASS bounds
+    * strategy (the 100 TB global-group path) so that route has its own
+    * oracle gate — the numbers must equal the collect-exact aggregate's.
+    */
+  val v3Outlier = Q("q_v3_validate_nboats",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val k = 2.5
+      val base = sup.select(
+        col("s_suppkey").as("survey_id"),
+        when(col("s_acctbal") < 0, 3.0).as("alert_neg"),
+        when(col("s_acctbal") < 0, lit(null).cast(DoubleType))
+          .otherwise(col("s_acctbal")).as("x"))
+      val b = Bounds.bounds(base.withColumn("g", lit(1)), Seq("g"), "x", k,
+        logt = true, Bounds.TwoPassExact)
+        .select(lit(1).as("g"), (exp(col("upper_up")) - 1).as("ub"))
+      val out = base.withColumn("g", lit(1))
+        .join(broadcast(b), Seq("g"), "left")
+        .withColumn("alert_outl", when(col("x") > col("ub"), 3.0))
+        .withColumn("alert_n_boats", coalesce(col("alert_outl"), col("alert_neg")))
+        .withColumn("n_boats", when(col("alert_n_boats").isNull, col("x")))
+      out.select("survey_id", "n_boats", "alert_n_boats").orderBy("survey_id")
+    },
+    Some("""WITH base AS (
+              SELECT s_suppkey AS survey_id,
+                CASE WHEN s_acctbal < 0 THEN CAST(3.0 AS DOUBLE) END AS alert_neg,
+                CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS x
+              FROM supplier),
+            x AS (SELECT survey_id, alert_neg, x, LN(1 + x) AS t FROM base),
+            med AS (SELECT MEDIAN(x) AS mraw, MEDIAN(t) AS mt,
+                           MAX(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS nz
+                    FROM x WHERE x IS NOT NULL),
+            mads AS (SELECT MEDIAN(ABS(x.x - med.mraw)) AS madraw,
+                            MEDIAN(ABS(x.t - med.mt)) AS madt
+                     FROM x, med WHERE x.x IS NOT NULL),
+            bounds AS (
+              SELECT CASE WHEN med.nz = 0 OR 1.4826 * mads.madraw <= 0 THEN NULL
+                          ELSE EXP(med.mt + 2.5 * 1.4826 * mads.madt) - 1 END AS ub
+              FROM med, mads)
+            SELECT x.survey_id,
+              CASE WHEN COALESCE(CASE WHEN x.x > b.ub THEN CAST(3.0 AS DOUBLE) END, x.alert_neg)
+                   IS NULL THEN x.x END AS n_boats,
+              COALESCE(CASE WHEN x.x > b.ub THEN CAST(3.0 AS DOUBLE) END, x.alert_neg) AS alert_n_boats
+            FROM x, bounds b
+            ORDER BY survey_id"""))
+
   /** V4/V5: per-group two-sided LocScaleB price bounds with mask of all
     * three monetary columns (reference validate_pricekg,
     * R/validation-functions.R:252-316): bounds per taxon (back-transform
@@ -280,5 +328,101 @@ object ValidationQueries {
                    ELSE 3 END AS alert_number
             FROM matched ORDER BY survey_id"""))
 
-  def all: Seq[Q] = Seq(v1Dates, v2Outlier, v4Catch, v5PriceKg, v6Imei)
+  /** V7: the validate_landings orchestration end-to-end (reference
+    * R/validation.R:36-106) — V1+V2+V3+V5 over one preprocessed-shaped
+    * frame, alert columns united with na.rm semantics (J6). The output
+    * gated here is the `alert_flags` frame the reference computes but
+    * never persists (kept first-class per SURVEY.md V7). Exercises
+    * [[graft.pipeline.Validate.apply]] itself, including the scale-safe
+    * two-pass global-bounds routing for V2/V3.
+    */
+  val v7Orchestration = Q("q_v7_validate_orchestration",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val base = li.select(
+        lit("f1").as("form_name"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey")).as("survey_id"),
+        col("l_shipdate").as("landing_date"),
+        when(col("l_suppkey") % 97 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("n_fishers"),
+        col("l_linenumber").cast(DoubleType).as("n_boats"),
+        col("l_returnflag").as("catch_taxon"),
+        (col("l_extendedprice") / col("l_quantity")).as("price_kg"),
+        col("l_quantity").as("catch_kg"),
+        col("l_extendedprice").as("catch_price"))
+      graft.pipeline.Validate(base).alertFlags
+        .orderBy("survey_id")
+    },
+    Some("""WITH base AS (
+              SELECT 'f1' AS form_name,
+                CONCAT_WS('-', l_orderkey, l_linenumber, l_partkey, l_suppkey) AS survey_id,
+                l_shipdate AS landing_date,
+                CASE WHEN l_suppkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS n_fishers,
+                CAST(l_linenumber AS DOUBLE) AS n_boats,
+                l_returnflag AS catch_taxon,
+                l_extendedprice / l_quantity AS price_kg
+              FROM lineitem),
+            nfx AS (SELECT survey_id,
+                      CASE WHEN n_fishers < 0 THEN CAST(2.0 AS DOUBLE) END AS alert_neg,
+                      CASE WHEN n_fishers < 0 THEN NULL ELSE CAST(n_fishers AS DOUBLE) END AS x
+                    FROM base),
+            nft AS (SELECT survey_id, alert_neg, x, LN(1 + x) AS t FROM nfx),
+            nfmed AS (SELECT MEDIAN(x) AS mraw, MEDIAN(t) AS mt,
+                             MAX(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS nz
+                      FROM nft WHERE x IS NOT NULL),
+            nfmad AS (SELECT MEDIAN(ABS(n.x - m.mraw)) AS madraw,
+                             MEDIAN(ABS(n.t - m.mt)) AS madt
+                      FROM nft n, nfmed m WHERE n.x IS NOT NULL),
+            nfb AS (SELECT CASE WHEN m.nz = 0 OR 1.4826 * d.madraw <= 0 THEN NULL
+                                ELSE EXP(m.mt + 2.5 * 1.4826 * d.madt) - 1 END AS ub
+                    FROM nfmed m, nfmad d),
+            a2 AS (SELECT n.survey_id,
+                     COALESCE(CASE WHEN n.x > b.ub THEN CAST(2.0 AS DOUBLE) END, n.alert_neg) AS alert_n_fishers
+                   FROM nft n, nfb b),
+            nbx AS (SELECT survey_id, n_boats AS x, LN(1 + n_boats) AS t FROM base),
+            nbmed AS (SELECT MEDIAN(x) AS mraw, MEDIAN(t) AS mt,
+                             MAX(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS nz
+                      FROM nbx WHERE x IS NOT NULL),
+            nbmad AS (SELECT MEDIAN(ABS(n.x - m.mraw)) AS madraw,
+                             MEDIAN(ABS(n.t - m.mt)) AS madt
+                      FROM nbx n, nbmed m WHERE n.x IS NOT NULL),
+            nbb AS (SELECT CASE WHEN m.nz = 0 OR 1.4826 * d.madraw <= 0 THEN NULL
+                                ELSE EXP(m.mt + 2.5 * 1.4826 * d.madt) - 1 END AS ub
+                    FROM nbmed m, nbmad d),
+            a3 AS (SELECT n.survey_id,
+                     CASE WHEN n.x > b.ub THEN CAST(3.0 AS DOUBLE) END AS alert_n_boats
+                   FROM nbx n, nbb b),
+            px AS (SELECT catch_taxon, price_kg AS raw, LN(1 + price_kg) AS t
+                   FROM base WHERE price_kg IS NOT NULL),
+            pmed AS (SELECT catch_taxon, MEDIAN(raw) AS mraw, MEDIAN(t) AS mt,
+                            MAX(CASE WHEN raw <> 0 THEN 1 ELSE 0 END) AS nz
+                     FROM px GROUP BY 1),
+            pmad AS (SELECT px.catch_taxon, MEDIAN(ABS(px.raw - pmed.mraw)) AS madraw,
+                            MEDIAN(ABS(px.t - pmed.mt)) AS madt
+                     FROM px JOIN pmed USING (catch_taxon) GROUP BY 1),
+            pb AS (SELECT pmed.catch_taxon,
+                     CASE WHEN pmed.nz = 0 OR 1.4826 * pmad.madraw <= 0 THEN NULL
+                          ELSE EXP(pmed.mt - 3.0 * 1.4826 * pmad.madt) END AS lb,
+                     CASE WHEN pmed.nz = 0 OR 1.4826 * pmad.madraw <= 0 THEN NULL
+                          ELSE EXP(pmed.mt + 3.0 * 1.4826 * pmad.madt) END AS ub
+                   FROM pmed JOIN pmad USING (catch_taxon)),
+            a5 AS (SELECT base.survey_id,
+                     CASE WHEN base.price_kg >= pb.ub OR base.price_kg <= pb.lb
+                          THEN CAST(4.0 AS DOUBLE) END AS alert_price
+                   FROM base LEFT JOIN pb USING (catch_taxon)),
+            a1 AS (SELECT survey_id,
+                     CASE WHEN landing_date < '2020-12-31' THEN CAST(1.0 AS DOUBLE) END AS alert_date
+                   FROM base)
+            SELECT 'f1' AS form_name, a1.survey_id,
+              CONCAT_WS('-',
+                CAST(CAST(a1.alert_date AS INTEGER) AS VARCHAR),
+                CAST(CAST(a2.alert_n_fishers AS INTEGER) AS VARCHAR),
+                CAST(CAST(a3.alert_n_boats AS INTEGER) AS VARCHAR),
+                CAST(CAST(a5.alert_price AS INTEGER) AS VARCHAR)) AS alert_number
+            FROM a1 JOIN a2 USING (survey_id) JOIN a3 USING (survey_id) JOIN a5 USING (survey_id)
+            ORDER BY survey_id"""))
+
+  def all: Seq[Q] = Seq(v1Dates, v2Outlier, v3Outlier, v4Catch, v5PriceKg, v6Imei,
+    v7Orchestration)
 }
