@@ -101,7 +101,15 @@ object Dedup {
     * the END of the df-order and thus almost never in a prefix — the df²
     * skew bomb deflates to df_full × df_prefix without any lossy cutoff.
     * Verification computes exact Jaccard on the full shingle sets, so the
-    * output is identical to the all-pairs definition.
+    * output is identical to the all-pairs definition (equality-tested
+    * against the plain index in DedupSpec).
+    *
+    * WHEN TO USE: this pays 3 extra index shuffles (df count, df join,
+    * per-doc regroup) to deflate hot-shingle skew. Measured at sf0.1 on
+    * the synthetic corpus (no hot shingles): 2.7× SLOWER than the plain
+    * index — so the plain path stays the default; switch this on when
+    * shingle document frequencies are heavy-tailed (web-crawl boilerplate),
+    * where the plain index's df² term explodes and this stays linear.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                               n: Int, threshold: Double): DataFrame = {

@@ -26,16 +26,39 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("format", StringType)))
 
-  /** STUB decode: deterministic pseudo-metadata derived from the payload
-    * bytes (first-8-byte hash). A real implementation replaces ONLY the
-    * body of `decodeOne`; the Spark plumbing stays identical.
+  /** Image metadata decode. REAL for formats the JDK's javax.imageio
+    * recognizes (PNG, JPEG, GIF, BMP — header-only read: width/height/
+    * component count come from the stream metadata, the pixel payload is
+    * never decoded, so cost is O(header) not O(pixels)); payloads no
+    * reader claims fall back to the deterministic pseudo-metadata stub
+    * (kept so non-image test payloads and exotic codecs — which would
+    * need native libs absent from this container — still flow through
+    * the pipeline deterministically).
     */
   private def decodeOne(payload: Array[Byte]): (Int, Int, Int, String) = {
-    // ??? real codec goes here; deterministic fake keeps tests meaningful
-    val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 16, 1024).toInt
-    (w, ht, 3, if (math.floorMod(h, 2) == 0) "jpeg" else "png")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val channels =
+            if (types != null && types.hasNext) types.next().getNumComponents else 3
+          (w, h, channels, r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      } else {
+        // deterministic stub for unrecognized payloads (FNV-1a over bytes)
+        val hsh = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
+        val w = 64 + math.floorMod(hsh, 1024).toInt
+        val ht = 64 + math.floorMod(hsh >> 16, 1024).toInt
+        (w, ht, 3, if (math.floorMod(hsh, 2) == 0) "jpeg" else "png")
+      }
+    } finally iis.close()
   }
 
   /** Attach decoded metadata to a (id, payload) frame. Batch shape: one

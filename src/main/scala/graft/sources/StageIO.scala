@@ -44,6 +44,39 @@ object StageIO {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Incremental ingest: append only rows whose key is not already present
+    * in the table, touching only the month partitions the batch covers.
+    *
+    * The reference re-fetches FULL history every run and truncate-loads
+    * (R/ingestion.R:43-58, R/storage.R:89) — faithful at survey scale,
+    * unworkable at 100 TB. This is the append path: the existing side is
+    * pruned to the incoming batch's months (partition pruning — the scan
+    * never touches history outside the batch window), the batch
+    * left_anti-joins against those keys, and only genuinely new rows are
+    * appended. Idempotent: re-appending the same batch is a no-op, and
+    * appendDedup(batch) after save(batch') ≡ save(batch' ∪ batch)
+    * (RunnerSpec-tested). The driver holds only the distinct month list
+    * (bounded by calendar months, not data volume). Rows with null keys
+    * never match and are always appended — give keys the surrogate-key
+    * treatment (P7) first.
+    */
+  def appendDedup(spark: SparkSession, df: DataFrame, dir: String,
+                  dateCol: String, keyCols: Seq[String]): Unit = {
+    val withMonth = df.withColumn("__month", date_format(col(dateCol), "yyyy-MM"))
+    val exists = new java.io.File(dir).exists()
+    if (!exists) {
+      withMonth.write.mode("overwrite").partitionBy("__month").parquet(dir)
+    } else {
+      val months = withMonth.select("__month").distinct()
+        .collect().map(_.getString(0)).toIndexedSeq
+      val existingKeys = spark.read.parquet(dir)
+        .filter(col("__month").isin(months: _*))
+        .select(keyCols.map(col): _*)
+      val fresh = withMonth.join(existingKeys, keyCols, "left_anti")
+      fresh.write.mode("append").partitionBy("__month").parquet(dir)
+    }
+  }
+
   /** S4: scan a stage table. */
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

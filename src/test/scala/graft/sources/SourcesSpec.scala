@@ -77,6 +77,32 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("incremental appendDedup: append run equals full rerun, re-append is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString + "/t"
+    def mk(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("survey_id", "landing_date", "v")
+        .withColumn("landing_date", to_timestamp(col("landing_date")))
+    val batch1 = mk(("a", "2024-01-05", 1), ("b", "2024-02-11", 2))
+    val batch2 = mk(("b", "2024-02-11", 2), // overlap — must not duplicate
+      ("c", "2024-02-12", 3), ("d", "2024-03-01", 4))
+    StageIO.appendDedup(spark, batch1, dir, "landing_date", Seq("survey_id"))
+    StageIO.appendDedup(spark, batch2, dir, "landing_date", Seq("survey_id"))
+    def snapshot() = StageIO.load(spark, dir)
+      .select("survey_id", "v").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val incremental = snapshot()
+    assert(incremental == Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+    // re-appending the same batch changes nothing
+    StageIO.appendDedup(spark, batch2, dir, "landing_date", Seq("survey_id"))
+    assert(snapshot() == incremental)
+    // equals the truncate-and-load of the union (the reference's semantics)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-full").toString + "/t"
+    StageIO.saveByMonth(batch1.unionByName(batch2).dropDuplicates("survey_id"),
+      fullDir, "landing_date")
+    val full = StageIO.load(spark, fullDir)
+      .select("survey_id", "v").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(incremental == full)
+  }
+
   test("S7: layered YAML config merges profile over default and interpolates env") {
     val yaml =
       """default:
