@@ -259,7 +259,11 @@ object ValidationQueries {
   val v6Imei = Q("q_v6_validate_imei",
     (s, dir) => {
       val c = Tables.customer(s, dir)
-      val sup = Tables.supplier(s, dir)
+      // registry capped at 300 devices: a device registry is a fixed-size
+      // dimension, not something that grows with fact volume — without the
+      // cap the synthetic registry scales with sf and the BNLJ suffix scan
+      // degrades quadratically in sf even though the operator is fine
+      val sup = Tables.supplier(s, dir).filter(col("s_suppkey") <= 300)
       val registry = sup.select((lit(9000000) + col("s_suppkey")).cast(StringType).as("r"))
         .union(sup.select((lit(1100000) + col("s_suppkey")).cast(StringType).as("r")))
         .union(sup.select((lit(11100000) + col("s_suppkey")).cast(StringType).as("r")))
@@ -293,10 +297,11 @@ object ValidationQueries {
           .otherwise(lit(3)).as("alert_number"))
         .orderBy("survey_id")
     },
-    Some("""WITH reg AS (
-              SELECT CAST(9000000 + s_suppkey AS VARCHAR) AS r FROM supplier
-              UNION ALL SELECT CAST(1100000 + s_suppkey AS VARCHAR) FROM supplier
-              UNION ALL SELECT CAST(11100000 + s_suppkey AS VARCHAR) FROM supplier),
+    Some("""WITH sup AS (SELECT s_suppkey FROM supplier WHERE s_suppkey <= 300),
+            reg AS (
+              SELECT CAST(9000000 + s_suppkey AS VARCHAR) AS r FROM sup
+              UNION ALL SELECT CAST(1100000 + s_suppkey AS VARCHAR) FROM sup
+              UNION ALL SELECT CAST(11100000 + s_suppkey AS VARCHAR) FROM sup),
             probe AS (
               SELECT c_custkey AS survey_id,
                 CASE WHEN c_custkey % 7 = 0 THEN NULL
