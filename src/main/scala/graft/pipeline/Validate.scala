@@ -176,4 +176,88 @@ object Validate {
 
     ValidationResult(validated, flags)
   }
+
+  /** Fused validate_landings — identical semantics to [[apply]] (equivalence
+    * tested in PipelineSpec), restructured for scale exactly like the J1
+    * fused gear assembly: every validator derives from the SAME preprocessed
+    * frame, so the faithful shape's 4 re-scans + 3 full-outer sort-merge
+    * joins + the J5 re-merge join chain collapse to
+    *
+    *   1. one global-group bounds aggregation for n_fishers + n_boats
+    *      (two [[Bounds.locscaleb]] aggregates in a single pass when the
+    *      strategy is CollectExact; two-pass/approx strategies route through
+    *      [[Bounds.bounds]] per column — still tiny 1-row results),
+    *   2. one per-taxon bounds aggregation for price_kg,
+    *   3. ONE projection over preprocessed with the 1-row bounds attached
+    *      broadcast-style and the taxon bounds broadcast-joined.
+    *
+    * Data passes: 2 small aggregations + 1 wide scan, zero wide shuffles —
+    * vs ~8 scans and 5+ shuffles for the faithful chain. At 100 TB the wide
+    * frame is touched once.
+    *
+    * Caveat shared with [[apply]]'s join semantics: (form_name, survey_id)
+    * is assumed unique (it is a surrogate key, P7); with duplicate keys the
+    * faithful form fans out in its joins while this form cannot.
+    */
+  def fused(preprocessed: DataFrame,
+            kNFishers: Double = 2.5, kNBoats: Double = 2.5,
+            kPriceKg: Double = 3.0,
+            globalBounds: Bounds.Strategy = Bounds.TwoPassExact,
+            dateCutoff: String = "2020-12-31"): ValidationResult = {
+    def maskedBase(valueCol: String): DataFrame = preprocessed.select(
+      when(col(valueCol) < 0, lit(null).cast(DoubleType))
+        .otherwise(col(valueCol).cast(DoubleType)).as("__x"))
+      .withColumn("__g", lit(1))
+    def globalUb(valueCol: String, k: Double, outName: String): DataFrame =
+      Bounds.bounds(maskedBase(valueCol), Seq("__g"), "__x", k, logt = true, globalBounds)
+        .select((exp(col("upper_up")) - 1).as(outName))
+    val nfUb = globalUb("n_fishers", kNFishers, "__nf_ub")
+    val nbUb = globalUb("n_boats", kNBoats, "__nb_ub")
+    val eligible = preprocessed.filter(
+      col("catch_taxon") =!= "0" && col("catch_taxon") =!= "no_catch")
+    val priceBounds = Bounds.boundsAgg(eligible, Seq("catch_taxon"), "price_kg",
+      kPriceKg, logt = true)
+      .select(col("catch_taxon"),
+        exp(col("lower_low")).as("__plb"), exp(col("upper_up")).as("__pub"))
+
+    val joined = preprocessed
+      .crossJoin(broadcast(nfUb))
+      .crossJoin(broadcast(nbUb))
+      .join(broadcast(priceBounds), Seq("catch_taxon"), "left")
+
+    val alertDate = when(col("landing_date") < lit(dateCutoff), 1.0)
+    val nfMasked = when(col("n_fishers") < 0, lit(null).cast(DoubleType))
+      .otherwise(col("n_fishers").cast(DoubleType))
+    val alertNf = coalesce(when(nfMasked > col("__nf_ub"), 2.0),
+      when(col("n_fishers") < 0, 2.0))
+    val nbMasked = when(col("n_boats") < 0, lit(null).cast(DoubleType))
+      .otherwise(col("n_boats").cast(DoubleType))
+    val alertNb = coalesce(when(nbMasked > col("__nb_ub"), 3.0),
+      when(col("n_boats") < 0, 3.0))
+    val alertPrice = when(
+      col("price_kg") >= col("__pub") || col("price_kg") <= col("__plb"), 4.0)
+
+    val replaced = Set("landing_date", "n_fishers", "n_boats",
+      "price_kg", "catch_kg", "catch_price")
+    // apply()'s using-column join emits the join keys first, then the
+    // remaining left columns — reproduce that exact column order
+    val keys = Seq("form_name", "survey_id")
+    val kept = (keys ++ preprocessed.columns
+      .filterNot(c => replaced.contains(c) || keys.contains(c)))
+      .map(c => col(s"`$c`"))
+    val validated = joined.select(kept ++ Seq(
+      when(alertDate.isNull, col("landing_date")).as("landing_date"),
+      when(alertNf.isNull, nfMasked).as("n_fishers"),
+      when(alertNb.isNull, nbMasked).as("n_boats"),
+      when(alertPrice.isNull, col("price_kg")).as("price_kg"),
+      when(alertPrice.isNull, col("catch_kg")).as("catch_kg"),
+      when(alertPrice.isNull, col("catch_price")).as("catch_price")): _*)
+
+    val flags = joined.select(
+      col("form_name"), col("survey_id"),
+      concat_ws("-", Seq(alertDate, alertNf, alertNb, alertPrice)
+        .map(_.cast(IntegerType).cast(StringType)): _*).as("alert_number"))
+
+    ValidationResult(validated, flags)
+  }
 }

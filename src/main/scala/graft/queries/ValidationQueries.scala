@@ -341,25 +341,42 @@ object ValidationQueries {
     * [[graft.pipeline.Validate.apply]] itself, including the scale-safe
     * two-pass global-bounds routing for V2/V3.
     */
+  private def v7Base(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.lineitem(s, dir)
+    li.select(
+      lit("f1").as("form_name"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")).as("survey_id"),
+      col("l_shipdate").as("landing_date"),
+      when(col("l_suppkey") % 97 === 0, -col("l_quantity"))
+        .otherwise(col("l_quantity")).as("n_fishers"),
+      col("l_linenumber").cast(DoubleType).as("n_boats"),
+      col("l_returnflag").as("catch_taxon"),
+      (col("l_extendedprice") / col("l_quantity")).as("price_kg"),
+      col("l_quantity").as("catch_kg"),
+      col("l_extendedprice").as("catch_price"))
+  }
+
   val v7Orchestration = Q("q_v7_validate_orchestration",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val base = li.select(
-        lit("f1").as("form_name"),
-        concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey")).as("survey_id"),
-        col("l_shipdate").as("landing_date"),
-        when(col("l_suppkey") % 97 === 0, -col("l_quantity"))
-          .otherwise(col("l_quantity")).as("n_fishers"),
-        col("l_linenumber").cast(DoubleType).as("n_boats"),
-        col("l_returnflag").as("catch_taxon"),
-        (col("l_extendedprice") / col("l_quantity")).as("price_kg"),
-        col("l_quantity").as("catch_kg"),
-        col("l_extendedprice").as("catch_price"))
-      graft.pipeline.Validate(base).alertFlags
-        .orderBy("survey_id")
-    },
-    Some("""WITH base AS (
+    (s, dir) =>
+      graft.pipeline.Validate(v7Base(s, dir)).alertFlags
+        .orderBy("survey_id"),
+    Some(V7OracleSql))
+
+  /** The FUSED validate orchestration ([[graft.pipeline.Validate.fused]]):
+    * 2 small bounds aggregations + ONE wide projection instead of the
+    * faithful 4-rescan / 3-full-outer chain — identical semantics, so it
+    * shares the faithful gate's oracle verbatim. Both forms hash-matching
+    * the same DuckDB twin at sf0.01 is the cross-engine proof of the
+    * equivalence the PipelineSpec fixture test asserts.
+    */
+  val v7Fused = Q("q_v7_validate_fused",
+    (s, dir) =>
+      graft.pipeline.Validate.fused(v7Base(s, dir)).alertFlags
+        .orderBy("survey_id"),
+    Some(V7OracleSql))
+
+  private lazy val V7OracleSql: String = """WITH base AS (
               SELECT 'f1' AS form_name,
                 CONCAT_WS('-', l_orderkey, l_linenumber, l_partkey, l_suppkey) AS survey_id,
                 l_shipdate AS landing_date,
@@ -426,8 +443,8 @@ object ValidationQueries {
                 CAST(CAST(a3.alert_n_boats AS INTEGER) AS VARCHAR),
                 CAST(CAST(a5.alert_price AS INTEGER) AS VARCHAR)) AS alert_number
             FROM a1 JOIN a2 USING (survey_id) JOIN a3 USING (survey_id) JOIN a5 USING (survey_id)
-            ORDER BY survey_id"""))
+            ORDER BY survey_id"""
 
   def all: Seq[Q] = Seq(v1Dates, v2Outlier, v3Outlier, v4Catch, v5PriceKg, v6Imei,
-    v7Orchestration)
+    v7Orchestration, v7Fused)
 }

@@ -136,6 +136,44 @@ class PipelineSpec extends SparkTestBase {
     assert(validated.isNullAt(validated.fieldIndex("n_fishers"))) // masked
   }
 
+  test("validate: fused single-projection form equals the faithful join chain") {
+    // alert variety: old date, negative counts, global outliers, price
+    // outliers, excluded taxa, nulls — plus enough clean bulk that the
+    // LocScaleB MAD is positive and bounds bind
+    val rng = new scala.util.Random(23)
+    val bulk = Seq.tabulate(300)(i =>
+      ("f", s"b$i", "2024-06-01", 2.0 + rng.nextInt(4), 1.0 + rng.nextInt(3),
+        if (i % 3 == 0) "usipa" else "chambo",
+        8.0 + rng.nextDouble() * 8, 90.0 + rng.nextDouble() * 60,
+        9.0 + rng.nextDouble() * 3))
+    val edge = Seq(
+      ("f", "e1", "2019-06-01", 3.0, 2.0, "usipa", 10.0, 100.0, 10.0),   // old date
+      ("f", "e2", "2024-06-01", -1.0, 2.0, "usipa", 11.0, 110.0, 10.0),  // neg fishers
+      ("f", "e3", "2024-06-01", 3.0, -2.0, "chambo", 11.0, 110.0, 10.0), // neg boats
+      ("f", "e4", "2024-06-01", 900.0, 2.0, "usipa", 11.0, 110.0, 10.0), // fishers outlier
+      ("f", "e5", "2024-06-01", 3.0, 700.0, "usipa", 11.0, 110.0, 10.0), // boats outlier
+      ("f", "e6", "2024-06-01", 3.0, 2.0, "chambo", 11.0, 110.0, 9000.0), // price outlier
+      ("f", "e7", "2024-06-01", 3.0, 2.0, "no_catch", 0.0, 0.0, 0.0),    // excluded taxon
+      ("f", "e8", "2024-06-01", 3.0, 2.0, "0", 1.0, 1.0, 1.0))           // excluded taxon
+    val data = (bulk ++ edge)
+      .toDF("form_name", "survey_id", "landing_date", "n_fishers", "n_boats",
+        "catch_taxon", "catch_kg", "catch_price", "price_kg")
+      .withColumn("landing_date", to_timestamp(col("landing_date")))
+      .withColumn("n_fishers", when(col("survey_id") === "b7", lit(null)).otherwise(col("n_fishers")))
+    val faithful = Validate(data)
+    val fused = Validate.fused(data)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("survey_id").collect().map(_.toSeq).toSeq
+    assert(fused.validated.columns.toSeq == faithful.validated.columns.toSeq)
+    assert(rows(fused.validated) == rows(faithful.validated))
+    assert(rows(fused.alertFlags) == rows(faithful.alertFlags))
+    // the edges actually alerted (not vacuous)
+    val flags = fused.alertFlags.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(flags("e1") == "1" && flags("e2") == "2" && flags("e3") == "3")
+    assert(flags("e4") == "2" && flags("e5") == "3" && flags("e6") == "4")
+    assert(flags("e7") == "" && flags("e8") == "")
+  }
+
   test("merge: only 1:1 (date, imei) pairs match; tz conversions applied") {
     val landings = Seq(
       ("s1", "2024-03-11T00:00:00Z", "111"),
