@@ -77,6 +77,52 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("S2/S3: recorded-shape PDS CSV payloads parse through the contracts end-to-end") {
+    // real-shape payloads per FIXTURES.md A3/A4 (headers exactly as the
+    // PDS API returns them, including the parenthesized unit columns)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pds").toString
+    val tripsCsv =
+      """Trip,IMEI,Boat,Community,Started,Ended,Boat Name
+        |9001,869606024123456,B-12,Mangochi,2024-03-10T22:00:00Z,2024-03-11T03:30:00Z,Tilapia Queen
+        |9002,869606024123456,B-12,Mangochi,2024-03-11T05:00:00Z,2024-03-11T09:30:00Z,Tilapia Queen
+        |9003,869606024999999,B-77,Nkhotakota,2024-03-12T01:00:00Z,2024-03-12T06:00:00Z,Usipa Star
+        |""".stripMargin
+    val pointsCsv =
+      """Trip,Time,Lat,Lng,Boat,Speed (M/S),Range (Meters),Heading,Boat Name,Community
+        |9001,2024-03-11T06:01:00Z,-14.01,34.88,B-12,1.5,12.0,180.0,Tilapia Queen,Mangochi
+        |9001,2024-03-11T06:04:30Z,-14.02,34.89,B-12,1.6,11.0,181.0,Tilapia Queen,Mangochi
+        |9001,2024-03-11T06:09:59Z,-14.03,34.90,B-12,1.4,10.0,182.0,Tilapia Queen,Mangochi
+        |9001,2024-03-11T06:10:01Z,-14.04,34.91,B-12,1.3,9.0,183.0,Tilapia Queen,Mangochi
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/trips.csv"),
+      tripsCsv.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/points.csv"),
+      pointsCsv.getBytes("UTF-8"))
+
+    val trips = Sources.pdsTrips(spark, s"$dir/trips.csv")
+    assert(trips.schema == graft.pipeline.Schemas.pdsTrips)
+    assert(trips.count() == 3)
+    // timestamps parsed as real timestamps, not strings
+    assert(trips.filter(col("Ended") > col("Started")).count() == 3)
+
+    val points = Sources.pdsTripPoints(spark, s"$dir/points.csv")
+    assert(points.schema == graft.pipeline.Schemas.pdsTripPoints)
+    // noise columns present on the wire, dropped by the export projection
+    // (R/export.R:161-164), and the 10-minute buckets split 3/1 across the
+    // 06:10 boundary (floor_date semantics)
+    val merged = Seq(("sub1", "s1", "vt", "gear", "usipa", 12.5, 9001L))
+      .toDF("submission_id", "survey_id", "vessel_type", "gear",
+        "catch_taxon", "catch_kg", "Trip")
+    val tracks = graft.pipeline.Export.matchedTracks(merged, points)
+    assert(!tracks.columns.exists(Set("Boat", "Speed (M/S)", "Range (Meters)",
+      "Heading", "Boat Name", "Community").contains))
+    val buckets = tracks.select("time", "lat").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+    assert(buckets.size == 2)
+    assert(buckets.keySet.exists(_.startsWith("2024-03-11 06:00")) &&
+      buckets.keySet.exists(_.startsWith("2024-03-11 06:10")))
+  }
+
   test("incremental appendDedup: append run equals full rerun, re-append is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString + "/t"
     def mk(rows: (String, String, Int)*) =
