@@ -155,6 +155,54 @@ object AggQueries {
               AVG(l_quantity) OVER (PARTITION BY l_orderkey) AS mean_qty
             FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"""))
 
+  /** Session windows (gap-based sessionization) — the natural
+    * trip-segmentation op for GPS point streams: consecutive events of a
+    * key belong to one session while gaps stay under the threshold
+    * (extension beyond the reference's fixed 10-min buckets, A1; the
+    * streaming twin is `session_window` under `withWatermark`). Spark's
+    * native `session_window` keeps this a single shuffle per key; the
+    * DuckDB twin derives sessions relationally (lag → gap flag →
+    * cumulative sum), which is also the scale-out fallback pattern for
+    * engines without native session windows. Session end = last event +
+    * gap (Spark semantics), mirrored in SQL.
+    */
+  val sessionWindow = Q("q_session_window_gap",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+            flagged AS (
+              SELECT user_id, ts, value,
+                -- Spark sessions are [start, last+gap) with exclusive end:
+                -- an event exactly `gap` after the previous one does NOT
+                -- overlap and opens a new session, hence >=
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '30 minutes' OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM e),
+            sessions AS (
+              SELECT user_id, ts, value,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id,
+              STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              STRFTIME(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM sessions GROUP BY user_id, session_id
+            ORDER BY user_id, session_start"""))
+
   /** A8/SO7: distinct (reference R/preprocessing.R:310, R/export.R:137). */
   val a8Distinct = Q("q_a8_distinct",
     (s, dir) =>
@@ -164,5 +212,5 @@ object AggQueries {
             ORDER BY l_returnflag, l_linestatus"""))
 
   def all: Seq[Q] = Seq(a1Tumbling, a2WindowFlag, a3GroupCount, a4TopSpecies,
-    a5Bounds, a6WindowMean, a8Distinct)
+    a5Bounds, a6WindowMean, a8Distinct, sessionWindow)
 }
