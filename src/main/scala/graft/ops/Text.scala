@@ -118,6 +118,27 @@ object Text {
     */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))
 
+  /** Deterministic content-hash dataset split (train/valid/test …):
+    * assignment depends only on the key's md5, so it is stable across
+    * runs, engines, partitionings, and scale — the property a held-out
+    * split must have in a training-data pipeline (resampling per run
+    * would leak test data into training).
+    *
+    * `boundaries` are (label, upperHexBound) pairs over the md5's first
+    * two lowercase hex chars compared lexicographically (256 uniform
+    * buckets): a row gets the first label whose bound exceeds its prefix,
+    * else `defaultLabel`. E.g. ("train","cd"),("valid","e6") ≈ 80/10/10.
+    * Pure codegen'd expressions, zero shuffle, trivially portable SQL
+    * (DuckDB md5 produces identical hex).
+    */
+  def hashSplit(key: Column, boundaries: Seq[(String, String)],
+                defaultLabel: String): Column = {
+    val prefix = substring(md5(key), 1, 2)
+    boundaries.foldRight(lit(defaultLabel): Column) { case ((label, bound), rest) =>
+      when(prefix < lit(bound), lit(label)).otherwise(rest)
+    }
+  }
+
   /** 64-bit rolling fingerprint over the normalized text's tokens: a
     * left fold chaining each token into the running hash (order-sensitive,
     * like a polynomial rolling hash, but expressed as an xxhash64 chain —

@@ -324,6 +324,25 @@ object CurationQueries {
             WHERE n_tokens BETWEEN 30 AND 200 AND mean_token_len BETWEEN 2.0 AND 12.0
             ORDER BY doc_id"""))
 
+  /** Deterministic content-hash train/valid/test split (≈80/10/10 via
+    * md5-prefix ranges) — stable across runs/engines/partitionings, the
+    * held-out-split property a training pipeline needs. Keyed by doc
+    * content fingerprint so exact duplicates land in the same split
+    * (no train/test leakage through dup docs).
+    */
+  val curateSplit = Q("q_curate_hash_split",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.hashSplit(Text.normalize(col("text")),
+          Seq("train" -> "cd", "valid" -> "e6"), "test").as("split"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN SUBSTR(MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))), 1, 2) < 'cd' THEN 'train'
+                   WHEN SUBSTR(MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))), 1, 2) < 'e6' THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
   /** Document fingerprinting: md5 of normalized text (engine-stable). The
     * xxhash64 rolling fingerprint has no DuckDB twin → unit-tested.
     */
@@ -360,5 +379,5 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
-    textQuality, textLangid, textFingerprint, curateFilter, mmBinary)
+    textQuality, textLangid, textFingerprint, curateFilter, curateSplit, mmBinary)
 }

@@ -33,4 +33,26 @@ object TrackStream {
         count(lit(1)).as("n_points"))
       .select(col("Trip"), col("w.start").as("time"), col("lat"), col("lon"), col("n_points"))
   }
+
+  /** Gap-based trip sessionization: consecutive points of a device belong
+    * to one session while the inter-point gap stays under `gap` — the
+    * op that SEGMENTS a raw point stream into trips (the reference gets
+    * trip boundaries from the PDS API; this derives them from points).
+    * Same transform batch and streaming (`session_window` is stateful
+    * under a watermark; batch twin oracled by q_session_window_gap).
+    */
+  def sessionize(points: DataFrame,
+                 gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (points.isStreaming) points.withWatermark("Time", watermark) else points
+    withWm
+      .groupBy(col("Trip"), session_window(col("Time"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        avg(col("Lat")).as("lat"),
+        avg(col("Lng")).as("lon"))
+      .select(col("Trip"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_points"), col("lat"), col("lon"))
+  }
 }

@@ -66,6 +66,38 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming session windows segment trips at the gap; matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val sessionPoints = Seq(
+      (1L, ts("2024-03-11 06:00:00"), 1.0, 1.0),
+      (1L, ts("2024-03-11 06:20:00"), 2.0, 2.0),  // <30min → same session
+      (1L, ts("2024-03-11 07:30:00"), 3.0, 3.0),  // 70min gap → new session
+      (2L, ts("2024-03-11 06:05:00"), 4.0, 4.0))
+    val stream = MemoryStream[(Long, Timestamp, Double, Double)]
+    val streamDf = stream.toDF.toDF("Trip", "Time", "Lat", "Lng")
+    val query = TrackStream.sessionize(streamDf, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(sessionPoints)
+      query.processAllAvailable()
+      // advance the watermark far enough to finalize all sessions
+      stream.addData(Seq((2L, ts("2024-03-11 12:00:00"), 9.0, 9.0)))
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .filter(col("session_start") < ts("2024-03-11 08:00:00"))
+        .select("Trip", "session_start", "session_end", "n_points")
+        .orderBy("Trip", "session_start").collect().map(_.toSeq)
+      val batch = TrackStream.sessionize(sessionPoints.toDF("Trip", "Time", "Lat", "Lng"))
+        .select("Trip", "session_start", "session_end", "n_points")
+        .orderBy("Trip", "session_start").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.length == 3) // trip 1: two sessions; trip 2: one
+      // session end = last event + gap (merged session spans both points)
+      assert(streamed.head == Seq(1L, ts("2024-03-11 06:00:00"), ts("2024-03-11 06:50:00"), 2L))
+    } finally query.stop()
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double, Double)]
