@@ -65,6 +65,33 @@ object Text {
         sequence(lit(0), size(t) - lit(n)),
         i => concat_ws(" ", slice(t, i + 1, lit(n))))))
 
+  /** Non-distinct word n-grams (all occurrences, for frequency metrics —
+    * the dedup shingle sets above deliberately dedupe). Fewer than n
+    * tokens → empty array.
+    */
+  def wordNgramsAll(t: Column, n: Int): Column =
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+
+  // PII/noise scrub patterns — RE2-compatible (no backrefs/lookaround) so
+  // the same pattern strings run identically in Spark (java.util.regex)
+  // and DuckDB (RE2); order matters: emails before the generic URL eater.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val PhoneRe = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  /** C4-style PII/noise scrub: emails, URLs and international-format
+    * phone numbers replaced by typed placeholder tokens. Pure codegen'd
+    * regexp_replace chain — runs at scan speed, no shuffle.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
   // Tiny per-language stopword profiles (public common-word lists) for the
   // n-gram/stopword language-ID heuristic.
   val langProfiles: Seq[(String, Seq[String])] = Seq(
@@ -111,6 +138,15 @@ object Text {
       when(nChar > 0, punct.cast(DoubleType) / nChar).otherwise(lit(0.0)).as("punct_ratio"),
       when(nChar > 0, upper.cast(DoubleType) / nChar).otherwise(lit(0.0)).as("upper_ratio"),
       when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(lit(0.0)).as("stopword_hit_ratio"))
+  }
+
+  /** Type-token ratio (distinct tokens / tokens): the cheap repetition
+    * signal — heavily repetitive machine-generated text scores low
+    * (Gopher-style repetition filters). Null on empty docs.
+    */
+  def typeTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0, size(array_distinct(t)).cast(DoubleType) / size(t))
   }
 
   /** Content fingerprint: md5 of the normalized text — stable across

@@ -343,6 +343,73 @@ object CurationQueries {
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
+  /** C4-style PII/noise scrub: emails, URLs, phone numbers → typed
+    * placeholders. The corpus carries no PII, so the gate plants a
+    * deterministic email+URL+phone per doc and scrubs it — the regexes
+    * (RE2-compatible, identical strings both engines) must fire on real
+    * matches, not vacuously.
+    */
+  val curateScrub = Q("q_curate_pii_scrub",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.scrubPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com or "),
+          lit("https://ex.com/d/"), col("doc_id").cast(StringType),
+          lit(" tel +265 99 123 "), col("doc_id").cast(StringType))).as("scrubbed"))
+        .orderBy("doc_id"),
+    // DuckDB string literals keep backslashes raw, so the Scala pattern
+    // constants interpolate verbatim — both engines compile the SAME
+    // pattern string
+    Some(s"""SELECT doc_id,
+              REGEXP_REPLACE(
+                REGEXP_REPLACE(
+                  REGEXP_REPLACE(
+                    text || ' contact user' || doc_id || '@example.com or ' ||
+                      'https://ex.com/d/' || doc_id || ' tel +265 99 123 ' || doc_id,
+                    '${Text.EmailRe}', '<EMAIL>', 'g'),
+                  '${Text.UrlRe}', '<URL>', 'g'),
+                '${Text.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+            FROM documents ORDER BY doc_id"""))
+
+  /** Gopher-style repetition signals: type-token ratio (pure expression)
+    * and top-bigram fraction (most frequent word 2-gram's share of all
+    * 2-gram occurrences — needs the non-distinct n-gram counts, one
+    * shuffle on (doc, bigram)). Docs under 2 tokens get null fraction.
+    */
+  val curateRepetition = Q("q_curate_repetition",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val bigrams = base
+        .select(col("doc_id"), explode(Text.wordNgramsAll(col("t"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"))
+      d.select(col("doc_id"), round(Text.typeTokenRatio(col("text")), 9).as("ttr"))
+        .join(bigrams, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ttr"), round(col("top_bigram_frac"), 9).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id,
+                     LIST_TRANSFORM(RANGE(1, LEN(t)), i -> ARRAY_TO_STRING(t[i:i+1], ' ')) AS bgs
+              FROM toks WHERE LEN(t) >= 2),
+            ex AS (SELECT doc_id, UNNEST(bgs) AS bg FROM big),
+            cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+            top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+                    FROM cnt GROUP BY 1)
+            SELECT toks.doc_id,
+              ROUND(CASE WHEN LEN(t) > 0
+                         THEN CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE) / LEN(t) END, 9) AS ttr,
+              ROUND(top.top_bigram_frac, 9) AS top_bigram_frac
+            FROM toks LEFT JOIN top ON toks.doc_id = top.doc_id
+            ORDER BY toks.doc_id"""))
+
   /** Document fingerprinting: md5 of normalized text (engine-stable). The
     * xxhash64 rolling fingerprint has no DuckDB twin → unit-tested.
     */
@@ -379,5 +446,6 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
-    textQuality, textLangid, textFingerprint, curateFilter, curateSplit, mmBinary)
+    textQuality, textLangid, textFingerprint, curateFilter, curateSplit,
+    curateScrub, curateRepetition, mmBinary)
 }
