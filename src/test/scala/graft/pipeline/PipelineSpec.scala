@@ -174,6 +174,26 @@ class PipelineSpec extends SparkTestBase {
     assert(flags("e7") == "" && flags("e8") == "")
   }
 
+  test("validate: fused plan has no sort-merge join and only aggregation exchanges") {
+    val data = Seq(
+      ("f", "s1", "2024-06-01", 3.0, 2.0, "usipa", 10.0, 100.0, 10.0))
+      .toDF("form_name", "survey_id", "landing_date", "n_fishers", "n_boats",
+        "catch_taxon", "catch_kg", "catch_price", "price_kg")
+      .withColumn("landing_date", to_timestamp(col("landing_date")))
+    val fusedPlan = Validate.fused(data).validated.queryExecution.executedPlan.toString
+    // the wide frame is never re-partitioned: bounds attach via broadcast,
+    // masks are projections — the only exchanges feed the tiny bounds aggs
+    assert(!fusedPlan.contains("SortMergeJoin"), s"fused plan should not SMJ:\n$fusedPlan")
+    assert(!fusedPlan.contains("ShuffledHashJoin"), s"fused plan should not shuffle-join:\n$fusedPlan")
+    // and it strictly reduces the join count vs the faithful chain (which
+    // at scale plans those joins as wide SMJs — at this fixture size AQE
+    // broadcasts them, so compare counts, not join algorithms)
+    val faithfulPlan = Validate(data).validated.queryExecution.executedPlan.toString
+    def joins(p: String) = "Join".r.findAllIn(p).size
+    assert(joins(fusedPlan) < joins(faithfulPlan),
+      s"fused=${joins(fusedPlan)} faithful=${joins(faithfulPlan)}")
+  }
+
   test("merge: only 1:1 (date, imei) pairs match; tz conversions applied") {
     val landings = Seq(
       ("s1", "2024-03-11T00:00:00Z", "111"),
