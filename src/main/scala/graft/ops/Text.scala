@@ -140,6 +140,24 @@ object Text {
       when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(lit(0.0)).as("stopword_hit_ratio"))
   }
 
+  /** Token-window chunking — the context-window packing primitive of a
+    * training-data pipeline: split a document into windows of
+    * `size` tokens starting every `stride` tokens (overlap =
+    * size - stride). Returns array<struct<chunk_text, n_tokens>>; empty
+    * docs produce no chunks; the last window may be short (never empty).
+    * Pure expressions — chunking fuses into the scan, and the row
+    * explosion (posexplode at the call site) is narrow: no shuffle.
+    */
+  def tokenChunks(t: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1, s"size=$size stride=$stride must be >= 1")
+    val n = org.apache.spark.sql.functions.size(t)
+    when(n > 0,
+      transform(sequence(lit(0), n - 1, lit(stride)), start => struct(
+        concat_ws(" ", slice(t, start + 1, lit(size))).as("chunk_text"),
+        org.apache.spark.sql.functions.size(slice(t, start + 1, lit(size))).as("n_tokens"))))
+      .otherwise(array().cast("array<struct<chunk_text:string,n_tokens:int>>"))
+  }
+
   /** Type-token ratio (distinct tokens / tokens): the cheap repetition
     * signal — heavily repetitive machine-generated text scores low
     * (Gopher-style repetition filters). Null on empty docs.

@@ -410,6 +410,35 @@ object CurationQueries {
             FROM toks LEFT JOIN top ON toks.doc_id = top.doc_id
             ORDER BY toks.doc_id"""))
 
+  /** Context-window chunking: 32-token windows every 24 tokens (8-token
+    * overlap) — one row per (doc, chunk) with 1-based chunk index.
+    * Chunking is a pure expression fused into the scan; the explode is
+    * narrow (no shuffle), so at 100 TB this runs at parquet-read speed.
+    */
+  val curateChunk = Q("q_curate_chunk",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+        posexplode(Text.tokenChunks(Text.tokens(col("text")), 32, 24))
+          .as(Seq("__pos", "c")))
+        .select(col("doc_id"), (col("__pos") + 1).as("chunk_id"),
+          col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            starts AS (
+              SELECT doc_id, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+              FROM toks WHERE LEN(t) > 0)
+            SELECT doc_id,
+              CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
+              CAST(LEN(t[s + 1 : s + 32]) AS INTEGER) AS n_tokens,
+              ARRAY_TO_STRING(t[s + 1 : s + 32], ' ') AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_id"""))
+
   /** Document fingerprinting: md5 of normalized text (engine-stable). The
     * xxhash64 rolling fingerprint has no DuckDB twin → unit-tested.
     */
@@ -447,5 +476,5 @@ object CurationQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, curateFilter, curateSplit,
-    curateScrub, curateRepetition, mmBinary)
+    curateScrub, curateRepetition, curateChunk, mmBinary)
 }

@@ -7,6 +7,23 @@ import graft.SparkTestBase
 class TextSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("tokenChunks: overlap windows, short tail, empty doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 → starts 0,2,4,6
+      (2L, "x"),
+      (3L, "   ")).toDF("id", "t")
+    val out = docs.select(col("id"),
+      posexplode_outer(Text.tokenChunks(Text.tokens(col("t")), 3, 2))
+        .as(Seq("pos", "c")))
+      .select(col("id"), col("pos"), col("c.chunk_text"), col("c.n_tokens"))
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1)))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byId(1L) == Seq(
+      Seq(0, "a b c", 3), Seq(1, "c d e", 3), Seq(2, "e f g", 3), Seq(3, "g", 1)))
+    assert(byId(2L) == Seq(Seq(0, "x", 1)))
+    assert(byId(3L) == Seq(Seq(null, null, null))) // empty doc → no chunks
+  }
+
   test("normalize lowers, collapses whitespace, trims") {
     val out = Seq("  Hello   WORLD \t x ").toDF("t")
       .select(Text.normalize(col("t"))).collect().head.getString(0)
