@@ -113,9 +113,14 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                               n: Int, threshold: Double): DataFrame = {
+    // shingled feeds four consumers (df count, prefix regroup, both verify
+    // joins): eager localCheckpoint materializes it once and — unlike a bare
+    // persist, which nothing here could ever unpersist (the result is lazy)
+    // — its blocks are reclaimed by the ContextCleaner once the returned
+    // frame is dropped, so long-lived sessions don't accumulate cache
     val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val hashes = shingled
       .select(col("__id"), col("__size"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
@@ -188,9 +193,11 @@ object Dedup {
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     // the tokenize→shingle pipeline feeds three consumers (signatures +
-    // both verify joins) — persist so the regex work runs once, not 3×
+    // both verify joins) — eager localCheckpoint runs the regex work once,
+    // and its blocks are ContextCleaner-reclaimable when the frame drops
+    // (a bare persist here is never unpersisted: the result is lazy)
     val shingled = wordShingled(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sig = shingled.withColumn("__sig",
       minhashSignature(col("__sh"), bands * rowsPerBand))
     // one row per (band, bucket-hash-of-r-minhashes, id)
@@ -284,14 +291,31 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Bit ranges `(offset, width)` splitting a 64-bit word into `numChunks`
+    * disjoint, covering, NON-EMPTY chunks: chunk i spans
+    * `[i*64/numChunks, (i+1)*64/numChunks)`. Floor division distributes the
+    * remainder evenly (widths differ by at most 1), so every chunk is
+    * non-empty for any `numChunks ≤ 64` — unlike ceil-width packing, whose
+    * tail chunks collapse to zero width (numChunks ∈ {9,17}) or, combined
+    * with Java's mod-64 shifts, become wide overlapping pseudo-chunks
+    * (numChunks ∈ {12,14,15}), silently breaking the pigeonhole guarantee.
+    * Exposed for the DedupSpec disjoint/cover/non-empty property test.
+    */
+  private[ops] def chunkBounds(numChunks: Int): Seq[(Int, Int)] =
+    (0 until numChunks).map { ci =>
+      val off = ci * 64 / numChunks
+      (off, (ci + 1) * 64 / numChunks - off)
+    }
+
   /** SimHash near-dup pairs: bucket by `maxHamming + 1` disjoint bit
     * chunks (pigeonhole — a pair differing in ≤ maxHamming bits has all
     * its differences in at most maxHamming chunks, so at least one chunk
     * matches exactly), verify with exact `bit_count(xor)`. The chunk count
-    * is DERIVED from maxHamming, so candidate generation is recall-complete
-    * for every requested radius (maxHamming=3 gives the classic 4×16-bit
-    * split); wider radii mean more/narrower chunks → bigger buckets, the
-    * inherent LSH recall/cost trade.
+    * is DERIVED from maxHamming and the 64 bits are distributed evenly
+    * across chunks (see [[chunkBounds]]), so candidate generation is
+    * recall-complete for every requested radius (maxHamming=3 gives the
+    * classic 4×16-bit split); wider radii mean more/narrower chunks →
+    * bigger buckets, the inherent LSH recall/cost trade.
     * Emits (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
@@ -299,11 +323,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming=$maxHamming: beyond 16 the ${maxHamming + 1} chunks degenerate " +
         "(<4-bit buckets collide constantly); use minhash/ngram dedup instead")
-    val numChunks = maxHamming + 1
-    val width = (64 + numChunks - 1) / numChunks // ceil — chunks cover all 64 bits
-    val chunkExprs = (0 until numChunks).map { ci =>
-      val off = ci * width
-      val w = math.min(width, 64 - off)
+    val chunkExprs = chunkBounds(maxHamming + 1).map { case (off, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       shiftright(col("__h"), off).bitwiseAND(lit(mask))
     }

@@ -208,9 +208,14 @@ object Validate {
       when(col(valueCol) < 0, lit(null).cast(DoubleType))
         .otherwise(col(valueCol).cast(DoubleType)).as("__x"))
       .withColumn("__g", lit(1))
+    // keep the __g group key so the bounds attach via a LEFT join, not a
+    // cross join: when a column is entirely null/negative the bounds frame
+    // is 0 rows (both Bounds routes drop null-only groups) and a cross join
+    // would annihilate the whole dataset — apply() keeps every row with
+    // null bounds in that case, and so must this form
     def globalUb(valueCol: String, k: Double, outName: String): DataFrame =
       Bounds.bounds(maskedBase(valueCol), Seq("__g"), "__x", k, logt = true, globalBounds)
-        .select((exp(col("upper_up")) - 1).as(outName))
+        .select(col("__g"), (exp(col("upper_up")) - 1).as(outName))
     val nfUb = globalUb("n_fishers", kNFishers, "__nf_ub")
     val nbUb = globalUb("n_boats", kNBoats, "__nb_ub")
     val eligible = preprocessed.filter(
@@ -221,8 +226,9 @@ object Validate {
         exp(col("lower_low")).as("__plb"), exp(col("upper_up")).as("__pub"))
 
     val joined = preprocessed
-      .crossJoin(broadcast(nfUb))
-      .crossJoin(broadcast(nbUb))
+      .withColumn("__g", lit(1))
+      .join(broadcast(nfUb), Seq("__g"), "left")
+      .join(broadcast(nbUb), Seq("__g"), "left")
       .join(broadcast(priceBounds), Seq("catch_taxon"), "left")
 
     val alertDate = when(col("landing_date") < lit(dateCutoff), 1.0)

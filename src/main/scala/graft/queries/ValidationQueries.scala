@@ -343,10 +343,15 @@ object ValidationQueries {
     */
   private def v7Base(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val li = Tables.lineitem(s, dir)
+    // survey_id must be UNIQUE (it is the P7 surrogate key both validate
+    // forms join on): the 4-part key collides at sf0.001, and a duplicate
+    // key fans out 2^4× in the faithful full-outer chain while the fused
+    // form cannot — adding the (integral) quantity makes the key unique at
+    // every sf, keeping the two forms' shared oracle honest at all scales
     li.select(
       lit("f1").as("form_name"),
       concat_ws("-", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey")).as("survey_id"),
+        col("l_suppkey"), col("l_quantity").cast(LongType)).as("survey_id"),
       col("l_shipdate").as("landing_date"),
       when(col("l_suppkey") % 97 === 0, -col("l_quantity"))
         .otherwise(col("l_quantity")).as("n_fishers"),
@@ -378,7 +383,8 @@ object ValidationQueries {
 
   private lazy val V7OracleSql: String = """WITH base AS (
               SELECT 'f1' AS form_name,
-                CONCAT_WS('-', l_orderkey, l_linenumber, l_partkey, l_suppkey) AS survey_id,
+                CONCAT_WS('-', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  CAST(l_quantity AS BIGINT)) AS survey_id,
                 l_shipdate AS landing_date,
                 CASE WHEN l_suppkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS n_fishers,
                 CAST(l_linenumber AS DOUBLE) AS n_boats,

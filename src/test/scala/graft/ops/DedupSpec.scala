@@ -121,20 +121,64 @@ class DedupSpec extends SparkTestBase {
     assert(plain.nonEmpty) // non-trivial corpus
   }
 
-  test("simhash derived chunking stays complete at maxHamming = 5") {
+  test("simhash chunk bounds are disjoint, covering and non-empty for every chunk count") {
+    for (numChunks <- 1 to 64) {
+      val bounds = Dedup.chunkBounds(numChunks)
+      assert(bounds.length == numChunks)
+      bounds.foreach { case (off, w) =>
+        assert(w >= 1, s"numChunks=$numChunks: empty chunk at offset $off")
+        assert(off >= 0 && off + w <= 64)
+      }
+      // disjoint + covering: consecutive ranges tile [0, 64) exactly
+      assert(bounds.head._1 == 0 && bounds.last._1 + bounds.last._2 == 64)
+      bounds.sliding(2).foreach {
+        case Seq((o1, w1), (o2, _)) => assert(o1 + w1 == o2)
+        case _ =>
+      }
+    }
+  }
+
+  test("simhash derived chunking stays complete at every allowed radius") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val exact = (for {
-      a <- hashes.keys; b <- hashes.keys if a < b
-      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
-      if d <= 5
-    } yield (a, b, d)).toSet
-    val viaBuckets = Dedup.simhashPairs(docs, "text", "doc_id", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toSet
-    assert(viaBuckets == exact)
+    // radii where the old ceil-width chunking broke (zero-width constant
+    // chunks at 8/16, overlapping pseudo-chunks at 11/13/14) plus the two
+    // previously-tested radii
+    for (mh <- Seq(3, 5, 8, 11, 13, 14, 16)) {
+      val exact = (for {
+        a <- hashes.keys; b <- hashes.keys if a < b
+        d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+        if d <= mh
+      } yield (a, b, d)).toSet
+      val viaBuckets = Dedup.simhashPairs(docs, "text", "doc_id", mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toSet
+      assert(viaBuckets == exact, s"maxHamming=$mh")
+      assert(exact.nonEmpty, s"maxHamming=$mh: vacuous corpus") // docs 1/3 differ in 0 bits
+    }
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "text", "doc_id", 17)
     }
+  }
+
+  test("simhash bucketing finds a pair whose bit diffs defeat the old ceil-width chunks") {
+    // adversarial construction for maxHamming=11 (12 chunks): plant 11
+    // one-bit diffs, one per even-distribution chunk boundary region, all at
+    // bit >= 2 — under the old scheme (chunks 0..10 of width 6 + overlapping
+    // pseudo-chunks) a diff in each of the 11 real chunks left NO matching
+    // chunk. With even distribution there are 12 disjoint chunks, so 11
+    // diffs always leave one chunk identical (pigeonhole).
+    val base = 0x0123456789abcdefL
+    val bounds = Dedup.chunkBounds(12)
+    val flipped = bounds.take(11).foldLeft(base) { case (h, (off, _)) =>
+      h ^ (1L << math.max(off, 2))
+    }
+    assert(java.lang.Long.bitCount(base ^ flipped) == 11)
+    // at least one of the 12 even chunks must match between base and flipped
+    val matching = bounds.count { case (off, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      ((base >>> off) & mask) == ((flipped >>> off) & mask)
+    }
+    assert(matching >= 1)
   }
 
   test("cosine LSH OR-amplification: quantified recall vs the exact path (real corpus)") {

@@ -174,6 +174,28 @@ class PipelineSpec extends SparkTestBase {
     assert(flags("e7") == "" && flags("e8") == "")
   }
 
+  test("validate: fused keeps all rows when a column is entirely negative/null (degenerate bounds)") {
+    // every n_fishers negative and every n_boats null → both global bounds
+    // frames are 0 rows; fused must behave like apply() (keep all rows,
+    // null bounds, only the negative-mask alerts fire), not drop the dataset
+    val data = Seq(
+      ("f", "d1", "2024-06-01", -3.0, null.asInstanceOf[java.lang.Double], "usipa", 10.0, 100.0, 10.0),
+      ("f", "d2", "2024-06-02", -1.0, null.asInstanceOf[java.lang.Double], "usipa", 12.0, 110.0, 9.2),
+      ("f", "d3", "2024-06-03", -7.0, null.asInstanceOf[java.lang.Double], "chambo", 8.0, 90.0, 11.3))
+      .toDF("form_name", "survey_id", "landing_date", "n_fishers", "n_boats",
+        "catch_taxon", "catch_kg", "catch_price", "price_kg")
+      .withColumn("landing_date", to_timestamp(col("landing_date")))
+    val faithful = Validate(data)
+    val fused = Validate.fused(data)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("survey_id").collect().map(_.toSeq).toSeq
+    assert(fused.validated.count() == 3) // the old cross-join form returned 0
+    assert(rows(fused.validated) == rows(faithful.validated))
+    assert(rows(fused.alertFlags) == rows(faithful.alertFlags))
+    val flags = fused.alertFlags.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(flags("d1") == "2" && flags("d2") == "2" && flags("d3") == "2") // negative-mask alerts still fire
+  }
+
   test("validate: fused plan has no sort-merge join and only aggregation exchanges") {
     val data = Seq(
       ("f", "s1", "2024-06-01", 3.0, 2.0, "usipa", 10.0, 100.0, 10.0))
