@@ -66,10 +66,14 @@ object Dedup {
       .withColumn("__size", size(col("__sh")))
     // index on 64-bit shingle hashes, not the strings: long join keys keep
     // the self-join shuffle ~5× smaller (collisions across the shingle
-    // universe are ~|U|²/2⁶⁴ — immaterial)
+    // universe are ~|U|²/2⁶⁴ — immaterial). Eager checkpoint: BOTH sides of
+    // the self-join read the index, so without it the whole tokenize→
+    // shingle→explode pipeline runs twice (measured 0.5 s/pass at sf0.1 —
+    // and the regex tokenizer dominates the query).
     val index0 = shingled
       .select(col("__id"), col("__size"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+      .localCheckpoint(true)
     val index =
       if (maxShingleDocFreq <= 0) index0
       else {
@@ -79,7 +83,14 @@ object Dedup {
       }
     val a = index.select(col("__s"), col("__id").as("id_a"), col("__size").as("__na"))
     val b = index.select(col("__s"), col("__id").as("id_b"), col("__size").as("__nb"))
-    a.join(b, Seq("__s"))
+    // shuffle_hash, NOT broadcast: Catalyst's static size estimate of a
+    // Generate-exploded frame is far below its real size, so the planner
+    // broadcasts the entire index — a single-threaded 260k-row (at sf0.1)
+    // hashed-relation build on the driver, measured 3 s vs 0.5 s for the
+    // distributed per-partition build; at real scale the broadcast would
+    // simply OOM the driver. Hash beats sort-merge here because the index
+    // is unsorted and per-key groups are small (doc-frequency-bounded).
+    a.join(b.hint("shuffle_hash"), Seq("__s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb")
       .agg(count(lit(1)).as("__common"))
@@ -200,15 +211,22 @@ object Dedup {
       .localCheckpoint(true)
     val sig = shingled.withColumn("__sig",
       minhashSignature(col("__sh"), bands * rowsPerBand))
-    // one row per (band, bucket-hash-of-r-minhashes, id)
+    // one row per (band, bucket-hash-of-r-minhashes, id). Eager checkpoint:
+    // both self-join sides read this frame, and recomputing it means a
+    // second full MinHash pass (bands×rowsPerBand hashes over every
+    // shingle — the dominant cost of the whole query).
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b)))
         .as(Seq("__band", "__bucket")))
+      .localCheckpoint(true)
     val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
     val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
-    val candidates = l.join(r, Seq("__band", "__bucket"))
+    // shuffle_hash for the same reason as ngramJaccardPairs: the static
+    // estimate of an exploded frame undersizes it and the planner would
+    // build a driver-side broadcast of the whole banded index
+    val candidates = l.join(r.hint("shuffle_hash"), Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // exact verification on the candidate set only
@@ -328,11 +346,14 @@ object Dedup {
       shiftright(col("__h"), off).bitwiseAND(lit(mask))
     }
     val hashed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h"))
+    // checkpoint: both self-join sides read the chunked frame; recomputing
+    // it re-runs the 64-bit-vote simhash over every token of the corpus
     val chunked = hashed.select(col("__id"), col("__h"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
+      .localCheckpoint(true)
     val l = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha"))
     val r = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb"))
-    l.join(r, Seq("__chunk", "__ckey"))
+    l.join(r.hint("shuffle_hash"), Seq("__chunk", "__ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
@@ -361,14 +382,17 @@ object Dedup {
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
         // one row per (table, bucket, id); table t uses plane family
-        // [t*bits, (t+1)*bits) so signatures are independent
-        val bucketed = vecs.select(col("__id"), col("__v"),
+        // [t*bits, (t+1)*bits) so signatures are independent. Checkpoint:
+        // both self-join sides read it, and recomputing means a second
+        // lshTables×lshBits hyperplane-projection pass over every vector
+        val bucketed = vecs.select(col("__id"),
           posexplode(array((0 until lshTables).map(t =>
             Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits)): _*))
             .as(Seq("__table", "__bkt")))
+          .localCheckpoint(true)
         val a = bucketed.select(col("__table"), col("__bkt"), col("__id").as("id_a"))
         val b = bucketed.select(col("__table"), col("__bkt"), col("__id").as("id_b"))
-        val candIds = a.join(b, Seq("__table", "__bkt"))
+        val candIds = a.join(b.hint("shuffle_hash"), Seq("__table", "__bkt"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
         candIds
