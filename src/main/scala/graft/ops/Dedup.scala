@@ -241,19 +241,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Connected components over a near-dup pair list by iterative min-label
-    * propagation: every vertex starts labeled with itself; each round every
-    * vertex takes the min label across itself and its neighbors; stop when
-    * no label changes. Deterministic; converges in O(graph diameter)
-    * rounds — near-dup clusters are shallow, so a handful. Lineage is cut
-    * per round with localCheckpoint so plans don't grow exponentially.
-    * (For planet-scale graphs swap in large-star/small-star; the API
-    * stays the same.)
+  /** Connected components over a near-dup pair list. Returns (id, label)
+    * for every vertex that appears in `pairs`; the label is the cluster's
+    * minimum id. Two interchangeable algorithms (equality-tested on chain/
+    * star/random graphs in DedupSpec):
     *
-    * Returns (id, label) for every vertex that appears in `pairs`; the
-    * label is the cluster's minimum id.
+    *   - `"star"` (default): alternating large-star/small-star contraction
+    *     (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    *     SoCC'14) — O(log n) rounds regardless of graph shape, the
+    *     planet-scale guarantee when a near-dup graph hides a long chain
+    *     (e.g. documents A≈B≈C≈… drifting gradually).
+    *   - `"label"`: iterative min-label propagation — O(diameter) rounds;
+    *     marginally less work per round, fine for the shallow clusters
+    *     typical of near-dup graphs.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          algorithm: String = "star"): DataFrame =
+    algorithm match {
+      case "star"  => connectedComponentsStar(pairs, maxIter)
+      case "label" => connectedComponentsLabel(pairs, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown connected-components algorithm '$other' (star | label)")
+    }
+
+  /** Large-star/small-star alternation. Each round:
+    *
+    *   - LARGE-STAR: for every vertex u (symmetric neighborhoods), link
+    *     each strictly-larger neighbor v to m = min(N(u) ∪ {u}).
+    *   - SMALL-STAR: direct edges to (larger, smaller); for every vertex u,
+    *     link u and each smaller neighbor to m = min of the group.
+    *
+    * Both steps preserve connectivity and never raise a vertex's minimum
+    * reachable label; the fixpoint is one star per component centered at
+    * the component minimum, reached in O(log n) rounds (vs O(diameter)
+    * for label propagation — the difference between 2 and ~40 shuffle
+    * rounds on a million-document drift chain). Convergence test: since
+    * every edge keeps the (larger u, smaller v) invariant, the set is a
+    * min-centered star forest iff each u carries exactly one edge AND no
+    * vertex appears on both sides (a u with two distinct v's, or a v that
+    * is some other edge's u, both witness an uncontracted path) — two
+    * short-circuited isEmpty probes per round, cheaper than diffing
+    * successive label frames. Lineage is cut per round with an eager
+    * localCheckpoint (plans would otherwise grow exponentially).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    def notStarForest(e: DataFrame): Boolean = {
+      val multiEdge = !e.groupBy("u").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") > 1).isEmpty
+      multiEdge ||
+        !e.as("a").join(e.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty
+    }
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical (larger u, smaller v), self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    while (notStarForest(edges) && iter < maxIter) {
+      // large-star over symmetric neighborhoods: m(u) = min(u, min N(u))
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      // emitted (v, m) has v > u >= m, so it is already (larger, smaller)
+      val large = sym.join(largeMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the directed form: every group member links to its min
+      val smallMin = large.groupBy("u").agg(min("v").as("__m"))
+      val small = large.join(smallMin, Seq("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .union(smallMin.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      edges = small
+      iter += 1
+    }
+    // star forest: leaves point at the center; centers label themselves.
+    // (groupBy-min instead of distinct so a maxIter bailout still yields
+    // one row per vertex, like label propagation's cap.)
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** Iterative min-label propagation: every vertex starts labeled with
+    * itself; each round every vertex takes the min label across itself and
+    * its neighbors; stop when no label changes. Deterministic; converges
+    * in O(graph diameter) rounds — near-dup clusters are shallow, so a
+    * handful. Lineage is cut per round with localCheckpoint so plans don't
+    * grow exponentially.
+    */
+  def connectedComponentsLabel(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)

@@ -90,9 +90,46 @@ class DedupSpec extends SparkTestBase {
   test("connected components: chains collapse to min label") {
     // 1-2, 2-7, 7-9 form one chain; 4-5 another; 8 isolated (absent)
     val pairs = Seq((1L, 2L), (2L, 7L), (7L, 9L), (4L, 5L)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L))
+    for (algo <- Seq("star", "label")) {
+      val labels = Dedup.connectedComponents(pairs, algorithm = algo)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 4L),
+        s"algorithm=$algo")
+    }
+  }
+
+  test("large-star/small-star equals label propagation on chain, star and random graphs") {
+    def run(pairs: Seq[(Long, Long)], name: String): Unit = {
+      val df = pairs.toDF("id_a", "id_b")
+      // star's default 25 rounds is ample (O(log n)); label propagation
+      // needs O(diameter) — at the default cap it returns WRONG labels on
+      // the 40-chain (verified: vertex 40 stops at label 15 after 25
+      // rounds), which is precisely the scale failure star exists to fix
+      val star = Dedup.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val label = Dedup.connectedComponentsLabel(df, maxIter = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == label, s"graph=$name")
+      // min-centered: every label is the minimum of its own cluster
+      star.groupBy(_._2).foreach { case (l, members) =>
+        assert(members.keys.min == l, s"graph=$name cluster=$l")
+      }
+    }
+    // long chain (the label-propagation worst case: O(diameter) rounds —
+    // star must agree while converging in O(log n))
+    run((1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq, "chain-40")
+    // star graph centered at the max id (exercises re-centering to min)
+    run((1L to 15L).map(i => (100L, i)), "star-max-center")
+    // descending chain given max-first (directionality shake-out)
+    run((40L to 2L by -1).map(i => (i, i - 1)), "chain-desc")
+    // deterministic pseudo-random graph: multiple components, cycles, dups
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(120) {
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong; (a, b)
+    }.filter(p => p._1 != p._2)
+    run(randomPairs, "random-60v-120e")
+    // binary-tree-ish component plus an isolated edge
+    run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L), (3L, 7L), (50L, 60L)), "tree")
   }
 
   test("nearDupSurvivors keeps one doc per cluster plus isolated docs") {
