@@ -68,6 +68,51 @@ class BoundsSpec extends SparkTestBase {
     }
   }
 
+  test("TwoPassApprox accuracy contract: <=1% relative deviation at accuracy=10000 on skewed data") {
+    // the distributions a 100 TB numeric column actually throws at the
+    // sketch: heavy right tail (lognormal), memoryless (exponential),
+    // power-law (pareto alpha=1.5), and a bimodal mixture
+    val rng = new scala.util.Random(101)
+    val n = 20000
+    val dists: Seq[(String, Seq[Double])] = Seq(
+      "lognormal" -> Seq.fill(n)(math.exp(rng.nextGaussian() * 1.5) * 10),
+      "exponential" -> Seq.fill(n)(-math.log(rng.nextDouble()) * 50),
+      "pareto" -> Seq.fill(n)(math.pow(rng.nextDouble(), -1.0 / 1.5)),
+      "bimodal" -> Seq.fill(n)(
+        if (rng.nextBoolean()) rng.nextGaussian() + 5 else rng.nextGaussian() * 3 + 80))
+    val df = dists.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "x")
+    def collect(s: Bounds.Strategy): Map[String, Row] =
+      Bounds.bounds(df, Seq("g"), "x", 2.5, logt = true, s)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val exact = collect(Bounds.TwoPassExact)
+    val approx = collect(Bounds.TwoPassApprox(10000))
+    for (g <- dists.map(_._1); f <- Seq("median", "mad", "lower_low", "upper_up")) {
+      val e = exact(g).getAs[Double](f)
+      val a = approx(g).getAs[Double](f)
+      // median and mad: plain relative error. The derived bounds are
+      // DIFFERENCES (med ± k·mad) whose magnitude can be near zero, so
+      // their yardstick is the bound's own scale k·mad — a 1% deviation
+      // there is what a user of the bounds actually experiences (rows
+      // near the cutoff flipping), not the inflated |a-e|/|e| of a
+      // near-zero difference.
+      val scale = f match {
+        case "median" | "mad" => math.abs(e)
+        case _ => 2.5 * exact(g).getAs[Double]("mad")
+      }
+      val rel = math.abs(a - e) / math.max(scale, 1e-9)
+      assert(rel <= 0.01, f"$g.$f: exact $e%.6f vs approx $a%.6f (rel $rel%.5f)")
+    }
+    // and the documented failure mode of cranking accuracy DOWN: a coarse
+    // sketch (accuracy=10) must still return usable numbers, just worse —
+    // quantifies why 10000 is the default, not a magic constant
+    val coarse = collect(Bounds.TwoPassApprox(10))
+    val coarseRel = dists.map(_._1).map { g =>
+      math.abs(coarse(g).getAs[Double]("median") - exact(g).getAs[Double]("median")) /
+        math.abs(exact(g).getAs[Double]("median"))
+    }.max
+    assert(coarseRel <= 0.5, s"coarse sketch unusable: $coarseRel")
+  }
+
   test("guard: all-zero input yields null bounds (reference :34)") {
     val r = aggBounds(Seq(0, 0, 0, 0), 2.5, logt = true)
     assert(r.isNullAt(r.fieldIndex("lower_low")) && r.isNullAt(r.fieldIndex("upper_up")))
