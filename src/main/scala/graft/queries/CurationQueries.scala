@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, Text}
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-curation operator set
   * (dedup / similarity search / text analysis / multimodal plumbing) over
@@ -473,8 +473,38 @@ object CurationQueries {
               SHA256(text) AS sha256
             FROM documents ORDER BY doc_id"""))
 
+  /** Audio modality, REAL end to end: each document's bytes are wrapped
+    * in a PCM WAV envelope (fixture half), then the pure-JVM RIFF parser
+    * recovers geometry and duration from the binary header
+    * (graft.ops.Multimodal.parseWavHeader). DuckDB never sees the WAV —
+    * it independently recomputes the expected numbers arithmetically
+    * (duration = bytes × 1000 / byteRate, same operation order for IEEE
+    * bit parity), so a parser that misreads any header field fails the
+    * gate.
+    */
+  val mmWav = Q("q_mm_wav_meta",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val wavved = Multimodal.synthesizeWav(docs, "doc_id", "payload",
+        sampleRate = 16000, channels = 1, bitsPerSample = 16)
+      Multimodal.decodeAudio(wavved, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.bits_per_sample").as("bits_per_sample"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              16000 AS sample_rate,
+              1 AS channels,
+              16 AS bits_per_sample,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) * 1000.0 / 32000.0 AS duration_ms
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, curateFilter, curateSplit,
-    curateScrub, curateRepetition, curateChunk, mmBinary)
+    curateScrub, curateRepetition, curateChunk, mmBinary, mmWav)
 }

@@ -48,6 +48,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).getInt(1) == 31 && out(1).getInt(2) == 23 && out(1).getString(4) == "jpeg")
   }
 
+  test("decodeImages: a corrupt payload with valid magic bytes falls back to the stub, not an exception") {
+    // valid JPEG SOI magic so an ImageIO reader claims it, then garbage —
+    // getWidth throws inside the reader; the op must survive (one bad row
+    // must never fail a full-corpus job)
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      Array.fill[Byte](20)(0x42)
+    val df = Seq((1L, corrupt)).toDF("id", "payload")
+    val r = Multimodal.decodeImages(df, "id", "payload")
+      .select("meta.width", "meta.height", "meta.format").collect().head
+    assert(r.getInt(0) >= 64 && r.getInt(1) >= 64) // stub geometry
+    assert(Set("jpeg", "png").contains(r.getString(2)))
+  }
+
+  test("decodeAudio reads golden WAV geometry via the pure-JVM RIFF parse") {
+    // hand-built canonical header, NOT via wavPayload — catches a writer
+    // and parser that agree on the same wrong layout
+    val golden = java.nio.ByteBuffer.allocate(44 + 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(36 + 64).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(2).putInt(44100).putInt(44100 * 2 * 2).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(64).put(Array.fill[Byte](64)(7))
+      .array()
+    // and one via the writer at a different geometry
+    val written = Multimodal.wavPayload(Array.fill[Byte](16000)(3), 8000, 1, 16)
+    val df = Seq((1L, golden), (2L, written)).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "id", "payload")
+      .orderBy("id")
+      .select("id", "meta.sample_rate", "meta.channels", "meta.bits_per_sample",
+        "meta.duration_ms", "meta.format")
+      .collect()
+    assert(out(0).toSeq == Seq(1L, 44100, 2, 16, 64 * 1000.0 / (44100 * 4), "wav"))
+    // 16000 bytes at 8kHz mono 16-bit = 16000 B/s byte rate → exactly 1 s
+    assert(out(1).toSeq == Seq(2L, 8000, 1, 16, 1000.0, "wav"))
+  }
+
+  test("decodeAudio: truncated and non-WAV payloads take the deterministic stub") {
+    val truncated = Multimodal.wavPayload(Array.fill[Byte](100)(1), 16000, 1, 16).take(30)
+    val garbage = "not audio at all".getBytes
+    val df = Seq((1L, truncated), (2L, garbage), (3L, garbage)).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "id", "payload")
+      .orderBy("id").select("meta.format", "meta.sample_rate").collect()
+    assert(out.forall(_.getString(0) == "stub"))
+    assert(out(1).toSeq == out(2).toSeq) // deterministic per payload
+  }
+
+  test("parseWavHeader honors the declared data size on a mid-data truncation") {
+    // header-only contract: data CONTENT truncation must not change the
+    // reported duration (the declared size is the source of truth)
+    val full = Multimodal.wavPayload(Array.fill[Byte](32000)(1), 16000, 1, 16)
+    val cut = full.take(44 + 100)
+    val parsed = Multimodal.parseWavHeader(cut)
+    assert(parsed.contains((16000, 1, 16, 1000.0, "wav")))
+  }
+
   test("frameSampleStub explodes sampled frame indices per payload") {
     val out = Multimodal.frameSampleStub(payloads, "id", maxFrames = 10, every = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
