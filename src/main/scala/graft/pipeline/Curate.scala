@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Text}
+
+/** The composed training-data curation stage: the per-op building blocks
+  * (each individually oracle-gated) chained in the order a corpus
+  * actually ships through them —
+  *
+  *   exact dedup → near-dup keep-one → quality filter → PII scrub →
+  *   content-hash split → context-window chunking
+  *
+  * Ordering contracts this stage pins down (per-op gates can't catch a
+  * mis-composition):
+  *   - DEDUP BEFORE FILTER: near-dup clustering must see the whole
+  *     corpus; filtering first could drop a cluster's minimum id and
+  *     change every survivor downstream.
+  *   - QUALITY ON THE PRE-SCRUB TEXT: quality measures the document as
+  *     found; scrubbing first would let `<EMAIL>` placeholder tokens
+  *     nudge documents across the token-band cutoffs.
+  *   - SPLIT AND CHUNK ON THE SCRUBBED TEXT: the split key must be the
+  *     content fingerprint of what is actually shipped to training —
+  *     two documents identical after scrubbing (differing only in PII)
+  *     co-split, so no train/test leakage through PII variants; chunks
+  *     must never contain raw PII.
+  *
+  * Scale shape: dedup is the only shuffling step (digest/inverted-index
+  * joins, see [[graft.ops.Dedup]]); quality/scrub/split/chunk are pure
+  * codegen'd expressions fused into one projection over the survivors,
+  * and the final explode is narrow — no shuffle after the dedup joins.
+  *
+  * One row per (surviving doc, chunk):
+  * (idCol, split, chunk_id, n_tokens, chunk_text).
+  */
+object Curate {
+
+  def apply(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+            shingleN: Int = 3, jaccardThreshold: Double = 0.2,
+            minTokens: Long = 30, maxTokens: Long = 200,
+            minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+            splitBoundaries: Seq[(String, String)] = Seq("train" -> "cd", "valid" -> "e6"),
+            defaultSplit: String = "test",
+            chunkSize: Int = 32, chunkStride: Int = 24): DataFrame = {
+    val deduped = Dedup.exactDedup(docs, textCol, idCol)
+    val survivors = Dedup.nearDupSurvivors(deduped, textCol, idCol,
+      shingleN, jaccardThreshold)
+    val kept = survivors
+      .withColumn("__q", Text.qualityStruct(col(textCol)))
+      .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
+        col("__q.mean_token_len").between(minMeanTokenLen, maxMeanTokenLen))
+      .withColumn("__scrubbed", Text.scrubPii(col(textCol)))
+      .withColumn("split",
+        Text.hashSplit(Text.normalize(col("__scrubbed")), splitBoundaries, defaultSplit))
+    kept
+      .select(col(idCol), col("split"),
+        posexplode(Text.tokenChunks(Text.tokens(col("__scrubbed")), chunkSize, chunkStride))
+          .as(Seq("__pos", "__c")))
+      .select(col(idCol), col("split"),
+        (col("__pos") + 1).as("chunk_id"),
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
+  }
+}

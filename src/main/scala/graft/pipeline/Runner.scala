@@ -24,6 +24,7 @@ object Runner {
     val mergedTrips = s"$root/merged_trips"
     val landingsSummary = s"$root/landings_summary"
     val matchedTracks = s"$root/matched_tracks"
+    val curatedChunks = s"$root/curated_chunks"
   }
 
   /** Stage 1 — ingest_landings: denormalize each form's submissions,
@@ -85,6 +86,14 @@ object Runner {
   def exportTracks(spark: SparkSession, tables: StageTables, points: DataFrame): Unit =
     StageIO.save(Export.matchedTracks(StageIO.load(spark, tables.mergedTrips), points),
       tables.matchedTracks)
+
+  /** Curation stage — the training-data branch: dedup → filter → scrub →
+    * split → chunk over a document corpus (see [[Curate]] for the
+    * ordering contracts). Independent of the landings DAG; same
+    * stage-table discipline.
+    */
+  def curate(spark: SparkSession, tables: StageTables, docs: DataFrame): Unit =
+    StageIO.save(Curate(docs), tables.curatedChunks)
 
   /** Full DAG in reference order. */
   def runAll(spark: SparkSession, tables: StageTables,

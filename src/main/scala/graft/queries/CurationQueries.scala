@@ -503,8 +503,110 @@ object CurationQueries {
               CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) * 1000.0 / 32000.0 AS duration_ms
             FROM documents ORDER BY doc_id"""))
 
+  /** End-to-end curation pipeline gate: the full composed stage
+    * (graft.pipeline.Curate — exact dedup → near-dup keep-one → quality
+    * filter → PII scrub → hash split → chunking) against ONE DuckDB
+    * oracle that re-derives every step relationally. Per-op gates can't
+    * catch composition bugs (filter-before-dedup changing cluster minima,
+    * scrub-after-chunk shifting window boundaries, split keyed on the
+    * wrong text) — this one does: any reordering moves chunk boundaries
+    * or split labels and fails the hash.
+    *
+    * The corpus carries no PII, so the gate plants one constant
+    * email+URL+phone tail on every document (same string for all docs —
+    * a doc_id-specific tail would destroy the exact-dup groups the dedup
+    * steps need to exercise). The scrub step must strip it before the
+    * split key and chunk windows are computed.
+    */
+  val curateE2E = Q("q_curate_e2e",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567"))
+          .as("text"))
+      graft.pipeline.Curate(planted).orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH RECURSIVE
+            base AS (
+              SELECT doc_id,
+                     text || ' contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567' AS text
+              FROM documents),
+            -- exact dedup: keep min doc_id per normalized text
+            norm AS (
+              SELECT doc_id, text,
+                     TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM base),
+            exact AS (
+              SELECT doc_id, text, ntext FROM norm
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY ntext)),
+            -- near-dup keep-one over the exact survivors (word-3-shingles,
+            -- jaccard >= 0.2, transitive closure, keep cluster min)
+            toks AS (SELECT doc_id, text, STRING_SPLIT(ntext, ' ') AS t FROM exact),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS ns, UNNEST(shingles) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.2),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+            losers AS (SELECT id FROM labels WHERE label <> id),
+            surv AS (
+              SELECT doc_id, text, t FROM toks
+              WHERE doc_id NOT IN (SELECT id FROM losers)),
+            -- quality filter on the pre-scrub text
+            qf AS (
+              SELECT doc_id, text FROM surv
+              WHERE LEN(t) BETWEEN 30 AND 200
+                AND (CAST(LEN(text) - LEN(t) + 1 AS DOUBLE) / LEN(t)) BETWEEN 2.0 AND 12.0),
+            -- PII scrub (same pattern strings as the Spark expressions)
+            scr AS (
+              SELECT doc_id,
+                REGEXP_REPLACE(
+                  REGEXP_REPLACE(
+                    REGEXP_REPLACE(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[^ ]+', '<URL>', 'g'),
+                  '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS stext
+              FROM qf),
+            -- content-hash split keyed on the scrubbed normalized text
+            spl AS (
+              SELECT doc_id, stext,
+                CASE WHEN SUBSTR(MD5(TRIM(REGEXP_REPLACE(LOWER(stext), '\s+', ' ', 'g'))), 1, 2) < 'cd' THEN 'train'
+                     WHEN SUBSTR(MD5(TRIM(REGEXP_REPLACE(LOWER(stext), '\s+', ' ', 'g'))), 1, 2) < 'e6' THEN 'valid'
+                     ELSE 'test' END AS split
+              FROM scr),
+            -- context-window chunking of the scrubbed text
+            stoks AS (
+              SELECT doc_id, split,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(stext), '\s+', ' ', 'g')), ' ') AS t
+              FROM spl),
+            starts AS (
+              SELECT doc_id, split, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+              FROM stoks WHERE LEN(t) > 0)
+            SELECT doc_id, split,
+              CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
+              CAST(LEN(t[s + 1 : s + 32]) AS INTEGER) AS n_tokens,
+              ARRAY_TO_STRING(t[s + 1 : s + 32], ' ') AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_id"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, curateFilter, curateSplit,
-    curateScrub, curateRepetition, curateChunk, mmBinary, mmWav)
+    curateScrub, curateRepetition, curateChunk, mmBinary, mmWav, curateE2E)
 }

@@ -239,6 +239,28 @@ class PipelineSpec extends SparkTestBase {
     assert(started.startsWith("2024-03-11 05:30"))
   }
 
+  test("curate: composed stage dedups, filters, scrubs before split/chunk") {
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler mail me at a.b@example.com today"),
+      (2L, s"$filler mail me at a.b@example.com today"), // exact dup of 1
+      (3L, s"$filler mail me at a.b@example.com tomorrow maybe"), // near-dup of 1
+      (4L, "too short"), // fails the quality token band
+      (5L, s"different corpus entirely ${(1 to 40).map(i => s"tok$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val out = Curate(docs).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 5L)) // 2 exact-dupped, 3 near-dupped into 1; 4 filtered
+    // ordering contract: chunks carry the scrubbed text, never raw PII
+    val chunks = out.map(_.getAs[String]("chunk_text"))
+    assert(chunks.exists(_.contains("<email>") || chunks.exists(_.contains("<EMAIL>"))))
+    assert(!chunks.exists(_.contains("@example.com")))
+    // every chunk respects the 32-token window
+    assert(out.forall(_.getAs[Int]("n_tokens") <= 32))
+    // split labels come from the fixed vocabulary
+    assert(out.map(_.getAs[String]("split")).forall(Set("train", "valid", "test")))
+  }
+
   test("export: matched tracks aggregate positions into 10-minute buckets") {
     val mergedTrips = Seq(("101", "101-1-1", "motorised boat", "Gillnet", "usipa", 24.5, 9001L))
       .toDF("submission_id", "survey_id", "vessel_type", "gear", "catch_taxon", "catch_kg", "Trip")
