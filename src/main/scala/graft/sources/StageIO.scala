@@ -59,19 +59,39 @@ object StageIO {
     * (bounded by calendar months, not data volume). Rows with null keys
     * never match and are always appended — give keys the surrogate-key
     * treatment (P7) first.
+    *
+    * Table existence is resolved through Hadoop's FileSystem from the
+    * path's own scheme — a java.io.File probe would answer "no" for
+    * every HDFS/S3 URI and silently truncate-overwrite the table this
+    * op exists to append to.
+    *
+    * KEY-SCOPE CONTRACT (`monthScopedKeys`): with the default `true`,
+    * the anti-join is pruned to the batch's month partitions, which
+    * assumes a key's month never changes between runs — a key
+    * re-submitted under a DIFFERENT month (e.g. a corrected
+    * landing_date) is treated as a new row and appended, leaving the
+    * old-month copy in place. When keys can migrate across months, pass
+    * `false`: the anti-join then scans the key columns of the whole
+    * table — no partition pruning, but parquet column pruning keeps the
+    * scan to the (narrow) key columns, not the data.
     */
   def appendDedup(spark: SparkSession, df: DataFrame, dir: String,
-                  dateCol: String, keyCols: Seq[String]): Unit = {
+                  dateCol: String, keyCols: Seq[String],
+                  monthScopedKeys: Boolean = true): Unit = {
     val withMonth = df.withColumn("__month", date_format(col(dateCol), "yyyy-MM"))
-    val exists = new java.io.File(dir).exists()
-    if (!exists) {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
       withMonth.write.mode("overwrite").partitionBy("__month").parquet(dir)
     } else {
-      val months = withMonth.select("__month").distinct()
-        .collect().map(_.getString(0)).toIndexedSeq
-      val existingKeys = spark.read.parquet(dir)
-        .filter(col("__month").isin(months: _*))
-        .select(keyCols.map(col): _*)
+      val existing = spark.read.parquet(dir)
+      val scoped =
+        if (monthScopedKeys) {
+          val months = withMonth.select("__month").distinct()
+            .collect().map(_.getString(0)).toIndexedSeq
+          existing.filter(col("__month").isin(months: _*))
+        } else existing
+      val existingKeys = scoped.select(keyCols.map(col): _*)
       val fresh = withMonth.join(existingKeys, keyCols, "left_anti")
       fresh.write.mode("append").partitionBy("__month").parquet(dir)
     }

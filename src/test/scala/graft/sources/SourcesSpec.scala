@@ -149,6 +149,28 @@ class SourcesSpec extends SparkTestBase {
     assert(incremental == full)
   }
 
+  test("appendDedup key-scope contract: cross-month key migration dedups only with monthScopedKeys=false") {
+    def mk(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("survey_id", "landing_date", "v")
+        .withColumn("landing_date", to_timestamp(col("landing_date")))
+    val jan = mk(("a", "2024-01-05", 1))
+    val aCorrectedToFeb = mk(("a", "2024-02-20", 9)) // same key, new month
+    def rows(dir: String) = StageIO.load(spark, dir)
+      .select("survey_id", "v").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    // default (month-scoped): the migrated key misses the pruned anti-join
+    // and lands as a second copy — the documented contract boundary
+    val scopedDir = java.nio.file.Files.createTempDirectory("graft-scope").toString + "/t"
+    StageIO.appendDedup(spark, jan, scopedDir, "landing_date", Seq("survey_id"))
+    StageIO.appendDedup(spark, aCorrectedToFeb, scopedDir, "landing_date", Seq("survey_id"))
+    assert(rows(scopedDir) == Seq(("a", 1), ("a", 9)))
+    // monthScopedKeys=false: anti-join sees every partition's keys
+    val globalDir = java.nio.file.Files.createTempDirectory("graft-global").toString + "/t"
+    StageIO.appendDedup(spark, jan, globalDir, "landing_date", Seq("survey_id"))
+    StageIO.appendDedup(spark, aCorrectedToFeb, globalDir, "landing_date", Seq("survey_id"),
+      monthScopedKeys = false)
+    assert(rows(globalDir) == Seq(("a", 1)))
+  }
+
   test("S7: layered YAML config merges profile over default and interpolates env") {
     val yaml =
       """default:
