@@ -92,8 +92,10 @@ object Bench {
     val total = results.map(r => median(r._2)).sum
     val leaksJson = leakers.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    // optional sf1 memory-scaling smoke: single pass over the heavy set
-    val sf1Json = sys.env.get("SPARK_GRAFT_SF1_DIR").filter { d =>
+    // optional sf1 memory-scaling smoke: single pass over the heavy set.
+    // Defaults to the ScaleGen output path so a generated sf1 is picked
+    // up automatically; silently skipped when the dir doesn't exist.
+    val sf1Json = Some(sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")).filter { d =>
       new java.io.File(d).isDirectory
     }.map { d =>
       val names = sys.env.get("SPARK_GRAFT_SF1_QUERIES")

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic scale-up generator: synthesizes an sf1-shaped dataset
+  * from an existing sf dir (default: ×10 of sf0.1) WITHOUT touching the
+  * read-only driver data. Used by the Bench sf1 memory-scaling smoke
+  * (SPARK_GRAFT_SF1_DIR) — the point is realistic CARDINALITY, not
+  * byte-for-byte fidelity to the driver's generator.
+  *
+  *   - Relational tables replicate ×N with per-copy key shifts that
+  *     preserve referential integrity (copy i of orders points at copy i
+  *     of customer, etc.), so join selectivities match the source, keys
+  *     stay unique (the v7 surrogate key stays collision-free), and no
+  *     artificial hot keys appear.
+  *   - `documents` / `embeddings` are generated FRESH (per-id seeded
+  *     PRNG, fully deterministic) rather than replicated: replication
+  *     would hand every row 9 exact twins, inflating near-dup cluster
+  *     sizes ~10× and LSH bucket joins ~100× — a different (much harder)
+  *     workload, not a scaled one. Fresh docs reuse the source
+  *     vocabulary and length band; dup/near-dup groups are planted at
+  *     the source corpus's observed rates (≈0.2% exact-dup docs, ≈7%
+  *     of vectors in a near-identical pair).
+  *   - `region`/`nation` are true dimensions — copied as-is.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [multiplier]
+  */
+object ScaleGen {
+
+  /** Union of `n` copies with the listed key columns shifted by
+    * copy × (max key + 1) — disjoint key ranges per copy, FK edges
+    * stay within a copy.
+    */
+  private def replicateShifted(df: DataFrame, n: Int,
+                               keyShifts: Map[String, Long]): DataFrame =
+    (0 until n).map { i =>
+      keyShifts.foldLeft(df) { case (d, (c, span)) =>
+        d.withColumn(c, col(c) + lit(i * span))
+      }
+    }.reduce(_ unionByName _)
+
+  private def maxPlus1(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).collect().head.getLong(0) + 1L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-scalegen").getOrCreate()
+
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // true dimensions: verbatim
+    Seq("region", "nation").foreach(t => wr(rd(t), t))
+
+    // relational fact/dim graph: ×mult with consistent key shifts
+    val custSpan = maxPlus1(rd("customer"), "c_custkey")
+    val suppSpan = maxPlus1(rd("supplier"), "s_suppkey")
+    val partSpan = maxPlus1(rd("part"), "p_partkey")
+    val orderSpan = maxPlus1(rd("orders"), "o_orderkey")
+    wr(replicateShifted(rd("customer"), mult, Map("c_custkey" -> custSpan)), "customer")
+    wr(replicateShifted(rd("supplier"), mult, Map("s_suppkey" -> suppSpan)), "supplier")
+    wr(replicateShifted(rd("part"), mult, Map("p_partkey" -> partSpan)), "part")
+    wr(replicateShifted(rd("orders"), mult,
+      Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)), "orders")
+    wr(replicateShifted(rd("lineitem"), mult,
+      Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
+        "l_suppkey" -> suppSpan)), "lineitem")
+    val events = rd("events")
+    wr(replicateShifted(events, mult,
+      Map("event_id" -> maxPlus1(events, "event_id"),
+        "user_id" -> maxPlus1(events, "user_id"))), "events")
+
+    // fresh documents: source vocabulary, source length band (8–96
+    // tokens ≈ the observed 44–577 chars), source lang mix, planted
+    // exact dups (id % 613 == 7 copies id-1) and near-dups
+    // (id % 617 == 11 copies id-1 with one token swapped)
+    val srcDocs = rd("documents")
+    val nDocs = srcDocs.count() * mult
+    val vocab = srcDocs
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("t"))
+      .distinct().orderBy("t").collect().map(_.getString(0)).filter(_.nonEmpty)
+    val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de") // ≈ source mix
+    val bVocab = spark.sparkContext.broadcast(vocab)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def genText(id: Long): String = {
+      val v = bVocab.value
+      val rnd = new java.util.Random(id * 2654435761L + 42L)
+      val n = 8 + rnd.nextInt(89)
+      Seq.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
+    }
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .repartition(32)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text =
+            if (id % 613 == 7 && id > 0) genText(id - 1) // exact dup
+            else if (id % 617 == 11 && id > 0) { // near dup: one token swap
+              val t = genText(id - 1).split(" ")
+              t(t.length / 2) = bVocab.value(math.floorMod(id, bVocab.value.length).toInt)
+              t.mkString(" ")
+            } else genText(id)
+          Row(id, text, langs(math.floorMod(id * 31 + 5, langs.length).toInt),
+            s"src${math.floorMod(id, 20)}", text.length.toLong)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(docSchema)))
+    wr(docs, "documents")
+
+    // fresh embeddings: 64-dim per-id gaussian; id % 14 == 1 is a small
+    // perturbation of id-1 (cosine ≈ 0.99) → near-dup pair rate ≈ the
+    // source's 144/2000
+    val nVecs = rd("embeddings").count() * mult
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def genVec(id: Long): Array[Float] = {
+      val rnd = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"))
+      .repartition(32)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val v =
+            if (id % 14 == 1 && id > 0) {
+              val rnd = new java.util.Random(id)
+              genVec(id - 1).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+            } else genVec(id)
+          Row(id, v, math.floorMod(id, 10).toInt)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(vecSchema)))
+    wr(vecs, "embeddings")
+
+    println(s"""{"scalegen":"$out","mult":$mult,"docs":$nDocs,"vecs":$nVecs}""")
+    spark.stop()
+  }
+}
