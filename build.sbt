@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through verbatim: sbt's default LoggedOutput
+// prefixes every stdout line with "[info] " (and stderr with "[error] "),
+// which breaks any consumer expecting a bare JSON line on stdout (the
+// bench harness greps for a line starting with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

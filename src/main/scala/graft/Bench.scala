@@ -45,19 +45,22 @@ object Bench {
 
   /** Time one end-to-end noop-write of the query; then scrub session state
     * (plan cache + persisted RDD blocks) so runs are independent. Returns
-    * (seconds, blocks-leaked-before-scrub).
+    * (seconds-if-succeeded, blocks-leaked-before-scrub): a failed rep yields
+    * None so it can never masquerade as a fast sample in the medians.
     */
-  private def runOnce(spark: SparkSession, q: Q, dir: String): (Double, Boolean) = {
+  private def runOnce(spark: SparkSession, q: Q, dir: String): (Option[Double], Boolean) = {
     val t0 = System.nanoTime()
-    try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-    }
+    val ok =
+      try { q.fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        false
+      }
     val dt = (System.nanoTime() - t0) / 1e9
     val leaked = spark.sparkContext.getPersistentRDDs.nonEmpty
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    (dt, leaked)
+    (if (ok) Some(dt) else None, leaked)
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,17 +83,25 @@ object Bench {
     }
     val results = SparkEntry.catalog.map { q =>
       val runs = (1 to reps).map(_ => runOnce(spark, q, sfDir))
-      (q.name, runs.map(_._1), runs.exists(_._2))
+      (q.name, runs.flatMap(_._1), runs.exists(_._2))
     }
+    // A query only contributes samples that actually succeeded; a query
+    // with zero good reps lands in "errors" and is EXCLUDED from
+    // "queries"/"value" rather than polluting the medians with the short
+    // wall time of a crash.
+    val good = results.filter(_._2.nonEmpty)
+    val failed = results.filter(_._2.isEmpty).map(_._1)
+    val partial = results.filter(r => r._2.nonEmpty && r._2.length < reps).map(_._1)
     val leakers = results.filter(_._3).map(_._1)
-    def jmap(f: (String, Seq[Double], Boolean) => String): String =
-      results.map { case (n, s, l) => "\"" + n + "\":" + f(n, s, l) }
-        .mkString("{", ",", "}")
-    val qs = jmap((_, s, _) => median(s).toString)
-    val mins = jmap((_, s, _) => s.min.toString)
-    val samples = jmap((_, s, _) => s.mkString("[", ",", "]"))
-    val total = results.map(r => median(r._2)).sum
-    val leaksJson = leakers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Locale.ROOT: a comma-decimal locale would emit invalid JSON.
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def jmap(rows: Seq[(String, Seq[Double], Boolean)])(f: Seq[Double] => String): String =
+      rows.map { case (n, s, _) => "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")
+    def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = jmap(good)(s => fmt(median(s)))
+    val mins = jmap(good)(s => fmt(s.min))
+    val samples = jmap(good)(s => s.map(fmt).mkString("[", ",", "]"))
+    val total = good.map(r => median(r._2)).sum
 
     // optional sf1 memory-scaling smoke: single pass over the heavy set.
     // Defaults to the ScaleGen output path so a generated sf1 is picked
@@ -102,21 +113,36 @@ object Bench {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(HeavyQueries)
       val picked = SparkEntry.catalog.filter(q => names.contains(q.name))
-      val entries = picked.map(q => "\"" + q.name + "\":" + runOnce(spark, q, d)._1)
+      val entries = picked.map { q =>
+        "\"" + q.name + "\":" + runOnce(spark, q, d)._1.map(fmt).getOrElse("null")
+      }
       s""","sf1":${entries.mkString("{", ",", "}")},"sf1_dir":"$d""""
     }.getOrElse("")
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$mins,"samples":$samples,"reps":$reps,""" +
-      s""""rdd_blocks_scrubbed":$leaksJson$sf1Json,"sf":"$sfDir"}"""
-    println(line)
-    // Also write to a file: the stdout line gets wrapped in sbt log noise,
-    // which broke the driver's JSON parse in round 1 (BENCH_r01 parsed:null).
+    // The driver captures only a short tail of combined sbt output and
+    // expects ONE bare JSON line. Two consequences drive the shape here:
+    // (1) the stdout line must be COMPACT — medians only, 3 decimals —
+    //     so the whole line plus sbt's trailing "[success]" message fits
+    //     inside a ~2000-char tail window (the r3 line, with raw samples
+    //     and the sf1 section inlined, overflowed it -> parsed:null);
+    // (2) it must be the LAST thing printed, after spark.stop(), with
+    //     logging silenced, so no log line interleaves behind it.
+    // The full detail (min/samples/leak-scrub/sf1) still lands in
+    // bench_out.json for re-adjudication.
+    val errJson = if (failed.isEmpty) "" else s""","errors":${jarr(failed)}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"reps":$reps$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"queries_min":$mins,"samples":$samples,"reps":$reps,""" +
+      s""""errors":${jarr(failed)},"partial_reps":${jarr(partial)},""" +
+      s""""rdd_blocks_scrubbed":${jarr(leakers)}$sf1Json,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }
