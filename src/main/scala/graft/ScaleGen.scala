@@ -41,8 +41,10 @@ object ScaleGen {
       }
     }.reduce(_ unionByName _)
 
+  // getAs[Number]: the key column may be int- or long-typed depending on
+  // the source generator; a hard getLong throws on IntegerType.
   private def maxPlus1(df: DataFrame, c: String): Long =
-    df.agg(max(col(c))).collect().head.getLong(0) + 1L
+    df.agg(max(col(c))).collect().head.getAs[Number](0).longValue() + 1L
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -101,18 +103,26 @@ object ScaleGen {
       val n = 8 + rnd.nextInt(89)
       Seq.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
     }
+    // textFor = the text a row ACTUALLY carries. The dup branches copy /
+    // mutate textFor(id-1), not genText(id-1): when id-1 is itself a
+    // planted near-dup its realized text differs from genText(id-1), and
+    // copying the unmutated form would silently plant a NON-duplicate
+    // (realized exact-dup rate below the documented ~0.2%). Recursion
+    // depth is the length of a run of consecutive special ids — needs a
+    // hit per step at density ~2/613, so effectively ≤2.
+    def textFor(id: Long): String =
+      if (id > 0 && id % 613 == 7) textFor(id - 1) // exact dup of id-1's realized text
+      else if (id > 0 && id % 617 == 11) { // near dup: one token swap
+        val t = textFor(id - 1).split(" ")
+        t(t.length / 2) = bVocab.value(math.floorMod(id, bVocab.value.length).toInt)
+        t.mkString(" ")
+      } else genText(id)
     val docs = spark.range(nDocs).select(col("id").as("doc_id"))
       .repartition(32)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val text =
-            if (id % 613 == 7 && id > 0) genText(id - 1) // exact dup
-            else if (id % 617 == 11 && id > 0) { // near dup: one token swap
-              val t = genText(id - 1).split(" ")
-              t(t.length / 2) = bVocab.value(math.floorMod(id, bVocab.value.length).toInt)
-              t.mkString(" ")
-            } else genText(id)
+          val text = textFor(id)
           Row(id, text, langs(math.floorMod(id * 31 + 5, langs.length).toInt),
             s"src${math.floorMod(id, 20)}", text.length.toLong)
         }

@@ -91,7 +91,12 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
+        // null payloads are as much a fact of a messy corpus as corrupt
+        // ones: route them through the same deterministic-stub path
+        // (seeded from the empty array, n_bytes=0) instead of NPE-ing
+        // the whole job on one bad row.
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val payload = if (raw == null) Array.emptyByteArray else raw
         val (w, h, c, fmt) = decodeOne(payload)
         Row(r.get(idIdx), payload.length.toLong, Row(w, h, c, fmt))
       }
@@ -163,7 +168,9 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
+        // same null contract as decodeImages: stub seeded from empty bytes
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val payload = if (raw == null) Array.emptyByteArray else raw
         val (rate, ch, bits, durMs, fmt) =
           parseWavHeader(payload).getOrElse(audioStub(payload))
         Row(r.get(idIdx), payload.length.toLong, Row(rate, ch, bits, durMs, fmt))
@@ -207,7 +214,8 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val data = r.getAs[Array[Byte]](payloadIdx)
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val data = if (raw == null) Array.emptyByteArray else raw
         Row(r.get(idIdx), wavPayload(data, sampleRate, channels, bitsPerSample))
       }
     }(enc)

@@ -61,6 +61,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(Set("jpeg", "png").contains(r.getString(2)))
   }
 
+  test("decodeImages/decodeAudio: a NULL payload takes the stub path with n_bytes=0, not an NPE") {
+    val df = Seq((1L, Some("real".getBytes)), (2L, Option.empty[Array[Byte]]))
+      .toDF("id", "payload")
+    val img = Multimodal.decodeImages(df, "id", "payload")
+      .orderBy("id").select("n_bytes", "meta.width").collect()
+    assert(img(1).getLong(0) == 0L && img(1).getInt(1) >= 64)
+    val aud = Multimodal.decodeAudio(df, "id", "payload")
+      .orderBy("id").select("n_bytes", "meta.format").collect()
+    assert(aud(1).getLong(0) == 0L && aud(1).getString(1) == "stub")
+  }
+
   test("decodeAudio reads golden WAV geometry via the pure-JVM RIFF parse") {
     // hand-built canonical header, NOT via wavPayload — catches a writer
     // and parser that agree on the same wrong layout

@@ -253,7 +253,7 @@ class PipelineSpec extends SparkTestBase {
     assert(ids == Set(1L, 5L)) // 2 exact-dupped, 3 near-dupped into 1; 4 filtered
     // ordering contract: chunks carry the scrubbed text, never raw PII
     val chunks = out.map(_.getAs[String]("chunk_text"))
-    assert(chunks.exists(_.contains("<email>") || chunks.exists(_.contains("<EMAIL>"))))
+    assert(chunks.exists(_.contains("<email>"))) // chunk text is normalized to lowercase
     assert(!chunks.exists(_.contains("@example.com")))
     // every chunk respects the 32-token window
     assert(out.forall(_.getAs[Int]("n_tokens") <= 32))
