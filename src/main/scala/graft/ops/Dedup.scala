@@ -291,12 +291,17 @@ object Dedup {
       multiEdge ||
         !e.as("a").join(e.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty
     }
-    val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
+    // Materialize the incoming pair frame ONCE before fanning out into
+    // verts + edges: `pairs` is typically the expensive end of a near-dup
+    // candidate+verify join, and the two eager checkpoints below would
+    // otherwise each re-run that whole plan (measured: the composed
+    // curation pipeline spent 2× its pair-generation time right here).
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val verts = p0.select(col("id_a").as("id"))
+      .union(p0.select(col("id_b").as("id")))
       .distinct()
-      .localCheckpoint(true)
     // canonical (larger u, smaller v), self-loops dropped
-    var edges = pairs
+    var edges = p0
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -343,8 +348,11 @@ object Dedup {
     * grow exponentially.
     */
   def connectedComponentsLabel(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // same single-materialization contract as the star variant: the union
+    // below reads its source twice within one job
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -370,8 +378,10 @@ object Dedup {
     * of its cluster are dropped (isolated documents always survive).
     */
   def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
-                       n: Int, threshold: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold)
+                       n: Int, threshold: Double,
+                       prefixFilter: Boolean = false): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold,
+      prefixFilter = prefixFilter)
     val losers = connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))

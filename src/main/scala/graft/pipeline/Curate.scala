@@ -42,10 +42,19 @@ object Curate {
             minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
             splitBoundaries: Seq[(String, String)] = Seq("train" -> "cd", "valid" -> "e6"),
             defaultSplit: String = "test",
-            chunkSize: Int = 32, chunkStride: Int = 24): DataFrame = {
+            chunkSize: Int = 32, chunkStride: Int = 24,
+            prefixFilter: Boolean = true): DataFrame = {
     val deduped = Dedup.exactDedup(docs, textCol, idCol)
+    // prefixFilter default TRUE here, opposite of the standalone near-dup
+    // op: a curated corpus is exactly where hot shingles live (boilerplate
+    // headers/footers/disclaimers shared across the crawl). On the e2e
+    // gate's corpus — every doc carries the same planted contact tail, so
+    // ~8 shingles have doc-frequency = |corpus| — the plain inverted index
+    // self-joins those hot keys into |corpus|²-shaped candidate floods
+    // (measured ~120 s at sf0.1), while the PPJoin prefix bound keeps hot
+    // shingles out of every prefix and stays linear (~10 s, same rows).
     val survivors = Dedup.nearDupSurvivors(deduped, textCol, idCol,
-      shingleN, jaccardThreshold)
+      shingleN, jaccardThreshold, prefixFilter = prefixFilter)
     val kept = survivors
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
