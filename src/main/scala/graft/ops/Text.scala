@@ -113,11 +113,24 @@ object Text {
     * an en/es tie returns "en" (the DuckDB oracle mirrors this).
     */
   def langId(c: Column): Column = {
-    val scored = langProfiles.map { case (lang, words) => (lang, langScore(c, words)) }
-    val best = scored.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    // Argmax via ONE array_max over (score, -index) structs — struct
+    // comparison is lexicographic, so the max carries the highest score
+    // and, on ties, the smallest index (earliest profile wins, same
+    // strictly-greater semantics as a left fold). The previous foldLeft
+    // accumulator re-referenced every earlier score per step, inlining
+    // ~k²/2 copies of the tokenize+intersect subtree into one projection
+    // — past the codegen size limit the whole stage falls back to
+    // interpreted evaluation, which (unlike codegen) has no common-
+    // subexpression elimination, so every copy re-ran its regex split
+    // per row (measured 3-4× slower on the langid gate).
+    val scored = langProfiles.zipWithIndex.map { case ((_, words), i) =>
+      struct(langScore(c, words).as("s"), lit(-i).as("ni"))
     }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0,
+      element_at(array(langProfiles.map(p => lit(p._1)): _*),
+        -best.getField("ni") + 1))
+      .otherwise(lit("und"))
   }
 
   /** Quality metrics: chars, tokens, mean token length, punctuation ratio,
