@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level text analytics — the ops that need a shuffle, as opposed
+  * to the pure per-row expressions in [[Text]]: TF-IDF term weighting,
+  * training-sequence packing, and deterministic stratified sampling.
+  */
+object Corpus {
+
+  /** Top-`k` TF-IDF terms per document. tf = term count within the doc,
+    * idf = ln(N / df) with df = number of docs containing the term and
+    * N = total docs; ties on the score break to the lexicographically
+    * smaller term.
+    *
+    * Scale shape: tokenize+explode is narrow; (doc, term) tf and per-term
+    * df are two hash aggregations; the df attach is a shuffle join on
+    * `term` (the df side is |vocab|-sized — NOT broadcast, vocabulary at
+    * corpus scale is billions of terms); N attaches as a broadcast 1-row
+    * cross join; top-k compiles to WindowGroupLimit, so only ~k rows per
+    * doc survive the final window sort's map side.
+    */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val tf = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) *
+          log(col("__n").cast(DoubleType) / col("df_t").cast(DoubleType)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Greedy training-sequence packing ("concat-and-chunk"): lay the
+    * chunks of each (split, shard) end to end in (`idCol`, `chunkIdCol`)
+    * order and cut every `seqLen` tokens; a chunk's pack is
+    * floor(tokens-before-it / seqLen). The classic LLM pre-training
+    * packing discipline — deterministic, order-stable, and integer-exact
+    * (no float arithmetic), so any engine reproduces it bit-for-bit.
+    *
+    * Scale shape: the running total is a window cumsum, which sorts each
+    * (split, shard) partition on one reducer — `nShards` is the scale
+    * knob (shard = id mod nShards keeps assignment deterministic; at
+    * 100 TB pick nShards so a shard's chunk list fits one executor's
+    * spillable sort, e.g. thousands). Packs never span shards, which is
+    * the standard trade: global packing order would serialize the corpus
+    * through one sorter for zero training benefit.
+    *
+    * Output: input keys + (shard, pack_id, pack_offset) where
+    * `pack_offset` is the chunk's first-token position within its pack.
+    * A chunk longer than `seqLen` still packs (its tail bleeds into the
+    * following positions — callers chunking with size <= seqLen never
+    * hit this).
+    */
+  def packChunks(chunks: DataFrame, idCol: String, chunkIdCol: String,
+                 nTokensCol: String, splitCol: String,
+                 seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1 && nShards >= 1, s"seqLen=$seqLen nShards=$nShards must be >= 1")
+    val w = Window.partitionBy(col(splitCol), col("shard"))
+      .orderBy(col(idCol), col(chunkIdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("shard", col(idCol) % nShards)
+      .withColumn("__pos",
+        sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .withColumn("pack_id", expr(s"__pos div $seqLen"))
+      .withColumn("pack_offset", col("__pos") % seqLen)
+      .drop("__pos")
+  }
+
+  /** Hex upper bound for a keep-fraction over 16^4 = 65536 uniform
+    * md5-prefix buckets (granularity 1/65536 ≈ 0.0015%).
+    */
+  private[ops] def fractionBound(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction=$fraction out of [0,1]")
+    val b = math.round(fraction * 65536).toInt
+    // fraction 1.0 needs a bound ABOVE every 4-hex prefix; "10000" would
+    // sort lexicographically below "2***".."f***", so use "g" (> 'f').
+    if (b >= 65536) "g" else f"$b%04x"
+  }
+
+  /** Deterministic stratified sample: keep a row iff the first 4 hex
+    * chars of md5(`keyCol`) sort below the stratum's fraction bound.
+    * Content-keyed like [[Text.hashSplit]] — the sample is stable across
+    * runs, engines, partitionings and scale, and identical keys co-sample
+    * (no leakage between a kept row and a dropped duplicate). Fractions
+    * quantize to 1/65536. Pure codegen'd expressions, zero shuffle.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val bound = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(fractionBound(defaultFraction)): org.apache.spark.sql.Column) {
+        case ((stratum, f), rest) =>
+          when(col(stratumCol) === stratum, lit(fractionBound(f))).otherwise(rest)
+      }
+    df.filter(substring(md5(col(keyCol)), 1, 4) < bound)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-curation operator set
   * (dedup / similarity search / text analysis / multimodal plumbing) over
@@ -605,8 +605,110 @@ object CurationQueries {
             FROM starts
             ORDER BY doc_id, chunk_id"""))
 
+  /** Top-3 TF-IDF terms per document (tf · ln(N/df), ties to the smaller
+    * term). tfidf rounds to 6 decimals for the cross-engine hash — the
+    * one transcendental (ln) is not bit-specified across libm
+    * implementations; ranking compares the unrounded value, where a
+    * sub-ulp cross-engine divergence could only reorder exact ties,
+    * which the term tie-break already pins.
+    */
+  val textTfidf = Q("q_text_tfidf",
+    (s, dir) =>
+      Corpus.tfIdfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     CAST(tf.tf AS DOUBLE) * LN(CAST(n.n AS DOUBLE) / CAST(dft.df_t AS DOUBLE)) AS tfidf
+              FROM tf JOIN dft USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tf, tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, ROUND(tfidf, 6) AS tfidf
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank"""))
+
+  /** Greedy sequence packing of the (32, 24) context chunks into 128-token
+    * training packs, 8 shards, hash-split labels — integer-exact, so the
+    * oracle reproduces it bit-for-bit with a window cumsum.
+    */
+  val curatePack = Q("q_curate_pack",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val chunks = d.select(col("doc_id"),
+          Text.hashSplit(Text.normalize(col("text")),
+            Seq("train" -> "cd", "valid" -> "e6"), "test").as("split"),
+          posexplode(Text.tokenChunks(Text.tokens(col("text")), 32, 24))
+            .as(Seq("__pos", "c")))
+        .select(col("doc_id"), col("split"), (col("__pos") + 1).as("chunk_id"),
+          col("c.n_tokens").as("n_tokens"))
+      Corpus.packChunks(chunks, "doc_id", "chunk_id", "n_tokens", "split",
+        seqLen = 128, nShards = 8)
+        .select(col("doc_id"), col("chunk_id"), col("split"), col("shard"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            toks AS (SELECT doc_id, ntext, STRING_SPLIT(ntext, ' ') AS t FROM base),
+            starts AS (
+              SELECT doc_id, ntext, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+              FROM toks WHERE LEN(t) > 0),
+            ch AS (
+              SELECT doc_id,
+                     CASE WHEN SUBSTR(MD5(ntext), 1, 2) < 'cd' THEN 'train'
+                          WHEN SUBSTR(MD5(ntext), 1, 2) < 'e6' THEN 'valid'
+                          ELSE 'test' END AS split,
+                     CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
+                     LEN(t[s + 1 : s + 32]) AS n_tokens
+              FROM starts),
+            pk AS (
+              SELECT doc_id, chunk_id, split, doc_id % 8 AS shard,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY split, doc_id % 8
+                       ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS pos
+              FROM ch)
+            SELECT doc_id, chunk_id, split, shard,
+                   pos // 128 AS pack_id, pos % 128 AS pack_offset
+            FROM pk
+            ORDER BY doc_id, chunk_id"""))
+
+  /** Deterministic stratified sample over `lang`: md5-prefix threshold per
+    * stratum (en 50%, zh 100%, es 25%, rest 12.5%) — content-keyed, so
+    * the kept set is stable across engines and runs. Bounds are the
+    * 4-hex-digit literals of [[Corpus.fractionBound]]; 1.0 maps to "g",
+    * which sorts above every hex prefix.
+    */
+  val sampleStratified = Q("q_sample_stratified",
+    (s, dir) =>
+      Corpus.stratifiedSample(Tables.documents(s, dir), "lang", "text",
+        Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.25), defaultFraction = 0.125)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE SUBSTR(MD5(text), 1, 4) < CASE lang
+              WHEN 'en' THEN '8000'
+              WHEN 'zh' THEN 'g'
+              WHEN 'es' THEN '4000'
+              ELSE '2000' END
+            ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
-    textQuality, textLangid, textFingerprint, curateFilter, curateSplit,
-    curateScrub, curateRepetition, curateChunk, mmBinary, mmWav, curateE2E)
+    textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
+    curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
+    sampleStratified, mmBinary, mmWav, curateE2E)
 }
