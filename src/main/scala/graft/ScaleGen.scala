@@ -27,6 +27,47 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.ScaleGen [srcDir] [outDir] [multiplier]
   */
+/** Document text synthesis, hoisted out of ScaleGen so mapPartitions
+  * closures reference it via a static module load instead of capturing
+  * the (non-serializable) ScaleGen$ object. Round 4's recursive local
+  * `textFor` def compiled to an INSTANCE method of ScaleGen$ (scalac
+  * lifts self-recursive local defs non-statically), which made every
+  * closure in the file capture the module and fail with
+  * NotSerializableException at runtime. The dup-chain resolve is now an
+  * explicit loop — no self-recursion, nothing to capture.
+  */
+private object DocTextGen extends Serializable {
+  def genText(id: Long, vocab: Array[String]): String = {
+    val rnd = new java.util.Random(id * 2654435761L + 42L)
+    val n = 8 + rnd.nextInt(89)
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  /** The text a row ACTUALLY carries. Dup branches copy / mutate the
+    * REALIZED text of id-1 (not genText(id-1)): when id-1 is itself a
+    * planted near-dup its realized text differs from its genText, and
+    * copying the unmutated form would silently plant a NON-duplicate.
+    * The chain of consecutive special ids is resolved bottom-up with a
+    * loop: walk down to the first non-special id, generate its text,
+    * then re-apply the near-dup token swaps innermost-first.
+    */
+  def textFor(id0: Long, vocab: Array[String]): String = {
+    var id = id0
+    var swaps: List[Long] = Nil // near-dup ids on the chain, innermost at head
+    while (id > 0 && (id % 613 == 7 || id % 617 == 11)) {
+      if (id % 617 == 11 && id % 613 != 7) swaps ::= id
+      id -= 1
+    }
+    var t = genText(id, vocab)
+    for (sid <- swaps) {
+      val arr = t.split(" ")
+      arr(arr.length / 2) = vocab(math.floorMod(sid, vocab.length).toInt)
+      t = arr.mkString(" ")
+    }
+    t
+  }
+}
+
 object ScaleGen {
 
   /** Union of `n` copies with the listed key columns shifted by
@@ -58,8 +99,22 @@ object ScaleGen {
       .appName("graft-scalegen").getOrCreate()
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // Non-destructive write: materialize into a temp dir, verify it is
+    // readable and non-empty, and only then swap it into place. Round 4's
+    // direct mode("overwrite") deleted the existing sf1 documents table
+    // BEFORE the (failing) job ran, leaving an empty dir that poisoned the
+    // three heaviest dedup bench queries with UNABLE_TO_INFER_SCHEMA.
+    def wr(df: DataFrame, t: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(s"$out/.tmp-$t.parquet")
+      val dst = new Path(s"$out/$t.parquet")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      require(spark.read.parquet(tmp.toString).head(1).nonEmpty,
+        s"ScaleGen produced an empty $t table; refusing to replace $dst")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    }
 
     // true dimensions: verbatim
     Seq("region", "nation").foreach(t => wr(rd(t), t))
@@ -97,32 +152,13 @@ object ScaleGen {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    def genText(id: Long): String = {
-      val v = bVocab.value
-      val rnd = new java.util.Random(id * 2654435761L + 42L)
-      val n = 8 + rnd.nextInt(89)
-      Seq.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
-    }
-    // textFor = the text a row ACTUALLY carries. The dup branches copy /
-    // mutate textFor(id-1), not genText(id-1): when id-1 is itself a
-    // planted near-dup its realized text differs from genText(id-1), and
-    // copying the unmutated form would silently plant a NON-duplicate
-    // (realized exact-dup rate below the documented ~0.2%). Recursion
-    // depth is the length of a run of consecutive special ids — needs a
-    // hit per step at density ~2/613, so effectively ≤2.
-    def textFor(id: Long): String =
-      if (id > 0 && id % 613 == 7) textFor(id - 1) // exact dup of id-1's realized text
-      else if (id > 0 && id % 617 == 11) { // near dup: one token swap
-        val t = textFor(id - 1).split(" ")
-        t(t.length / 2) = bVocab.value(math.floorMod(id, bVocab.value.length).toInt)
-        t.mkString(" ")
-      } else genText(id)
     val docs = spark.range(nDocs).select(col("id").as("doc_id"))
       .repartition(32)
       .mapPartitions { rows =>
+        val v = bVocab.value
         rows.map { r =>
           val id = r.getLong(0)
-          val text = textFor(id)
+          val text = DocTextGen.textFor(id, v)
           Row(id, text, langs(math.floorMod(id * 31 + 5, langs.length).toInt),
             s"src${math.floorMod(id, 20)}", text.length.toLong)
         }
