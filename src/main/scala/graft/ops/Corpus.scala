@@ -38,8 +38,14 @@ object Corpus {
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *
           log(col("__n").cast(DoubleType) / col("df_t").cast(DoubleType)))
+    // Rank on the 6-decimal-rounded score, not the raw double: ln() is
+    // not bit-specified across libm implementations, and two distinct
+    // scores within ~1 ulp of each other could swap rank order between
+    // engines, flipping which term survives the top-k cut. Rounding
+    // makes the rank key identical everywhere; the term tie-break pins
+    // the resulting ties deterministically.
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("tfidf").desc, col("term").asc)
+      .orderBy(round(col("tfidf"), 6).desc, col("term").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

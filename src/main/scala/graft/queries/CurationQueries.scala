@@ -606,11 +606,11 @@ object CurationQueries {
             ORDER BY doc_id, chunk_id"""))
 
   /** Top-3 TF-IDF terms per document (tf · ln(N/df), ties to the smaller
-    * term). tfidf rounds to 6 decimals for the cross-engine hash — the
-    * one transcendental (ln) is not bit-specified across libm
-    * implementations; ranking compares the unrounded value, where a
-    * sub-ulp cross-engine divergence could only reorder exact ties,
-    * which the term tie-break already pins.
+    * term). tfidf rounds to 6 decimals for the cross-engine hash AND for
+    * the rank key — the one transcendental (ln) is not bit-specified
+    * across libm implementations, and ranking on the raw double could
+    * let two near-equal scores swap order between engines; rounding in
+    * both engines pins the rank key, and the term tie-break pins ties.
     */
   val textTfidf = Q("q_text_tfidf",
     (s, dir) =>
@@ -633,7 +633,7 @@ object CurationQueries {
               FROM tf JOIN dft USING (term) CROSS JOIN n),
             ranked AS (
               SELECT doc_id, term, tf, tfidf,
-                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ROUND(tfidf, 6) DESC, term ASC) AS rank
               FROM scored)
             SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, ROUND(tfidf, 6) AS tfidf
             FROM ranked WHERE rank <= 3
@@ -662,7 +662,9 @@ object CurationQueries {
     Some("""WITH base AS (
               SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
               FROM documents),
-            toks AS (SELECT doc_id, ntext, STRING_SPLIT(ntext, ' ') AS t FROM base),
+            toks AS (SELECT doc_id, ntext,
+                            LIST_FILTER(STRING_SPLIT(ntext, ' '), x -> x <> '') AS t
+                     FROM base),
             starts AS (
               SELECT doc_id, ntext, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
               FROM toks WHERE LEN(t) > 0),
@@ -672,7 +674,7 @@ object CurationQueries {
                           WHEN SUBSTR(MD5(ntext), 1, 2) < 'e6' THEN 'valid'
                           ELSE 'test' END AS split,
                      CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
-                     LEN(t[s + 1 : s + 32]) AS n_tokens
+                     CAST(LEN(t[s + 1 : s + 32]) AS BIGINT) AS n_tokens
               FROM starts),
             pk AS (
               SELECT doc_id, chunk_id, split, doc_id % 8 AS shard,
@@ -682,7 +684,8 @@ object CurationQueries {
                        ROWS UNBOUNDED PRECEDING) - n_tokens AS pos
               FROM ch)
             SELECT doc_id, chunk_id, split, shard,
-                   pos // 128 AS pack_id, pos % 128 AS pack_offset
+                   CAST(pos // 128 AS BIGINT) AS pack_id,
+                   CAST(pos % 128 AS BIGINT) AS pack_offset
             FROM pk
             ORDER BY doc_id, chunk_id"""))
 
