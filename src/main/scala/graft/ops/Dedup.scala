@@ -474,33 +474,58 @@ object Dedup {
                      threshold: Double, lshBits: Int = 0,
                      lshTables: Int = 8): DataFrame = {
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-    val candidates =
-      if (lshBits <= 0) {
-        val a = vecs.select(col("__id").as("id_a"), col("__v").as("__va"))
-        val b = vecs.select(col("__id").as("id_b"), col("__v").as("__vb"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      } else {
-        // one row per (table, bucket, id); table t uses plane family
-        // [t*bits, (t+1)*bits) so signatures are independent. Checkpoint:
-        // both self-join sides read it, and recomputing means a second
-        // lshTables×lshBits hyperplane-projection pass over every vector
-        val bucketed = vecs.select(col("__id"),
-          posexplode(array((0 until lshTables).map(t =>
-            Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits)): _*))
-            .as(Seq("__table", "__bkt")))
-          .localCheckpoint(true)
-        val a = bucketed.select(col("__table"), col("__bkt"), col("__id").as("id_a"))
-        val b = bucketed.select(col("__table"), col("__bkt"), col("__id").as("id_b"))
-        val candIds = a.join(b.hint("shuffle_hash"), Seq("__table", "__bkt"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        candIds
-          .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
-          .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
-      }
-    candidates
+    def verified(candidates: DataFrame): DataFrame = candidates
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .filter(atLeast(col("cosine"), threshold))
       .select(col("id_a"), col("id_b"), col("cosine"))
+    if (lshBits <= 0) {
+      val a = vecs.select(col("__id").as("id_a"), col("__v").as("__va"))
+      val b = vecs.select(col("__id").as("id_b"), col("__v").as("__vb"))
+      verified(a.crossJoin(b).filter(col("id_a") < col("id_b")))
+    } else {
+      // One row per (table, bucket, id, vec); table t uses plane family
+      // [t*bits, (t+1)*bits) so signatures are independent. Checkpoint:
+      // both self-join sides read it, and recomputing means a second
+      // lshTables×lshBits hyperplane-projection pass over every vector.
+      //
+      // The bucketed frame CARRIES the vector so the self-join verifies
+      // cosine inside the join stage. The previous shape — emit candidate
+      // id pairs, distinct() them, then re-attach both vectors with two
+      // more joins — shuffled the full candidate stream three times; the
+      // candidate stream is the quadratic-in-bucket-size object (n·s/2
+      // rows per table, ~200M at 20k vectors with 4-bit buckets), and at
+      // sf1 those shuffles were a 157 s wall. Verifying in-pipeline keeps
+      // the candidates inside one whole-stage-codegen span (probe hash
+      // table -> dot product -> threshold filter) and only the few
+      // surviving pairs — bounded by the true near-dup count — are
+      // shuffled, by the final distinct that collapses multi-table
+      // collisions. Duplicate occurrences cost a redundant dot product
+      // each but never touch disk or network; cosine is computed by the
+      // identical expression on identical inputs, so distinct over
+      // (id_a, id_b, cosine) collapses them exactly.
+      // The explicit repartition (strict partition count — AQE does not
+      // re-coalesce user-specified repartitioning) is load-bearing: the
+      // bucketed frame is small on the wire (~170 MB at 20k vectors) but
+      // the join EXPLODES it ~1000×, and AQE's size-based coalescing,
+      // blind to output cardinality, folded the join stage down to 4
+      // tasks at sf1 — 4 threads grinding 200M candidates for ~57 s while
+      // 28 cores idled. Partitioning both sides identically up front also
+      // means the join itself needs no further shuffle.
+      val shufflePartitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val bucketed = vecs.select(col("__id"), col("__v"),
+        posexplode(array((0 until lshTables).map(t =>
+          Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits)): _*))
+          .as(Seq("__table", "__bkt")))
+        .repartition(shufflePartitions, col("__table"), col("__bkt"))
+        .localCheckpoint(true)
+      val a = bucketed.select(col("__table"), col("__bkt"),
+        col("__id").as("id_a"), col("__v").as("__va"))
+      val b = bucketed.select(col("__table"), col("__bkt"),
+        col("__id").as("id_b"), col("__v").as("__vb"))
+      verified(
+        a.join(b.hint("shuffle_hash"), Seq("__table", "__bkt"))
+          .filter(col("id_a") < col("id_b")))
+        .distinct()
+    }
   }
 }
