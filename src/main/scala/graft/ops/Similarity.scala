@@ -88,25 +88,34 @@ object Similarity {
   }
 
   /** Deterministic IVF coarse quantizer: K seed centroids (the first K
-    * corpus vectors by id — no RNG) refined by one Lloyd step (assign all
-    * vectors to the nearest seed by cosine, then element-wise mean per
-    * cell). Returns (centroid_id, centroid array<double>). One shuffle for
-    * the assignment aggregation; the K-row result broadcasts everywhere
-    * it's used.
+    * corpus vectors by id — no RNG) refined by `iters` Lloyd steps
+    * (assign all vectors to the nearest centroid by cosine, then
+    * element-wise mean per cell). Returns (centroid_id, centroid
+    * array<double>); a cell that empties out during refinement drops from
+    * the result. Per step: one broadcast-join assignment pass over the
+    * corpus + two shuffles of (cell, dim) partial means; the K-row result
+    * of each step is eagerly localCheckpoint-ed so the next step (and
+    * every downstream broadcast) starts from materialized rows instead of
+    * replaying the whole refinement chain. Seeds stay deterministic, so
+    * runs are reproducible at any `iters`.
     */
-  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val seeds = vecs.orderBy("__id").limit(k)
       .select(col("__id").as("centroid_id"), col("__v").as("centroid"))
-    val assigned = assignToCentroids(vecs, seeds)
-    // element-wise mean per cell: explode dims, average, re-assemble
-    assigned
-      .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-      .groupBy("centroid_id", "__dim").agg(avg(col("__x")).as("__m"))
-      .groupBy("centroid_id")
-      .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
-      .select(col("centroid_id"),
-        transform(col("__dm"), s => s.getField("__m")).as("centroid"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      // element-wise mean per cell: explode dims, average, re-assemble
+      assignToCentroids(vecs, cents)
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("centroid_id", "__dim").agg(avg(col("__x")).as("__m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+        .select(col("centroid_id"),
+          transform(col("__dm"), s => s.getField("__m")).as("centroid"))
+        .localCheckpoint(true)
+    }
   }
 
   /** Nearest centroid per vector (centroids broadcast; argmin via

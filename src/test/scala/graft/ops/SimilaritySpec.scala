@@ -46,10 +46,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.toSeq == exact.toSeq)
   }
 
-  test("IVF centroids: one Lloyd step produces nlist cells covering the corpus") {
-    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 8).collect()
-    assert(cents.length == 8)
-    assert(cents.forall(_.getSeq[Double](1).length == 16))
+  test("IVF centroids: Lloyd refinement produces cells covering the corpus") {
+    val one = Similarity.ivfCentroids(df, "vec_id", "embedding", 8, iters = 1).collect()
+    assert(one.length == 8)
+    assert(one.forall(_.getSeq[Double](1).length == 16))
+    // multi-step refinement keeps valid dims; cells may die (standard
+    // Lloyd behavior on cosine) but most must survive
+    val refined = Similarity.ivfCentroids(df, "vec_id", "embedding", 8).collect()
+    assert(refined.length >= 4 && refined.length <= 8)
+    assert(refined.forall(_.getSeq[Double](1).length == 16))
   }
 
   test("lshTopK probes the full Hamming radius: probeHamming = bits equals brute force") {
@@ -97,14 +102,17 @@ class SimilaritySpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       got.intersect(exact).size.toDouble / exact.size
     }
-    // the synthetic embeddings are near-uniform, so the honest floor is the
-    // scanned-fraction baseline nprobe/nlist (clustered real data does far
-    // better); measured 0.31 at nprobe=4 — gate at the baseline
+    // With the default 3 Lloyd steps the cells adapt to the corpus and
+    // recall leaves the scanned-fraction baseline far behind: measured
+    // 0.9125 at nprobe=4 (1-step seeds scored 0.31 ≈ the 0.25 baseline)
+    // and 0.975 at nprobe=8. Gate at 0.7/0.85 — far above the baselines,
+    // with margin for float-sum order wobble in the centroid means.
     val i4 = ivfRecall(4)
     val i8 = ivfRecall(8)
-    assert(i4 >= 4.0 / 16, s"IVF nprobe=4/nlist=16 below scanned-fraction baseline: $i4")
+    info(s"IVF recall: nprobe=4 -> $i4, nprobe=8 -> $i8")
+    assert(i4 >= 0.7, s"IVF nprobe=4/nlist=16 recall below refined-centroid floor: $i4")
     assert(i8 >= i4, s"IVF recall not monotone in nprobe: $i8 < $i4")
-    assert(i8 >= 8.0 / 16, s"IVF nprobe=8/nlist=16 below scanned-fraction baseline: $i8")
+    assert(i8 >= 0.85, s"IVF nprobe=8/nlist=16 recall below refined-centroid floor: $i8")
   }
 
   test("bruteForceTopK matches a local exact computation") {
