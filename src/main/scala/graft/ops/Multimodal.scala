@@ -153,10 +153,63 @@ object Multimodal {
       16, (500 + math.floorMod(hsh >> 16, 60000)).toDouble, "stub")
   }
 
+  /** Pure-JVM MPEG audio (MP3) header parse — frame-header metadata only,
+    * no codec work, so like WAV this modality's geometry is REAL in this
+    * container. Skips a leading ID3v2 tag (syncsafe size), scans a
+    * bounded window for the first valid Layer III frame sync, and decodes
+    * version/bitrate/sample-rate/channel-mode from the 4 header bytes.
+    * Duration is the CBR estimate (bytes after sync × 8 / bitrate) — the
+    * standard header-only approximation; a VBR exact duration needs every
+    * frame header walked, which is O(payload) against the header-only
+    * contract. bits_per_sample is 0: MP3 has no fixed sample width.
+    * Returns None on anything that isn't a parseable Layer III stream —
+    * never throws on garbage.
+    */
+  private[ops] def parseMp3Header(p: Array[Byte]): Option[(Int, Int, Int, Double, String)] = {
+    var off = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      off = 10 + sz
+    }
+    // a real stream's sync is at (or within padding bytes of) the tag end;
+    // bound the scan so a garbage payload costs O(4KB), not O(payload)
+    val limit = math.min(p.length - 4, off + 4096)
+    var i = off
+    while (i >= 0 && i <= limit) {
+      val b1 = p(i) & 0xff
+      val b2 = p(i + 1) & 0xff
+      if (b1 == 0xff && (b2 & 0xe0) == 0xe0) {
+        val verBits = (b2 >> 3) & 3   // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val layerBits = (b2 >> 1) & 3 // 1 = Layer III
+        val b3 = p(i + 2) & 0xff
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 3
+        val chMode = ((p(i + 3) & 0xff) >> 6) & 3
+        if (verBits != 1 && layerBits == 1 && brIdx >= 1 && brIdx <= 14 && srIdx <= 2) {
+          val bitrateKbps =
+            if (verBits == 3) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+            else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+          val rate = verBits match {
+            case 3 => Array(44100, 48000, 32000)(srIdx)
+            case 2 => Array(22050, 24000, 16000)(srIdx)
+            case _ => Array(11025, 12000, 8000)(srIdx)
+          }
+          val channels = if (chMode == 3) 1 else 2
+          val durMs = (p.length - i).toDouble * 8.0 * 1000.0 / (bitrateKbps * 1000.0)
+          return Some((rate, channels, 0, durMs, "mp3"))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   /** Attach decoded audio metadata to a (id, payload) frame: REAL
-    * header-only parse for RIFF/WAVE via [[parseWavHeader]];
-    * deterministic stub for compressed codecs absent from this
-    * container. Same mapPartitions batch shape as [[decodeImages]].
+    * header-only parse for RIFF/WAVE via [[parseWavHeader]] and MPEG
+    * Layer III via [[parseMp3Header]]; deterministic stub for codecs
+    * absent from this container. Same mapPartitions batch shape as
+    * [[decodeImages]].
     */
   def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -172,7 +225,8 @@ object Multimodal {
         val raw = r.getAs[Array[Byte]](payloadIdx)
         val payload = if (raw == null) Array.emptyByteArray else raw
         val (rate, ch, bits, durMs, fmt) =
-          parseWavHeader(payload).getOrElse(audioStub(payload))
+          parseWavHeader(payload).orElse(parseMp3Header(payload))
+            .getOrElse(audioStub(payload))
         Row(r.get(idIdx), payload.length.toLong, Row(rate, ch, bits, durMs, fmt))
       }
     }(enc)
@@ -217,6 +271,183 @@ object Multimodal {
         val raw = r.getAs[Array[Byte]](payloadIdx)
         val data = if (raw == null) Array.emptyByteArray else raw
         Row(r.get(idIdx), wavPayload(data, sampleRate, channels, bitsPerSample))
+      }
+    }(enc)
+  }
+
+  /** Canonical minimal MP3 envelope (ID3v2 tag + one valid MPEG1 Layer
+    * III frame header + raw data as the CBR stream body) — the fixture
+    * half of the `q_mm_mp3_meta` gate, mirroring [[wavPayload]]. The tag
+    * is 64 bytes (10-byte header + 54-byte syncsafe-sized body), so the
+    * parser must skip it to find the sync; duration under CBR is
+    * (4 + data.length) × 8 / bitrate.
+    */
+  def mp3Payload(data: Array[Byte], bitrateKbps: Int = 128,
+                 sampleRate: Int = 44100, stereo: Boolean = true): Array[Byte] = {
+    val mpeg1Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val brIdx = mpeg1Bitrates.indexOf(bitrateKbps)
+    val srIdx = Array(44100, 48000, 32000).indexOf(sampleRate)
+    require(brIdx >= 1 && srIdx >= 0,
+      s"unsupported MPEG1 Layer III bitrate=$bitrateKbps rate=$sampleRate")
+    val bb = java.nio.ByteBuffer.allocate(64 + 4 + data.length)
+    bb.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(54) // syncsafe: 54 < 128 so the raw int IS the syncsafe form
+    bb.position(64) // zero-filled tag body
+    bb.put(0xff.toByte) // sync
+    bb.put((0xe0 | (3 << 3) | (1 << 1)).toByte) // sync | MPEG1 | Layer III
+    bb.put(((brIdx << 4) | (srIdx << 2)).toByte)
+    bb.put((if (stereo) 0x00 else 0xc0).toByte) // channel mode
+    bb.put(data)
+    bb.array()
+  }
+
+  /** Wrap a binary column in the MP3 envelope row-by-row (fixture half of
+    * `q_mm_mp3_meta`; see [[mp3Payload]]).
+    */
+  def synthesizeMp3(df: DataFrame, idCol: String, payloadCol: String,
+                    bitrateKbps: Int = 128, sampleRate: Int = 44100): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val data = if (raw == null) Array.emptyByteArray else raw
+        Row(r.get(idIdx), mp3Payload(data, bitrateKbps, sampleRate))
+      }
+    }(enc)
+  }
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("duration_ms", DoubleType),
+    StructField("timescale", IntegerType),
+    StructField("major_brand", StringType),
+    StructField("format", StringType)))
+
+  /** Pure-JVM ISO BMFF (MP4) box walk — header-only: verifies the `ftyp`
+    * leading box, then walks top-level boxes to `moov` and its children
+    * to `mvhd`, reading timescale + duration (v0 32-bit and v1 64-bit
+    * layouts). The `mdat` payload is never touched. Returns
+    * (durationMs, timescale, majorBrand, "mp4"), or None on anything
+    * that isn't a parseable MP4 — never throws on garbage (sizes are
+    * bounds-checked; a corrupt size that runs past the payload just ends
+    * the walk).
+    */
+  private[ops] def parseMp4Header(p: Array[Byte]): Option[(Double, Int, String, String)] = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    if (p.length < 16 || tag(4) != "ftyp") return None
+    val majorBrand = tag(8)
+    var result: Option[(Double, Int, String, String)] = None
+    def walk(start: Long, end: Long, inMoov: Boolean): Unit = {
+      var o = start
+      while (result.isEmpty && o + 8 <= end) {
+        val sz0 = be32(o.toInt)
+        val t = tag(o.toInt + 4)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1 && o + 16 <= end) { sz = be64(o.toInt + 8); hdr = 16 }
+        else if (sz0 == 0) sz = end - o
+        if (sz < hdr) return // corrupt size: stop walking
+        val boxEnd = math.min(end, o + sz)
+        if (!inMoov && t == "moov") walk(o + hdr, boxEnd, inMoov = true)
+        if (inMoov && t == "mvhd" && o + hdr + 4 <= end) {
+          val b = (o + hdr).toInt
+          val ver = p(b) & 0xff
+          if (ver == 0 && b + 20 <= p.length) {
+            val timescale = be32(b + 12)
+            val dur = be32(b + 16)
+            if (timescale > 0)
+              result = Some((dur * 1000.0 / timescale, timescale.toInt, majorBrand, "mp4"))
+          } else if (ver == 1 && b + 32 <= p.length) {
+            val timescale = be32(b + 20)
+            val dur = be64(b + 24)
+            if (timescale > 0)
+              result = Some((dur * 1000.0 / timescale, timescale.toInt, majorBrand, "mp4"))
+          }
+        }
+        o += sz
+      }
+    }
+    walk(0, p.length.toLong, inMoov = false)
+    result
+  }
+
+  private def videoStub(payload: Array[Byte]): (Double, Int, String, String) = {
+    val hsh = fnv1a(payload)
+    ((1000 + math.floorMod(hsh, 600000)).toDouble, 600, "none", "stub")
+  }
+
+  /** Attach decoded video-container metadata to a (id, payload) frame:
+    * REAL header-only ISO BMFF parse via [[parseMp4Header]];
+    * deterministic stub for containers this JVM can't identify. Frame
+    * DECODE (pixels) still needs native codecs absent here — this op
+    * covers the metadata half a curation pipeline filters on (duration,
+    * brand) before any expensive decode is scheduled.
+    */
+  def decodeVideo(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("n_bytes", LongType),
+      StructField("meta", videoMetaType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val payload = if (raw == null) Array.emptyByteArray else raw
+        val (durMs, timescale, brand, fmt) =
+          parseMp4Header(payload).getOrElse(videoStub(payload))
+        Row(r.get(idIdx), payload.length.toLong, Row(durMs, timescale, brand, fmt))
+      }
+    }(enc)
+  }
+
+  /** Canonical minimal MP4 (ftyp + moov/mvhd v0 + mdat carrying the
+    * data) — the fixture half of the `q_mm_mp4_meta` gate. The mvhd
+    * duration field is set to `data.length` ticks at `timescale`, so the
+    * expected duration is arithmetically recomputable from the data size
+    * alone and the parser provably reads the header, not the mdat body.
+    */
+  def mp4Payload(data: Array[Byte], timescale: Int = 600): Array[Byte] = {
+    val mvhdSz = 8 + 4 + 96 // header + version/flags + v0 body
+    val moovSz = 8 + mvhdSz
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSz + 8 + data.length) // BE by default
+    bb.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0).put("isom".getBytes("US-ASCII"))
+    bb.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhdSz).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale).putInt(data.length)
+    bb.position(bb.position() + 80) // rate/volume/matrix/predefined/next_track_id: zeros
+    bb.putInt(8 + data.length).put("mdat".getBytes("US-ASCII")).put(data)
+    bb.array()
+  }
+
+  /** Wrap a binary column in the MP4 envelope row-by-row (fixture half of
+    * `q_mm_mp4_meta`; see [[mp4Payload]]).
+    */
+  def synthesizeMp4(df: DataFrame, idCol: String, payloadCol: String,
+                    timescale: Int = 600): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val data = if (raw == null) Array.emptyByteArray else raw
+        Row(r.get(idIdx), mp4Payload(data, timescale))
       }
     }(enc)
   }

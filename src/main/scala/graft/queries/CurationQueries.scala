@@ -503,6 +503,65 @@ object CurationQueries {
               CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) * 1000.0 / 32000.0 AS duration_ms
             FROM documents ORDER BY doc_id"""))
 
+  /** MP3 modality, REAL header decode end to end: document bytes wrapped
+    * in an ID3v2 tag + MPEG1 Layer III frame envelope (fixture half),
+    * then the pure-JVM frame-header parser recovers sample rate, channel
+    * mode and the CBR duration estimate. DuckDB recomputes the expected
+    * numbers arithmetically — (bytes + 4 header bytes) × 8 / bitrate,
+    * identical operation order for IEEE bit parity — so a parser that
+    * mis-skips the tag or misreads any header field fails the gate.
+    */
+  val mmMp3 = Q("q_mm_mp3_meta",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val enveloped = Multimodal.synthesizeMp3(docs, "doc_id", "payload",
+        bitrateKbps = 128, sampleRate = 44100)
+      Multimodal.decodeAudio(enveloped, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.format").as("format"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              44100 AS sample_rate,
+              2 AS channels,
+              'mp3' AS format,
+              CAST(OCTET_LENGTH(ENCODE(text)) + 4 AS DOUBLE) * 8.0 * 1000.0 / 128000.0 AS duration_ms
+            FROM documents ORDER BY doc_id"""))
+
+  /** MP4 modality, REAL header decode end to end: document bytes carried
+    * as the mdat body of a minimal ftyp+moov/mvhd container whose mvhd
+    * duration field is data.length ticks at timescale 600 (fixture
+    * half); the ISO BMFF box walk recovers duration/timescale/brand from
+    * the header alone. DuckDB recomputes duration = bytes × 1000 / 600
+    * independently — a parser that read the mdat body (or the wrong
+    * box) could not produce these numbers.
+    */
+  val mmMp4 = Q("q_mm_mp4_meta",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val enveloped = Multimodal.synthesizeMp4(docs, "doc_id", "payload", timescale = 600)
+      Multimodal.decodeVideo(enveloped, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("n_bytes"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.timescale").as("timescale"),
+          col("meta.major_brand").as("major_brand"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(OCTET_LENGTH(ENCODE(text)) + 144 AS BIGINT) AS n_bytes,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) * 1000.0 / 600.0 AS duration_ms,
+              600 AS timescale,
+              'isom' AS major_brand,
+              'mp4' AS format
+            FROM documents ORDER BY doc_id"""))
+
   /** End-to-end curation pipeline gate: the full composed stage
     * (graft.pipeline.Curate — exact dedup → near-dup keep-one → quality
     * filter → PII scrub → hash split → chunking) against ONE DuckDB
@@ -713,5 +772,5 @@ object CurationQueries {
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
-    sampleStratified, mmBinary, mmWav, curateE2E)
+    sampleStratified, mmBinary, mmWav, mmMp3, mmMp4, curateE2E)
 }

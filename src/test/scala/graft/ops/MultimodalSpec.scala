@@ -114,6 +114,79 @@ class MultimodalSpec extends SparkTestBase {
     assert(parsed.contains((16000, 1, 16, 1000.0, "wav")))
   }
 
+  test("decodeAudio reads golden MP3 frame-header geometry (tag skip + sync scan)") {
+    // hand-built, NOT via mp3Payload — catches a writer and parser that
+    // agree on the same wrong layout. ID3v2 tag with syncsafe size 200
+    // (requires two syncsafe digits: 200 = 0x01<<7 | 0x48), then a
+    // 160kbps 32kHz mono MPEG1 Layer III frame + 1996 dummy bytes.
+    val golden = java.nio.ByteBuffer.allocate(210 + 4 + 1996)
+    golden.put("ID3".getBytes).put(3.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0x01.toByte).put(0x48.toByte) // syncsafe 200
+    golden.position(210)
+    golden.put(0xff.toByte)
+      .put((0xe0 | (3 << 3) | (1 << 1)).toByte) // MPEG1, Layer III
+      .put(((10 << 4) | (2 << 2)).toByte) // bitrate idx 10 = 160kbps, rate idx 2 = 32kHz
+      .put(0xc0.toByte) // mono
+    val df = Seq((1L, golden.array())).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "id", "payload")
+      .select("meta.sample_rate", "meta.channels", "meta.bits_per_sample",
+        "meta.duration_ms", "meta.format")
+      .collect()
+    // 2000 bytes after sync at 160kbps: 2000*8*1000/160000 = 100 ms
+    assert(out(0).toSeq == Seq(32000, 1, 0, 100.0, "mp3"))
+  }
+
+  test("mp3Payload round-trips through parseMp3Header; garbage and reserved headers do not") {
+    val p = Multimodal.mp3Payload(Array.fill[Byte](1020)(5), 128, 44100)
+    // (4 + 1020) bytes at 128kbps = 64 ms
+    assert(Multimodal.parseMp3Header(p).contains((44100, 2, 0, 64.0, "mp3")))
+    // sync bytes present but reserved version bits (0xe8 -> verBits=1): no parse
+    val reserved = Array[Byte](0xff.toByte, 0xeb.toByte, 0x90.toByte, 0x00)
+    reserved(1) = (0xe0 | (1 << 3) | (1 << 1)).toByte
+    assert(Multimodal.parseMp3Header(reserved).isEmpty)
+    assert(Multimodal.parseMp3Header("no sync here at all".getBytes).isEmpty)
+    // truncated ID3 tag claiming more bytes than the payload: no parse, no throw
+    val lying = Multimodal.mp3Payload(Array.fill[Byte](100)(1)).take(20)
+    assert(Multimodal.parseMp3Header(lying).isEmpty)
+  }
+
+  test("decodeVideo reads golden MP4 mvhd duration (v0 and v1 layouts, header-only)") {
+    val v0 = Multimodal.mp4Payload(Array.fill[Byte](1200)(9), timescale = 600)
+    // hand-built v1 mvhd: 64-bit times/duration, timescale 1000, duration 2500
+    val mvhdSz = 8 + 4 + 28 + 80
+    val moovSz = 8 + mvhdSz
+    val v1 = java.nio.ByteBuffer.allocate(16 + moovSz)
+    v1.putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0)
+    v1.putInt(moovSz).put("moov".getBytes)
+    v1.putInt(mvhdSz).put("mvhd".getBytes)
+      .put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // version 1
+      .putLong(0L).putLong(0L) // ctime, mtime (64-bit)
+      .putInt(1000).putLong(2500L) // timescale, duration (64-bit)
+    val df = Seq((1L, v0), (2L, v1.array())).toDF("id", "payload")
+    val out = Multimodal.decodeVideo(df, "id", "payload")
+      .orderBy("id")
+      .select("meta.duration_ms", "meta.timescale", "meta.major_brand", "meta.format")
+      .collect()
+    assert(out(0).toSeq == Seq(1200 * 1000.0 / 600, 600, "isom", "mp4"))
+    assert(out(1).toSeq == Seq(2500.0, 1000, "mp42", "mp4"))
+  }
+
+  test("decodeVideo: corrupt box sizes and non-MP4 payloads take the stub, never throw") {
+    val good = Multimodal.mp4Payload(Array.fill[Byte](64)(1))
+    val corruptSize = good.clone()
+    corruptSize(20) = 0; corruptSize(21) = 0; corruptSize(22) = 0; corruptSize(23) = 3 // moov size 3 < header
+    val garbage = "definitely not a movie".getBytes
+    val truncated = good.take(30)
+    val df = Seq((1L, corruptSize), (2L, garbage), (3L, truncated), (4L, garbage))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeVideo(df, "id", "payload")
+      .orderBy("id").select("meta.format").collect()
+    assert(out.forall(_.getString(0) == "stub"))
+    val stubs = Multimodal.decodeVideo(df, "id", "payload")
+      .orderBy("id").select("meta.duration_ms").collect()
+    assert(stubs(1).getDouble(0) == stubs(3).getDouble(0)) // deterministic per payload
+  }
+
   test("frameSampleStub explodes sampled frame indices per payload") {
     val out = Multimodal.frameSampleStub(payloads, "id", maxFrames = 10, every = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
