@@ -14,4 +14,11 @@ object GraftShim {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+  /** Wrap a logical plan back into a DataFrame (classic.Dataset.ofRows is
+    * private[sql]) — used by plan-rewrite tests to execute a manually
+    * transformed plan and compare results against the original.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
