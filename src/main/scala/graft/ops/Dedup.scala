@@ -19,6 +19,42 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Hyperplane-LSH parameter planning for [[cosineDupPairs]] at a given
+    * scale: pick (bits, tables) from corpus size, the cosine threshold,
+    * and a target recall.
+    *
+    * Model (standard OR-amplified sign-random-projection analysis): a
+    * pair at cosine θ-angle agrees on one hyperplane sign with
+    * p = 1 - arccos(cos) / π; it collides in one b-bit table with p^b and
+    * in ANY of T tables with R = 1 - (1 - p^b)^T. Candidate volume per
+    * table is ~n·s/2 for bucket size s = n / 2^b, so the planner first
+    * sizes bits to hold the per-table bucket near `targetBucketSize`
+    * (candidate stream linear in n, the 100 TB requirement — FIXED bits
+    * at growing n is the quadratic trap), then sizes tables to reach the
+    * recall target at the now-smaller p^b. The returned plan carries the
+    * expected candidate count so callers can sanity-check cost before
+    * running; `tables` is capped (recall at moderate thresholds is
+    * intrinsically expensive — the caller sees `achievedRecall` and
+    * decides, rather than the library silently exploding).
+    */
+  final case class LshPlan(bits: Int, tables: Int, achievedRecall: Double,
+                           expectedCandidates: Double)
+
+  def planCosineLsh(n: Long, threshold: Double, targetRecall: Double = 0.9,
+                    targetBucketSize: Int = 100, maxTables: Int = 64): LshPlan = {
+    require(n > 0 && threshold > -1 && threshold < 1, s"n=$n threshold=$threshold")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bits = math.max(1, math.min(30,
+      math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt))
+    val pb = math.pow(p, bits)
+    val tables = math.min(maxTables, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt))
+    val recall = 1.0 - math.pow(1.0 - pb, tables)
+    val bucket = n.toDouble / (1L << bits)
+    LshPlan(bits, tables, recall, tables * n * bucket / 2.0)
+  }
+
   /** Null-tolerant `c >= t` for post-aggregation threshold filters.
     *
     * A plain null-intolerant comparison lets Catalyst infer

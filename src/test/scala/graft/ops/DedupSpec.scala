@@ -218,6 +218,45 @@ class DedupSpec extends SparkTestBase {
     assert(matching >= 1)
   }
 
+  test("planCosineLsh: buckets sized to n (linear candidates), tables sized to recall") {
+    val p1 = Dedup.planCosineLsh(20000, 0.45)
+    val p2 = Dedup.planCosineLsh(2000000, 0.45)
+    // bits grow with n so the candidate stream stays ~linear: 100× corpus
+    // must NOT mean 10000× candidates (the fixed-bits quadratic trap)
+    assert(p2.bits > p1.bits)
+    assert(p2.expectedCandidates / p1.expectedCandidates < 500)
+    // a high-similarity threshold needs far fewer tables than a moderate one
+    val hi = Dedup.planCosineLsh(20000, 0.95)
+    assert(hi.tables < p1.tables)
+    assert(hi.achievedRecall >= 0.9)
+    // uncapped table budget always reaches the target
+    val un = Dedup.planCosineLsh(20000, 0.45, maxTables = Int.MaxValue)
+    assert(un.achievedRecall >= 0.9)
+    // capped: the plan reports the honest shortfall instead of exploding
+    val capped = Dedup.planCosineLsh(20000, 0.45, maxTables = 4)
+    assert(capped.tables == 4 && capped.achievedRecall < un.achievedRecall)
+  }
+
+  test("planCosineLsh plan drives cosineDupPairs to its promised recall (real corpus)") {
+    // sf0.1: 2000 vectors, 144 exact pairs at the threshold — large enough
+    // that the per-pair recall promise is measurable (sf0.001's 7 pairs
+    // put ±14% of noise on a single missed pair)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = emb.count()
+    val plan = Dedup.planCosineLsh(n, 0.45)
+    val exact = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45, lshBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planned = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45,
+      lshBits = plan.bits, lshTables = plan.tables)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planned.subsetOf(exact))
+    val recall = planned.size.toDouble / exact.size
+    info(s"planned (bits=${plan.bits}, tables=${plan.tables}, " +
+      s"promised=${plan.achievedRecall}) measured recall $recall")
+    assert(recall >= plan.achievedRecall - 0.1, s"planned-config recall $recall " +
+      s"(found ${planned.size}/${exact.size}, plan $plan)")
+  }
+
   test("cosine LSH OR-amplification: quantified recall vs the exact path (real corpus)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45, lshBits = 0)
