@@ -55,6 +55,44 @@ object Dedup {
     LshPlan(bits, tables, recall, tables * n * bucket / 2.0)
   }
 
+  /** Explicit hash-partitioning on the keys of an upcoming fan-out
+    * self-join. Load-bearing at scale: a bucket/band/chunk self-join
+    * EXPLODES its input (output rows ≈ Σ bucket²/2, orders of magnitude
+    * above input rows), and AQE's size-based partition coalescing — blind
+    * to output cardinality — folds the small-on-the-wire join input down
+    * to a handful of reduce partitions, serializing the explosion onto a
+    * few cores (observed: 4 tasks grinding 200M candidates at sf1 while
+    * 28 cores idled). A user-specified `repartition(n, keys)` both
+    * satisfies the join's clustering requirement (so no further exchange
+    * is inserted) and is exempt from AQE coalescing, pinning the fan-out
+    * stage at full parallelism. The shuffle is work the join's own
+    * exchange would have done anyway.
+    *
+    * For `localCheckpoint`ed frames this must sit AFTER the checkpoint,
+    * on each join side: repartitioning before the checkpoint does NOT
+    * survive it — under AQE the checkpoint captures
+    * `AdaptiveSparkPlanExec.outputPartitioning` before the final plan is
+    * known, so the resulting LogicalRDD advertises unknown partitioning
+    * and EnsureRequirements re-inserts coalescible ENSURE_REQUIREMENTS
+    * exchanges on both join sides anyway (verified on the physical plan;
+    * pre-checkpoint shape = 3 shuffles with the fan-out unpinned,
+    * post-checkpoint shape = 2 shuffles, pinned).
+    */
+  private def pinFanout(df: DataFrame, keys: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, keys: _*)
+  }
+
+  /** Both sides of a fan-out self-join over a NON-checkpointed frame,
+    * each side [[pinFanout]]-partitioned on the join keys. The shuffle is
+    * work the join's own exchange would have done anyway — this just
+    * makes it AQE-coalescing-exempt.
+    */
+  private def fanoutSides(df: DataFrame, keys: Seq[String],
+                          aCols: Seq[Column], bCols: Seq[Column]): (DataFrame, DataFrame) =
+    (pinFanout(df.select(aCols: _*), keys.map(col): _*),
+     pinFanout(df.select(bCols: _*), keys.map(col): _*))
+
   /** Null-tolerant `c >= t` for post-aggregation threshold filters.
     *
     * A plain null-intolerant comparison lets Catalyst infer
@@ -117,8 +155,9 @@ object Dedup {
           .filter(col("__df") > maxShingleDocFreq).select("__s")
         index0.join(broadcast(hot), Seq("__s"), "left_anti")
       }
-    val a = index.select(col("__s"), col("__id").as("id_a"), col("__size").as("__na"))
-    val b = index.select(col("__s"), col("__id").as("id_b"), col("__size").as("__nb"))
+    val (a, b) = fanoutSides(index, Seq("__s"),
+      Seq(col("__s"), col("__id").as("id_a"), col("__size").as("__na")),
+      Seq(col("__s"), col("__id").as("id_b"), col("__size").as("__nb")))
     // shuffle_hash, NOT broadcast: Catalyst's static size estimate of a
     // Generate-exploded frame is far below its real size, so the planner
     // broadcasts the entire index — a single-threaded 260k-row (at sf0.1)
@@ -182,8 +221,13 @@ object Dedup {
       .select(col("__id"),
         explode(transform(slice(col("__ds"), lit(1), col("__plen")), x => x.getField("__s")))
           .as("__s"))
+    // same AQE fan-out-blindness guard as fanoutSides: pin the candidate
+    // join's parallelism (full × prefix on the shingle hash)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val full = hashes.select(col("__s"), col("__id").as("__idf"))
-    val candidates = full.join(prefix.withColumnRenamed("__id", "__idp"), Seq("__s"))
+      .repartition(parts, col("__s"))
+    val candidates = full.join(
+      prefix.withColumnRenamed("__id", "__idp").repartition(parts, col("__s")), Seq("__s"))
       .filter(col("__idf") =!= col("__idp"))
       .select(least(col("__idf"), col("__idp")).as("id_a"),
         greatest(col("__idf"), col("__idp")).as("id_b"))
@@ -257,8 +301,9 @@ object Dedup {
           slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b)))
         .as(Seq("__band", "__bucket")))
       .localCheckpoint(true)
-    val l = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val r = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val (l, r) = fanoutSides(banded, Seq("__band", "__bucket"),
+      Seq(col("__band"), col("__bucket"), col("__id").as("id_a")),
+      Seq(col("__band"), col("__bucket"), col("__id").as("id_b")))
     // shuffle_hash for the same reason as ngramJaccardPairs: the static
     // estimate of an exploded frame undersizes it and the planner would
     // build a driver-side broadcast of the whole banded index
@@ -486,8 +531,9 @@ object Dedup {
     val chunked = hashed.select(col("__id"), col("__h"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
       .localCheckpoint(true)
-    val l = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha"))
-    val r = chunked.select(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb"))
+    val (l, r) = fanoutSides(chunked, Seq("__chunk", "__ckey"),
+      Seq(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha")),
+      Seq(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb")))
     l.join(r.hint("shuffle_hash"), Seq("__chunk", "__ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -539,25 +585,17 @@ object Dedup {
       // each but never touch disk or network; cosine is computed by the
       // identical expression on identical inputs, so distinct over
       // (id_a, id_b, cosine) collapses them exactly.
-      // The explicit repartition (strict partition count — AQE does not
-      // re-coalesce user-specified repartitioning) is load-bearing: the
-      // bucketed frame is small on the wire (~170 MB at 20k vectors) but
-      // the join EXPLODES it ~1000×, and AQE's size-based coalescing,
-      // blind to output cardinality, folded the join stage down to 4
-      // tasks at sf1 — 4 threads grinding 200M candidates for ~57 s while
-      // 28 cores idled. Partitioning both sides identically up front also
-      // means the join itself needs no further shuffle.
-      val shufflePartitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       val bucketed = vecs.select(col("__id"), col("__v"),
         posexplode(array((0 until lshTables).map(t =>
           Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits)): _*))
           .as(Seq("__table", "__bkt")))
-        .repartition(shufflePartitions, col("__table"), col("__bkt"))
         .localCheckpoint(true)
-      val a = bucketed.select(col("__table"), col("__bkt"),
-        col("__id").as("id_a"), col("__v").as("__va"))
-      val b = bucketed.select(col("__table"), col("__bkt"),
-        col("__id").as("id_b"), col("__v").as("__vb"))
+      // fanoutSides: this join explodes ~1000× (200M candidates from a
+      // 170 MB input at 20k vectors); without the pinned repartition AQE
+      // coalesced it to 4 tasks — 57 s on 4 threads while 28 cores idled
+      val (a, b) = fanoutSides(bucketed, Seq("__table", "__bkt"),
+        Seq(col("__table"), col("__bkt"), col("__id").as("id_a"), col("__v").as("__va")),
+        Seq(col("__table"), col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb")))
       verified(
         a.join(b.hint("shuffle_hash"), Seq("__table", "__bkt"))
           .filter(col("id_a") < col("id_b")))
