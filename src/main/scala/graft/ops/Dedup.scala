@@ -232,11 +232,15 @@ object Dedup {
       .select(least(col("__idf"), col("__idp")).as("id_a"),
         greatest(col("__idf"), col("__idp")).as("id_b"))
       .distinct()
+    // shuffle_hash: same anti-broadcast reasoning as minhashLshPairs'
+    // verify joins — never ship the whole corpus' shingle arrays
     val withA = candidates.join(
-      shingled.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__size").as("__na")),
+      shingled.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__size").as("__na"))
+        .hint("shuffle_hash"),
       Seq("id_a"))
     val withB = withA.join(
-      shingled.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__size").as("__nb")),
+      shingled.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__size").as("__nb"))
+        .hint("shuffle_hash"),
       Seq("id_b"))
     withB
       .withColumn("__common", size(array_intersect(col("__sha"), col("__shb"))))
@@ -310,11 +314,17 @@ object Dedup {
     val candidates = l.join(r.hint("shuffle_hash"), Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // exact verification on the candidate set only
+    // exact verification on the candidate set only. shuffle_hash on the
+    // shingled side: its checkpoint stats come from the PRE-explosion scan
+    // estimate, so the planner would BROADCAST the entire corpus' shingle
+    // arrays — a single-threaded driver-side HashedRelation build of the
+    // whole dataset, twice (observed at sf1), and a guaranteed driver OOM
+    // at real scale. A hash join partitioned on id keeps both sides
+    // distributed; candidates are id-uniform so there is no skew.
     val withA = candidates.join(shingled.withColumnRenamed("__id", "id_a")
-      .withColumnRenamed("__sh", "__sha"), Seq("id_a"))
+      .withColumnRenamed("__sh", "__sha").hint("shuffle_hash"), Seq("id_a"))
     val withB = withA.join(shingled.withColumnRenamed("__id", "id_b")
-      .withColumnRenamed("__sh", "__shb"), Seq("id_b"))
+      .withColumnRenamed("__sh", "__shb").hint("shuffle_hash"), Seq("id_b"))
     withB.withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
           size(array_union(col("__sha"), col("__shb"))))
