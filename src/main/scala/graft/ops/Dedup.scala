@@ -55,6 +55,46 @@ object Dedup {
     LshPlan(bits, tables, recall, tables * n * bucket / 2.0)
   }
 
+  /** MinHash-LSH parameter planning for [[minhashLshPairs]] at a given
+    * scale: pick (bands, rowsPerBand) from corpus size, the Jaccard
+    * threshold, a target recall, and the corpus' background (random-pair)
+    * Jaccard.
+    *
+    * Model (standard banding analysis): a pair at Jaccard j matches one
+    * band of r rows with j^r and ANY of b bands with R = 1-(1-j^r)^b.
+    * Because the output is exactly verified, recall at the threshold is
+    * the binding promise. Cost control mirrors [[planCosineLsh]]: the
+    * false-candidate stream is ~b·n²/2·jBg^r for background similarity
+    * jBg, so the planner first sizes r to bound per-doc false candidates
+    * (n·jBg^r ≤ targetCandidatesPerDoc — candidate volume linear in n;
+    * FIXED r at growing n is the quadratic trap), then sizes b to reach
+    * the recall target at the now-smaller j^r. `bands` is capped: the
+    * plan reports an honest `achievedRecall` shortfall instead of an
+    * unbounded signature. jBg defaults to 0.05 — word-shingle overlap of
+    * unrelated documents is tiny; measure it (sample pairs) when the
+    * corpus is boilerplate-heavy and pass it in.
+    */
+  final case class MinhashPlan(bands: Int, rowsPerBand: Int,
+                               achievedRecall: Double,
+                               expectedFalseCandidates: Double)
+
+  def planMinhashLsh(n: Long, threshold: Double, targetRecall: Double = 0.9,
+                     jBackground: Double = 0.05,
+                     targetCandidatesPerDoc: Double = 10.0,
+                     maxBands: Int = 128): MinhashPlan = {
+    require(n > 0 && threshold > 0 && threshold < 1, s"n=$n threshold=$threshold")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall")
+    require(jBackground > 0 && jBackground < threshold,
+      s"jBackground=$jBackground must sit below threshold=$threshold")
+    val r = math.max(1,
+      math.ceil(math.log(targetCandidatesPerDoc / n) / math.log(jBackground)).toInt)
+    val tr = math.pow(threshold, r)
+    val b = math.min(maxBands, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-tr)).toInt))
+    val recall = 1.0 - math.pow(1.0 - tr, b)
+    MinhashPlan(b, r, recall, b * n.toDouble * n.toDouble / 2.0 * math.pow(jBackground, r))
+  }
+
   /** Explicit hash-partitioning on the keys of an upcoming fan-out
     * self-join. Load-bearing at scale: a bucket/band/chunk self-join
     * EXPLODES its input (output rows ≈ Σ bucket²/2, orders of magnitude

@@ -237,6 +237,44 @@ class DedupSpec extends SparkTestBase {
     assert(capped.tables == 4 && capped.achievedRecall < un.achievedRecall)
   }
 
+  test("planMinhashLsh: rows sized to n (linear candidates), bands sized to recall") {
+    val p1 = Dedup.planMinhashLsh(20000, 0.5)
+    val p2 = Dedup.planMinhashLsh(2000000, 0.5)
+    // rowsPerBand grows with n so the false-candidate stream stays ~linear
+    assert(p2.rowsPerBand > p1.rowsPerBand)
+    assert(p2.expectedFalseCandidates / p1.expectedFalseCandidates < 500)
+    // a high-similarity threshold needs far fewer bands than a moderate one
+    val hi = Dedup.planMinhashLsh(20000, 0.9)
+    assert(hi.bands < p1.bands)
+    assert(hi.achievedRecall >= 0.9)
+    // uncapped band budget always reaches the target
+    val un = Dedup.planMinhashLsh(20000, 0.5, maxBands = Int.MaxValue)
+    assert(un.achievedRecall >= 0.9)
+    // capped: the plan reports the honest shortfall instead of exploding
+    val capped = Dedup.planMinhashLsh(20000, 0.5, maxBands = 2)
+    assert(capped.bands == 2 && capped.achievedRecall < un.achievedRecall)
+  }
+
+  test("planMinhashLsh plan drives minhashLshPairs to its promised recall (real corpus)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val plan = Dedup.planMinhashLsh(n, 0.5)
+    // exact all-pairs definition via the inverted index (no LSH loss)
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val planned = Dedup.minhashLshPairs(docs, "text", "doc_id", 3,
+      bands = plan.bands, rowsPerBand = plan.rowsPerBand, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified output → always a subset of the exact definition
+    assert(planned.subsetOf(exact))
+    val recall = planned.size.toDouble / exact.size
+    info(s"planned (bands=${plan.bands}, rows=${plan.rowsPerBand}, " +
+      s"promised=${plan.achievedRecall}) measured recall $recall")
+    assert(recall >= plan.achievedRecall - 0.1,
+      s"planned-config recall $recall (found ${planned.size}/${exact.size}, plan $plan)")
+  }
+
   test("planCosineLsh plan drives cosineDupPairs to its promised recall (real corpus)") {
     // sf0.1: 2000 vectors, 144 exact pairs at the threshold — large enough
     // that the per-pair recall promise is measurable (sf0.001's 7 pairs
