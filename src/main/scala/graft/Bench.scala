@@ -47,7 +47,11 @@ object Bench {
     "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_cluster_keep",
     "q_dedup_embed_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_lsh",
     "q_knn_cosine_topk", "q_v7_validate_orchestration", "q_v7_validate_fused",
-    "q_r3_list_standardize")
+    "q_r3_list_standardize",
+    // the composed curation pipeline over the RAW corpus; the planted-tail
+    // q_curate_e2e gate is deliberately excluded — its corpus is
+    // quadratic by construction at scale (see CurationQueries.curateE2EScale)
+    "q_curate_e2e_scale")
 
   /** Time one end-to-end noop-write of the query; then scrub session state
     * (plan cache + persisted RDD blocks) so runs are independent. Returns

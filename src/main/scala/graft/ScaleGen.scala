@@ -143,9 +143,25 @@ object ScaleGen {
     // (id % 617 == 11 copies id-1 with one token swapped)
     val srcDocs = rd("documents")
     val nDocs = srcDocs.count() * mult
-    val vocab = srcDocs
+    val srcVocab = srcDocs
       .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("t"))
       .distinct().orderBy("t").collect().map(_.getString(0)).filter(_.nonEmpty)
+    // Heaps'-law vocabulary growth (V ∝ corpus^β, β ≈ 0.5): a real corpus
+    // gains new vocabulary as it grows; replaying the SOURCE vocabulary at
+    // ×mult size instead saturates the whole shingle space (the 31-word
+    // source yields exactly 31³ = 29,791 possible trigrams, all present at
+    // mult = 10) and every shingle's doc-frequency then grows linearly
+    // with the corpus — so inverted-index dedup degenerates quadratically
+    // and the scale smoke measures a vocabulary-ceiling artifact instead
+    // of the operator. Extension words are deterministic mutations of
+    // source words (realistic lengths/characters, guaranteed distinct).
+    val vocab = {
+      val target = math.ceil(srcVocab.length * math.pow(mult.toDouble, 0.5)).toInt
+      val extra = Array.tabulate(math.max(0, target - srcVocab.length)) { i =>
+        srcVocab(i % srcVocab.length) + "x" + i
+      }
+      srcVocab ++ extra
+    }
     val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de") // ≈ source mix
     val bVocab = spark.sparkContext.broadcast(vocab)
     val docSchema = StructType(Seq(

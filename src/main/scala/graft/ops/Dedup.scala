@@ -175,7 +175,8 @@ object Dedup {
                         maxShingleDocFreq: Long = 0L,
                         prefixFilter: Boolean = false): DataFrame = {
     if (prefixFilter)
-      return ngramJaccardPairsPrefix(df, textCol, idCol, n, threshold)
+      return ngramJaccardPairsPrefix(df, textCol, idCol, n, threshold,
+        maxShingleDocFreq)
     val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
     // index on 64-bit shingle hashes, not the strings: long join keys keep
@@ -238,7 +239,8 @@ object Dedup {
     * where the plain index's df² term explodes and this stays linear.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
-                              n: Int, threshold: Double): DataFrame = {
+                              n: Int, threshold: Double,
+                              maxShingleDocFreq: Long = 0L): DataFrame = {
     // shingled feeds four consumers (df count, prefix regroup, both verify
     // joins): eager localCheckpoint materializes it once and — unlike a bare
     // persist, which nothing here could ever unpersist (the result is lazy)
@@ -247,10 +249,26 @@ object Dedup {
     val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
       .localCheckpoint(true)
-    val hashes = shingled
+    val hashes0 = shingled
       .select(col("__id"), col("__size"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
-    val dfreq = hashes.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val dfreq = hashes0.groupBy("__s").agg(count(lit(1)).as("__df"))
+    // Optional lossy cutoff, same contract as the plain path's
+    // maxShingleDocFreq: drop corpus-wide stop-shingles from the INDEX.
+    // The prefix bound alone deflates hot shingles only when prefixes are
+    // short (high threshold); at low thresholds (prefix ≈ 0.8·|d|) a
+    // boilerplate tail shared by every document still floods the
+    // candidate join — and when the boilerplate makes short docs GENUINE
+    // near-dups, the true pair list itself is corpus²-shaped and a cutoff
+    // is the only sub-quadratic option. Unlike the plain path (which
+    // undercounts jaccard for dropped shingles), verification here runs
+    // on the FULL shingle sets, so emitted jaccard values stay exact —
+    // only pairs connected SOLELY through dropped shingles are missed.
+    val hashes =
+      if (maxShingleDocFreq <= 0) hashes0
+      else hashes0.join(
+        broadcast(dfreq.filter(col("__df") > maxShingleDocFreq).select("__s")),
+        Seq("__s"), "left_anti")
     // per-doc shingles sorted by (global df asc, hash asc); prefix length
     // |d| - ceil(t*|d|) + 1 (struct sort: array_sort on (df, s) structs)
     val prefix = hashes.join(dfreq, Seq("__s"))
@@ -510,9 +528,10 @@ object Dedup {
     */
   def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
                        n: Int, threshold: Double,
-                       prefixFilter: Boolean = false): DataFrame = {
+                       prefixFilter: Boolean = false,
+                       maxShingleDocFreq: Long = 0L): DataFrame = {
     val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold,
-      prefixFilter = prefixFilter)
+      maxShingleDocFreq = maxShingleDocFreq, prefixFilter = prefixFilter)
     val losers = connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))

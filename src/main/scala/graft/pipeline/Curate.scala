@@ -43,7 +43,8 @@ object Curate {
             splitBoundaries: Seq[(String, String)] = Seq("train" -> "cd", "valid" -> "e6"),
             defaultSplit: String = "test",
             chunkSize: Int = 32, chunkStride: Int = 24,
-            prefixFilter: Boolean = true): DataFrame = {
+            prefixFilter: Boolean = true,
+            maxShingleDocFreq: Long = 0L): DataFrame = {
     val deduped = Dedup.exactDedup(docs, textCol, idCol)
     // prefixFilter default TRUE here, opposite of the standalone near-dup
     // op: a curated corpus is exactly where hot shingles live (boilerplate
@@ -53,8 +54,17 @@ object Curate {
     // self-joins those hot keys into |corpus|²-shaped candidate floods
     // (measured ~120 s at sf0.1), while the PPJoin prefix bound keeps hot
     // shingles out of every prefix and stays linear (~10 s, same rows).
+    // maxShingleDocFreq (default off — gates stay exact) is the scale
+    // hatch for boilerplate-saturated corpora: when a shared tail makes
+    // short documents GENUINE near-dups of each other, the true pair
+    // list is corpus²-shaped at low thresholds and no candidate
+    // strategy stays sub-quadratic; capping shingle doc-frequency
+    // restores linearity at the cost of missing pairs connected only
+    // through boilerplate (usually exactly the pairs one does NOT want
+    // clustered — see ngramJaccardPairsPrefix's cutoff contract).
     val survivors = Dedup.nearDupSurvivors(deduped, textCol, idCol,
-      shingleN, jaccardThreshold, prefixFilter = prefixFilter)
+      shingleN, jaccardThreshold, prefixFilter = prefixFilter,
+      maxShingleDocFreq = maxShingleDocFreq)
     val kept = survivors
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&

@@ -586,11 +586,37 @@ object CurationQueries {
           .as("text"))
       graft.pipeline.Curate(planted).orderBy("doc_id", "chunk_id")
     },
-    Some("""WITH RECURSIVE
-            base AS (
+    Some(curateOracle(plantTail = true)))
+
+  /** Scale twin of [[curateE2E]]: the identical composed pipeline over
+    * the RAW corpus — no planted contact tail. The planted gate's corpus
+    * is quadratic BY CONSTRUCTION at scale: every document shares the
+    * same 9-token tail, so at jaccard 0.2 any two sufficiently short
+    * documents are GENUINE near-dups through the tail alone (the true
+    * pair count grows as corpus², ~11M pairs at 50k docs) — correct for
+    * exercising scrub+dedup composition at gate scale, meaningless as a
+    * scale benchmark. This twin is what belongs in a scale smoke: the
+    * raw corpus' near-dup structure stays sparse as it grows.
+    */
+  val curateE2EScale = Q("q_curate_e2e_scale",
+    (s, dir) =>
+      graft.pipeline.Curate(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id"),
+    Some(curateOracle(plantTail = false)))
+
+  /** One oracle body for both curate e2e gates: identical pipeline SQL,
+    * with or without the planted PII tail on the input corpus.
+    */
+  private def curateOracle(plantTail: Boolean): String = {
+    val base =
+      if (plantTail)
+        """base AS (
               SELECT doc_id,
                      text || ' contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567' AS text
-              FROM documents),
+              FROM documents),"""
+      else
+        """base AS (SELECT doc_id, text FROM documents),"""
+    """WITH RECURSIVE
+            """ + base + """
             -- exact dedup: keep min doc_id per normalized text
             norm AS (
               SELECT doc_id, text,
@@ -662,7 +688,8 @@ object CurationQueries {
               CAST(LEN(t[s + 1 : s + 32]) AS INTEGER) AS n_tokens,
               ARRAY_TO_STRING(t[s + 1 : s + 32], ' ') AS chunk_text
             FROM starts
-            ORDER BY doc_id, chunk_id"""))
+            ORDER BY doc_id, chunk_id"""
+  }
 
   /** Top-3 TF-IDF terms per document (tf · ln(N/df), ties to the smaller
     * term). tfidf rounds to 6 decimals for the cross-engine hash AND for
@@ -772,5 +799,5 @@ object CurationQueries {
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
-    sampleStratified, mmBinary, mmWav, mmMp3, mmMp4, curateE2E)
+    sampleStratified, mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
 }
