@@ -158,6 +158,37 @@ class DedupSpec extends SparkTestBase {
     assert(plain.nonEmpty) // non-trivial corpus
   }
 
+  test("prefix path honors maxShingleDocFreq: boilerplate-only pairs drop, real pairs keep exact jaccard") {
+    // every doc carries the same boilerplate tail; docs 1/2 also share a
+    // genuine body overlap. At threshold 0.15 the short unrelated docs
+    // (3..8) pair up THROUGH the tail alone; cutting shingles with
+    // df > 4 removes the tail (df = 8) from the index, so only the real
+    // body pair survives — with its jaccard computed on the FULL shingle
+    // sets (tail included), i.e. exactly the uncut value.
+    import spark.implicits._
+    val tail = " legal notice all rights reserved contact corp"
+    val body = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta iota kappa",
+      3L -> "one fish", 4L -> "two cat", 5L -> "red dog",
+      6L -> "blue bird", 7L -> "old fox", 8L -> "new hen")
+    val corpus = body.map { case (id, t) => (id, t + tail) }.toDF("doc_id", "text")
+    def run(cutoff: Long): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.15,
+        maxShingleDocFreq = cutoff, prefixFilter = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val uncut = run(0L)
+    val cut = run(4L)
+    // uncut: the boilerplate pairs short docs with each other
+    assert(uncut.exists { case (a, b, _) => a >= 3L && b >= 3L })
+    // cut: only the genuine body pair remains…
+    assert(cut.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // …and its jaccard equals the uncut (full-set) value exactly
+    assert(cut == uncut.filter { case (a, b, _) => (a, b) == (1L, 2L) })
+  }
+
   test("simhash chunk bounds are disjoint, covering and non-empty for every chunk count") {
     for (numChunks <- 1 to 64) {
       val bounds = Dedup.chunkBounds(numChunks)
