@@ -270,8 +270,12 @@ object Dedup {
         broadcast(dfreq.filter(col("__df") > maxShingleDocFreq).select("__s")),
         Seq("__s"), "left_anti")
     // per-doc shingles sorted by (global df asc, hash asc); prefix length
-    // |d| - ceil(t*|d|) + 1 (struct sort: array_sort on (df, s) structs)
-    val prefix = hashes.join(dfreq, Seq("__s"))
+    // |d| - ceil(t*|d|) + 1 (struct sort: array_sort on (df, s) structs).
+    // shuffle_hash on the df attach: dfreq is SHINGLE-VOCABULARY-sized —
+    // the same cardinality class as the index itself (it grows with the
+    // corpus under Heaps' law) — so the planner's broadcast pick here is
+    // the same driver-OOM-at-scale trap as the verify joins below
+    val prefix = hashes.join(dfreq.hint("shuffle_hash"), Seq("__s"))
       .groupBy("__id", "__size")
       .agg(array_sort(collect_list(struct(col("__df"), col("__s")))).as("__ds"))
       .withColumn("__plen",
@@ -284,8 +288,12 @@ object Dedup {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val full = hashes.select(col("__s"), col("__id").as("__idf"))
       .repartition(parts, col("__s"))
+    // shuffle_hash: without it the planner broadcasts the FULL index side
+    // (pre-explosion size estimate again) — the candidate join must stay
+    // distributed, with both sides' pinned repartitions feeding it
     val candidates = full.join(
-      prefix.withColumnRenamed("__id", "__idp").repartition(parts, col("__s")), Seq("__s"))
+      prefix.withColumnRenamed("__id", "__idp").repartition(parts, col("__s"))
+        .hint("shuffle_hash"), Seq("__s"))
       .filter(col("__idf") =!= col("__idp"))
       .select(least(col("__idf"), col("__idp")).as("id_a"),
         greatest(col("__idf"), col("__idp")).as("id_b"))

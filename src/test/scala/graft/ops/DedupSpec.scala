@@ -189,6 +189,33 @@ class DedupSpec extends SparkTestBase {
     assert(cut == uncut.filter { case (a, b, _) => (a, b) == (1L, 2L) })
   }
 
+  test("near-dup plans never broadcast the corpus and pin fan-out join parallelism") {
+    // Scale contract, locked as a plan shape: (1) no BroadcastExchange
+    // anywhere — the checkpointed shingled/banded frames carry
+    // pre-explosion size estimates, so without hints the planner would
+    // build driver-side HashedRelations of the ENTIRE corpus' shingle
+    // sets for the verify joins (driver OOM at real scale); (2) the
+    // candidate self-joins consume REPARTITION_BY_NUM exchanges —
+    // user-pinned partitioning AQE cannot coalesce — not coalescible
+    // ENSURE_REQUIREMENTS ones (AQE's size-based coalescing is blind to
+    // join fan-out and once serialized a 200M-candidate stage onto 4
+    // cores).
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plans = Seq(
+      "minhash" -> Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5),
+      "ngram-plain" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2),
+      "ngram-prefix" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2,
+        prefixFilter = true),
+      "simhash" -> Dedup.simhashPairs(corpus, "text", "doc_id", 3))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"$name plan broadcasts a corpus-sized frame")
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$name plan lost its pinned fan-out repartition")
+    }
+  }
+
   test("simhash chunk bounds are disjoint, covering and non-empty for every chunk count") {
     for (numChunks <- 1 to 64) {
       val bounds = Dedup.chunkBounds(numChunks)
