@@ -32,8 +32,12 @@ object Corpus {
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    // shuffle_hash: docFreq is |vocab|-sized and, per Heaps' law, grows
+    // with the corpus — without the hint the planner's undersized
+    // aggregate estimate picks a driver-built broadcast of the whole
+    // vocabulary (plan-shape-tested in CorpusSpec)
     val scored = tf
-      .join(docFreq, Seq("term"))
+      .join(docFreq.hint("shuffle_hash"), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *

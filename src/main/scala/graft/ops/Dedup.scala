@@ -154,7 +154,10 @@ object Dedup {
     val digest = md5(Text.normalize(col(textCol))).as("__digest")
     val keep = df.select(digest, col(idCol))
       .groupBy("__digest").agg(min(idCol).as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    // shuffle_hash: keep has one row per DISTINCT document — Θ(corpus).
+    // The planner's undersized aggregate estimate would otherwise build
+    // it as a driver-side broadcast (plan-shape-tested in DedupSpec).
+    df.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
   }
 
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
@@ -543,7 +546,10 @@ object Dedup {
     val losers = connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    // shuffle_hash: losers is Θ(duplicate docs) — on a dup-heavy corpus
+    // (web crawls run 30-50% near-dup) that is corpus-scale, so it must
+    // never be a driver-side broadcast
+    df.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff

@@ -386,8 +386,10 @@ object CurationQueries {
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(
           (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_bigram_frac"))
+      // shuffle_hash: bigrams is PER-DOC (corpus-sized) — the planner's
+      // undersized aggregate estimate would broadcast it otherwise
       d.select(col("doc_id"), round(Text.typeTokenRatio(col("text")), 9).as("ttr"))
-        .join(bigrams, Seq("doc_id"), "left")
+        .join(bigrams.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("ttr"), round(col("top_bigram_frac"), 9).as("top_bigram_frac"))
         .orderBy("doc_id")
     },

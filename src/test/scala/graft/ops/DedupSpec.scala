@@ -214,6 +214,13 @@ class DedupSpec extends SparkTestBase {
       assert(plan.contains("REPARTITION_BY_NUM"),
         s"$name plan lost its pinned fan-out repartition")
     }
+    // keep/loser attach joins: both sides Θ(corpus) (keep = one row per
+    // distinct doc; losers = dup members, 30-50% of a crawl corpus)
+    for ((name, df) <- Seq(
+      "exactDedup" -> Dedup.exactDedup(corpus, "text", "doc_id"),
+      "nearDupSurvivors" -> Dedup.nearDupSurvivors(corpus, "text", "doc_id", 3, 0.2)))
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        s"$name plan broadcasts a corpus-sized frame")
   }
 
   test("simhash chunk bounds are disjoint, covering and non-empty for every chunk count") {
