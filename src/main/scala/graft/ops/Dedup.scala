@@ -240,6 +240,15 @@ object Dedup {
     * index — so the plain path stays the default; switch this on when
     * shingle document frequencies are heavy-tailed (web-crawl boilerplate),
     * where the plain index's df² term explodes and this stays linear.
+    *
+    * Every join here is shuffle_hash by design: the df attach, the
+    * candidate join's full-index side, and both verify joins all carry
+    * Θ(corpus)- or Θ(vocab)-sized frames whose undersized static
+    * estimates the planner would otherwise driver-broadcast. At toy
+    * scale (a few thousand docs) those broadcasts happen to be cheap and
+    * forbidding them costs ~2× on candidate-dense corpora — the price of
+    * a plan that cannot OOM the driver at real corpus scale
+    * (plan-shape-tested in DedupSpec).
     */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                               n: Int, threshold: Double,
@@ -445,11 +454,17 @@ object Dedup {
     * localCheckpoint (plans would otherwise grow exponentially).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // All joins in the star rounds carry Θ(dup-graph vertices) on BOTH
+    // sides (a crawl corpus runs 30-50% near-dup, so this is corpus-scale)
+    // and the frames are aggregates of checkpointed rounds whose size
+    // estimates are unreliable — shuffle_hash everywhere, same contract as
+    // the verify joins (plan-shape-tested there).
     def notStarForest(e: DataFrame): Boolean = {
       val multiEdge = !e.groupBy("u").agg(count(lit(1)).as("__d"))
         .filter(col("__d") > 1).isEmpty
       multiEdge ||
-        !e.as("a").join(e.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty
+        !e.as("a").join(e.as("b").hint("shuffle_hash"),
+          col("a.v") === col("b.u"), "left_semi").isEmpty
     }
     // Materialize the incoming pair frame ONCE before fanning out into
     // verts + edges: `pairs` is typically the expensive end of a near-dup
@@ -474,14 +489,14 @@ object Dedup {
       val largeMin = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("__m"))
       // emitted (v, m) has v > u >= m, so it is already (larger, smaller)
-      val large = sym.join(largeMin, Seq("u"))
+      val large = sym.join(largeMin.hint("shuffle_hash"), Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star on the directed form: every group member links to its min
       val smallMin = large.groupBy("u").agg(min("v").as("__m"))
-      val small = large.join(smallMin, Seq("u"))
+      val small = large.join(smallMin.hint("shuffle_hash"), Seq("u"))
         .select(col("v").as("u"), col("__m").as("v"))
         .union(smallMin.select(col("u"), col("__m").as("v")))
         .filter(col("u") =!= col("v"))
@@ -496,7 +511,7 @@ object Dedup {
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .union(edges.select(col("v").as("id"), col("v").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-    verts.join(labels, Seq("id"), "left")
+    verts.join(labels.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
@@ -520,13 +535,17 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val propagated = edges.join(labels, edges("dst") === labels("id"))
+      // shuffle_hash: labels is Θ(dup-graph vertices) — same
+      // never-broadcast-corpus-scale contract as the star variant
+      val propagated = edges.join(labels.hint("shuffle_hash"),
+          edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       changed = propagated.as("n")
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .join(labels.withColumnRenamed("label", "__old").hint("shuffle_hash"),
+          Seq("id"))
         .filter(col("label") =!= col("__old")).count()
       labels = propagated
       iter += 1
