@@ -453,18 +453,24 @@ object Dedup {
     * successive label frames. Lineage is cut per round with an eager
     * localCheckpoint (plans would otherwise grow exponentially).
     */
+  /** Pair-count ceiling under which CC round joins may broadcast: every
+    * round frame is bounded by 2×pairs rows of two longs, so below this
+    * the biggest possible broadcast is ~tens of MB — safe — and letting
+    * the planner broadcast saves ~5 shuffles × rounds on the tiny graphs
+    * typical after near-dup verification. Above it the round joins are
+    * shuffle_hash-pinned (the frames are Θ(dup-graph vertices) —
+    * corpus-scale on a 30-50%-dup crawl — and their post-checkpoint size
+    * estimates are unreliable). The pair frame is already eagerly
+    * checkpointed, so the deciding count() is metadata-cheap.
+    */
+  private val CcBroadcastablePairs = 1000000L
+
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // All joins in the star rounds carry Θ(dup-graph vertices) on BOTH
-    // sides (a crawl corpus runs 30-50% near-dup, so this is corpus-scale)
-    // and the frames are aggregates of checkpointed rounds whose size
-    // estimates are unreliable — shuffle_hash everywhere, same contract as
-    // the verify joins (plan-shape-tested there).
-    def notStarForest(e: DataFrame): Boolean = {
+    def notStarForest(e: DataFrame, h: DataFrame => DataFrame): Boolean = {
       val multiEdge = !e.groupBy("u").agg(count(lit(1)).as("__d"))
         .filter(col("__d") > 1).isEmpty
       multiEdge ||
-        !e.as("a").join(e.as("b").hint("shuffle_hash"),
-          col("a.v") === col("b.u"), "left_semi").isEmpty
+        !e.as("a").join(h(e.as("b")), col("a.v") === col("b.u"), "left_semi").isEmpty
     }
     // Materialize the incoming pair frame ONCE before fanning out into
     // verts + edges: `pairs` is typically the expensive end of a near-dup
@@ -472,6 +478,11 @@ object Dedup {
     // otherwise each re-run that whole plan (measured: the composed
     // curation pipeline spent 2× its pair-generation time right here).
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // small graphs: let the planner broadcast the round frames; big
+    // graphs: pin every round join to shuffle_hash (see CcBroadcastablePairs)
+    val h: DataFrame => DataFrame =
+      if (p0.count() <= CcBroadcastablePairs) identity
+      else _.hint("shuffle_hash")
     val verts = p0.select(col("id_a").as("id"))
       .union(p0.select(col("id_b").as("id")))
       .distinct()
@@ -483,20 +494,20 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var iter = 0
-    while (notStarForest(edges) && iter < maxIter) {
+    while (notStarForest(edges, h) && iter < maxIter) {
       // large-star over symmetric neighborhoods: m(u) = min(u, min N(u))
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val largeMin = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("__m"))
       // emitted (v, m) has v > u >= m, so it is already (larger, smaller)
-      val large = sym.join(largeMin.hint("shuffle_hash"), Seq("u"))
+      val large = sym.join(h(largeMin), Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star on the directed form: every group member links to its min
       val smallMin = large.groupBy("u").agg(min("v").as("__m"))
-      val small = large.join(smallMin.hint("shuffle_hash"), Seq("u"))
+      val small = large.join(h(smallMin), Seq("u"))
         .select(col("v").as("u"), col("__m").as("v"))
         .union(smallMin.select(col("u"), col("__m").as("v")))
         .filter(col("u") =!= col("v"))
@@ -526,6 +537,11 @@ object Dedup {
     // same single-materialization contract as the star variant: the union
     // below reads its source twice within one job
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // same small-graph broadcast / big-graph shuffle_hash adaptivity as
+    // the star variant (labels is Θ(dup-graph vertices))
+    val h: DataFrame => DataFrame =
+      if (p0.count() <= CcBroadcastablePairs) identity
+      else _.hint("shuffle_hash")
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -535,17 +551,13 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // shuffle_hash: labels is Θ(dup-graph vertices) — same
-      // never-broadcast-corpus-scale contract as the star variant
-      val propagated = edges.join(labels.hint("shuffle_hash"),
-          edges("dst") === labels("id"))
+      val propagated = edges.join(h(labels), edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       changed = propagated.as("n")
-        .join(labels.withColumnRenamed("label", "__old").hint("shuffle_hash"),
-          Seq("id"))
+        .join(h(labels.withColumnRenamed("label", "__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
       labels = propagated
       iter += 1
