@@ -160,6 +160,29 @@ object Dedup {
     df.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the crawl-ingestion shape: keep rows of
+    * `incoming` that are novel both WITHIN the batch (smallest `idCol`
+    * per distinct normalized text, as [[exactDedup]]) and AGAINST the
+    * already-ingested `existing` corpus.
+    *
+    * Scale shape: `existing` reduces to distinct 128-bit digests before
+    * the anti-join, so the historical corpus contributes ~16 bytes per
+    * distinct document to the shuffle — never its text. shuffle_hash on
+    * that side: the digest set is Θ(existing corpus) and must never be a
+    * driver-side broadcast (same contract as [[exactDedup]]'s keep
+    * frame). Batch-vs-batch idempotence (re-ingesting an already-loaded
+    * batch yields zero rows) is what makes retries safe at 100 TB.
+    */
+  def exactDedupIncremental(incoming: DataFrame, existing: DataFrame,
+                            textCol: String, idCol: String): DataFrame = {
+    val dig = md5(Text.normalize(col(textCol)))
+    val seen = existing.select(dig.as("__digest")).distinct()
+    exactDedup(incoming, textCol, idCol)
+      .withColumn("__digest", dig)
+      .join(seen.hint("shuffle_hash"), Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
     * explode distinct shingles → self-join on shingle → count common →
     * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.

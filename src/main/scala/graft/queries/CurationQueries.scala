@@ -31,6 +31,34 @@ object CurationQueries {
               GROUP BY TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')))
             ORDER BY doc_id"""))
 
+  /** Incremental exact dedup: odd doc_ids arrive as a new batch, even
+    * doc_ids are the already-ingested corpus — keep odd docs novel both
+    * within the batch and against the even corpus. The existing side
+    * contributes only distinct digests to the anti-join.
+    */
+  val dedupIncremental = Q("q_dedup_incremental",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.exactDedupIncremental(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    Some("""WITH norm AS (
+              SELECT doc_id, lang, source,
+                     TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            inc AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
+            ex AS (SELECT DISTINCT ntext FROM norm WHERE doc_id % 2 = 0),
+            keep AS (
+              SELECT * FROM inc WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM inc GROUP BY ntext))
+            SELECT doc_id, lang, source FROM keep
+            WHERE ntext NOT IN (SELECT ntext FROM ex)
+            ORDER BY doc_id"""))
+
   /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
     * (never all-pairs). Oracle recomputes the same definition
     * relationally in DuckDB.
@@ -797,7 +825,7 @@ object CurationQueries {
               ELSE '2000' END
             ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupJaccard, dedupMinhash, dedupSimhash,
+  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,

@@ -139,6 +139,23 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("exactDedupIncremental: novel-in-batch AND novel-vs-corpus; re-ingest is empty") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "já seen   DOCUMENT")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a brand new document"),
+      (11L, "A  Brand   NEW document"), // in-batch dup of 10 (normalization)
+      (12L, "já seen document"),        // dup of existing 2
+      (13L, "another novel one")).toDF("doc_id", "text")
+    val out = Dedup.exactDedupIncremental(incoming, existing, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L, 13L))
+    // idempotence: re-ingesting the already-loaded corpus yields nothing
+    assert(Dedup.exactDedupIncremental(existing, existing, "text", "doc_id").isEmpty)
+  }
+
   test("ngram jaccard pairs with doc-frequency cutoff still finds the near-dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
