@@ -183,6 +183,32 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Benchmark decontamination: (id, n_shared) for every `train`
+    * document sharing at least `minShared` DISTINCT word n-gram shingles
+    * with the `benchmark` corpus — the standard eval-leakage screen run
+    * before LLM pre-training (drop or audit the flagged ids).
+    *
+    * Scale shape: the benchmark side collapses to its distinct shingle
+    * hashes (Θ(benchmark tokens) longs — small next to the training
+    * corpus but still never broadcast), the training side streams through
+    * one inverted-index join on the 64-bit shingle hash, and the per-doc
+    * distinct-count is a hash aggregate. Decontamination convention is
+    * LONG shingles (n ≈ 8-13 words) so background collisions are ~zero
+    * and `minShared = 1` is the usual setting; both are parameters.
+    */
+  def contaminatedIds(train: DataFrame, benchmark: DataFrame,
+                      textCol: String, idCol: String,
+                      n: Int, minShared: Long = 1L): DataFrame = {
+    def shingleHashes(df: DataFrame) = wordShingled(df, textCol, idCol, n)
+      .select(col("__id"), explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+    val bench = shingleHashes(benchmark).select("__s").distinct()
+    shingleHashes(train)
+      .join(bench.hint("shuffle_hash"), Seq("__s"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_shared"))
+      .filter(coalesce(col("n_shared") >= minShared, lit(false)))
+      .select(col("__id").as(idCol), col("n_shared"))
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
     * explode distinct shingles → self-join on shingle → count common →
     * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.

@@ -59,6 +59,40 @@ object CurationQueries {
             WHERE ntext NOT IN (SELECT ntext FROM ex)
             ORDER BY doc_id"""))
 
+  /** Benchmark decontamination screen: doc_id % 4 == 0 plays the
+    * benchmark set, the rest are training docs; flag trainers sharing
+    * ≥ 2 distinct word-3-shingles with any benchmark doc. (Real
+    * decontamination uses n ≈ 8-13; the short synthetic docs need n = 3
+    * for a non-trivial hit set.)
+    */
+  val dedupDecontaminate = Q("q_dedup_decontaminate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contaminatedIds(
+        d.filter(col("doc_id") % 4 =!= 0),
+        d.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", n = 3, minShared = 2L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, UNNEST(shingles) AS g FROM sh),
+            bench AS (SELECT DISTINCT g FROM idx WHERE doc_id % 4 = 0)
+            SELECT i.doc_id, COUNT(*) AS n_shared
+            FROM idx i JOIN bench b ON i.g = b.g
+            WHERE i.doc_id % 4 <> 0
+            GROUP BY i.doc_id
+            HAVING COUNT(*) >= 2
+            ORDER BY doc_id"""))
+
   /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
     * (never all-pairs). Oracle recomputes the same definition
     * relationally in DuckDB.
@@ -825,7 +859,8 @@ object CurationQueries {
               ELSE '2000' END
             ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupJaccard, dedupMinhash, dedupSimhash,
+  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
+    dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,

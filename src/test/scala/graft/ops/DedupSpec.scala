@@ -139,6 +139,20 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("contaminatedIds: flags only train docs sharing enough distinct shingles with the benchmark") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the capital of france is paris indeed")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "quiz answer the capital of france is paris obviously"), // 5 shared 3-shingles
+      (2L, "unrelated text about deep sea creatures swimming"),     // 0 shared
+      (3L, "is paris the city")).toDF("doc_id", "text")             // <2 shared
+    val out = Dedup.contaminatedIds(train, bench, "text", "doc_id", 3, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) >= 2L)
+  }
+
   test("exactDedupIncremental: novel-in-batch AND novel-vs-corpus; re-ingest is empty") {
     import spark.implicits._
     val existing = Seq(
