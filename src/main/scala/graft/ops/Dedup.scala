@@ -209,6 +209,39 @@ object Dedup {
       .select(col("__id").as(idCol), col("n_shared"))
   }
 
+  /** Containment decontamination: (train id, benchmark id, containment)
+    * for every pair where `containment` — the fraction of the BENCHMARK
+    * document's distinct word n-gram shingles that also appear in the
+    * training document — reaches `minContainment`. Containment, not
+    * Jaccard, is the metric real decontamination screens use: a long
+    * training document quoting a short eval item wholesale has tiny
+    * Jaccard (the union is dominated by the trainer) but containment 1.0.
+    *
+    * Scale shape: same inverted-index discipline as [[ngramJaccardPairs]]
+    * — candidates only from shared shingles (never all-pairs), benchmark
+    * shingle lists deduplicated per doc, one shuffle-hash join on the
+    * 64-bit shingle hash, hash-aggregate per (train, bench) pair. The
+    * benchmark corpus is typically orders of magnitude smaller than the
+    * training corpus, so pair cardinality is bounded by benchmark hits.
+    */
+  def benchmarkContainment(train: DataFrame, benchmark: DataFrame,
+                           textCol: String, idCol: String,
+                           n: Int, minContainment: Double): DataFrame = {
+    def idx(df: DataFrame) = wordShingled(df, textCol, idCol, n)
+      .select(col("__id"), size(col("__sh")).as("__nsh"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+    val t = idx(train).select(col("__s"), col("__id").as("train_id"))
+    val b = idx(benchmark)
+      .select(col("__s"), col("__id").as("bench_id"), col("__nsh").as("__bn"))
+    t.join(b.hint("shuffle_hash"), Seq("__s"))
+      .groupBy("train_id", "bench_id", "__bn")
+      .agg(count(lit(1)).as("__shared"))
+      .withColumn("containment",
+        col("__shared").cast(DoubleType) / col("__bn"))
+      .filter(atLeast(col("containment"), minContainment))
+      .select(col("train_id"), col("bench_id"), col("containment"))
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
     * explode distinct shingles → self-join on shingle → count common →
     * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.

@@ -93,6 +93,40 @@ object CurationQueries {
             HAVING COUNT(*) >= 2
             ORDER BY doc_id"""))
 
+  /** Containment-decontamination twin of [[dedupDecontaminate]]: emit
+    * (train, bench, containment) pairs where ≥ 60% of the benchmark
+    * doc's distinct 3-shingles appear in the training doc.
+    */
+  val dedupContainment = Q("q_dedup_containment",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.benchmarkContainment(
+        d.filter(col("doc_id") % 4 =!= 0),
+        d.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", n = 3, minContainment = 0.6)
+        .select(col("train_id"), col("bench_id"),
+          round(col("containment"), 9).as("containment"))
+        .orderBy("train_id", "bench_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS nsh, UNNEST(shingles) AS g FROM sh)
+            SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+              ROUND(CAST(COUNT(*) AS DOUBLE) / b.nsh, 9) AS containment
+            FROM idx t JOIN idx b ON t.g = b.g
+            WHERE t.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+            GROUP BY t.doc_id, b.doc_id, b.nsh
+            HAVING CAST(COUNT(*) AS DOUBLE) / b.nsh >= 0.6
+            ORDER BY train_id, bench_id"""))
+
   /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
     * (never all-pairs). Oracle recomputes the same definition
     * relationally in DuckDB.
@@ -860,7 +894,7 @@ object CurationQueries {
             ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
-    dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupContainment, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,

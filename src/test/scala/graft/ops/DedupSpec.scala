@@ -153,6 +153,25 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L) >= 2L)
   }
 
+  test("benchmarkContainment: full quote scores 1.0 where jaccard would miss it") {
+    import spark.implicits._
+    val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
+    // long trainer quoting the whole benchmark item + unrelated filler
+    val train = Seq(
+      (1L, "lesson one today we ask what is the capital of france and then " +
+        "we discuss rivers mountains deserts oceans islands forests etc"),
+      (2L, "completely different content about something else entirely here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.benchmarkContainment(train, bench, "text", "doc_id", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 100L, 1.0)))
+    // sanity: the same pair's jaccard is far below any usable threshold
+    val j = Dedup.ngramJaccardPairs(
+      train.filter($"doc_id" === 1L).unionByName(bench.withColumnRenamed("doc_id", "doc_id")),
+      "text", "doc_id", 3, 0.0).collect()
+    assert(j.forall(_.getDouble(2) < 0.4))
+  }
+
   test("exactDedupIncremental: novel-in-batch AND novel-vs-corpus; re-ingest is empty") {
     import spark.implicits._
     val existing = Seq(
