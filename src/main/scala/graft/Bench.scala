@@ -51,7 +51,10 @@ object Bench {
     // the composed curation pipeline over the RAW corpus; the planted-tail
     // q_curate_e2e gate is deliberately excluded — its corpus is
     // quadratic by construction at scale (see CurationQueries.curateE2EScale)
-    "q_curate_e2e_scale")
+    "q_curate_e2e_scale",
+    // ingestion-time screens: all three are single-index-join shaped and
+    // cheap, included to evidence sub-linear scaling
+    "q_dedup_incremental", "q_dedup_decontaminate", "q_dedup_containment")
 
   /** Time one end-to-end noop-write of the query; then scrub session state
     * (plan cache + persisted RDD blocks) so runs are independent. Returns
