@@ -44,7 +44,10 @@ object Curate {
             defaultSplit: String = "test",
             chunkSize: Int = 32, chunkStride: Int = 24,
             prefixFilter: Boolean = true,
-            maxShingleDocFreq: Long = 0L): DataFrame = {
+            maxShingleDocFreq: Long = 0L,
+            benchmark: Option[DataFrame] = None,
+            decontaminateN: Int = 8,
+            decontaminateMinShared: Long = 1L): DataFrame = {
     val deduped = Dedup.exactDedup(docs, textCol, idCol)
     // prefixFilter default TRUE here, opposite of the standalone near-dup
     // op: a curated corpus is exactly where hot shingles live (boilerplate
@@ -65,7 +68,18 @@ object Curate {
     val survivors = Dedup.nearDupSurvivors(deduped, textCol, idCol,
       shingleN, jaccardThreshold, prefixFilter = prefixFilter,
       maxShingleDocFreq = maxShingleDocFreq)
-    val kept = survivors
+    // Optional benchmark decontamination — AFTER dedup (clustering must
+    // see the whole corpus; the keep-one choice is independent of the
+    // benchmark) and BEFORE the quality/scrub/split tail (a contaminated
+    // doc must never reach a training split). Long shingles
+    // (decontaminateN default 8) per decontamination convention.
+    val screened = benchmark.fold(survivors) { bench =>
+      val flagged = Dedup.contaminatedIds(survivors, bench, textCol, idCol,
+        decontaminateN, decontaminateMinShared)
+        .select(col(idCol))
+      survivors.join(flagged.hint("shuffle_hash"), Seq(idCol), "left_anti")
+    }
+    val kept = screened
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
         col("__q.mean_token_len").between(minMeanTokenLen, maxMeanTokenLen))

@@ -261,6 +261,22 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("split")).forall(Set("train", "valid", "test")))
   }
 
+  test("curate: optional benchmark decontamination drops quoting docs, leaves the rest") {
+    val fillerA = (1 to 40).map(i => s"worda$i").mkString(" ")
+    val fillerB = (1 to 40).map(i => s"wordb$i").mkString(" ")
+    val quote = "the capital of france is paris and the capital of spain is madrid"
+    val docs = Seq(
+      (1L, s"$fillerA lesson intro $quote end of lesson"), // quotes the benchmark
+      (2L, s"$fillerB mail me at a.b@example.com today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, quote)).toDF("doc_id", "text")
+    val clean = Curate(docs, benchmark = Some(bench)).collect()
+    assert(clean.map(_.getLong(0)).toSet == Set(2L))
+    // without the benchmark both docs survive — the screen is the only delta
+    val unscreened = Curate(docs).collect()
+    assert(unscreened.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("export: matched tracks aggregate positions into 10-minute buckets") {
     val mergedTrips = Seq(("101", "101-1-1", "motorised boat", "Gillnet", "usipa", 24.5, 9001L))
       .toDF("submission_id", "survey_id", "vessel_type", "gear", "catch_taxon", "catch_kg", "Trip")
