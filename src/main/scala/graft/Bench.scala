@@ -54,7 +54,10 @@ object Bench {
     "q_curate_e2e_scale",
     // ingestion-time screens: all three are single-index-join shaped and
     // cheap, included to evidence sub-linear scaling
-    "q_dedup_incremental", "q_dedup_decontaminate", "q_dedup_containment")
+    "q_dedup_incremental", "q_dedup_decontaminate", "q_dedup_containment",
+    // substring-level screen: one shuffle row per token position — the
+    // largest shuffle in the suite by row count, worth scale evidence
+    "q_dedup_substring")
 
   /** Time one end-to-end noop-write of the query; then scrub session state
     * (plan cache + persisted RDD blocks) so runs are independent. Returns

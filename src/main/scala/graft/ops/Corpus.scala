@@ -121,4 +121,26 @@ object Corpus {
       }
     df.filter(substring(md5(col(keyCol)), 1, 4) < bound)
   }
+
+  /** Deterministic EXACT-k sample per stratum: the `k` rows whose
+    * (md5(`keyCol`), `idCol`) sorts smallest within each stratum — the
+    * eval-set construction shape ("exactly 5k held-out docs per
+    * language"), where [[stratifiedSample]]'s per-row fraction test can
+    * only hit a target count in expectation. Content-keyed ordering makes
+    * the kept set stable across runs, engines and partitionings; `idCol`
+    * breaks md5 ties (duplicate keys) deterministically.
+    *
+    * Scale shape: one shuffle on the stratum. The rank filter compiles to
+    * WindowGroupLimit, so each map task pre-prunes to its local top-k per
+    * stratum before the exchange — a hot stratum ships k rows per map
+    * partition, never its full population, and the reducer-side sort is
+    * over ≤ k × maps rows.
+    */
+  def sampleExactKPerStratum(df: DataFrame, stratumCol: String,
+                             keyCol: String, idCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    Matching.topKPerGroup(df, Seq(col(stratumCol)),
+      Seq(md5(col(keyCol)).asc, col(idCol).asc), k)
+  }
 }

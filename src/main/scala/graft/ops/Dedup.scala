@@ -242,6 +242,54 @@ object Dedup {
       .select(col("train_id"), col("bench_id"), col("containment"))
   }
 
+  /** Exact duplicated-substring screen at k-token granularity: for every
+    * input row, how many of its sliding k-token spans (step 1) occur MORE
+    * THAN ONCE corpus-wide — the span-level analogue of the suffix-array
+    * exact-substring dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022). Document-level dedup
+    * misses boilerplate shared ACROSS otherwise-distinct pages (headers,
+    * license blocks, templated paragraphs); this screen measures exactly
+    * that. Returns one row per input row:
+    * (idCol, n_spans, n_dup_spans, dup_span_fraction), where a span is
+    * duplicated iff its normalized text occurs ≥2 times over all (doc,
+    * position) pairs — so a within-document repeat counts too, matching
+    * the suffix-array formulation over the concatenated corpus.
+    *
+    * Scale shape: one row per TOKEN POSITION flows through the shuffle,
+    * but each row is (64-bit span hash, id) — never span text, which
+    * stays inside the per-partition projection. Two hash aggregates
+    * (occurrence count per span, then per-doc rollup) + one shuffle-hash
+    * join on the hash; partial aggregation halves the first shuffle
+    * map-side. Docs shorter than k tokens surface with zero spans rather
+    * than dropping out, so the screen's output is a total function of the
+    * corpus (a filter downstream can rely on every id being present).
+    */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"span length k=$k")
+    val toks = df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+    val spans = toks.filter(size(col("__toks")) >= k)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " ")))).as("__h"))
+    val occ = spans.groupBy("__h").agg(count(lit(1)).as("__occ"))
+    // occ has one row per DISTINCT span — Θ(corpus tokens); same
+    // no-driver-broadcast contract as exactDedup's keep frame.
+    val perDoc = spans.join(occ.hint("shuffle_hash"), Seq("__h"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === perDoc("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_fraction",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast(DoubleType) / col("n_spans"))
+          .otherwise(lit(0.0)))
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
     * explode distinct shingles → self-join on shingle → count common →
     * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.

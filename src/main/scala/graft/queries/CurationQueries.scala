@@ -127,6 +127,44 @@ object CurationQueries {
             HAVING CAST(COUNT(*) AS DOUBLE) / b.nsh >= 0.6
             ORDER BY train_id, bench_id"""))
 
+  /** Exact duplicated-substring screen at 8-token granularity: per doc,
+    * how many sliding 8-token spans occur ≥2 times corpus-wide. The
+    * oracle recomputes the identical definition relationally (span text
+    * as the group key — Spark groups on the span's xxhash64, equivalent
+    * modulo 64-bit collisions, deterministic either way). Fractions are
+    * rounded to 9 decimals on both sides: one double division, same
+    * operand order, but pinning the printed representation is free.
+    */
+  val dedupSubstring = Q("q_dedup_substring",
+    (s, dir) =>
+      Dedup.duplicatedSpanStats(Tables.documents(s, dir), "text", "doc_id", k = 8)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("dup_span_fraction"), 9).as("dup_span_fraction"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            spans AS (
+              SELECT doc_id, ARRAY_TO_STRING(t[s + 1 : s + 8], ' ') AS span
+              FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t) - 8 + 1)) AS s
+                    FROM toks WHERE LEN(t) >= 8)),
+            cnt AS (SELECT span, COUNT(*) AS occ FROM spans GROUP BY span),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_spans,
+                     SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM spans JOIN cnt USING (span) GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+              CASE WHEN COALESCE(per.n_spans, 0) > 0
+                   THEN ROUND(CAST(per.n_dup AS DOUBLE) / per.n_spans, 9)
+                   ELSE 0.0 END AS dup_span_fraction
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id"""))
+
   /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
     * (never all-pairs). Oracle recomputes the same definition
     * relationally in DuckDB.
@@ -300,7 +338,7 @@ object CurationQueries {
     Some("""WITH t AS (
               SELECT doc_id, text,
                 LEN(text) AS n_chars,
-                LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+                LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS n_tokens,
                 LEN(REGEXP_EXTRACT_ALL(text, '[\.,;:!\?"'']')) AS n_punct,
                 LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) AS n_upper,
                 LEN(LIST_INTERSECT(
@@ -408,7 +446,7 @@ object CurationQueries {
     },
     Some("""WITH t AS (
               SELECT doc_id, lang,
-                LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+                LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS n_tokens,
                 LEN(text) AS n_chars
               FROM documents),
             q AS (
@@ -525,7 +563,9 @@ object CurationQueries {
     },
     Some("""WITH toks AS (
               SELECT doc_id,
-                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
               FROM documents),
             starts AS (
               SELECT doc_id, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
@@ -549,7 +589,7 @@ object CurationQueries {
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
               MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp_md5,
-              CAST(LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+              CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id"""))
 
   /** Multimodal plumbing: text treated as an opaque binary payload column
@@ -893,10 +933,28 @@ object CurationQueries {
               ELSE '2000' END
             ORDER BY doc_id"""))
 
+  /** Exact-k deterministic sample: the 25 docs per language whose
+    * (md5(text), doc_id) sorts smallest — a stratum with fewer than 25
+    * docs is kept whole. Oracle recomputes the identical window rank.
+    */
+  val sampleExactK = Q("q_sample_exact_k",
+    (s, dir) =>
+      Corpus.sampleExactKPerStratum(Tables.documents(s, dir), "lang", "text",
+        "doc_id", k = 25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY MD5(text), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 25 ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
-    dedupContainment, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupContainment, dedupSubstring, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
-    sampleStratified, mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
+    sampleStratified, sampleExactK, mmBinary, mmWav, mmMp3, mmMp4,
+    curateE2E, curateE2EScale)
 }

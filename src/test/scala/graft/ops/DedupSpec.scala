@@ -25,6 +25,30 @@ class DedupSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L, 4L, 5L)) // 3 collapses into 1
   }
 
+  test("duplicatedSpanStats: span counts, corpus-wide dup marking, short docs") {
+    // docs 1 and 3 normalize identically (14 tokens → 7 spans at k=8, all
+    // duplicated); doc 2 differs from them only in its last token, so its
+    // spans 0-5 match doc 1 and only the final span (covering the last
+    // token) is unique; docs 4 (10 tokens) and 5 (8 tokens) share nothing.
+    val out = Dedup.duplicatedSpanStats(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((7L, 7L)) && out(3L) == ((7L, 7L)))
+    assert(out(2L) == ((7L, 6L)))
+    assert(out(4L) == ((3L, 0L)) && out(5L) == ((1L, 0L)))
+    // a doc shorter than k surfaces with zero spans instead of dropping out
+    val short = Dedup.duplicatedSpanStats(
+      docs.union(Seq((9L, "tiny doc")).toDF("doc_id", "text")),
+      "text", "doc_id", k = 8).filter(col("doc_id") === 9L).collect()
+    assert(short.length == 1 && short.head.getLong(1) == 0L
+      && short.head.getDouble(3) == 0.0)
+    // within-doc repetition alone counts as duplication (suffix-array
+    // semantics over the concatenated corpus)
+    val rep = Seq((1L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanStats(rep, "text", "doc_id", k = 8)
+      .collect().head
+    assert(r.getLong(1) == 9L && r.getLong(2) == 2L) // span@0 == span@8
+  }
+
   test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
     val sh = Text.charShingles(col("text"), 5)
     val both = docs.select(
