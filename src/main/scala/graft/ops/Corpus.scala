@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -142,5 +142,82 @@ object Corpus {
     require(k >= 1, s"k=$k must be >= 1")
     Matching.topKPerGroup(df, Seq(col(stratumCol)),
       Seq(md5(col(keyCol)).asc, col(idCol).asc), k)
+  }
+
+  /** Unigram language-model score per document (the CCNet quality-filter
+    * shape reduced to its unigram case): train p(term) = count / total on
+    * the corpus ITSELF, then score each doc by the mean negative
+    * log-probability of its tokens. High scores mark documents whose
+    * vocabulary is unusual for the corpus — wrong-language fragments,
+    * spam, encoding garbage — the standard "perplexity bucket" signal
+    * for keep/drop/review routing.
+    *
+    * Scale shape: tokenize+explode is narrow; term counts are one hash
+    * aggregation; the probability attach is a shuffle join on `term`
+    * (vocab-sized — never broadcast, same contract as [[tfIdfTopTerms]]);
+    * the corpus total attaches as a broadcast 1-row cross join; the
+    * per-doc mean is a second hash aggregation. Token-less docs surface
+    * with n_tokens = 0 and score 0.0 rather than dropping out.
+    *
+    * Output: (idCol, n_tokens, neg_logp) with neg_logp rounded to 6
+    * decimals — ln() is not bit-specified across libm implementations
+    * and the summation order of the mean is engine-dependent; both
+    * effects sit at ~1e-13 while the rank-relevant signal is O(1).
+    */
+  def unigramNegLogProb(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val perDoc = toks
+      .join(termCounts.hint("shuffle_hash"), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("__c").cast(DoubleType) / col("__n").cast(DoubleType)))
+          .as("__m"))
+    // shuffle_hash: perDoc is corpus-sized (one row per doc with tokens);
+    // the planner's post-aggregate estimate would otherwise broadcast it
+    df.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
+  }
+
+  /** Deterministic mixture reweighting: replicate each row `floor(w)`
+    * times plus one extra copy iff its md5 bucket falls below the
+    * fractional part of `w`, where `w` is the row's stratum weight — the
+    * up-/down-sampling step that retargets a corpus at trained mixture
+    * weights (one weight per source/domain/language). Weight 0 drops the
+    * stratum; weight 1 passes it through; weight 2.25 emits 2 copies
+    * always and a 3rd for ~25% of rows. Content-keyed like
+    * [[stratifiedSample]]: identical keys replicate identically, so the
+    * realized mixture is stable across runs, engines and partitionings.
+    *
+    * Scale shape: pure narrow expressions + one explode — zero shuffle,
+    * no aggregation; output row count is exactly Σ copies. The `copy`
+    * column (1-based) keeps replicated rows distinguishable downstream
+    * (e.g. for a later global shuffle-by-hash(id, copy)).
+    */
+  def reweightMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "mixture weights must be >= 0")
+    def copiesFor(w: Double): Column = {
+      val base = math.floor(w).toLong
+      val frac = w - base
+      lit(base) +
+        when(substring(md5(col(keyCol)), 1, 4) < lit(fractionBound(frac)), 1L)
+          .otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1)
+      .foldRight(copiesFor(defaultWeight)) { case ((stratum, w), rest) =>
+        when(col(stratumCol) === stratum, copiesFor(w)).otherwise(rest)
+      }
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
   }
 }

@@ -279,8 +279,10 @@ object Dedup {
       .groupBy("__id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    // shuffle_hash: perDoc is corpus-sized (one row per doc with ≥1 span);
+    // the planner's post-aggregate estimate would otherwise broadcast it
     df.select(col(idCol))
-      .join(perDoc, col(idCol) === perDoc("__id"), "left")
+      .join(perDoc.hint("shuffle_hash"), col(idCol) === perDoc("__id"), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))

@@ -950,11 +950,64 @@ object CurationQueries {
               FROM documents)
             WHERE rn <= 25 ORDER BY doc_id"""))
 
+  /** Unigram-LM quality score: p(term) trained on the corpus itself,
+    * docs scored by mean -ln p. Oracle recomputes the identical two-agg
+    * + vocab-join definition; both engines round to 6 decimals (ln and
+    * mean-summation order are engine-dependent at ~1e-13).
+    */
+  val textUnigramPpl = Q("q_text_unigram_ppl",
+    (s, dir) =>
+      Corpus.unigramNegLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS term
+              FROM documents),
+            cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     AVG(-LN(CAST(c AS DOUBLE) / n)) AS m
+              FROM toks JOIN cnt USING (term) CROSS JOIN tot
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+              ROUND(COALESCE(per.m, 0.0), 6) AS neg_logp
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id"""))
+
+  /** Deterministic mixture reweighting: en down-sampled to 0.5, zh
+    * up-sampled to 2.25, es passthrough, everything else 1.5. Hex bounds
+    * are [[Corpus.fractionBound]] literals of the fractional parts
+    * (0.5 → '8000', 0.25 → '4000', 0.0 → '0000').
+    */
+  val sampleMixture = Q("q_sample_mixture",
+    (s, dir) =>
+      Corpus.reweightMixture(Tables.documents(s, dir), "lang", "text",
+        Map("en" -> 0.5, "zh" -> 2.25, "es" -> 1.0), defaultWeight = 1.5)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy"),
+    Some("""WITH c AS (
+              SELECT doc_id, lang,
+                CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2
+                          WHEN 'es' THEN 1 ELSE 1 END
+                + CASE WHEN SUBSTR(MD5(text), 1, 4) <
+                         CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                                   WHEN 'es' THEN '0000' ELSE '8000' END
+                       THEN 1 ELSE 0 END AS copies
+              FROM documents)
+            SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy
+            FROM (SELECT doc_id, lang, UNNEST(RANGE(1, copies + 1)) AS copy
+                  FROM c WHERE copies > 0)
+            ORDER BY doc_id, copy"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
     dedupContainment, dedupSubstring, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
-    sampleStratified, sampleExactK, mmBinary, mmWav, mmMp3, mmMp4,
-    curateE2E, curateE2EScale)
+    sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
+    mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
 }

@@ -42,6 +42,48 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("unigramNegLogProb: hand-checked means, token-less docs, broadcast shape") {
+    import spark.implicits._
+    // corpus tokens: a a b | b c  ->  counts a=2 b=2 c=1, total 5
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = Corpus.unigramNegLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, r6(math.log(2.5)))))          // mean of three -ln(2/5)
+    assert(out(2L) == ((2L, r6((math.log(2.5) + math.log(5.0)) / 2))))
+    assert(out(3L) == ((0L, 0.0)))                        // whitespace-only doc surfaces
+    // scale contract: only the 1-row total may broadcast; the vocab join must not
+    val plan = Corpus.unigramNegLogProb(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastExchange")) == 1)
+  }
+
+  test("reweightMixture: copy counts per weight, determinism, drop/passthrough") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, s"doc number $i text",
+      Seq("keep1", "drop0", "half", "x225")(i.toInt % 4))).toDF("doc_id", "text", "lang")
+    val out = Corpus.reweightMixture(df, "lang", "text",
+      Map("keep1" -> 1.0, "drop0" -> 0.0, "half" -> 0.5, "x225" -> 2.25))
+    val n = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("keep1") == 100L)                  // weight 1.0: exact passthrough
+    assert(!n.contains("drop0"))                // weight 0: stratum vanishes
+    assert(n("half") > 20L && n("half") < 80L)  // ~50 of 100 in expectation
+    assert(n("x225") >= 200L && n("x225") <= 300L) // 2 always + ~25% thirds
+    // per-row copies are 1..k and content-keyed (stable under repartition)
+    val copies = out.filter($"lang" === "x225").groupBy("doc_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(copies.subsetOf(Set(2L, 3L)))
+    val a = out.select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Corpus.reweightMixture(df.repartition(17), "lang", "text",
+      Map("keep1" -> 1.0, "drop0" -> 0.0, "half" -> 0.5, "x225" -> 2.25))
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // zero shuffle: the whole op is narrow expressions + explode
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")

@@ -47,6 +47,12 @@ class DedupSpec extends SparkTestBase {
     val r = Dedup.duplicatedSpanStats(rep, "text", "doc_id", k = 8)
       .collect().head
     assert(r.getLong(1) == 9L && r.getLong(2) == 2L) // span@0 == span@8
+    // scale contract: both the span-occurrence frame and the per-doc
+    // rollup are corpus-sized — nothing in this plan may broadcast
+    val plan = Dedup.duplicatedSpanStats(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "text", "doc_id", k = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
   }
 
   test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
