@@ -292,6 +292,60 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Duplicated-substring REMOVAL at k-token granularity — the transform
+    * half of [[duplicatedSpanStats]] (Lee et al.'s ExactSubstr dedup):
+    * every k-token span occurring ≥2 times corpus-wide keeps only its
+    * canonical occurrence (the lexicographically smallest (id, start));
+    * token positions covered by any non-canonical occurrence are cut and
+    * the remaining tokens re-joined. Overlapping removals union, so a
+    * canonical span's tokens can still be cut when a DIFFERENT span's
+    * non-canonical occurrence covers them — the deterministic resolution
+    * of the overlap ambiguity (documented, not incidental: any
+    * occurrence-level choice has it; this one needs no second pass).
+    * An exact-duplicate document keeps nothing (its every span is
+    * non-canonical) — run document-level [[exactDedup]] first, as the
+    * paper does.
+    *
+    * Scale shape: the span stream is one row per token position carrying
+    * (64-bit hash, id, start) — text never shuffles. Canonical marking is
+    * ONE window (rank over the span hash) instead of an agg + join-back;
+    * removal positions explode ≤ k rows per non-canonical occurrence
+    * (bounded by k × duplicated positions, not corpus size); the rebuild
+    * is a per-doc position filter with collected removal sets, which are
+    * bounded by document length.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed) for every input row.
+    */
+  def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                           k: Int): DataFrame = {
+    require(k >= 1, s"span length k=$k")
+    val toks = df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+    val spans = toks.filter(size(col("__toks")) >= k)
+      .select(col("__id"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => struct(i.cast(IntegerType).as("s"),
+          xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " ")).as("h")))).as("sp"))
+      .select(col("__id"), col("sp.s").as("__s"), col("sp.h").as("__h"))
+    val nonCanon = spans
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy("__id", "__s")))
+      .filter(col("__rn") >= 2)
+    val removed = nonCanon
+      .select(col("__id"),
+        explode(sequence(col("__s"), col("__s") + lit(k - 1))).as("__pos"))
+      .distinct()
+      .groupBy("__id").agg(collect_set(col("__pos")).as("__rm"))
+    // shuffle_hash: the removal-set frame is Θ(docs with duplication) —
+    // corpus-order, never a driver broadcast
+    toks.join(removed.hint("shuffle_hash"), Seq("__id"), "left")
+      .withColumn("__rmset", coalesce(col("__rm"), array().cast(ArrayType(IntegerType))))
+      .select(col("__id").as(idCol),
+        array_join(filter(col("__toks"),
+          (_, i) => !array_contains(col("__rmset"), i)), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__rmset"))).cast(LongType).as("n_kept"),
+        size(col("__rmset")).cast(LongType).as("n_removed"))
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
     * explode distinct shingles → self-join on shingle → count common →
     * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.

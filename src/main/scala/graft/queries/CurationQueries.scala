@@ -165,6 +165,50 @@ object CurationQueries {
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Duplicated-substring removal at 8-token spans: non-canonical
+    * occurrences (window rank ≥ 2 over (doc_id, start) per span) are cut
+    * and the survivors re-joined. The oracle rebuilds each document by
+    * anti-joining token positions against the removal set and
+    * re-aggregating in position order.
+    */
+  val dedupSubstringStrip = Q("q_dedup_substring_strip",
+    (s, dir) =>
+      Dedup.stripDuplicatedSpans(Tables.documents(s, dir), "text", "doc_id", k = 8)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            spans AS (
+              SELECT doc_id, s, ARRAY_TO_STRING(t[s + 1 : s + 8], ' ') AS span
+              FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t) - 8 + 1)) AS s
+                    FROM toks WHERE LEN(t) >= 8)),
+            marked AS (
+              SELECT doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, s) AS rn
+              FROM spans),
+            rem AS (
+              SELECT DISTINCT doc_id, s + r.u AS pos
+              FROM marked CROSS JOIN range(0, 8) r(u)
+              WHERE rn >= 2),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.t[p.pos + 1] AS tok
+              FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t))) AS pos FROM toks) p
+              LEFT JOIN rem ON p.doc_id = rem.doc_id AND p.pos = rem.pos
+              WHERE rem.doc_id IS NULL),
+            agg AS (
+              SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT tk.doc_id,
+              COALESCE(a.clean_text, '') AS clean_text,
+              CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(LEN(tk.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+            ORDER BY tk.doc_id"""))
+
   /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
     * (never all-pairs). Oracle recomputes the same definition
     * relationally in DuckDB.
@@ -1004,7 +1048,8 @@ object CurationQueries {
             ORDER BY doc_id, copy"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
-    dedupContainment, dedupSubstring, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupContainment, dedupSubstring, dedupSubstringStrip, dedupJaccard,
+    dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,

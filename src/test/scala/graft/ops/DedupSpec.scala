@@ -55,6 +55,39 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
   }
 
+  test("stripDuplicatedSpans: canonical kept, later occurrences cut, overlap unions") {
+    import org.apache.spark.sql.DataFrame
+    def run(d: DataFrame) = Dedup.stripDuplicatedSpans(d, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // within-doc repeat: second occurrence of the 8-token span removed
+    val rep = run(Seq((1L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text"))
+    assert(rep(1L) == (("a b c d e f g h", 8L, 8L)))
+    // cross-doc: doc 1 (smaller id) is canonical and intact; doc 2's copy
+    // of the shared 8-token prefix is cut, its novel tail survives
+    val cross = run(Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight plus unique trailing words here")
+    ).toDF("doc_id", "text"))
+    assert(cross(1L) == (("one two three four five six seven eight", 8L, 0L)))
+    assert(cross(2L)._3 == 8L) // exactly the shared span's 8 tokens removed
+    assert(cross(2L)._1 == "plus unique trailing words here")
+    // an exact-duplicate document loses everything (run exactDedup first,
+    // as the scaladoc mandates)
+    val dup = run(Seq((1L, "w x y z p q r s"), (2L, "w x y z p q r s"))
+      .toDF("doc_id", "text"))
+    assert(dup(1L) == (("w x y z p q r s", 8L, 0L)))
+    assert(dup(2L) == (("", 0L, 8L)))
+    // docs shorter than k pass through re-joined and untouched
+    val short = run(Seq((1L, "  only   three tokens ")).toDF("doc_id", "text"))
+    assert(short(1L) == (("only three tokens", 3L, 0L)))
+    // scale contract: the removal-set frame is corpus-order — no broadcast
+    val plan = Dedup.stripDuplicatedSpans(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "text", "doc_id", k = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
+  }
+
   test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
     val sh = Text.charShingles(col("text"), 5)
     val both = docs.select(
