@@ -55,4 +55,34 @@ object TrackStream {
       .select(col("Trip"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_points"), col("lat"), col("lon"))
   }
+
+  /** Streaming exact dedup — the crawl-ingestion screen as a continuous
+    * query: keep the first arrival per normalized-content digest, drop
+    * every later duplicate. State is the digest set, bounded by the
+    * event-time watermark via `dropDuplicatesWithinWatermark`: two
+    * arrivals of the same document within the watermark horizon dedup
+    * exactly; beyond it the state has been reclaimed (the standard
+    * bounded-state trade — a crawl's re-fetches cluster in time, and
+    * history-scale dedup belongs to the batch
+    * [[graft.ops.Dedup.exactDedupIncremental]] against the ingested
+    * corpus).
+    *
+    * Same transform batch and streaming: a batch frame routes through
+    * plain dropDuplicates on the digest (first-arrival semantics is
+    * row-order-free there — any survivor has identical content).
+    *
+    * `timeCol` is the event-time column; output carries the input
+    * columns plus the digest (so a downstream sink can build the
+    * batch-side digest index from the same stream).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, timeCol: String,
+                  watermark: String = "1 hour"): DataFrame = {
+    val withDigest = docs.withColumn("__digest",
+      md5(graft.ops.Text.normalize(col(textCol))))
+    if (docs.isStreaming)
+      withDigest
+        .withWatermark(timeCol, watermark)
+        .dropDuplicatesWithinWatermark("__digest")
+    else withDigest.dropDuplicates("__digest")
+  }
 }

@@ -43,6 +43,39 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupStream: first arrival survives, cross-batch dups drop, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val streamDf = stream.toDF.toDF("doc_id", "Time", "text")
+    val query = TrackStream.dedupStream(streamDf, "text", "Time")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct docs, one intra-batch duplicate (whitespace
+      // variant normalizes identically)
+      stream.addData(Seq(
+        (1L, ts("2024-03-11 06:00:00"), "fresh content about fishing"),
+        (2L, ts("2024-03-11 06:01:00"), "FRESH   content about fishing"),
+        (3L, ts("2024-03-11 06:02:00"), "another unique document")))
+      query.processAllAvailable()
+      // batch 2: re-fetch of doc 1's content within the watermark + a new doc
+      stream.addData(Seq(
+        (4L, ts("2024-03-11 06:10:00"), "fresh content about fishing"),
+        (5L, ts("2024-03-11 06:11:00"), "third distinct text")))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L)) // 2 (intra-batch) and 4 (cross-batch) dropped
+      // batch twin keeps one row per digest with identical content
+      val batch = TrackStream.dedupStream(
+        Seq((1L, ts("2024-03-11 06:00:00"), "fresh content about fishing"),
+          (2L, ts("2024-03-11 06:01:00"), "FRESH   content about fishing"),
+          (3L, ts("2024-03-11 06:02:00"), "another unique document"))
+          .toDF("doc_id", "Time", "text"), "text", "Time")
+      assert(batch.count() == 2)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState: running trip stats accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     import TripState._
