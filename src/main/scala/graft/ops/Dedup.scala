@@ -902,4 +902,71 @@ object Dedup {
         .distinct()
     }
   }
+
+  /** Clustered semantic dedup ("SemDeDup", Abbas et al. 2023): assign
+    * every embedding to its `nAssign` nearest IVF centroid cells, then
+    * emit pairs sharing any cell with cosine ≥ `threshold`. Versus
+    * [[cosineDupPairs]]' hyperplane LSH, cells ADAPT to the corpus
+    * distribution (dense regions get split where fixed hyperplanes
+    * wouldn't). The paper assigns each vector to exactly one cluster and
+    * accepts boundary misses; `nAssign = 2` (soft assignment, the
+    * multi-probe idea transplanted to clustering) recovers boundary
+    * pairs for 2× candidate volume. Know the regime: near-identical
+    * embeddings (cosine ≳ 0.9 — the paper's semantic duplicates) share a
+    * nearest centroid almost surely, so recall there is ≈ 1 (gated in
+    * DedupSpec on planted duplicates); at MODERATE thresholds (~0.45,
+    * ~63° apart) clustered candidates recall poorly by construction
+    * (measured 0.43 hard / 0.57 soft on the test corpus) and
+    * [[cosineDupPairs]]' OR-amplified LSH is the right tool.
+    *
+    * Scale shape: centroids ride a broadcast (nCells × dim doubles —
+    * sized for up to ~10⁵ cells; beyond that shard the assignment join).
+    * The top-`nAssign` assignment is `nAssign` peeled max-struct
+    * aggregation passes — each shuffles only n pre-aggregated rows,
+    * never the n × nCells scored stream, and never a window over it.
+    * The within-cell self-join shuffles on the cell id with the same
+    * pinned fan-out + shuffle-hash discipline as every candidate join
+    * here. A pathologically hot cell is the quadratic object; at corpus
+    * scale cap cell population by raising `nCells` (the paper's
+    * cluster-size cap plays the same role).
+    */
+  def semdedupPairs(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, nCells: Int,
+                    nAssign: Int = 2, iters: Int = 3): DataFrame = {
+    require(nCells >= 1, s"nCells=$nCells must be >= 1")
+    require(nAssign >= 1 && nAssign <= 4, s"nAssign=$nAssign out of [1,4]")
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nCells, iters)
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("centroid")))
+    // peel off the argmax nAssign times: pass m re-scores with the m-1
+    // already-chosen cells excluded (carried as columns __c1..__c(m-1));
+    // each pass's max-struct agg partial-aggregates map-side, so only n
+    // rows per pass reach the shuffle — never the n × nCells stream
+    var chosen = vecs.select(col("__id"))
+    val parts = Seq.newBuilder[DataFrame]
+    for (m <- 1 to nAssign) {
+      val prior = (1 until m).map(i => col(s"__c$i"))
+      val best = scored.join(chosen.hint("shuffle_hash"), Seq("__id"))
+        .filter(prior.foldLeft(lit(true))((p, c) => p && col("centroid_id") =!= c))
+        .groupBy("__id")
+        .agg(max(struct(col("__cos"), (-col("centroid_id")).as("__nid"),
+          col("centroid_id"), col("__v"))).as("__best"))
+        .select(col("__id"), col("__best.centroid_id").as(s"__c$m"),
+          col("__best.__v").as("__v"))
+      parts += best.select(col("__id"), col(s"__c$m").as("centroid_id"), col("__v"))
+      chosen = chosen.join(
+        best.select(col("__id"), col(s"__c$m")).hint("shuffle_hash"), Seq("__id"))
+    }
+    val cells = parts.result().reduce(_ unionByName _).localCheckpoint(true)
+    val (a, b) = fanoutSides(cells, Seq("centroid_id"),
+      Seq(col("centroid_id"), col("__id").as("id_a"), col("__v").as("__va")),
+      Seq(col("centroid_id"), col("__id").as("id_b"), col("__v").as("__vb")))
+    a.join(b.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(atLeast(col("cosine"), threshold))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
 }

@@ -119,9 +119,10 @@ object Similarity {
   }
 
   /** Nearest centroid per vector (centroids broadcast; argmin via
-    * greatest-cosine struct — one pass, no window).
+    * greatest-cosine struct — one pass, no window). `private[ops]`:
+    * [[graft.ops.Dedup.semdedupPairs]] reuses the assignment pass.
     */
-  private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  private[ops] def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val joined = vecs.crossJoin(broadcast(centroids))
       .withColumn("__cos", cosine(col("__v"), col("centroid")))
     // max_by over (cosine, centroid_id desc tie-break) — deterministic

@@ -313,6 +313,19 @@ object CurationQueries {
         .orderBy("id_a", "id_b"),
     None)
 
+  /** SemDeDup clustered variant with soft (top-2) cell assignment.
+    * Approximate (pairs outside any shared cell missed by design) →
+    * rows-only check; recall vs the exact path is gated numerically in
+    * DedupSpec.
+    */
+  val dedupSemdedup = Q("q_dedup_semdedup",
+    (s, dir) =>
+      Dedup.semdedupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.45, nCells = 16, nAssign = 2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
+        .orderBy("id_a", "id_b"),
+    None)
+
   /** Exact brute-force cosine top-k for a query subset — the ANN baseline.
     * Deterministic tie-break (cosine desc, neighbor_id asc).
     */
@@ -1050,7 +1063,8 @@ object CurationQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
     dedupContainment, dedupSubstring, dedupSubstringStrip, dedupJaccard,
     dedupMinhash, dedupSimhash,
-    dedupClusters, dedupCosine, dedupCosineLsh, knnBrute, knnLsh, knnIvf,
+    dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,
+    knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,

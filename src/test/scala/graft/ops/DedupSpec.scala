@@ -486,4 +486,50 @@ class DedupSpec extends SparkTestBase {
     val recall = amplified.size.toDouble / exact.size
     assert(recall >= 0.8, s"amplified recall $recall (found ${amplified.size}/${exact.size})")
   }
+
+  test("semdedup: near-complete recall in its native near-identical regime") {
+    import spark.implicits._
+    // synthetic corpus in the regime the operator exists for: id % 10 == 1
+    // is a small perturbation of id-1 (cosine ≈ 0.99); everything else is
+    // independent gaussian noise (pairwise cosine ≈ 0 at 32 dims)
+    def vec(id: Long): Array[Float] = {
+      val rnd = new java.util.Random(id * 2654435761L + 7L)
+      Array.fill(32)(rnd.nextGaussian().toFloat)
+    }
+    val rows = (0L until 500L).map { id =>
+      val v = if (id % 10 == 1) {
+        val rnd = new java.util.Random(id)
+        vec(id - 1).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      } else vec(id)
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.9, lshBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50) // exactly the planted pairs
+    val clustered = Dedup.semdedupPairs(emb, "embedding", "vec_id", 0.9,
+      nCells = 16, nAssign = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(exact))
+    val recall = clustered.size.toDouble / exact.size
+    assert(recall >= 0.95, s"semdedup recall $recall (${clustered.size}/${exact.size})")
+  }
+
+  test("semdedup on the driver corpus: subset of exact, soft ⊇ hard assignment") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45, lshBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val hard = Dedup.semdedupPairs(emb, "embedding", "vec_id", 0.45,
+      nCells = 16, nAssign = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val soft = Dedup.semdedupPairs(emb, "embedding", "vec_id", 0.45,
+      nCells = 16, nAssign = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair verifies with true cosine → always a subset of
+    // exact; widening the probe can only add pairs
+    assert(soft.subsetOf(exact) && hard.subsetOf(soft))
+    info(s"hard ${hard.size}/${exact.size}, soft ${soft.size}/${exact.size} " +
+      "(moderate-threshold recall is intrinsically partial — see scaladoc)")
+  }
 }
