@@ -55,9 +55,9 @@ object Bench {
     // ingestion-time screens: all three are single-index-join shaped and
     // cheap, included to evidence sub-linear scaling
     "q_dedup_incremental", "q_dedup_decontaminate", "q_dedup_containment",
-    // substring-level screen: one shuffle row per token position — the
-    // largest shuffle in the suite by row count, worth scale evidence
-    "q_dedup_substring")
+    // substring-level screen + removal: one shuffle row per token
+    // position — the largest shuffles in the suite by row count
+    "q_dedup_substring", "q_dedup_substring_strip")
 
   /** Time one end-to-end noop-write of the query; then scrub session state
     * (plan cache + persisted RDD blocks) so runs are independent. Returns

@@ -184,6 +184,44 @@ object Corpus {
         round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose cumulative token count fits `tokenBudget` — the data-selection
+    * step of quality-ranked pre-training corpus construction ("train on
+    * the best N tokens"). Selection is at SCORE-BUCKET granularity:
+    * scores round to `decimals` places, per-bucket token totals
+    * cumulative-sum from the best bucket down, and a bucket is kept iff
+    * everything down to and including it fits the budget. Bucket
+    * granularity is the scale trade made explicit: a global sort +
+    * running sum would serialize the corpus through one reducer for an
+    * exact cut, while bucketing needs only a bucket-sized aggregate
+    * (≤ 10^decimals × score-range rows) and a broadcast threshold — the
+    * budget lands within one boundary bucket of exact, and `decimals`
+    * dials that bucket's width.
+    *
+    * Output: the input rows that survive, plus the bucket key
+    * (`score_bucket`) for auditability. Deterministic: same corpus, same
+    * budget → same kept set, independent of partitioning.
+    */
+  def selectByQualityBudget(df: DataFrame, scoreCol: String,
+                            nTokensCol: String, tokenBudget: Long,
+                            decimals: Int = 3): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget=$tokenBudget")
+    val bucketed = df.withColumn("score_bucket", round(col(scoreCol), decimals))
+    val perBucket = bucketed.groupBy("score_bucket")
+      .agg(sum(col(nTokensCol)).as("__btoks"))
+    // running total from the best bucket down: the bucket list is tiny
+    // (bounded by score granularity, not corpus size), so the
+    // single-partition window is a deliberate non-issue — flag it as
+    // such rather than partitioning by a dummy key
+    val cum = perBucket.withColumn("__cum",
+      sum(col("__btoks")).over(
+        Window.orderBy(col("score_bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val keepBuckets = cum.filter(col("__cum") <= tokenBudget)
+      .select(col("score_bucket"))
+    bucketed.join(broadcast(keepBuckets), Seq("score_bucket"), "left_semi")
+  }
+
   /** Deterministic mixture reweighting: replicate each row `floor(w)`
     * times plus one extra copy iff its md5 bucket falls below the
     * fractional part of `w`, where `w` is the row's stratum weight — the

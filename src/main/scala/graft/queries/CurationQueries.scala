@@ -990,6 +990,46 @@ object CurationQueries {
               ELSE '2000' END
             ORDER BY doc_id"""))
 
+  /** Token-budget quality selection: rank docs by stopword-hit ratio
+    * (bucketed to 3 decimals), keep the best buckets whose cumulative
+    * token count fits a 12k budget. Oracle recomputes the identical
+    * bucket-cumsum threshold.
+    */
+  val selectBudget = Q("q_select_token_budget",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.stopword_hit_ratio").as("score"),
+          col("q.n_tokens").cast(LongType).as("n_tokens"))
+      Corpus.selectByQualityBudget(scored, "score", "n_tokens",
+        tokenBudget = 12000L, decimals = 3)
+        .select("doc_id", "score_bucket", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS n_tokens,
+                LEN(LIST_INTERSECT(
+                  LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')),
+                  ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop
+              FROM documents),
+            b AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                ROUND(CASE WHEN n_tokens > 0
+                           THEN CAST(n_stop AS DOUBLE) / n_tokens
+                           ELSE 0.0 END, 3) AS score_bucket
+              FROM t),
+            cum AS (
+              SELECT score_bucket, SUM(SUM(n_tokens)) OVER (
+                       ORDER BY score_bucket DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_toks
+              FROM b GROUP BY score_bucket),
+            keep AS (SELECT score_bucket FROM cum WHERE cum_toks <= 12000)
+            SELECT doc_id, score_bucket, n_tokens
+            FROM b SEMI JOIN keep USING (score_bucket)
+            ORDER BY doc_id"""))
+
   /** Exact-k deterministic sample: the 25 docs per language whose
     * (md5(text), doc_id) sorts smallest — a stratum with fewer than 25
     * docs is kept whole. Oracle recomputes the identical window rank.
@@ -1068,5 +1108,5 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
+    selectBudget, mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
 }

@@ -84,6 +84,23 @@ class CorpusSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("selectByQualityBudget: bucket cumsum cut, boundary bucket excluded whole") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.9, 100L), (2L, 0.9, 200L), // bucket 0.9: 300 tokens
+      (3L, 0.5, 400L), (4L, 0.5, 100L), // bucket 0.5: 500 (cum 800)
+      (5L, 0.1, 500L)                   // bucket 0.1: 500 (cum 1300)
+    ).toDF("doc_id", "score", "n_toks")
+    def kept(budget: Long) =
+      Corpus.selectByQualityBudget(df, "score", "n_toks", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(900L) == Set(1L, 2L, 3L, 4L))  // 0.1 bucket overflows the budget
+    assert(kept(800L) == Set(1L, 2L, 3L, 4L))  // exact fit keeps the boundary bucket
+    assert(kept(799L) == Set(1L, 2L))          // boundary bucket excluded WHOLE
+    assert(kept(100L) == Set.empty)            // best bucket alone overflows
+    assert(kept(2000L) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
