@@ -54,6 +54,8 @@ object GraftFunctions {
       es => HashExprs.MinHashSig(es(0), intArg(es(1), "minhash_sig numHashes")), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => HashExprs.SimHash64(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => TextExprs.NfcNormalize(es(0)), "scala_udf")
     // aggregate functions register unwrapped — the analyzer adds the
     // AggregateExpression wrapper itself
     reg.createOrReplaceTempFunction("locscaleb",

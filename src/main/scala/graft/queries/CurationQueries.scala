@@ -990,6 +990,27 @@ object CurationQueries {
               ELSE '2000' END
             ORDER BY doc_id"""))
 
+  /** Unicode NFC canonicalization (native codegen'd expression): the
+    * corpus text is ASCII, so a decomposed-form suffix (e + combining
+    * acute, twice) is appended inside the query to make normalization
+    * observable — NFC composes it, shortening the string by exactly two
+    * code points, and both engines must agree on every output byte.
+    */
+  val textNfc = Q("q_text_nfc",
+    (s, dir) => {
+      val suffix = " café légume"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextExprs.nfcNormalize(
+            concat(col("text"), lit(suffix))).as("ntext"))
+        .select(col("doc_id"), col("ntext"),
+          length(col("ntext")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, NFC_NORMALIZE(text || ' café légume') AS ntext, " +
+      "CAST(LENGTH(NFC_NORMALIZE(text || ' café légume')) AS BIGINT) AS n_chars " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Token-budget quality selection: rank docs by stopword-hit ratio
     * (bucketed to 3 decimals), keep the best buckets whose cumulative
     * token count fits a 12k budget. Oracle recomputes the identical
@@ -1108,5 +1129,6 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    selectBudget, mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
+    selectBudget, textNfc, mmBinary, mmWav, mmMp3, mmMp4,
+    curateE2E, curateE2EScale)
 }

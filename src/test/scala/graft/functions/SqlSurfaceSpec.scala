@@ -40,6 +40,29 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(math.abs(agg - math.log1p(3.0)) < 1e-12)
   }
 
+  test("nfc_normalize: composes decomposed forms, identity fast path, SQL parity") {
+    GraftFunctions.register(spark)
+    val decomposed = "café"          // e + combining acute, 5 code points
+    val composed = "café"             // precomposed é, 4 code points
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "s")
+    val out = df.select(col("id"),
+      TextExprs.nfcNormalize(col("s")).as("n"),
+      length(TextExprs.nfcNormalize(col("s"))).as("len"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((composed, 4)))     // composed, one code point shorter
+    assert(out(2L) == ((composed, 4)))     // already-NFC input unchanged
+    assert(out(3L) == (("plain ascii", 11)))
+    // null-preserving
+    val n = df.select(TextExprs.nfcNormalize(lit(null).cast("string"))).collect()
+    assert(n.head.isNullAt(0))
+    // SQL surface matches the Column API
+    df.createOrReplaceTempView("nfc_t")
+    val viaSql = spark.sql("SELECT nfc_normalize(s) FROM nfc_t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == Seq(composed, composed, "plain ascii"))
+  }
+
   test("preprocessed stage round-trips through the typed Dataset model") {
     val raw = graft.ops.Restructure.conformTo(
       spark.read.json(Seq(
