@@ -184,6 +184,52 @@ object Corpus {
         round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
   }
 
+  /** Corpus-wide top-`k` word n-grams by occurrence count — boilerplate
+    * mining: the n-grams that dominate a crawl (navigation chrome,
+    * license blocks, templated headers) surface here first, and their
+    * doc-frequencies are what calibrate the near-dup index's
+    * `maxShingleDocFreq` cutoff. Ties break to the lexicographically
+    * smaller n-gram so the cut is deterministic across engines.
+    *
+    * Scale shape: explode is narrow; the count is one vocab-keyed hash
+    * aggregate; the global top-k compiles to TakeOrderedAndProject
+    * (per-partition heaps of k, then a k-row merge on the driver) — no
+    * global sort of the n-gram vocabulary ever materializes.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"n=$n k=$k must be >= 1")
+    df.select(explode(Text.wordNgramsAll(Text.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Per-source corpus mixture report: document count, token total, mean
+    * document length, and the Shannon entropy (nats) of the source's
+    * language distribution — the at-a-glance diagnostic for "what is
+    * actually in this crawl slice" before mixture weights are chosen.
+    * Entropy 0 = monolingual source; ln(#langs) = uniform mix.
+    *
+    * Scale shape: two stacked hash aggregations ((source, lang) → then
+    * source); both shuffle only aggregate rows, bounded by
+    * |sources| × |langs|, not the corpus.
+    */
+  def sourceMixtureReport(df: DataFrame, sourceCol: String, langCol: String,
+                          textCol: String): DataFrame = {
+    val perLang = df
+      .select(col(sourceCol), col(langCol),
+        Text.tokenCount(col(textCol)).cast(LongType).as("__toks"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__toks")).as("__t"))
+    perLang.groupBy(col(sourceCol))
+      .agg(sum(col("__n")).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        round(-sum(col("__n") * log(col("__n").cast(DoubleType))).cast(DoubleType) /
+          sum(col("__n")) + log(sum(col("__n")).cast(DoubleType)), 6)
+          .as("lang_entropy"))
+  }
+
   /** Token-budget corpus selection: keep the highest-quality documents
     * whose cumulative token count fits `tokenBudget` — the data-selection
     * step of quality-ranked pre-training corpus construction ("train on

@@ -1011,6 +1011,50 @@ object CurationQueries {
       "CAST(LENGTH(NFC_NORMALIZE(text || ' café légume')) AS BIGINT) AS n_chars " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Corpus-wide top-50 bigrams by occurrence — boilerplate mining.
+    * Oracle recomputes the identical count + deterministic tie-break.
+    */
+  val corpusTopNgrams = Q("q_corpus_top_ngrams",
+    (s, dir) =>
+      Corpus.topNgrams(Tables.documents(s, dir), "text", n = 2, k = 50)
+        .orderBy(col("occurrences").desc, col("ngram").asc),
+    Some("""WITH toks AS (
+              SELECT LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents)
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS occurrences
+            FROM (SELECT ARRAY_TO_STRING(t[i : i + 1], ' ') AS ngram
+                  FROM (SELECT t, UNNEST(RANGE(1, LEN(t))) AS i
+                        FROM toks WHERE LEN(t) >= 2))
+            GROUP BY ngram
+            ORDER BY occurrences DESC, ngram
+            LIMIT 50"""))
+
+  /** Per-source mixture report with language-distribution entropy.
+    * Entropy via the algebraic form ln N - Σ n ln n / N so both engines
+    * evaluate the same expression tree; rounded to 6 decimals.
+    */
+  val corpusSourceReport = Q("q_corpus_source_report",
+    (s, dir) =>
+      Corpus.sourceMixtureReport(Tables.documents(s, dir), "source", "lang", "text")
+        .orderBy("source"),
+    Some("""WITH pl AS (
+              SELECT source, lang, COUNT(*) AS n, SUM(ntoks) AS t
+              FROM (SELECT source, lang,
+                      LEN(LIST_FILTER(
+                        STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                        x -> x <> '')) AS ntoks
+                    FROM documents)
+              GROUP BY source, lang)
+            SELECT source,
+              CAST(SUM(n) AS BIGINT) AS n_docs,
+              CAST(SUM(t) AS BIGINT) AS n_tokens,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              ROUND(-SUM(n * LN(CAST(n AS DOUBLE))) / CAST(SUM(n) AS DOUBLE)
+                    + LN(CAST(SUM(n) AS DOUBLE)), 6) AS lang_entropy
+            FROM pl GROUP BY source ORDER BY source"""))
+
   /** Token-budget quality selection: rank docs by stopword-hit ratio
     * (bucketed to 3 decimals), keep the best buckets whose cumulative
     * token count fits a 12k budget. Oracle recomputes the identical
@@ -1129,6 +1173,6 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    selectBudget, textNfc, mmBinary, mmWav, mmMp3, mmMp4,
-    curateE2E, curateE2EScale)
+    selectBudget, textNfc, corpusTopNgrams, corpusSourceReport,
+    mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
 }

@@ -84,6 +84,16 @@ class CorpusSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("topNgrams compiles to TakeOrderedAndProject, never a global sort") {
+    val plan = Corpus.topNgrams(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "text", 2, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    // per-partition heaps + k-row merge; a Sort node would mean the whole
+    // n-gram vocabulary is being globally sorted
+    assert(!plan.contains("Sort "), s"global sort in:\n$plan")
+  }
+
   test("selectByQualityBudget: bucket cumsum cut, boundary bucket excluded whole") {
     import spark.implicits._
     val df = Seq(
