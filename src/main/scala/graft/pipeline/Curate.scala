@@ -9,8 +9,12 @@ import graft.ops.{Dedup, Text}
   * (each individually oracle-gated) chained in the order a corpus
   * actually ships through them —
   *
-  *   exact dedup → near-dup keep-one → quality filter → PII scrub →
-  *   content-hash split → context-window chunking
+  *   [NFC canonicalize] → exact dedup → near-dup keep-one →
+  *   [benchmark decontaminate] → [substring strip] → quality filter →
+  *   PII scrub → content-hash split → context-window chunking
+  *
+  * (bracketed stages optional, default off — the e2e gates run the
+  * default chain so their oracles stay byte-exact)
   *
   * Ordering contracts this stage pins down (per-op gates can't catch a
   * mis-composition):
@@ -47,8 +51,20 @@ object Curate {
             maxShingleDocFreq: Long = 0L,
             benchmark: Option[DataFrame] = None,
             decontaminateN: Int = 8,
-            decontaminateMinShared: Long = 1L): DataFrame = {
-    val deduped = Dedup.exactDedup(docs, textCol, idCol)
+            decontaminateMinShared: Long = 1L,
+            nfcNormalize: Boolean = false,
+            stripSpanK: Int = 0): DataFrame = {
+    // Optional Unicode canonicalization FIRST: every downstream content
+    // hash (exact-dedup digest, shingle hashes, split fingerprint) keys
+    // on bytes, so byte-variant spellings of identical text must collapse
+    // before any of them run. Default off: the gates' corpora are ASCII
+    // and the stage must stay byte-identical to its oracles.
+    val canon =
+      if (nfcNormalize)
+        docs.withColumn(textCol,
+          graft.functions.TextExprs.nfcNormalize(col(textCol)))
+      else docs
+    val deduped = Dedup.exactDedup(canon, textCol, idCol)
     // prefixFilter default TRUE here, opposite of the standalone near-dup
     // op: a curated corpus is exactly where hot shingles live (boilerplate
     // headers/footers/disclaimers shared across the crawl). On the e2e
@@ -79,7 +95,20 @@ object Curate {
         .select(col(idCol))
       survivors.join(flagged.hint("shuffle_hash"), Seq(idCol), "left_anti")
     }
-    val kept = screened
+    // Optional duplicated-substring removal — AFTER document-level dedup
+    // (exact dup docs would otherwise strip each other to nothing; see
+    // stripDuplicatedSpans' scaladoc) and BEFORE quality: unlike the PII
+    // scrub, stripping can remove a large fraction of a document, and the
+    // token-band filter must judge the text that actually ships.
+    val stripped =
+      if (stripSpanK > 0)
+        screened.drop(textCol).join(
+          Dedup.stripDuplicatedSpans(screened, textCol, idCol, stripSpanK)
+            .select(col(idCol), col("clean_text").as(textCol))
+            .hint("shuffle_hash"),
+          Seq(idCol))
+      else screened
+    val kept = stripped
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
         col("__q.mean_token_len").between(minMeanTokenLen, maxMeanTokenLen))

@@ -277,6 +277,47 @@ class PipelineSpec extends SparkTestBase {
     assert(unscreened.map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("curate: optional NFC + substring-strip stages compose without disturbing defaults") {
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val boiler = "standard footer disclaimer all rights reserved contact admin now"
+    val docs = Seq(
+      (1L, s"$filler $boiler"),
+      (2L, s"different text ${(1 to 40).map(i => s"tok$i").mkString(" ")} $boiler"))
+      .toDF("doc_id", "text")
+    // default chain: both docs survive, boilerplate tail ships in chunks
+    val plain = Curate(docs).collect()
+    assert(plain.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(plain.map(_.getAs[String]("chunk_text")).exists(_.contains("disclaimer")))
+    // strip stage: the 10-token shared tail is duplicated at k=8 → doc 2's
+    // copy (non-canonical) is cut; both docs still pass the token band
+    val stripped = Curate(docs, stripSpanK = 8).collect()
+    assert(stripped.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val doc2Text = stripped.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text"))
+    assert(!doc2Text.exists(_.contains("disclaimer")),
+      "doc 2's copy of the shared tail must be stripped")
+    val doc1Text = stripped.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_text"))
+    assert(doc1Text.exists(_.contains("disclaimer")),
+      "doc 1's canonical occurrence must survive")
+    // NFC stage: byte-variant spellings (decomposed vs precomposed é)
+    // collapse into one document before the digest — doc 12 dedups away
+    val decomposed = "café" // e + combining acute
+    val composed = "café"    // precomposed
+    val nfcDocs = Seq(
+      (11L, s"$filler visit $composed corner"),
+      (12L, s"$filler visit $decomposed corner"))
+      .toDF("doc_id", "text")
+    // jaccardThreshold = 1.0 turns the near-dup stage into
+    // identical-shingle-set-only, so the exact-dedup digest is the only
+    // mechanism under test (the shared filler would otherwise near-dup
+    // the pair with or without canonicalization)
+    assert(Curate(nfcDocs, jaccardThreshold = 1.0, nfcNormalize = true).collect()
+      .map(_.getLong(0)).toSet == Set(11L))
+    // without canonicalization they are byte-distinct: different digest,
+    // different é-shingles -> both survive
+    assert(Curate(nfcDocs, jaccardThreshold = 1.0).collect()
+      .map(_.getLong(0)).toSet == Set(11L, 12L))
+  }
+
   test("export: matched tracks aggregate positions into 10-minute buckets") {
     val mergedTrips = Seq(("101", "101-1-1", "motorised boat", "Gillnet", "usipa", 24.5, 9001L))
       .toDF("submission_id", "survey_id", "vessel_type", "gear", "catch_taxon", "catch_kg", "Trip")
