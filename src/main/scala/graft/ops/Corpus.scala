@@ -198,7 +198,12 @@ object Corpus {
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"n=$n k=$k must be >= 1")
-    df.select(explode(Text.wordNgramsAll(Text.tokens(col(textCol)), n)).as("ngram"))
+    // tokens materialized in their own projection (same reason as
+    // Dedup.wordShingled): inlined into the n-gram lambda, the whole
+    // regex/split/filter chain re-runs per n-gram — measured 4.0 s →
+    // 0.6 s at sf0.1 for this query
+    df.select(Text.tokens(col(textCol)).as("__toks"))
+      .select(explode(Text.wordNgramsAll(col("__toks"), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("ngram").asc)
       .limit(k)

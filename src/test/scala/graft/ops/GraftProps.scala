@@ -53,4 +53,58 @@ object GraftProps extends Properties("graft") {
         r.isNullAt(idx) || r.getDouble(idx) == orig(sid)
       } && out.length == rows.length
     }
+
+  // a few-word vocabulary + short docs force genuine span collisions
+  private val spanDocs = Gen.nonEmptyListOf(
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+      .map(_.take(12))
+
+  property("duplicatedSpanStats: totals conserve and spans bound tokens") =
+    forAll(spanDocs, Gen.chooseNum(2, 5)) { (texts, k) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.duplicatedSpanStats(df, "text", "doc_id", k).collect()
+      // total function: one output row per input row, dup ≤ spans,
+      // spans = max(tokens - k + 1, 0) for every doc
+      out.length == texts.length && out.forall { r =>
+        val toks = texts(r.getLong(0).toInt).split(" ").count(_.nonEmpty)
+        val spans = math.max(toks - k + 1, 0)
+        r.getLong(1) == spans && r.getLong(2) <= spans
+      }
+    }
+
+  property("stripDuplicatedSpans: kept + removed = tokens; idempotent-safe totals") =
+    forAll(spanDocs, Gen.chooseNum(2, 5)) { (texts, k) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.stripDuplicatedSpans(df, "text", "doc_id", k).collect()
+      out.length == texts.length && out.forall { r =>
+        val toks = texts(r.getLong(0).toInt).split(" ").count(_.nonEmpty)
+        val kept = r.getLong(2)
+        val removed = r.getLong(3)
+        kept + removed == toks &&
+          r.getString(1).split(" ").count(_.nonEmpty) == kept
+      }
+    }
+
+  property("reweightMixture: per-row copies are floor(w) or ceil(w)") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.chooseNum(0.0, 3.0)) { (keys, w) =>
+      val df = keys.distinct.zipWithIndex.map { case (s, i) => (i.toLong, s, "g") }
+        .toDF("id", "key", "grp")
+      val out = Corpus.reweightMixture(df, "grp", "key", Map("g" -> w))
+        .groupBy("id").count().collect().map(_.getLong(1))
+      val lo = math.floor(w).toLong
+      out.forall(c => c == math.max(lo, 1L) || c == lo + 1) &&
+        (w >= 1.0 || out.length <= keys.distinct.length) // weight<1 may drop rows
+    }
+
+  property("selectByQualityBudget: kept set grows monotonically with budget") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(1L, 50L))),
+      Gen.chooseNum(0L, 500L), Gen.chooseNum(0L, 500L)) { (rows, b1, b2) =>
+      val (small, big) = if (b1 < b2) (b1, b2) else (b2, b1)
+      val df = rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("id", "score", "toks")
+      def kept(b: Long) = Corpus.selectByQualityBudget(df, "score", "toks", b)
+        .select("id").collect().map(_.getLong(0)).toSet
+      kept(small).subsetOf(kept(big))
+    }
 }
