@@ -76,6 +76,39 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming ingest curation: dedup + quality filter + scrub compose in one query") {
+    // the per-row curation ops are pure expressions, so they lift into a
+    // continuous query unchanged — this pins that the composed screen
+    // (dedup state + stateless filter/scrub/split) actually plans and
+    // runs under the streaming engine, not just in batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Text
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val streamDf = stream.toDF.toDF("doc_id", "Time", "text")
+    val curated = TrackStream.dedupStream(streamDf, "text", "Time")
+      .withColumn("__q", Text.qualityStruct(col("text")))
+      .filter(col("__q.n_tokens").between(30, 200))
+      .withColumn("scrubbed", Text.scrubPii(col("text")))
+      .withColumn("split",
+        Text.hashSplit(Text.normalize(col("scrubbed")),
+          Seq("train" -> "cd", "valid" -> "e6"), "test"))
+      .select("doc_id", "scrubbed", "split")
+    val query = curated.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-03-11 06:00:00"), s"$filler mail a.b@example.com now"),
+        (2L, ts("2024-03-11 06:01:00"), s"$filler mail a.b@example.com now"), // dup of 1
+        (3L, ts("2024-03-11 06:02:00"), "too short")))                        // fails band
+      query.processAllAvailable()
+      val out = spark.table("curate_stream").collect()
+      assert(out.map(_.getLong(0)).toSet == Set(1L))
+      assert(!out.head.getString(1).contains("@example.com")) // scrubbed
+      assert(Set("train", "valid", "test")(out.head.getString(2)))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState: running trip stats accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     import TripState._
