@@ -930,6 +930,19 @@ object Dedup {
     * scale cap cell population by raising `nCells` (the paper's
     * cluster-size cap plays the same role).
     */
+  /** Cell-count planning for [[semdedupPairs]] at a given corpus size:
+    * like [[planCosineLsh]]'s bits, nCells must GROW with n — fixed
+    * cells at a growing corpus is the quadratic trap (candidate volume
+    * Σ|cell|²/2 ≈ nAssign² · n²/(2·nCells)). Holding cell population
+    * near `targetCellSize` keeps the candidate stream linear in n:
+    * ~n · nAssign² · targetCellSize / 2 pairs.
+    */
+  def planSemdedupCells(n: Long, targetCellSize: Int = 200,
+                        nAssign: Int = 2): Int = {
+    require(n > 0 && targetCellSize > 0, s"n=$n targetCellSize=$targetCellSize")
+    math.max(1, math.ceil(n.toDouble * nAssign / targetCellSize).toInt)
+  }
+
   def semdedupPairs(df: DataFrame, vecCol: String, idCol: String,
                     threshold: Double, nCells: Int,
                     nAssign: Int = 2, iters: Int = 3): DataFrame = {

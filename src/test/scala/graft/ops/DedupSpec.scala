@@ -487,6 +487,15 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.8, s"amplified recall $recall (found ${amplified.size}/${exact.size})")
   }
 
+  test("planSemdedupCells: cells scale linearly with n, cell population pinned") {
+    val small = Dedup.planSemdedupCells(10000)
+    val big = Dedup.planSemdedupCells(1000000)
+    // 100× corpus → 100× cells; per-cell population stays ~targetCellSize,
+    // so candidate volume stays linear in n (fixed cells would be n²)
+    assert(math.abs(big.toDouble / small - 100.0) < 1.0)
+    assert(math.abs(1000000.0 * 2 / big - 200.0) < 2.0)
+  }
+
   test("semdedup: near-complete recall in its native near-identical regime") {
     import spark.implicits._
     // synthetic corpus in the regime the operator exists for: id % 10 == 1
