@@ -73,8 +73,64 @@ object Multimodal {
         } catch {
           case scala.util.control.NonFatal(_) => imageStub(payload)
         } finally r.dispose()
-      } else imageStub(payload)
+      } else parseWebpHeader(payload).getOrElse(imageStub(payload))
     } finally iis.close()
+  }
+
+  /** Pure-JVM WebP header parse — the JDK's imageio has no WebP reader,
+    * but the geometry lives in the RIFF container header, so like
+    * WAV/MP3/MP4 this is REAL without codec libraries. Handles all three
+    * container layouts: VP8X (extended — canvas size + alpha flag),
+    * VP8 (lossy — keyframe start code then 14-bit dimensions), VP8L
+    * (lossless — packed 14-bit dimensions + alpha bit). Returns
+    * (width, height, channels, "webp") or None; never throws on garbage.
+    */
+  private[ops] def parseWebpHeader(p: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    def le24(o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | ((p(o + 2) & 0xff) << 16)
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    if (p.length < 30 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    tag(12) match {
+      case "VP8X" if p.length >= 30 =>
+        val alpha = (p(20) & 0x10) != 0
+        Some((1 + le24(24), 1 + le24(27), if (alpha) 4 else 3, "webp"))
+      case "VP8 " if p.length >= 30 &&
+        (p(23) & 0xff) == 0x9d && (p(24) & 0xff) == 0x01 && (p(25) & 0xff) == 0x2a =>
+        Some((le16(26) & 0x3fff, le16(28) & 0x3fff, 3, "webp"))
+      case "VP8L" if p.length >= 25 && (p(20) & 0xff) == 0x2f =>
+        val bits = (p(21) & 0xffL) | ((p(22) & 0xffL) << 8) |
+          ((p(23) & 0xffL) << 16) | ((p(24) & 0xffL) << 24)
+        val w = 1 + (bits & 0x3fff).toInt
+        val h = 1 + ((bits >> 14) & 0x3fff).toInt
+        val alpha = ((bits >> 28) & 1) != 0
+        Some((w, h, if (alpha) 4 else 3, "webp"))
+      case _ => None
+    }
+  }
+
+  /** Canonical VP8X WebP envelope (RIFF + extended-header chunk carrying
+    * canvas dimensions + alpha flag, arbitrary bytes as the unread body)
+    * — the fixture half of the `q_mm_webp_meta` gate, mirroring
+    * [[wavPayload]].
+    */
+  def webpPayload(data: Array[Byte], width: Int, height: Int,
+                  alpha: Boolean): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= (1 << 24) && height <= (1 << 24))
+    val bb = java.nio.ByteBuffer.allocate(30 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(22 + data.length)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8X".getBytes("US-ASCII")).putInt(10)
+      .put((if (alpha) 0x10 else 0x00).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // reserved
+    def put24(v: Int): Unit = {
+      bb.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        .put(((v >> 16) & 0xff).toByte)
+    }
+    put24(width - 1); put24(height - 1)
+    bb.put(data)
+    bb.array()
   }
 
   /** Attach decoded metadata to a (id, payload) frame. Batch shape: one
@@ -205,11 +261,69 @@ object Multimodal {
     None
   }
 
+  /** Pure-JVM FLAC STREAMINFO parse — the geometry (rate/channels/bits/
+    * total samples) lives entirely in the mandatory first metadata block,
+    * so like WAV/MP3 this modality's header is REAL without a codec.
+    * Bit layout per the FLAC spec: 20-bit sample rate, 3-bit channels-1,
+    * 5-bit bps-1, 36-bit total samples, packed into STREAMINFO bytes
+    * 10-17. Returns None on anything that isn't a parseable fLaC stream
+    * — never throws on garbage.
+    */
+  private[ops] def parseFlacHeader(p: Array[Byte]): Option[(Int, Int, Int, Double, String)] = {
+    if (p.length < 4 + 4 + 34 || new String(p, 0, 4, "US-ASCII") != "fLaC") return None
+    // first metadata block must be STREAMINFO (type 0), length 34
+    val btype = p(4) & 0x7f
+    val blen = ((p(5) & 0xff) << 16) | ((p(6) & 0xff) << 8) | (p(7) & 0xff)
+    if (btype != 0 || blen != 34) return None
+    val o = 8
+    def u8(i: Int): Int = p(o + i) & 0xff
+    val rate = (u8(10) << 12) | (u8(11) << 4) | (u8(12) >> 4)
+    val channels = ((u8(12) >> 1) & 0x07) + 1
+    val bps = (((u8(12) & 0x01) << 4) | ((u8(13) >> 4) & 0x0f)) + 1
+    val totalSamples = ((u8(13) & 0x0fL) << 32) |
+      ((u8(14) & 0xffL) << 24) | ((u8(15) & 0xffL) << 16) |
+      ((u8(16) & 0xffL) << 8) | (u8(17) & 0xffL)
+    if (rate <= 0) None
+    else Some((rate, channels, bps, totalSamples * 1000.0 / rate, "flac"))
+  }
+
+  /** Canonical FLAC envelope (fLaC magic + last-block STREAMINFO whose
+    * total-samples field is data.length, arbitrary bytes as the unread
+    * frame section) — the fixture half of the `q_mm_flac_meta` gate,
+    * mirroring [[wavPayload]].
+    */
+  def flacPayload(data: Array[Byte], sampleRate: Int, channels: Int,
+                  bitsPerSample: Int): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bitsPerSample >= 4 && bitsPerSample <= 32)
+    val out = new Array[Byte](8 + 34 + data.length)
+    "fLaC".getBytes("US-ASCII").copyToArray(out, 0)
+    out(4) = 0x80.toByte // last-metadata-block, type 0 (STREAMINFO)
+    out(7) = 34          // 24-bit BE length
+    val o = 8
+    out(o) = 0x10; out(o + 1) = 0x00     // min block size 4096
+    out(o + 2) = 0x10; out(o + 3) = 0x00 // max block size 4096
+    val totalSamples = data.length.toLong
+    out(o + 10) = ((sampleRate >> 12) & 0xff).toByte
+    out(o + 11) = ((sampleRate >> 4) & 0xff).toByte
+    out(o + 12) = (((sampleRate & 0x0f) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    out(o + 13) = ((((bitsPerSample - 1) & 0x0f) << 4) |
+      ((totalSamples >> 32) & 0x0f).toInt).toByte
+    out(o + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(o + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(o + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(o + 17) = (totalSamples & 0xff).toByte
+    data.copyToArray(out, 42)
+    out
+  }
+
   /** Attach decoded audio metadata to a (id, payload) frame: REAL
-    * header-only parse for RIFF/WAVE via [[parseWavHeader]] and MPEG
-    * Layer III via [[parseMp3Header]]; deterministic stub for codecs
-    * absent from this container. Same mapPartitions batch shape as
-    * [[decodeImages]].
+    * header-only parse for RIFF/WAVE via [[parseWavHeader]], MPEG
+    * Layer III via [[parseMp3Header]], and FLAC STREAMINFO via
+    * [[parseFlacHeader]]; deterministic stub for codecs absent from
+    * this container. Same mapPartitions batch shape as [[decodeImages]].
     */
   def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -226,6 +340,7 @@ object Multimodal {
         val payload = if (raw == null) Array.emptyByteArray else raw
         val (rate, ch, bits, durMs, fmt) =
           parseWavHeader(payload).orElse(parseMp3Header(payload))
+            .orElse(parseFlacHeader(payload))
             .getOrElse(audioStub(payload))
         Row(r.get(idIdx), payload.length.toLong, Row(rate, ch, bits, durMs, fmt))
       }
@@ -304,6 +419,49 @@ object Multimodal {
   /** Wrap a binary column in the MP3 envelope row-by-row (fixture half of
     * `q_mm_mp3_meta`; see [[mp3Payload]]).
     */
+  /** Wrap a binary column in a FLAC envelope row-by-row — the fixture
+    * half of the `q_mm_flac_meta` gate (see [[flacPayload]]).
+    */
+  def synthesizeFlac(df: DataFrame, idCol: String, payloadCol: String,
+                     sampleRate: Int = 44100, channels: Int = 2,
+                     bitsPerSample: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val data = if (raw == null) Array.emptyByteArray else raw
+        Row(r.get(idIdx), flacPayload(data, sampleRate, channels, bitsPerSample))
+      }
+    }(enc)
+  }
+
+  /** Wrap a binary column in a VP8X WebP envelope row-by-row, dimensions
+    * derived deterministically from the payload length — the fixture
+    * half of the `q_mm_webp_meta` gate (see [[webpPayload]]).
+    */
+  def synthesizeWebp(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val data = if (raw == null) Array.emptyByteArray else raw
+        val n = data.length
+        Row(r.get(idIdx),
+          webpPayload(data, 100 + n % 1000, 50 + n % 500, alpha = n % 2 == 0))
+      }
+    }(enc)
+  }
+
   def synthesizeMp3(df: DataFrame, idCol: String, payloadCol: String,
                     bitrateKbps: Int = 128, sampleRate: Int = 44100): DataFrame = {
     val outSchema = StructType(Seq(

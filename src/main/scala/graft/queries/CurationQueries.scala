@@ -757,6 +757,60 @@ object CurationQueries {
               'mp4' AS format
             FROM documents ORDER BY doc_id"""))
 
+  /** FLAC modality, REAL STREAMINFO decode end to end: document bytes
+    * ride as the unread frame section of a fLaC envelope whose
+    * total-samples field is data.length; the bit-packed STREAMINFO parse
+    * recovers rate/channels/bits/duration from the header alone. DuckDB
+    * recomputes duration = bytes × 1000 / 44100 independently.
+    */
+  val mmFlac = Q("q_mm_flac_meta",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val enveloped = Multimodal.synthesizeFlac(docs, "doc_id", "payload",
+        sampleRate = 44100, channels = 2, bitsPerSample = 16)
+      Multimodal.decodeAudio(enveloped, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.bits_per_sample").as("bits_per_sample"),
+          col("meta.format").as("format"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              44100 AS sample_rate,
+              2 AS channels,
+              16 AS bits_per_sample,
+              'flac' AS format,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) * 1000.0 / 44100.0 AS duration_ms
+            FROM documents ORDER BY doc_id"""))
+
+  /** WebP modality, REAL VP8X header decode end to end: canvas
+    * dimensions and the alpha flag are derived from the payload length
+    * in the fixture and recovered by the RIFF chunk parse; DuckDB
+    * recomputes the same arithmetic from OCTET_LENGTH.
+    */
+  val mmWebp = Q("q_mm_webp_meta",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val enveloped = Multimodal.synthesizeWebp(docs, "doc_id", "payload")
+      Multimodal.decodeImages(enveloped, "doc_id", "payload")
+        .select(col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(100 + OCTET_LENGTH(ENCODE(text)) % 1000 AS INTEGER) AS width,
+              CAST(50 + OCTET_LENGTH(ENCODE(text)) % 500 AS INTEGER) AS height,
+              CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+              'webp' AS format
+            FROM documents ORDER BY doc_id"""))
+
   /** End-to-end curation pipeline gate: the full composed stage
     * (graft.pipeline.Curate — exact dedup → near-dup keep-one → quality
     * filter → PII scrub → hash split → chunking) against ONE DuckDB
@@ -1174,5 +1228,6 @@ object CurationQueries {
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     selectBudget, textNfc, corpusTopNgrams, corpusSourceReport,
-    mmBinary, mmWav, mmMp3, mmMp4, curateE2E, curateE2EScale)
+    mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
+    curateE2E, curateE2EScale)
 }

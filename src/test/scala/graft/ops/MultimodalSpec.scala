@@ -192,4 +192,46 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(out.toSet == Set(1L, 2L).flatMap(id => Seq(0, 3, 6, 9).map(f => (id, f))))
   }
+
+  test("flacPayload round-trips through parseFlacHeader; garbage does not") {
+    val body = Array.tabulate(4410)(_.toByte) // 4410 "samples" at 44.1k = 100 ms
+    val p = Multimodal.flacPayload(body, 44100, 2, 16)
+    val Some((rate, ch, bits, durMs, fmt)) = Multimodal.parseFlacHeader(p)
+    assert(rate == 44100 && ch == 2 && bits == 16 && fmt == "flac")
+    assert(math.abs(durMs - 100.0) < 1e-9)
+    // odd geometry exercises every bit boundary in the packed fields
+    val q = Multimodal.flacPayload(Array.fill(7)(1.toByte), 96000, 7, 24)
+    val Some((r2, c2, b2, d2, _)) = Multimodal.parseFlacHeader(q)
+    assert(r2 == 96000 && c2 == 7 && b2 == 24)
+    assert(math.abs(d2 - 7000.0 / 96000.0) < 1e-9)
+    assert(Multimodal.parseFlacHeader("fLaX garbage".getBytes).isEmpty)
+    assert(Multimodal.parseFlacHeader(p.take(20)).isEmpty) // truncated STREAMINFO
+  }
+
+  test("webpPayload round-trips through parseWebpHeader; VP8/VP8L layouts parse") {
+    val p = Multimodal.webpPayload(Array.fill(5)(9.toByte), 640, 360, alpha = true)
+    assert(Multimodal.parseWebpHeader(p).contains((640, 360, 4, "webp")))
+    val noAlpha = Multimodal.webpPayload(Array.emptyByteArray, 1, 1, alpha = false)
+    assert(Multimodal.parseWebpHeader(noAlpha).contains((1, 1, 3, "webp")))
+    // hand-built lossy VP8 chunk: keyframe start code then 14-bit dims
+    val vp8 = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(24).put("WEBP".getBytes)
+      .put("VP8 ".getBytes).putInt(12)
+      .put(Array[Byte](0, 0, 0)).put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+      .putShort(320.toShort).putShort(240.toShort).array()
+    assert(Multimodal.parseWebpHeader(vp8).contains((320, 240, 3, "webp")))
+    // hand-built lossless VP8L: signature 0x2f + packed 14-bit dims + alpha bit
+    val bits = (799L & 0x3fff) | ((599L & 0x3fff) << 14) | (1L << 28)
+    val vp8l = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(17).put("WEBP".getBytes)
+      .put("VP8L".getBytes).putInt(5)
+      .put(0x2f.toByte).putInt(bits.toInt).array()
+    assert(Multimodal.parseWebpHeader(vp8l).contains((800, 600, 4, "webp")))
+    assert(Multimodal.parseWebpHeader("RIFFxxxxWAVE".getBytes).isEmpty)
+    // decodeImages routes WebP through the real parse, not the stub
+    val enveloped = Multimodal.synthesizeWebp(payloads, "id", "payload")
+    val out = Multimodal.decodeImages(enveloped, "id", "payload")
+      .select("meta.format").collect().map(_.getString(0))
+    assert(out.forall(_ == "webp"))
+  }
 }
