@@ -292,6 +292,54 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Bipartite n-gram Jaccard: (inc_id, ex_id, jaccard) for every
+    * incoming×existing pair at or above `threshold` — the cross-corpus
+    * half of incremental near-dup screening. Same inverted-index shape
+    * as [[ngramJaccardPairs]] but the join is between two different
+    * frames, so candidate volume is bounded by shared-shingle hits
+    * between the (small) batch and the corpus index, never corpus².
+    */
+  def ngramJaccardAgainst(incoming: DataFrame, existing: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int, threshold: Double): DataFrame = {
+    def idx(df: DataFrame) = wordShingled(df, textCol, idCol, n)
+      .select(col("__id"), size(col("__sh")).as("__ns"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+    val inc = idx(incoming)
+      .select(col("__s"), col("__id").as("inc_id"), col("__ns").as("__na"))
+    val ex = idx(existing)
+      .select(col("__s"), col("__id").as("ex_id"), col("__ns").as("__nb"))
+    inc.join(ex.hint("shuffle_hash"), Seq("__s"))
+      .groupBy("inc_id", "ex_id", "__na", "__nb")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("jaccard", col("__c").cast(DoubleType) /
+        (col("__na") + col("__nb") - col("__c")))
+      .filter(atLeast(col("jaccard"), threshold))
+      .select(col("inc_id"), col("ex_id"), col("jaccard"))
+  }
+
+  /** Incremental near-dup screen — [[exactDedupIncremental]]'s sibling
+    * for the crawl-ingestion shape: keep incoming rows that survive
+    * within-batch near-dup clustering ([[nearDupSurvivors]]) AND are not
+    * a near-dup of ANY already-ingested document. Idempotence follows:
+    * re-ingesting an already-loaded batch yields zero rows (every doc
+    * jaccard-1.0-matches its own ingested copy).
+    *
+    * Scale shape: the batch clusters against itself (batch-sized), then
+    * one bipartite inverted-index join against the corpus — the corpus
+    * contributes its shingle index (one 8-byte hash per distinct shingle
+    * occurrence), never text, and never joins against itself.
+    */
+  def nearDupIncremental(incoming: DataFrame, existing: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val batchSurvivors = nearDupSurvivors(incoming, textCol, idCol, n, threshold)
+    val hits = ngramJaccardAgainst(batchSurvivors, existing, textCol, idCol,
+      n, threshold)
+      .select(col("inc_id").as(idCol)).distinct()
+    batchSurvivors.join(hits.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
   /** Duplicated-substring REMOVAL at k-token granularity — the transform
     * half of [[duplicatedSpanStats]] (Lee et al.'s ExactSubstr dedup):
     * every k-token span occurring ≥2 times corpus-wide keeps only its

@@ -127,6 +127,65 @@ object CurationQueries {
             HAVING CAST(COUNT(*) AS DOUBLE) / b.nsh >= 0.6
             ORDER BY train_id, bench_id"""))
 
+  /** Incremental NEAR-dup screen: odd doc_ids arrive as the new batch,
+    * even ids are the ingested corpus — keep odd docs that survive
+    * within-batch near-dup clustering and match no even doc at
+    * jaccard ≥ 0.2. The oracle re-derives both halves relationally:
+    * the recursive-CTE closure restricted to the batch, then a bipartite
+    * jaccard screen of survivors against the corpus.
+    */
+  val dedupIncrementalNear = Q("q_dedup_incremental_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.nearDupIncremental(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", n = 3, threshold = 0.2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS ns, UNNEST(shingles) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+              GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.2),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+            losers AS (SELECT id FROM labels WHERE label <> id),
+            surv AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers)),
+            crosshit AS (
+              SELECT a.doc_id
+              FROM idx a JOIN idx b ON a.g = b.g
+              WHERE a.doc_id IN (SELECT doc_id FROM surv) AND b.doc_id % 2 = 0
+              GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.2)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM surv)
+              AND doc_id NOT IN (SELECT doc_id FROM crosshit)
+            ORDER BY doc_id"""))
+
   /** Exact duplicated-substring screen at 8-token granularity: per doc,
     * how many sliding 8-token spans occur ≥2 times corpus-wide. The
     * oracle recomputes the identical definition relationally (span text
@@ -1219,7 +1278,8 @@ object CurationQueries {
                   FROM c WHERE copies > 0)
             ORDER BY doc_id, copy"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupDecontaminate,
+  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalNear,
+    dedupDecontaminate,
     dedupContainment, dedupSubstring, dedupSubstringStrip, dedupJaccard,
     dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,

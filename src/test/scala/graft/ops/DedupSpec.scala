@@ -487,6 +487,30 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.8, s"amplified recall $recall (found ${amplified.size}/${exact.size})")
   }
 
+  test("nearDupIncremental: batch clusters, corpus near-dups drop, re-ingest is empty") {
+    val existing = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (102L, "completely different text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the stream"), // near-dup of 100
+      (3L, "the quick brown fox jumps over the lazy dog near the stream today"), // near-dup of 1
+      (5L, "an entirely novel document mentioning parquet columnar formats"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupIncremental(batch, existing, "text", "doc_id", 3, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 3 clusters into 1 within the batch; 1 then matches corpus doc 100; 5 is novel
+    assert(kept == Set(5L))
+    // idempotence: re-ingesting the already-loaded corpus yields nothing
+    val reingest = Dedup.nearDupIncremental(existing, existing, "text", "doc_id", 3, 0.2)
+    assert(reingest.count() == 0L)
+    // against an empty corpus the screen reduces to within-batch keep-one
+    val empty = existing.filter(col("doc_id") < 0)
+    val soloIds = Dedup.nearDupIncremental(batch, empty, "text", "doc_id", 3, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(soloIds == Set(1L, 5L))
+  }
+
   test("planSemdedupCells: cells scale linearly with n, cell population pinned") {
     val small = Dedup.planSemdedupCells(10000)
     val big = Dedup.planSemdedupCells(1000000)
