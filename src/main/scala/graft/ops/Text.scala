@@ -92,6 +92,41 @@ object Text {
         UrlRe, "<URL>"),
       PhoneRe, "<PHONE>")
 
+  // HTML boilerplate patterns — RE2-compatible ((?s) inline flag +
+  // non-greedy, no backrefs/lookaround) so the identical strings run in
+  // Spark (java.util.regex) and DuckDB (RE2). Order matters: script/
+  // style/comment BLOCKS must go before the generic tag eater, or their
+  // inner text would survive tag removal.
+  val ScriptBlockRe = "(?s)<script[^>]*>.*?</script>"
+  val StyleBlockRe = "(?s)<style[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlTagRe = "<[^>]+>"
+
+  /** HTML → text extraction, the first screen of any web-corpus
+    * pipeline: drop script/style/comment blocks wholesale, strip the
+    * remaining tags, decode the common entities, collapse whitespace.
+    * A trafilatura-grade extractor needs a DOM; this is the
+    * regex-complete subset that is deterministic, engine-portable, and
+    * pure codegen'd expressions — zero shuffle, scan-speed.
+    */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, ScriptBlockRe, " "),
+        StyleBlockRe, " "),
+      HtmlCommentRe, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    // entity strings contain no regex metacharacters — used verbatim so
+    // the oracle's RE2 runs the byte-identical pattern (\Q...\E quoting
+    // would be java.util.regex-only)
+    val decoded = entities.foldLeft(noTags) { case (col0, (e, r)) =>
+      regexp_replace(col0, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // Tiny per-language stopword profiles (public common-word lists) for the
   // n-gram/stopword language-ID heuristic.
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -1168,6 +1168,51 @@ object CurationQueries {
                     + LN(CAST(SUM(n) AS DOUBLE)), 6) AS lang_entropy
             FROM pl GROUP BY source ORDER BY source"""))
 
+  /** HTML → text extraction: each document rides inside a synthetic
+    * page with a style block, a comment, a script whose body contains a
+    * bare '<' (so block removal MUST precede tag-stripping), and
+    * entities. Both engines run the byte-identical RE2-compatible
+    * pattern chain.
+    */
+  val textHtmlStrip = Q("q_text_html_strip",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Text.stripHtml(concat(
+            lit("<html><head><style>p{color:red}</style><!-- nav --></head><body><p class=\"x\">"),
+            col("text"),
+            lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>&nbsp;&amp; more</body></html>")))
+            .as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""WITH page AS (
+              SELECT doc_id,
+                '<html><head><style>p{color:red}</style><!-- nav --></head><body><p class="x">' ||
+                text ||
+                '</p><script type="text/javascript">var x = 1 < 2;</script>&nbsp;&amp; more</body></html>' AS h
+              FROM documents),
+            stripped AS (
+              SELECT doc_id,
+                TRIM(REGEXP_REPLACE(
+                  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                  REGEXP_REPLACE(REGEXP_REPLACE(h,
+                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                    '&nbsp;', ' ', 'g'),
+                    '&amp;', '&', 'g'),
+                    '&lt;', '<', 'g'),
+                    '&gt;', '>', 'g'),
+                    '&quot;', '"', 'g'),
+                    '&#39;', '''', 'g'),
+                  '\s+', ' ', 'g')) AS clean
+              FROM page)
+            SELECT doc_id, clean, CAST(LENGTH(clean) AS BIGINT) AS n_chars
+            FROM stripped ORDER BY doc_id"""))
+
   /** Token-budget quality selection: rank docs by stopword-hit ratio
     * (bucketed to 3 decimals), keep the best buckets whose cumulative
     * token count fits a 12k budget. Oracle recomputes the identical
@@ -1287,7 +1332,7 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    selectBudget, textNfc, corpusTopNgrams, corpusSourceReport,
+    selectBudget, textNfc, textHtmlStrip, corpusTopNgrams, corpusSourceReport,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
     curateE2E, curateE2EScale)
 }

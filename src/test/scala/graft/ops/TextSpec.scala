@@ -24,6 +24,26 @@ class TextSpec extends SparkTestBase {
     assert(byId(3L) == Seq(Seq(null, null, null))) // empty doc → no chunks
   }
 
+  test("stripHtml: blocks before tags, entities decoded, whitespace collapsed") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body contains a bare '<' — block removal must run first,
+      // or the tag eater would swallow from '<' to the next '>'
+      (1L, "<p>hello</p><script>if (a < b) { x() }</script><p>world</p>"),
+      (2L, "<style>p { color: red }</style>plain <!-- hidden note --> text"),
+      (3L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (4L, "no markup at all"),
+      (5L, "<div class=\"x\" data-y='1'>nested <b>bold</b> run</div>"))
+      .toDF("id", "html")
+    val out = cases.select($"id", Text.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "plain text")
+    assert(out(3L) == "a & b <tag> \"q\" 's' end")
+    assert(out(4L) == "no markup at all")
+    assert(out(5L) == "nested bold run")
+  }
+
   test("normalize lowers, collapses whitespace, trims") {
     val out = Seq("  Hello   WORLD \t x ").toDF("t")
       .select(Text.normalize(col("t"))).collect().head.getString(0)
