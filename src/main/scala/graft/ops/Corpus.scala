@@ -235,6 +235,39 @@ object Corpus {
           .as("lang_entropy"))
   }
 
+  /** Vocabulary encoding: map every token position to an integer id
+    * under a frequency-ranked top-`vocabSize` vocabulary (rank 1 = most
+    * frequent; ties break to the lexicographically smaller term), with
+    * out-of-vocabulary positions encoded as 0 — the tokenize-to-ids step
+    * between chunking and sequence packing. Word-level here; a BPE vocab
+    * would slot into the same join shape.
+    *
+    * Scale shape: the top-K cut compiles to TakeOrderedAndProject (no
+    * global sort of the term space); the id attach is a BROADCAST join —
+    * deliberately, and unlike the tf-idf/unigram vocab joins, legitimate:
+    * the broadcast side is bounded by `vocabSize` (a training-time
+    * constant, ≤ a few 100k), not by the corpus. One narrow
+    * explode-with-position, zero non-aggregate shuffles.
+    *
+    * Output: one row per token position (idCol, pos, term, token_id),
+    * pos 0-based within the document.
+    */
+  def encodeTokens(df: DataFrame, textCol: String, idCol: String,
+                   vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "term")))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term").asc)
+      .limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("__c").desc, col("term").asc)))
+      .select(col("term"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col(idCol), col("pos"), col("term"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+  }
+
   /** Token-budget corpus selection: keep the highest-quality documents
     * whose cumulative token count fits `tokenBudget` — the data-selection
     * step of quality-ranked pre-training corpus construction ("train on

@@ -1168,6 +1168,34 @@ object CurationQueries {
                     + LN(CAST(SUM(n) AS DOUBLE)), 6) AS lang_entropy
             FROM pl GROUP BY source ORDER BY source"""))
 
+  /** Vocabulary encoding under a frequency-ranked top-24 vocab (small
+    * enough that the synthetic corpus' 31-word vocabulary has real OOV
+    * positions). Oracle recomputes the identical rank and join.
+    */
+  val curateTokenIds = Q("q_curate_token_ids",
+    (s, dir) =>
+      Corpus.encodeTokens(Tables.documents(s, dir), "text", "doc_id",
+        vocabSize = 24)
+        .orderBy("doc_id", "pos"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            pt AS (
+              SELECT doc_id, pos, t[pos + 1] AS term
+              FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t))) AS pos FROM toks)),
+            vocab AS (
+              SELECT term,
+                     CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS INTEGER) AS token_id
+              FROM (SELECT term, COUNT(*) AS c FROM pt GROUP BY term
+                    ORDER BY c DESC, term LIMIT 24))
+            SELECT pt.doc_id, CAST(pt.pos AS INTEGER) AS pos, pt.term,
+                   COALESCE(vocab.token_id, 0) AS token_id
+            FROM pt LEFT JOIN vocab USING (term)
+            ORDER BY doc_id, pos"""))
+
   /** HTML → text extraction: each document rides inside a synthetic
     * page with a style block, a comment, a script whose body contains a
     * bare '<' (so block removal MUST precede tag-stripping), and
@@ -1332,7 +1360,8 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    selectBudget, textNfc, textHtmlStrip, corpusTopNgrams, corpusSourceReport,
+    selectBudget, textNfc, textHtmlStrip, curateTokenIds,
+    corpusTopNgrams, corpusSourceReport,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
     curateE2E, curateE2EScale)
 }

@@ -84,6 +84,23 @@ class CorpusSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("encodeTokens: frequency-ranked ids, OOV -> 0, bounded vocab broadcast") {
+    import spark.implicits._
+    // counts: b=4, a=3, c=2, d=1 -> vocab(3): b=1, a=2, c=3; d is OOV
+    val df = Seq((1L, "a b c a b"), (2L, "b c b a d")).toDF("doc_id", "text")
+    val out = Corpus.encodeTokens(df, "text", "doc_id", vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
+    assert(out((1L, 0)) == (("a", 2)) && out((1L, 1)) == (("b", 1)))
+    assert(out((2L, 1)) == (("c", 3)))
+    assert(out((2L, 4)) == (("d", 0))) // out-of-vocabulary
+    assert(out.size == 10)
+    // the id attach must be the bounded-vocab broadcast, not a shuffle join
+    val plan = Corpus.encodeTokens(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id", 24)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("topNgrams compiles to TakeOrderedAndProject, never a global sort") {
     val plan = Corpus.topNgrams(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"), "text", 2, 50)
