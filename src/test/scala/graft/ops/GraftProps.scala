@@ -97,6 +97,24 @@ object GraftProps extends Properties("graft") {
         (w >= 1.0 || out.length <= keys.distinct.length) // weight<1 may drop rows
     }
 
+  // random tails behind valid magic prefixes steer the fuzz into the
+  // parsers' chunk/bit-unpacking paths instead of the magic-check reject
+  private val headerFuzz: Gen[Array[Byte]] = for {
+    prefix <- Gen.oneOf("", "RIFF", "fLaC", "ID3", "RIFFxxxxWEBP", "RIFFxxxxWAVE")
+    tail <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  } yield prefix.getBytes("US-ASCII") ++ tail
+
+  property("multimodal header parsers never throw on arbitrary bytes") =
+    forAll(headerFuzz) { p =>
+      // a messy corpus feeds these parsers garbage constantly; the
+      // contract is None (or a stub downstream), never an exception
+      Multimodal.parseWavHeader(p)
+      Multimodal.parseMp3Header(p)
+      Multimodal.parseFlacHeader(p)
+      Multimodal.parseWebpHeader(p)
+      true
+    }
+
   property("selectByQualityBudget: kept set grows monotonically with budget") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(1L, 50L))),
       Gen.chooseNum(0L, 500L), Gen.chooseNum(0L, 500L)) { (rows, b1, b2) =>
