@@ -318,6 +318,20 @@ object Dedup {
       .select(col("inc_id"), col("ex_id"), col("jaccard"))
   }
 
+  /** The persistable shingle index of a corpus: one row per (id,
+    * distinct 64-bit shingle hash) plus the per-doc shingle count —
+    * everything [[nearDupIncrementalAgainstIndex]] needs from the
+    * ingested side. At ingestion scale this is the frame to SAVE
+    * (StageIO, partitioned/bucketed by `shingle`) and append per batch:
+    * re-deriving it from corpus text on every incoming batch re-pays
+    * tokenization of the entire history, which dwarfs the screen itself.
+    */
+  def shingleIndex(df: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame =
+    wordShingled(df, textCol, idCol, n)
+      .select(col("__id").as(idCol), size(col("__sh")).as("n_shingles"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("shingle"))
+
   /** Incremental near-dup screen — [[exactDedupIncremental]]'s sibling
     * for the crawl-ingestion shape: keep incoming rows that survive
     * within-batch near-dup clustering ([[nearDupSurvivors]]) AND are not
@@ -328,15 +342,37 @@ object Dedup {
     * Scale shape: the batch clusters against itself (batch-sized), then
     * one bipartite inverted-index join against the corpus — the corpus
     * contributes its shingle index (one 8-byte hash per distinct shingle
-    * occurrence), never text, and never joins against itself.
+    * occurrence), never text, and never joins against itself. This
+    * overload re-derives that index from corpus text; production
+    * ingestion should persist it once via [[shingleIndex]] and call
+    * [[nearDupIncrementalAgainstIndex]].
     */
   def nearDupIncremental(incoming: DataFrame, existing: DataFrame,
                          textCol: String, idCol: String,
-                         n: Int, threshold: Double): DataFrame = {
+                         n: Int, threshold: Double): DataFrame =
+    nearDupIncrementalAgainstIndex(incoming,
+      shingleIndex(existing, textCol, idCol, n), textCol, idCol, n, threshold)
+
+  /** [[nearDupIncremental]] against a PREBUILT corpus index (the
+    * [[shingleIndex]] frame, typically loaded from a bucketed stage
+    * table) — the shape that holds at 100 TB: each batch pays only its
+    * own tokenization plus one join into the index, and the index grows
+    * by appending the kept batch's own shingleIndex.
+    */
+  def nearDupIncrementalAgainstIndex(incoming: DataFrame, index: DataFrame,
+                                     textCol: String, idCol: String,
+                                     n: Int, threshold: Double): DataFrame = {
     val batchSurvivors = nearDupSurvivors(incoming, textCol, idCol, n, threshold)
-    val hits = ngramJaccardAgainst(batchSurvivors, existing, textCol, idCol,
-      n, threshold)
-      .select(col("inc_id").as(idCol)).distinct()
+    val inc = shingleIndex(batchSurvivors, textCol, idCol, n)
+      .select(col("shingle"), col(idCol).as("__inc"), col("n_shingles").as("__na"))
+    val ex = index
+      .select(col("shingle"), col(idCol).as("__exid"), col("n_shingles").as("__nb"))
+    val hits = inc.join(ex.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy("__inc", "__exid", "__na", "__nb")
+      .agg(count(lit(1)).as("__c"))
+      .filter(atLeast(col("__c").cast(DoubleType) /
+        (col("__na") + col("__nb") - col("__c")), threshold))
+      .select(col("__inc").as(idCol)).distinct()
     batchSurvivors.join(hits.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 

@@ -511,6 +511,23 @@ class DedupSpec extends SparkTestBase {
     assert(soloIds == Set(1L, 5L))
   }
 
+  test("nearDupIncremental against a persisted shingle index equals the direct screen") {
+    val existing = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val batch = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val direct = Dedup.nearDupIncremental(batch, existing, "text", "doc_id", 3, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the production shape: index persisted once, loaded per batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    Dedup.shingleIndex(existing, "text", "doc_id", 3)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.nearDupIncrementalAgainstIndex(batch,
+      spark.read.parquet(dir), "text", "doc_id", 3, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("planSemdedupCells: cells scale linearly with n, cell population pinned") {
     val small = Dedup.planSemdedupCells(10000)
     val big = Dedup.planSemdedupCells(1000000)
