@@ -95,6 +95,21 @@ object Runner {
   def curate(spark: SparkSession, tables: StageTables, docs: DataFrame): Unit =
     StageIO.save(Curate(docs), tables.curatedChunks)
 
+  /** Config-driven curation (reference S7 discipline — the stage's knobs
+    * come from the layered YAML, mirroring how `validate` takes its k's):
+    * an absent `curation:` section reproduces the default chain.
+    */
+  def curate(spark: SparkSession, tables: StageTables, docs: DataFrame,
+             conf: graft.sources.PipelineConfig.Conf): Unit = {
+    val c = conf.curationConf
+    StageIO.save(Curate(docs,
+      jaccardThreshold = c.jaccardThreshold,
+      minTokens = c.minTokens, maxTokens = c.maxTokens,
+      maxShingleDocFreq = c.maxShingleDocFreq,
+      nfcNormalize = c.nfcNormalize,
+      stripSpanK = c.stripSpanK), tables.curatedChunks)
+  }
+
   /** Full DAG in reference order. */
   def runAll(spark: SparkSession, tables: StageTables,
              forms: Seq[(String, DataFrame)], trips: DataFrame,

@@ -16,6 +16,16 @@ object PipelineConfig {
 
   case class ValidationK(kNFishers: Double, kNBoats: Double, kCatch: Double, kPriceKg: Double)
 
+  /** Curation-stage knobs (see [[graft.pipeline.Curate]]): thresholds for
+    * the near-dup cluster and quality band, plus the optional bracketed
+    * stages (NFC canonicalization, substring strip) and the boilerplate
+    * doc-frequency hatch — all default to the stage's own defaults so an
+    * absent `curation:` section reproduces `Curate(docs)` exactly.
+    */
+  case class CurationConf(jaccardThreshold: Double, minTokens: Long,
+                          maxTokens: Long, nfcNormalize: Boolean,
+                          stripSpanK: Int, maxShingleDocFreq: Long)
+
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
     def get(path: String): Option[Any] =
@@ -25,12 +35,21 @@ object PipelineConfig {
       }
     def getString(path: String): Option[String] = get(path).map(_.toString)
     def getDouble(path: String): Option[Double] = getString(path).flatMap(_.toDoubleOption)
+    def getBoolean(path: String): Option[Boolean] = getString(path).flatMap(_.toBooleanOption)
 
     def validationK: ValidationK = ValidationK(
       getDouble("validation.k_nfishers").getOrElse(2.5),
       getDouble("validation.k_nboats").getOrElse(2.5),
       getDouble("validation.k_catch").getOrElse(2.5),
       getDouble("validation.k_pricekg").getOrElse(3.0))
+
+    def curationConf: CurationConf = CurationConf(
+      getDouble("curation.jaccard_threshold").getOrElse(0.2),
+      getDouble("curation.min_tokens").map(_.toLong).getOrElse(30L),
+      getDouble("curation.max_tokens").map(_.toLong).getOrElse(200L),
+      getBoolean("curation.nfc_normalize").getOrElse(false),
+      getDouble("curation.strip_span_k").map(_.toInt).getOrElse(0),
+      getDouble("curation.max_shingle_doc_freq").map(_.toLong).getOrElse(0L))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r

@@ -193,6 +193,23 @@ class SourcesSpec extends SparkTestBase {
     assert(dflt.getString("storage.conn").contains("")) // missing env → ""
   }
 
+  test("curationConf: yaml knobs surface, absent keys fall to stage defaults") {
+    val conf = PipelineConfig.parse(
+      """default:
+        |  curation:
+        |    jaccard_threshold: 0.35
+        |    strip_span_k: 8
+        |    nfc_normalize: true
+        |""".stripMargin)
+    val c = conf.curationConf
+    assert(c.jaccardThreshold == 0.35 && c.stripSpanK == 8 && c.nfcNormalize)
+    assert(c.minTokens == 30L && c.maxTokens == 200L && c.maxShingleDocFreq == 0L)
+    // no curation section at all -> exactly the Curate(docs) defaults
+    val empty = PipelineConfig.parse("default:\n  other: 1\n")
+    assert(empty.curationConf ==
+      PipelineConfig.CurationConf(0.2, 30L, 200L, false, 0, 0L))
+  }
+
   test("S8: add_version stamps timestamp + short sha") {
     val name = Sources.addVersion("landings", "csv", "abcdef0123456",
       now = java.time.LocalDateTime.of(2024, 3, 12, 8, 30, 5))
