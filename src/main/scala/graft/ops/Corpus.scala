@@ -306,6 +306,29 @@ object Corpus {
     bucketed.join(broadcast(keepBuckets), Seq("score_bucket"), "left_semi")
   }
 
+  /** Per-stratum [[selectByQualityBudget]]: an independent token budget
+    * per stratum ("the best 2B tokens per language"), cut at the same
+    * score-bucket granularity. The cumulative window partitions by the
+    * stratum, so the coordination frame stays |strata| × |buckets| —
+    * still no corpus-wide sort anywhere.
+    */
+  def selectByQualityBudgetPerStratum(df: DataFrame, stratumCol: String,
+                                      scoreCol: String, nTokensCol: String,
+                                      tokenBudgetPerStratum: Long,
+                                      decimals: Int = 3): DataFrame = {
+    require(tokenBudgetPerStratum >= 0, s"budget=$tokenBudgetPerStratum")
+    val bucketed = df.withColumn("score_bucket", round(col(scoreCol), decimals))
+    val cum = bucketed.groupBy(col(stratumCol), col("score_bucket"))
+      .agg(sum(col(nTokensCol)).as("__btoks"))
+      .withColumn("__cum",
+        sum(col("__btoks")).over(
+          Window.partitionBy(col(stratumCol)).orderBy(col("score_bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val keep = cum.filter(col("__cum") <= tokenBudgetPerStratum)
+      .select(col(stratumCol), col("score_bucket"))
+    bucketed.join(broadcast(keep), Seq(stratumCol, "score_bucket"), "left_semi")
+  }
+
   /** Deterministic mixture reweighting: replicate each row `floor(w)`
     * times plus one extra copy iff its md5 bucket falls below the
     * fractional part of `w`, where `w` is the row's stratum weight — the

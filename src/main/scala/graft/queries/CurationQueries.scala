@@ -1103,6 +1103,46 @@ object CurationQueries {
               ELSE '2000' END
             ORDER BY doc_id"""))
 
+  /** Per-language token-budget selection: an independent 3k-token budget
+    * per lang, same bucket-cumsum cut — the "best N tokens per language"
+    * retargeting shape. Oracle partitions the window by lang.
+    */
+  val selectBudgetPerLang = Q("q_select_budget_per_lang",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), Text.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"), col("lang"),
+          col("q.stopword_hit_ratio").as("score"),
+          col("q.n_tokens").cast(LongType).as("n_tokens"))
+      Corpus.selectByQualityBudgetPerStratum(scored, "lang", "score",
+        "n_tokens", tokenBudgetPerStratum = 3000L, decimals = 3)
+        .select("doc_id", "lang", "score_bucket", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang,
+                LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS n_tokens,
+                LEN(LIST_INTERSECT(
+                  LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')),
+                  ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop
+              FROM documents),
+            b AS (
+              SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                ROUND(CASE WHEN n_tokens > 0
+                           THEN CAST(n_stop AS DOUBLE) / n_tokens
+                           ELSE 0.0 END, 3) AS score_bucket
+              FROM t),
+            cum AS (
+              SELECT lang, score_bucket, SUM(SUM(n_tokens)) OVER (
+                       PARTITION BY lang
+                       ORDER BY score_bucket DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_toks
+              FROM b GROUP BY lang, score_bucket),
+            keep AS (SELECT lang, score_bucket FROM cum WHERE cum_toks <= 3000)
+            SELECT doc_id, lang, score_bucket, n_tokens
+            FROM b SEMI JOIN keep USING (lang, score_bucket)
+            ORDER BY doc_id"""))
+
   /** Unicode NFC canonicalization (native codegen'd expression): the
     * corpus text is ASCII, so a decomposed-form suffix (e + combining
     * acute, twice) is appended inside the query to make normalization
@@ -1360,7 +1400,7 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    selectBudget, textNfc, textHtmlStrip, curateTokenIds,
+    selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     corpusTopNgrams, corpusSourceReport,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
     curateE2E, curateE2EScale)

@@ -128,6 +128,20 @@ class CorpusSpec extends SparkTestBase {
     assert(kept(2000L) == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("selectByQualityBudgetPerStratum: budgets independent per stratum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", 0.9, 300L), (2L, "en", 0.5, 300L), (3L, "en", 0.1, 300L),
+      (4L, "zh", 0.9, 100L), (5L, "zh", 0.5, 100L), (6L, "zh", 0.1, 100L))
+      .toDF("doc_id", "lang", "score", "toks")
+    val kept = Corpus.selectByQualityBudgetPerStratum(df, "lang", "score",
+      "toks", tokenBudgetPerStratum = 600L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // en: two 300-token buckets fit; zh: ALL three 100-token buckets fit —
+    // a global budget would have starved one language to feed the other
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
