@@ -329,6 +329,50 @@ object Corpus {
     bucketed.join(broadcast(keep), Seq(stratumCol, "score_bucket"), "left_semi")
   }
 
+  /** Bigram language-model score per document, Laplace-smoothed:
+    * p(cur | prev) = (c(prev, cur) + 1) / (c(prev) + V) with counts
+    * trained on the corpus itself and V the corpus vocabulary size; each
+    * doc scores the mean -ln p over its bigram positions. One rung up
+    * the CCNet fidelity ladder from [[unigramNegLogProb]] — bigram
+    * perplexity separates "right words, scrambled order" from fluent
+    * text, which unigram scoring cannot.
+    *
+    * Scale shape: the bigram count table is corpus-sized (Heaps'-law
+    * superlinear in vocab) — both count attaches are shuffle joins,
+    * never broadcast (same contract as tf-idf's df attach); V rides a
+    * 1-row broadcast. Docs with fewer than 2 tokens surface with
+    * n_bigrams = 0 and score 0.0.
+    *
+    * Output: (idCol, n_bigrams, neg_logp) — neg_logp rounded to 6
+    * decimals (ln/mean-order engine divergence sits at ~1e-13).
+    */
+  def bigramNegLogProb(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("prev"),
+          element_at(col("__toks"), i + 2).as("cur")))).as("__b"))
+      .select(col(idCol), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+    val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
+    val cp = cb.groupBy("prev").agg(sum(col("__cb")).as("__cp"))
+    val vocab = toks.select(explode(col("__toks")).as("t"))
+      .agg(countDistinct(col("t")).as("__v"))
+    val perDoc = bi
+      .join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(cp.hint("shuffle_hash"), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("__cb") + 1).cast(DoubleType) /
+          (col("__cp") + col("__v")).cast(DoubleType))).as("__m"))
+    df.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
+  }
+
   /** Deterministic mixture reweighting: replicate each row `floor(w)`
     * times plus one extra copy iff its md5 bucket falls below the
     * fractional part of `w`, where `w` is the row's stratum weight — the

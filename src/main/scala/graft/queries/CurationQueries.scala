@@ -1366,6 +1366,39 @@ object CurationQueries {
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Bigram-LM quality score with Laplace smoothing:
+    * p(cur|prev) = (c(prev,cur)+1)/(c(prev)+V). Oracle recomputes the
+    * identical counts and smoothing; 6-decimal rounding on both sides.
+    */
+  val textBigramPpl = Q("q_text_bigram_ppl",
+    (s, dir) =>
+      Corpus.bigramNegLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            bi AS (
+              SELECT doc_id, t[i + 1] AS prev, t[i + 2] AS cur
+              FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t) - 1)) AS i
+                    FROM toks WHERE LEN(t) >= 2)),
+            cb AS (SELECT prev, cur, COUNT(*) AS c FROM bi GROUP BY prev, cur),
+            cp AS (SELECT prev, SUM(c) AS p FROM cb GROUP BY prev),
+            v AS (SELECT COUNT(DISTINCT term) AS n FROM
+                    (SELECT UNNEST(t) AS term FROM toks)),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     AVG(-LN(CAST(c + 1 AS DOUBLE) / (p + n))) AS m
+              FROM bi JOIN cb USING (prev, cur) JOIN cp USING (prev) CROSS JOIN v
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              ROUND(COALESCE(per.m, 0.0), 6) AS neg_logp
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id"""))
+
   /** Deterministic mixture reweighting: en down-sampled to 0.5, zh
     * up-sampled to 2.25, es passthrough, everything else 1.5. Hex bounds
     * are [[Corpus.fractionBound]] literals of the fractional parts
@@ -1400,6 +1433,7 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
+    textBigramPpl,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     corpusTopNgrams, corpusSourceReport,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,

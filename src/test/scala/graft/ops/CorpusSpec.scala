@@ -59,6 +59,25 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("BroadcastExchange")) == 1)
   }
 
+  test("bigramNegLogProb: hand-checked Laplace smoothing, short docs surface") {
+    import spark.implicits._
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (b,a) -> cb[(a,b)]=2, cb[(b,a)]=2,
+    // cp[a]=2, cp[b]=2, V=2 -> every p = (2+1)/(2+2) = 0.75
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "   ")).toDF("doc_id", "text")
+    val out = Corpus.bigramNegLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = r6(-math.log(0.75))
+    assert(out(1L) == ((3L, expect)))
+    assert(out(2L) == ((1L, expect)))
+    assert(out(3L) == ((0L, 0.0))) // sub-2-token doc surfaces, score 0
+    // scale contract: bigram/prefix count attaches shuffle, only V broadcasts
+    val plan = Corpus.bigramNegLogProb(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastExchange")) == 1)
+  }
+
   test("reweightMixture: copy counts per weight, determinism, drop/passthrough") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, s"doc number $i text",
