@@ -166,7 +166,12 @@ object Corpus {
     */
   def unigramNegLogProb(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
+    // checkpoint: the exploded token stream feeds three consumers (term
+    // counts, corpus total, per-doc probe) — unmaterialized, the regex
+    // tokenize of the whole corpus would re-run per consumer (the same
+    // trap topNgrams' projection-materialization comment documents)
     val toks = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
     val termCounts = toks.groupBy("term").agg(count(lit(1)).as("__c"))
     val total = toks.agg(count(lit(1)).as("__n"))
     val perDoc = toks
@@ -349,12 +354,16 @@ object Corpus {
   def bigramNegLogProb(df: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    // checkpoint: the bigram stream feeds three consumers (bigram counts,
+    // prefix counts via them, per-doc probe) and the vocab agg re-reads
+    // toks — materialize once instead of re-tokenizing per consumer
     val bi = toks.filter(size(col("__toks")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("__toks")) - 2),
         i => struct(element_at(col("__toks"), i + 1).as("prev"),
           element_at(col("__toks"), i + 2).as("cur")))).as("__b"))
       .select(col(idCol), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+      .localCheckpoint(true)
     val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
     val cp = cb.groupBy("prev").agg(sum(col("__cb")).as("__cp"))
     val vocab = toks.select(explode(col("__toks")).as("t"))

@@ -301,15 +301,23 @@ object Dedup {
     */
   def ngramJaccardAgainst(incoming: DataFrame, existing: DataFrame,
                           textCol: String, idCol: String,
-                          n: Int, threshold: Double): DataFrame = {
-    def idx(df: DataFrame) = wordShingled(df, textCol, idCol, n)
-      .select(col("__id"), size(col("__sh")).as("__ns"),
-        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
-    val inc = idx(incoming)
-      .select(col("__s"), col("__id").as("inc_id"), col("__ns").as("__na"))
-    val ex = idx(existing)
-      .select(col("__s"), col("__id").as("ex_id"), col("__ns").as("__nb"))
-    inc.join(ex.hint("shuffle_hash"), Seq("__s"))
+                          n: Int, threshold: Double): DataFrame =
+    bipartiteJaccard(
+      shingleIndex(incoming, textCol, idCol, n), idCol,
+      shingleIndex(existing, textCol, idCol, n), idCol, threshold)
+
+  /** The shared bipartite join of the cross-corpus screens: both sides
+    * in [[shingleIndex]] shape, output (inc_id, ex_id, jaccard) at or
+    * above `threshold`.
+    */
+  private def bipartiteJaccard(incIdx: DataFrame, incIdCol: String,
+                               exIdx: DataFrame, exIdCol: String,
+                               threshold: Double): DataFrame = {
+    val inc = incIdx.select(col("shingle"), col(incIdCol).as("inc_id"),
+      col("n_shingles").as("__na"))
+    val ex = exIdx.select(col("shingle"), col(exIdCol).as("ex_id"),
+      col("n_shingles").as("__nb"))
+    inc.join(ex.hint("shuffle_hash"), Seq("shingle"))
       .groupBy("inc_id", "ex_id", "__na", "__nb")
       .agg(count(lit(1)).as("__c"))
       .withColumn("jaccard", col("__c").cast(DoubleType) /
@@ -362,17 +370,15 @@ object Dedup {
   def nearDupIncrementalAgainstIndex(incoming: DataFrame, index: DataFrame,
                                      textCol: String, idCol: String,
                                      n: Int, threshold: Double): DataFrame = {
-    val batchSurvivors = nearDupSurvivors(incoming, textCol, idCol, n, threshold)
-    val inc = shingleIndex(batchSurvivors, textCol, idCol, n)
-      .select(col("shingle"), col(idCol).as("__inc"), col("n_shingles").as("__na"))
-    val ex = index
-      .select(col("shingle"), col(idCol).as("__exid"), col("n_shingles").as("__nb"))
-    val hits = inc.join(ex.hint("shuffle_hash"), Seq("shingle"))
-      .groupBy("__inc", "__exid", "__na", "__nb")
-      .agg(count(lit(1)).as("__c"))
-      .filter(atLeast(col("__c").cast(DoubleType) /
-        (col("__na") + col("__nb") - col("__c")), threshold))
-      .select(col("__inc").as(idCol)).distinct()
+    // checkpoint: the whole within-batch clustering (pairs + connected
+    // components + anti-join) feeds BOTH the index probe and the final
+    // anti-join — unmaterialized it would execute twice per batch
+    val batchSurvivors =
+      nearDupSurvivors(incoming, textCol, idCol, n, threshold).localCheckpoint(true)
+    val hits = bipartiteJaccard(
+      shingleIndex(batchSurvivors, textCol, idCol, n), idCol,
+      index, idCol, threshold)
+      .select(col("inc_id").as(idCol)).distinct()
     batchSurvivors.join(hits.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
@@ -414,10 +420,12 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__h").orderBy("__id", "__s")))
       .filter(col("__rn") >= 2)
+    // collect_set deduplicates overlapping spans' positions itself — a
+    // distinct() here would add a second full shuffle of the position
+    // stream (k rows per non-canonical occurrence, the op's largest)
     val removed = nonCanon
       .select(col("__id"),
         explode(sequence(col("__s"), col("__s") + lit(k - 1))).as("__pos"))
-      .distinct()
       .groupBy("__id").agg(collect_set(col("__pos")).as("__rm"))
     // shuffle_hash: the removal-set frame is Θ(docs with duplication) —
     // corpus-order, never a driver broadcast
@@ -987,6 +995,19 @@ object Dedup {
     }
   }
 
+  /** Cell-count planning for [[semdedupPairs]] at a given corpus size:
+    * like [[planCosineLsh]]'s bits, nCells must GROW with n — fixed
+    * cells at a growing corpus is the quadratic trap (candidate volume
+    * Σ|cell|²/2 ≈ nAssign² · n²/(2·nCells)). Holding cell population
+    * near `targetCellSize` keeps the candidate stream linear in n:
+    * ~n · nAssign² · targetCellSize / 2 pairs.
+    */
+  def planSemdedupCells(n: Long, targetCellSize: Int = 200,
+                        nAssign: Int = 2): Int = {
+    require(n > 0 && targetCellSize > 0, s"n=$n targetCellSize=$targetCellSize")
+    math.max(1, math.ceil(n.toDouble * nAssign / targetCellSize).toInt)
+  }
+
   /** Clustered semantic dedup ("SemDeDup", Abbas et al. 2023): assign
     * every embedding to its `nAssign` nearest IVF centroid cells, then
     * emit pairs sharing any cell with cosine ≥ `threshold`. Versus
@@ -1014,19 +1035,6 @@ object Dedup {
     * scale cap cell population by raising `nCells` (the paper's
     * cluster-size cap plays the same role).
     */
-  /** Cell-count planning for [[semdedupPairs]] at a given corpus size:
-    * like [[planCosineLsh]]'s bits, nCells must GROW with n — fixed
-    * cells at a growing corpus is the quadratic trap (candidate volume
-    * Σ|cell|²/2 ≈ nAssign² · n²/(2·nCells)). Holding cell population
-    * near `targetCellSize` keeps the candidate stream linear in n:
-    * ~n · nAssign² · targetCellSize / 2 pairs.
-    */
-  def planSemdedupCells(n: Long, targetCellSize: Int = 200,
-                        nAssign: Int = 2): Int = {
-    require(n > 0 && targetCellSize > 0, s"n=$n targetCellSize=$targetCellSize")
-    math.max(1, math.ceil(n.toDouble * nAssign / targetCellSize).toInt)
-  }
-
   def semdedupPairs(df: DataFrame, vecCol: String, idCol: String,
                     threshold: Double, nCells: Int,
                     nAssign: Int = 2, iters: Int = 3): DataFrame = {
@@ -1044,6 +1052,10 @@ object Dedup {
     val parts = Seq.newBuilder[DataFrame]
     for (m <- 1 to nAssign) {
       val prior = (1 until m).map(i => col(s"__c$i"))
+      // checkpoint each pass: `best` feeds BOTH the cells union and the
+      // next pass's exclusion list — unmaterialized, pass m's full
+      // score+aggregate subtree (the dominant cost) would re-execute
+      // inside every later pass (Spark shares no common subplans)
       val best = scored.join(chosen.hint("shuffle_hash"), Seq("__id"))
         .filter(prior.foldLeft(lit(true))((p, c) => p && col("centroid_id") =!= c))
         .groupBy("__id")
@@ -1051,6 +1063,7 @@ object Dedup {
           col("centroid_id"), col("__v"))).as("__best"))
         .select(col("__id"), col("__best.centroid_id").as(s"__c$m"),
           col("__best.__v").as("__v"))
+        .localCheckpoint(true)
       parts += best.select(col("__id"), col(s"__c$m").as("centroid_id"), col("__v"))
       chosen = chosen.join(
         best.select(col("__id"), col(s"__c$m")).hint("shuffle_hash"), Seq("__id"))

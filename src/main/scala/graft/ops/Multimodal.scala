@@ -416,9 +416,6 @@ object Multimodal {
     bb.array()
   }
 
-  /** Wrap a binary column in the MP3 envelope row-by-row (fixture half of
-    * `q_mm_mp3_meta`; see [[mp3Payload]]).
-    */
   /** Wrap a binary column in a FLAC envelope row-by-row — the fixture
     * half of the `q_mm_flac_meta` gate (see [[flacPayload]]).
     */
@@ -462,6 +459,9 @@ object Multimodal {
     }(enc)
   }
 
+  /** Wrap a binary column in the MP3 envelope row-by-row (fixture half of
+    * `q_mm_mp3_meta`; see [[mp3Payload]]).
+    */
   def synthesizeMp3(df: DataFrame, idCol: String, payloadCol: String,
                     bitrateKbps: Int = 128, sampleRate: Int = 44100): DataFrame = {
     val outSchema = StructType(Seq(

@@ -119,10 +119,12 @@ object Similarity {
   }
 
   /** Nearest centroid per vector (centroids broadcast; argmin via
-    * greatest-cosine struct — one pass, no window). `private[ops]`:
-    * [[graft.ops.Dedup.semdedupPairs]] reuses the assignment pass.
+    * greatest-cosine struct — one pass, no window).
+    * [[graft.ops.Dedup.semdedupPairs]] runs the same max-struct argmax
+    * shape but inline (its peeled passes carry exclusion columns this
+    * single-assignment signature has no room for).
     */
-  private[ops] def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val joined = vecs.crossJoin(broadcast(centroids))
       .withColumn("__cos", cosine(col("__v"), col("centroid")))
     // max_by over (cosine, centroid_id desc tie-break) — deterministic

@@ -116,8 +116,11 @@ object Text {
         StyleBlockRe, " "),
       HtmlCommentRe, " ")
     val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
-    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    // &amp; decodes LAST (standard entity-decode order): doing it first
+    // would double-decode doubly-escaped text — an author's literal
+    // "&amp;lt;" must extract as "&lt;", not "<"
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
     // entity strings contain no regex metacharacters — used verbatim so
     // the oracle's RE2 runs the byte-identical pattern (\Q...\E quoting
     // would be java.util.regex-only)

@@ -100,6 +100,13 @@ object Curate {
     // stripDuplicatedSpans' scaladoc) and BEFORE quality: unlike the PII
     // scrub, stripping can remove a large fraction of a document, and the
     // token-band filter must judge the text that actually ships.
+    // SEMANTICS NOTE: the stripped text is rebuilt from normalized
+    // tokens (lowercased, whitespace-collapsed) for EVERY doc, not just
+    // stripped ones. Downstream this is invisible — chunk_text is built
+    // from Text.tokens and ships normalized in the default chain too,
+    // and the quality band/scrub/split operate identically on normalized
+    // text — but a caller tapping intermediate stages should know the
+    // original casing is gone once this stage is on.
     val stripped =
       if (stripSpanK > 0)
         screened.drop(textCol).join(

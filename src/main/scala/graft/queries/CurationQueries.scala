@@ -1271,11 +1271,11 @@ object CurationQueries {
                     '(?s)<!--.*?-->', ' ', 'g'),
                     '<[^>]+>', ' ', 'g'),
                     '&nbsp;', ' ', 'g'),
-                    '&amp;', '&', 'g'),
                     '&lt;', '<', 'g'),
                     '&gt;', '>', 'g'),
                     '&quot;', '"', 'g'),
                     '&#39;', '''', 'g'),
+                    '&amp;', '&', 'g'),
                   '\s+', ' ', 'g')) AS clean
               FROM page)
             SELECT doc_id, clean, CAST(LENGTH(clean) AS BIGINT) AS n_chars

@@ -67,9 +67,12 @@ object TrackStream {
     * [[graft.ops.Dedup.exactDedupIncremental]] against the ingested
     * corpus).
     *
-    * Same transform batch and streaming: a batch frame routes through
-    * plain dropDuplicates on the digest (first-arrival semantics is
-    * row-order-free there — any survivor has identical content).
+    * Same transform batch and streaming: the batch path keeps the
+    * EARLIEST `timeCol` row per digest (matching the stream's
+    * first-arrival semantics), with a content-keyed hash of the full row
+    * breaking time ties — plain dropDuplicates would keep a
+    * partition-order-dependent survivor, and its id/time columns would
+    * then differ run to run, violating the repo's determinism contract.
     *
     * `timeCol` is the event-time column; output carries the input
     * columns plus the digest (so a downstream sink can build the
@@ -83,6 +86,15 @@ object TrackStream {
       withDigest
         .withWatermark(timeCol, watermark)
         .dropDuplicatesWithinWatermark("__digest")
-    else withDigest.dropDuplicates("__digest")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__digest"))
+        .orderBy(col(timeCol).asc,
+          xxhash64(struct(docs.columns.map(col): _*)).asc)
+      withDigest
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
   }
 }

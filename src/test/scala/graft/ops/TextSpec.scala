@@ -33,7 +33,10 @@ class TextSpec extends SparkTestBase {
       (2L, "<style>p { color: red }</style>plain <!-- hidden note --> text"),
       (3L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
       (4L, "no markup at all"),
-      (5L, "<div class=\"x\" data-y='1'>nested <b>bold</b> run</div>"))
+      (5L, "<div class=\"x\" data-y='1'>nested <b>bold</b> run</div>"),
+      // doubly-escaped: the author WROTE "&lt;" (escaped as &amp;lt;) —
+      // decoding &amp; last keeps it "&lt;" instead of collapsing to "<"
+      (6L, "shows &amp;lt;tag&amp;gt; literally"))
       .toDF("id", "html")
     val out = cases.select($"id", Text.stripHtml($"html").as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -42,6 +45,7 @@ class TextSpec extends SparkTestBase {
     assert(out(3L) == "a & b <tag> \"q\" 's' end")
     assert(out(4L) == "no markup at all")
     assert(out(5L) == "nested bold run")
+    assert(out(6L) == "shows &lt;tag&gt; literally")
   }
 
   test("normalize lowers, collapses whitespace, trims") {

@@ -66,13 +66,15 @@ class TrackStreamSpec extends SparkTestBase {
       val kept = spark.table("dedup_out").select("doc_id").collect()
         .map(_.getLong(0)).toSet
       assert(kept == Set(1L, 3L, 5L)) // 2 (intra-batch) and 4 (cross-batch) dropped
-      // batch twin keeps one row per digest with identical content
+      // batch twin keeps the EARLIEST row per digest — deterministic
+      // survivor identity, matching the stream's first-arrival rule
+      // (plain dropDuplicates would keep a partition-order-dependent row)
       val batch = TrackStream.dedupStream(
         Seq((1L, ts("2024-03-11 06:00:00"), "fresh content about fishing"),
           (2L, ts("2024-03-11 06:01:00"), "FRESH   content about fishing"),
           (3L, ts("2024-03-11 06:02:00"), "another unique document"))
-          .toDF("doc_id", "Time", "text"), "text", "Time")
-      assert(batch.count() == 2)
+          .toDF("doc_id", "Time", "text").repartition(7), "text", "Time")
+      assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
     } finally query.stop()
   }
 
