@@ -503,6 +503,75 @@ object CurationQueries {
             FROM best_of ORDER BY doc_id"""
     })
 
+  /** One-pass document annotation: the metadata-materialization job
+    * that precedes corpus decisions — language ID, quality band fields,
+    * unigram-LM score, content fingerprint and split label in a single
+    * frame. Everything is fused scan expressions except the LM score's
+    * corpus joins; the final attach is a shuffle-hash join on the id
+    * (both sides corpus-sized). Oracle re-derives every column.
+    */
+  val curateAnnotate = Q("q_curate_annotate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ppl = Corpus.unigramNegLogProb(d, "text", "doc_id")
+        .select(col("doc_id"), col("neg_logp"))
+      d.select(col("doc_id"),
+        Text.langId(col("text")).as("lang_pred"),
+        Text.qualityStruct(col("text")).as("q"),
+        Text.fingerprintMd5(col("text")).as("fp_md5"),
+        Text.hashSplit(Text.normalize(col("text")),
+          Seq("train" -> "cd", "valid" -> "e6"), "test").as("split"))
+        .select(col("doc_id"), col("lang_pred"),
+          col("q.n_tokens").cast(LongType).as("n_tokens"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.stopword_hit_ratio").as("stopword_hit_ratio"),
+          col("fp_md5"), col("split"))
+        .join(ppl.hint("shuffle_hash"), Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val profiles = Text.langProfiles
+      val scoreExprs = profiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ')), $arr)) AS s_$lang"""
+      }.mkString(",\n                ")
+      val best = profiles.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val caseArms = profiles.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString("\n                ")
+      s"""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t,
+                     TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            uni AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+            cnt AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+            tot AS (SELECT COUNT(*) AS n FROM uni),
+            ppl AS (
+              SELECT doc_id, AVG(-LN(CAST(c AS DOUBLE) / n)) AS m
+              FROM uni JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id),
+            q AS (
+              SELECT doc_id, LEN(text) AS n_chars, LEN(t) AS n_tokens,
+                LEN(LIST_INTERSECT(LIST_DISTINCT(t),
+                  ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop,
+                $scoreExprs,
+                MD5(ntext) AS fp_md5,
+                CASE WHEN SUBSTR(MD5(ntext), 1, 2) < 'cd' THEN 'train'
+                     WHEN SUBSTR(MD5(ntext), 1, 2) < 'e6' THEN 'valid'
+                     ELSE 'test' END AS split
+              FROM documents JOIN toks USING (doc_id)),
+            b AS (SELECT *, $best AS best FROM q)
+            SELECT b.doc_id,
+              CASE WHEN best = 0 THEN 'und'
+                $caseArms
+                ELSE 'und' END AS lang_pred,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+              CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_hit_ratio,
+              fp_md5, split,
+              ROUND(COALESCE(ppl.m, 0.0), 6) AS neg_logp
+            FROM b LEFT JOIN ppl ON b.doc_id = ppl.doc_id
+            ORDER BY b.doc_id"""
+    })
+
   /** Keep-one-per-cluster near-dup removal: word-3-gram Jaccard pairs →
     * connected components (min-label propagation) → drop every document
     * that isn't its cluster's minimum id. Oracle: transitive closure via
@@ -1432,6 +1501,7 @@ object CurationQueries {
     knnBrute, knnLsh, knnIvf,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
+    curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
