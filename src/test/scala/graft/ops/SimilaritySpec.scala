@@ -115,6 +115,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(i8 >= 0.85, s"IVF nprobe=8/nlist=16 recall below refined-centroid floor: $i8")
   }
 
+  test("sq8TopK: near-exact recall vs brute force, deterministic reruns") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.sq8TopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = run()
+    // 256 quantization levels per dim → reconstruction error ~span/512;
+    // top-5 sets should barely move. Gate at 0.9 (measured well above).
+    val gotSet = got.map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+    val recall = gotSet.intersect(exact).size.toDouble / exact.size
+    info(s"SQ8 recall@5 = $recall")
+    assert(recall >= 0.9, s"SQ8 recall collapsed: $recall")
+    // quantization is hash-free and data-deterministic — rerun is identical
+    assert(run() == got)
+    // reconstructed cosines stay within quantization error of the exact ones
+    val exactCos = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val k = (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      exactCos.get(k).foreach { c =>
+        assert(math.abs(c - r(3).asInstanceOf[Double]) < 0.02,
+          s"SQ8 cosine drifted: $k exact=$c sq8=${r(3)}")
+      }
+    }
+  }
+
+  test("sq8 codes stay in the signed-byte domain and constant dims decode to mn") {
+    // a corpus with one constant dimension (span = 0) and extreme values
+    val rows = Seq(
+      (0L, Array(1.0, -3.0, 7.0)),
+      (1L, Array(1.0, 5.0, -2.0)),
+      (2L, Array(1.0, 0.0, 4.0)))
+    val d = rows.toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(
+      d.filter(col("vec_id") === 0), d, "vec_id", "embedding", "vec_id", "embedding", 2)
+      .collect()
+    assert(out.length == 2) // no crash on span-0 dim; both neighbors ranked
+    assert(out.forall(r => !r.isNullAt(2)))
+  }
+
   test("bruteForceTopK matches a local exact computation") {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
