@@ -418,4 +418,30 @@ object Corpus {
       .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
       .drop("__copies")
   }
+
+  /** Deterministic epoch shuffle: every row gets a pseudo-random `shard`
+    * (one md5-prefix byte mod `nShards` — no RNG, so the permutation is a
+    * pure function of (seed, id) and reproduces across runs, engines and
+    * partitionings) and a dense 1-based `pos` within its shard (by hash
+    * order). Reading shards in (shard, pos) order yields a shuffled epoch;
+    * a new `seed` (e.g. the epoch number) draws a fresh permutation.
+    *
+    * Scale shape: shard assignment is a pure expression; positioning is a
+    * row_number over (shard) — `nShards` partition-parallel sorts, never
+    * a single global sort. At 100 TB pick nShards so one shard fits an
+    * executor's spillable sort (thousands); training readers consume
+    * shard files independently, which is exactly the layout they want.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = ""): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards=$nShards out of [1,256] (one md5 byte drives assignment)")
+    def nib(i: Int): Column =
+      expr(s"instr('0123456789abcdef', substring(__k, $i, 1))") - 1
+    df.withColumn("__k", md5(concat(lit(seed), col(idCol).cast(StringType))))
+      .withColumn("shard", (nib(1) * 16 + nib(2)) % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__k"), col(idCol))))
+      .drop("__k")
+  }
 }

@@ -699,6 +699,32 @@ object CurationQueries {
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
+  /** Deterministic epoch shuffle: md5-derived shard + dense in-shard
+    * position. Same permutation from any engine — the oracle recomputes
+    * it byte-for-byte in SQL.
+    */
+  val curateShuffle = Q("q_curate_shuffle_shard",
+    (s, dir) =>
+      Corpus.shuffleShard(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "doc_id", nShards = 8, seed = "ep0")
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy("shard", "pos"),
+    Some("""WITH k AS (
+              SELECT doc_id, source,
+                     MD5('ep0' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, source, h,
+                     CAST(((STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 16 +
+                           (STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1)) % 8
+                          AS INTEGER) AS shard
+              FROM k)
+            SELECT doc_id, source, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                        AS INTEGER) AS pos
+            FROM s ORDER BY shard, pos"""))
+
   /** C4-style PII/noise scrub: emails, URLs, phone numbers → typed
     * placeholders. The corpus carries no PII, so the gate plants a
     * deterministic email+URL+phone per doc and scrubs it — the regexes
@@ -1537,7 +1563,8 @@ object CurationQueries {
     dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,
     knnBrute, knnLsh, knnIvf, knnSq8,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
-    curateSplit, curateScrub, curateRepetition, curateChunk, curatePack,
+    curateSplit, curateShuffle, curateScrub, curateRepetition, curateChunk,
+    curatePack,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,

@@ -161,6 +161,33 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("shuffleShard: dense per-shard positions, seed-keyed permutation, no global sort") {
+    import spark.implicits._
+    val df = (0 until 200).map(_.toLong).toDF("doc_id")
+    val out = Corpus.shuffleShard(df, "doc_id", nShards = 8, seed = "ep0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 200)
+    // every row landed in [0, 8) and positions are dense 1..n per shard
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // md5 spreads: no shard grabs more than 3x its uniform share
+    assert(out.groupBy(_._2).values.map(_.length).max <= 75)
+    // deterministic rerun; a new seed draws a different permutation
+    val again = Corpus.shuffleShard(df, "doc_id", nShards = 8, seed = "ep0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val ep1 = Corpus.shuffleShard(df, "doc_id", nShards = 8, seed = "ep1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(ep1.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+    // scale shape: the window partitions by shard — never a single global sort
+    val plan = Corpus.shuffleShard(df, "doc_id", nShards = 8, seed = "ep0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      "shuffleShard must hash-partition by shard, not range-sort globally")
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
