@@ -93,6 +93,40 @@ object Corpus {
       .drop("__pos")
   }
 
+  /** [[packChunks]] with sequence-length bucketing: chunks are first
+    * binned by `bucketBounds` (bucket = number of bounds <= n_tokens, so
+    * bounds (17, 32) give buckets len<17 / 17..31 / 32) and packs are cut
+    * within (split, len_bucket, shard). Batches built from one pack then
+    * hold near-equal-length sequences — the standard pad-waste reduction:
+    * without bucketing a 5-token tail chunk lands between two full
+    * chunks and the whole batch pads to the longest member.
+    *
+    * Same scale shape as [[packChunks]] (window cumsum per partition;
+    * bucketing only splits the partitions finer, it adds no shuffle —
+    * the bucket is a pure expression on n_tokens).
+    */
+  def packChunksBucketed(chunks: DataFrame, idCol: String, chunkIdCol: String,
+                         nTokensCol: String, splitCol: String,
+                         seqLen: Int, nShards: Int,
+                         bucketBounds: Seq[Int]): DataFrame = {
+    require(seqLen >= 1 && nShards >= 1, s"seqLen=$seqLen nShards=$nShards must be >= 1")
+    require(bucketBounds.nonEmpty && bucketBounds == bucketBounds.sorted,
+      s"bucketBounds=$bucketBounds must be non-empty and ascending")
+    val bucket = bucketBounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(nTokensCol) >= b, 1).otherwise(0)
+    }
+    val w = Window.partitionBy(col(splitCol), col("len_bucket"), col("shard"))
+      .orderBy(col(idCol), col(chunkIdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("shard", col(idCol) % nShards)
+      .withColumn("len_bucket", bucket)
+      .withColumn("__pos", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      .withColumn("pack_id", expr(s"__pos div $seqLen"))
+      .withColumn("pack_offset", col("__pos") % seqLen)
+      .drop("__pos")
+  }
+
   /** Hex upper bound for a keep-fraction over 16^4 = 65536 uniform
     * md5-prefix buckets (granularity 1/65536 ≈ 0.0015%).
     */

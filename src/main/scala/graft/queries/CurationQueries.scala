@@ -1169,6 +1169,61 @@ object CurationQueries {
     * training packs, 8 shards, hash-split labels — integer-exact, so the
     * oracle reproduces it bit-for-bit with a window cumsum.
     */
+  /** Length-bucketed packing twin of [[curatePack]]: chunks bin by token
+    * length before the cumsum, so a pack holds near-equal-length
+    * sequences (pad-waste reduction). Bounds (17, 32) split the 32/24
+    * chunking's lengths into tails (<17), mids (17..31) and full chunks.
+    */
+  val curatePackBucketed = Q("q_curate_pack_bucketed",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val chunks = d.select(col("doc_id"),
+          Text.hashSplit(Text.normalize(col("text")),
+            Seq("train" -> "cd", "valid" -> "e6"), "test").as("split"),
+          posexplode(Text.tokenChunks(Text.tokens(col("text")), 32, 24))
+            .as(Seq("__pos", "c")))
+        .select(col("doc_id"), col("split"), (col("__pos") + 1).as("chunk_id"),
+          col("c.n_tokens").as("n_tokens"))
+      Corpus.packChunksBucketed(chunks, "doc_id", "chunk_id", "n_tokens", "split",
+        seqLen = 128, nShards = 8, bucketBounds = Seq(17, 32))
+        .select(col("doc_id"), col("chunk_id"), col("split"), col("shard"),
+          col("len_bucket"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            toks AS (SELECT doc_id, ntext,
+                            LIST_FILTER(STRING_SPLIT(ntext, ' '), x -> x <> '') AS t
+                     FROM base),
+            starts AS (
+              SELECT doc_id, ntext, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+              FROM toks WHERE LEN(t) > 0),
+            ch AS (
+              SELECT doc_id,
+                     CASE WHEN SUBSTR(MD5(ntext), 1, 2) < 'cd' THEN 'train'
+                          WHEN SUBSTR(MD5(ntext), 1, 2) < 'e6' THEN 'valid'
+                          ELSE 'test' END AS split,
+                     CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
+                     CAST(LEN(t[s + 1 : s + 32]) AS BIGINT) AS n_tokens
+              FROM starts),
+            bk AS (
+              SELECT *, (CASE WHEN n_tokens >= 17 THEN 1 ELSE 0 END +
+                         CASE WHEN n_tokens >= 32 THEN 1 ELSE 0 END) AS len_bucket
+              FROM ch),
+            pk AS (
+              SELECT doc_id, chunk_id, split, doc_id % 8 AS shard, len_bucket,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY split, len_bucket, doc_id % 8
+                       ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS pos
+              FROM bk)
+            SELECT doc_id, chunk_id, split, shard, len_bucket,
+                   CAST(pos // 128 AS BIGINT) AS pack_id,
+                   CAST(pos % 128 AS BIGINT) AS pack_offset
+            FROM pk
+            ORDER BY doc_id, chunk_id"""))
+
   val curatePack = Q("q_curate_pack",
     (s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1564,7 +1619,7 @@ object CurationQueries {
     knnBrute, knnLsh, knnIvf, knnSq8,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateShuffle, curateScrub, curateRepetition, curateChunk,
-    curatePack,
+    curatePack, curatePackBucketed,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,

@@ -161,6 +161,30 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("packChunksBucketed: buckets split the cumsum, full chunks tile exactly") {
+    import spark.implicits._
+    // doc 0: two full 32-token chunks + a 5-token tail; doc 8 (same shard
+    // under nShards=1... use nShards=1): one full + one 20-token mid
+    val chunks = Seq(
+      (0L, 1, 32L, "train"), (0L, 2, 32L, "train"), (0L, 3, 5L, "train"),
+      (8L, 1, 32L, "train"), (8L, 2, 20L, "train"))
+      .toDF("doc_id", "chunk_id", "n_tokens", "split")
+    val out = Corpus.packChunksBucketed(chunks, "doc_id", "chunk_id",
+      "n_tokens", "split", seqLen = 64, nShards = 1, bucketBounds = Seq(17, 32))
+      .select("doc_id", "chunk_id", "len_bucket", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // buckets: 32-token chunks -> 2, the 20-token mid -> 1, the 5-token tail -> 0
+    assert(out.map(_._3).toSeq == Seq(2, 2, 0, 2, 1))
+    // full chunks tile their bucket's packs with zero pad slack:
+    // three 32s into seqLen=64 -> offsets 0,32 in pack 0, then 0 in pack 1
+    val full = out.filter(_._3 == 2).map(t => (t._4, t._5)).toSeq
+    assert(full == Seq((0L, 0L), (0L, 32L), (1L, 0L)))
+    // tails/mids start their own packs — never padded against a 32
+    assert(out.filter(_._3 == 0).map(t => (t._4, t._5)).toSeq == Seq((0L, 0L)))
+    assert(out.filter(_._3 == 1).map(t => (t._4, t._5)).toSeq == Seq((0L, 0L)))
+  }
+
   test("shuffleShard: dense per-shard positions, seed-keyed permutation, no global sort") {
     import spark.implicits._
     val df = (0 until 200).map(_.toLong).toDF("doc_id")
