@@ -163,8 +163,8 @@ class CorpusSpec extends SparkTestBase {
 
   test("packChunksBucketed: buckets split the cumsum, full chunks tile exactly") {
     import spark.implicits._
-    // doc 0: two full 32-token chunks + a 5-token tail; doc 8 (same shard
-    // under nShards=1... use nShards=1): one full + one 20-token mid
+    // doc 0: two full 32-token chunks + a 5-token tail;
+    // doc 8: one full chunk + one 20-token mid (all in shard 0: nShards=1)
     val chunks = Seq(
       (0L, 1, 32L, "train"), (0L, 2, 32L, "train"), (0L, 3, 5L, "train"),
       (8L, 1, 32L, "train"), (8L, 2, 20L, "train"))
