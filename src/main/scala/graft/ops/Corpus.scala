@@ -453,6 +453,22 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** URL/domain blocklist filter — the C4/RefinedWeb-style source screen:
+    * drop every row whose URL's domain ([[Text.urlDomain]]) appears in
+    * `blocked`. The blocklist is a DataFrame, not an in-memory set: real
+    * blocklists run to millions of domains, so the filter is an anti-join
+    * (Spark broadcasts it automatically below the threshold; above, it
+    * degrades gracefully to a shuffle anti-join on the domain key —
+    * either way the document text never shuffles, only (domain, id)).
+    */
+  def filterByDomainBlocklist(df: DataFrame, urlCol: String,
+                              blocked: DataFrame, blockedCol: String): DataFrame = {
+    val b = blocked.select(col(blockedCol).as("__blocked_domain")).distinct()
+    df.withColumn("__domain", Text.urlDomain(col(urlCol)))
+      .join(b, col("__domain") === col("__blocked_domain"), "left_anti")
+      .drop("__domain")
+  }
+
   /** Deterministic epoch shuffle: every row gets a pseudo-random `shard`
     * (one md5-prefix byte mod `nShards` — no RNG, so the permutation is a
     * pure function of (seed, id) and reproduces across runs, engines and

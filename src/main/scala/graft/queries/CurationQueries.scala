@@ -699,6 +699,45 @@ object CurationQueries {
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
+  /** Domain-blocklist screen: the corpus carries no URLs, so the gate
+    * plants a deterministic one per doc (doc_id-keyed domain from a
+    * 4-entry rotation), then extracts the domain and anti-joins a 2-entry
+    * blocklist — extraction must fire on real matches, not vacuously.
+    */
+  val curateDomainFilter = Q("q_curate_domain_filter",
+    (s, dir) => {
+      import s.implicits._
+      val domains = array(lit("alpha.example.com"), lit("spam.example.com"),
+        lit("beta.example.org"), lit("ads.example.net"))
+      val withUrl = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://www."),
+          element_at(domains, (col("doc_id") % 4 + 1).cast(IntegerType)),
+          lit("/p/"), col("doc_id").cast(StringType)).as("url"))
+      val blocked = Seq("spam.example.com", "ads.example.net").toDF("domain")
+      Corpus.filterByDomainBlocklist(withUrl, "url", blocked, "domain")
+        .select(col("doc_id"), Text.urlDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                     'https://www.' ||
+                     (CASE doc_id % 4 WHEN 0 THEN 'alpha.example.com'
+                                      WHEN 1 THEN 'spam.example.com'
+                                      WHEN 2 THEN 'beta.example.org'
+                                      ELSE 'ads.example.net' END) ||
+                     '/p/' || doc_id AS url
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     REGEXP_REPLACE(
+                       REGEXP_EXTRACT(LOWER(url), 'https?://([^/:?#]+)', 1),
+                       '^www\.', '') AS domain
+              FROM u)
+            SELECT doc_id, domain FROM d
+            WHERE domain NOT IN ('spam.example.com', 'ads.example.net')
+            ORDER BY doc_id"""))
+
   /** Deterministic epoch shuffle: md5-derived shard + dense in-shard
     * position. Same permutation from any engine — the oracle recomputes
     * it byte-for-byte in SQL.
@@ -1618,7 +1657,8 @@ object CurationQueries {
     dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,
     knnBrute, knnLsh, knnIvf, knnSq8,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
-    curateSplit, curateShuffle, curateScrub, curateRepetition, curateChunk,
+    curateSplit, curateShuffle, curateDomainFilter, curateScrub,
+    curateRepetition, curateChunk,
     curatePack, curatePackBucketed,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,

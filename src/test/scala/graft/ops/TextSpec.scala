@@ -94,4 +94,17 @@ class TextSpec extends SparkTestBase {
     assert(r(0).getString(0) == r(1).getString(0))
     assert(r(0).getLong(1) == r(1).getLong(1))
   }
+
+  test("urlDomain: host extraction across port/path/query/case/www edges") {
+    val cases = Seq(
+      "https://www.Example.COM/path?q=1" -> "example.com",
+      "http://sub.example.org:8080/x" -> "sub.example.org",
+      "https://example.net#frag" -> "example.net",
+      "https://wwwx.example.net/" -> "wwwx.example.net", // www-strip needs the dot
+      "ftp://example.com/x" -> "", // not http(s)
+      "plain text, no url" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(Text.urlDomain(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
 }
