@@ -453,6 +453,24 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** Token-length histogram per group — the corpus length-distribution
+    * diagnostic (where do my source's documents sit relative to the
+    * context window?). Bucket = min(n_tokens div bucketWidth, maxBucket);
+    * the last bucket absorbs the long tail. One hash aggregation with
+    * map-side partial combine — the coordination frame is
+    * groups × (maxBucket + 1), never corpus-sized.
+    */
+  def lengthHistogram(df: DataFrame, textCol: String, groupCol: String,
+                      bucketWidth: Int, maxBucket: Int): DataFrame = {
+    require(bucketWidth >= 1 && maxBucket >= 0,
+      s"bucketWidth=$bucketWidth maxBucket=$maxBucket")
+    df.select(col(groupCol),
+        Text.tokenCount(col(textCol)).cast(LongType).as("__n"))
+      .withColumn("len_bucket", least(expr(s"__n div $bucketWidth"), lit(maxBucket.toLong)))
+      .groupBy(col(groupCol), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+  }
+
   /** URL/domain blocklist filter — the C4/RefinedWeb-style source screen:
     * drop every row whose URL's domain ([[Text.urlDomain]]) appears in
     * `blocked`. The blocklist is a DataFrame, not an in-memory set: real

@@ -1434,6 +1434,27 @@ object CurationQueries {
                     + LN(CAST(SUM(n) AS DOUBLE)), 6) AS lang_entropy
             FROM pl GROUP BY source ORDER BY source"""))
 
+  /** Corpus length-distribution diagnostic: token-count histogram per
+    * source, 16-token buckets, tail absorbed at bucket 8.
+    */
+  val corpusLengthHist = Q("q_corpus_length_hist",
+    (s, dir) =>
+      Corpus.lengthHistogram(Tables.documents(s, dir), "text", "source",
+        bucketWidth = 16, maxBucket = 8)
+        .orderBy("source", "len_bucket"),
+    Some("""WITH n AS (
+              SELECT source,
+                     LEN(LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS nt
+              FROM documents)
+            SELECT source,
+                   CAST(LEAST(nt // 16, 8) AS BIGINT) AS len_bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens
+            FROM n GROUP BY source, LEAST(nt // 16, 8)
+            ORDER BY source, len_bucket"""))
+
   /** Vocabulary encoding under a frequency-ranked top-24 vocab (small
     * enough that the synthetic corpus' 31-word vocabulary has real OOV
     * positions). Oracle recomputes the identical rank and join.
@@ -1664,7 +1685,7 @@ object CurationQueries {
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
-    corpusTopNgrams, corpusSourceReport,
+    corpusTopNgrams, corpusSourceReport, corpusLengthHist,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
     curateE2E, curateE2EScale)
 }

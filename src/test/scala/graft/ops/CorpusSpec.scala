@@ -161,6 +161,22 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("lengthHistogram: bucket arithmetic and tail clamp") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "one two three"),            // 3 tokens -> bucket 0
+      ("a", Seq.fill(20)("w").mkString(" ")), // 20 -> bucket 2
+      ("a", Seq.fill(99)("w").mkString(" ")), // 99 -> clamped to maxBucket 3
+      ("b", ""))                          // 0 tokens -> bucket 0
+      .toDF("source", "text")
+    val out = Corpus.lengthHistogram(df, "text", "source",
+      bucketWidth = 8, maxBucket = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("a", 0L, 1L, 3L), ("a", 2L, 1L, 20L), ("a", 3L, 1L, 99L),
+      ("b", 0L, 1L, 0L)))
+  }
+
   test("packChunksBucketed: buckets split the cumsum, full chunks tile exactly") {
     import spark.implicits._
     // doc 0: two full 32-token chunks + a 5-token tail;
