@@ -3,15 +3,16 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Text}
+import graft.ops.{Corpus, Dedup, Text}
 
 /** The composed training-data curation stage: the per-op building blocks
   * (each individually oracle-gated) chained in the order a corpus
   * actually ships through them —
   *
-  *   [NFC canonicalize] → exact dedup → near-dup keep-one →
-  *   [benchmark decontaminate] → [substring strip] → quality filter →
-  *   PII scrub → content-hash split → context-window chunking
+  *   [domain blocklist] → [NFC canonicalize] → exact dedup →
+  *   near-dup keep-one → [benchmark decontaminate] → [substring strip] →
+  *   quality filter → PII scrub → content-hash split →
+  *   context-window chunking
   *
   * (bracketed stages optional, default off — the e2e gates run the
   * default chain so their oracles stay byte-exact)
@@ -53,7 +54,22 @@ object Curate {
             decontaminateN: Int = 8,
             decontaminateMinShared: Long = 1L,
             nfcNormalize: Boolean = false,
-            stripSpanK: Int = 0): DataFrame = {
+            stripSpanK: Int = 0,
+            urlCol: Option[String] = None,
+            blockedDomains: Seq[String] = Nil): DataFrame = {
+    // Optional domain blocklist before everything — the cheapest screen
+    // (one metadata predicate, no text touched) precedes any content stage,
+    // and a
+    // blocked doc must never influence dedup's keep-one choice (as a
+    // cluster's min id it would otherwise drop a legitimate survivor).
+    val sourceScreened = urlCol match {
+      case Some(u) if blockedDomains.nonEmpty =>
+        val sp = docs.sparkSession
+        import sp.implicits._
+        Corpus.filterByDomainBlocklist(docs, u,
+          blockedDomains.toDF("__blocked"), "__blocked")
+      case _ => docs
+    }
     // Optional Unicode canonicalization FIRST: every downstream content
     // hash (exact-dedup digest, shingle hashes, split fingerprint) keys
     // on bytes, so byte-variant spellings of identical text must collapse
@@ -61,9 +77,9 @@ object Curate {
     // and the stage must stay byte-identical to its oracles.
     val canon =
       if (nfcNormalize)
-        docs.withColumn(textCol,
+        sourceScreened.withColumn(textCol,
           graft.functions.TextExprs.nfcNormalize(col(textCol)))
-      else docs
+      else sourceScreened
     val deduped = Dedup.exactDedup(canon, textCol, idCol)
     // prefixFilter default TRUE here, opposite of the standalone near-dup
     // op: a curated corpus is exactly where hot shingles live (boilerplate

@@ -107,7 +107,9 @@ object Runner {
       minTokens = c.minTokens, maxTokens = c.maxTokens,
       maxShingleDocFreq = c.maxShingleDocFreq,
       nfcNormalize = c.nfcNormalize,
-      stripSpanK = c.stripSpanK), tables.curatedChunks)
+      stripSpanK = c.stripSpanK,
+      urlCol = c.urlCol,
+      blockedDomains = c.blockedDomains), tables.curatedChunks)
   }
 
   /** Full DAG in reference order. */

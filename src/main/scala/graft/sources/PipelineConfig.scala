@@ -24,7 +24,9 @@ object PipelineConfig {
     */
   case class CurationConf(jaccardThreshold: Double, minTokens: Long,
                           maxTokens: Long, nfcNormalize: Boolean,
-                          stripSpanK: Int, maxShingleDocFreq: Long)
+                          stripSpanK: Int, maxShingleDocFreq: Long,
+                          urlCol: Option[String] = None,
+                          blockedDomains: Seq[String] = Nil)
 
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
@@ -43,13 +45,20 @@ object PipelineConfig {
       getDouble("validation.k_catch").getOrElse(2.5),
       getDouble("validation.k_pricekg").getOrElse(3.0))
 
+    def getStringList(path: String): Seq[String] = get(path) match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case _ => Nil
+    }
+
     def curationConf: CurationConf = CurationConf(
       getDouble("curation.jaccard_threshold").getOrElse(0.2),
       getDouble("curation.min_tokens").map(_.toLong).getOrElse(30L),
       getDouble("curation.max_tokens").map(_.toLong).getOrElse(200L),
       getBoolean("curation.nfc_normalize").getOrElse(false),
       getDouble("curation.strip_span_k").map(_.toInt).getOrElse(0),
-      getDouble("curation.max_shingle_doc_freq").map(_.toLong).getOrElse(0L))
+      getDouble("curation.max_shingle_doc_freq").map(_.toLong).getOrElse(0L),
+      getString("curation.url_col"),
+      getStringList("curation.blocked_domains"))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r

@@ -318,6 +318,25 @@ class PipelineSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet == Set(11L, 12L))
   }
 
+  test("curate: domain blocklist screens before dedup so keep-one is unaffected") {
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 (blocked domain) is an exact dup of doc 2 with the SMALLER
+      // id — if the screen ran after dedup, keep-one would keep 1 and
+      // then drop it, losing the content entirely
+      (1L, s"$filler shared content body", "https://spam.example.com/a"),
+      (2L, s"$filler shared content body", "https://ok.example.org/b"),
+      (3L, s"unique ${(1 to 40).map(i => s"tok$i").mkString(" ")}", "https://ok.example.org/c"))
+      .toDF("doc_id", "text", "url")
+    val out = Curate(docs, urlCol = Some("url"),
+      blockedDomains = Seq("spam.example.com")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L, 3L),
+      "doc 2 must survive as the content's keeper once blocked doc 1 is screened first")
+    // blocklist off -> doc 1 wins keep-one instead
+    val open = Curate(docs).collect()
+    assert(open.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("export: matched tracks aggregate positions into 10-minute buckets") {
     val mergedTrips = Seq(("101", "101-1-1", "motorised boat", "Gillnet", "usipa", 24.5, 9001L))
       .toDF("submission_id", "survey_id", "vessel_type", "gear", "catch_taxon", "catch_kg", "Trip")

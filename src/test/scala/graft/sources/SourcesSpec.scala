@@ -208,6 +208,17 @@ class SourcesSpec extends SparkTestBase {
     val empty = PipelineConfig.parse("default:\n  other: 1\n")
     assert(empty.curationConf ==
       PipelineConfig.CurationConf(0.2, 30L, 200L, false, 0, 0L))
+    // domain-screen knobs: url column + a YAML list of blocked domains
+    val dom = PipelineConfig.parse(
+      """default:
+        |  curation:
+        |    url_col: url
+        |    blocked_domains:
+        |      - spam.example.com
+        |      - ads.example.net
+        |""".stripMargin).curationConf
+    assert(dom.urlCol.contains("url"))
+    assert(dom.blockedDomains == Seq("spam.example.com", "ads.example.net"))
   }
 
   test("S8: add_version stamps timestamp + short sha") {
