@@ -198,7 +198,11 @@ object Similarity {
               k: Int): DataFrame = {
     val c0 = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__v"))
     val q0 = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__v"))
-    val bounds = sqBounds(corpus, cVec)
+    // both the corpus and the query side cross-join the bounds row; an
+    // unmaterialized plan would re-run the whole bounds aggregation (its
+    // own corpus scan) once per side — eagerly checkpoint the single row
+    // so the corpus is scanned once for bounds, period
+    val bounds = sqBounds(corpus, cVec).localCheckpoint(true)
     // shift by -128 so the code domain is exactly TINYINT; span=0 dims
     // (constant across the corpus) code to 0 and dequantize to mn
     def encode(v: Column): Column =
