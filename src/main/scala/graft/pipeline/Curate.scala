@@ -58,10 +58,10 @@ object Curate {
             urlCol: Option[String] = None,
             blockedDomains: Seq[String] = Nil): DataFrame = {
     // Optional domain blocklist before everything — the cheapest screen
-    // (one metadata predicate, no text touched) precedes any content stage,
-    // and a
-    // blocked doc must never influence dedup's keep-one choice (as a
-    // cluster's min id it would otherwise drop a legitimate survivor).
+    // (one metadata predicate, no text touched) precedes any content
+    // stage, and a blocked doc must never influence dedup's keep-one
+    // choice (as a cluster's min id it would otherwise drop a legitimate
+    // survivor).
     val sourceScreened = urlCol match {
       case Some(u) if blockedDomains.nonEmpty =>
         val sp = docs.sparkSession
