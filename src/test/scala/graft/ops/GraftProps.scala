@@ -125,4 +125,50 @@ object GraftProps extends Properties("graft") {
         .select("id").collect().map(_.getLong(0)).toSet
       kept(small).subsetOf(kept(big))
     }
+
+  property("shuffleShard: a bijective relabeling — ids conserved, (shard,pos) unique, pos dense") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 16), Gen.alphaStr) { (n, shards, seed) =>
+      val ids = (0 until n).map(_.toLong)
+      val out = Corpus.shuffleShard(ids.toDF("id"), "id", shards, seed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val keys = out.map(t => (t._2, t._3))
+      out.map(_._1).toSet == ids.toSet &&
+        keys.distinct.length == n &&
+        out.groupBy(_._2).values.forall(g => g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+
+  property("packChunksBucketed: offsets advance by n_tokens within each pack chain") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)), Gen.chooseNum(8, 64)) { (lens, seqLen) =>
+      val chunks = lens.zipWithIndex.map { case (l, i) => (1L, i + 1, l, "train") }
+        .toDF("doc_id", "chunk_id", "n_tokens", "split")
+      val out = Corpus.packChunksBucketed(chunks, "doc_id", "chunk_id",
+        "n_tokens", "split", seqLen, nShards = 1, bucketBounds = Seq(8, 16, 32))
+        .select("chunk_id", "n_tokens", "len_bucket", "pack_id", "pack_offset")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      // within each bucket, running position (pack_id*seqLen + offset)
+      // equals the cumsum of preceding chunk lengths — no gaps, no overlap
+      out.groupBy(_._3).values.forall { g =>
+        val sorted = g.sortBy(_._1)
+        sorted.scanLeft(0L) { case (acc, c) => acc + c._2 }.init
+          .zip(sorted).forall { case (cum, c) => c._4 * seqLen + c._5 == cum }
+      }
+    }
+
+  property("sq8TopK: rank is dense 1..k per query and cosines are non-increasing") =
+    forAll(Gen.chooseNum(5, 20), Gen.chooseNum(2, 6), Gen.chooseNum(1L, 99L)) { (n, k, salt) =>
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17 + salt) % 13 - 6).toDouble)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val out = Similarity.sq8TopK(
+        df.filter(col("vec_id") < 2), df, "vec_id", "embedding", "vec_id", "embedding", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      out.groupBy(_._1).values.forall { g =>
+        val sorted = g.sortBy(_._4).toSeq
+        sorted.map(_._4) == (1 to g.length) &&
+          sorted.sliding(2).forall {
+            case Seq(a, b) => a._3 >= b._3 || (a._3.isNaN && b._3.isNaN)
+            case _ => true
+          }
+      }
+    }
 }
