@@ -453,6 +453,22 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** Per-group duplication report: how much of each source is exact-dup
+    * (by the normalized-content digest [[graft.ops.Dedup.exactDedup]]
+    * keys on). Drives mixing decisions — a crawl slice at 40% dup rate
+    * gets downweighted or re-deduped before it ships. Scale shape: one
+    * distinct-aggregate over (group, 16-byte digest) — text never
+    * shuffles, and the result is |groups| rows.
+    */
+  def dupRateReport(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), md5(Text.normalize(col(textCol))).as("__d"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__d")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("__d")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("dup_rate"))
+
   /** Token-length histogram per group — the corpus length-distribution
     * diagnostic (where do my source's documents sit relative to the
     * context window?). Bucket = min(n_tokens div bucketWidth, maxBucket);

@@ -1434,6 +1434,21 @@ object CurationQueries {
                     + LN(CAST(SUM(n) AS DOUBLE)), 6) AS lang_entropy
             FROM pl GROUP BY source ORDER BY source"""))
 
+  /** Per-source exact-dup rate — the mixing-decision diagnostic. */
+  val corpusDupRate = Q("q_corpus_dup_rate",
+    (s, dir) =>
+      Corpus.dupRateReport(Tables.documents(s, dir), "source", "text")
+        .orderBy("source"),
+    Some("""WITH d AS (
+              SELECT source,
+                     MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS dg
+              FROM documents)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT dg) AS n_distinct,
+                   ROUND(1 - CAST(COUNT(DISTINCT dg) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+            FROM d GROUP BY source ORDER BY source"""))
+
   /** Corpus length-distribution diagnostic: token-count histogram per
     * source, 16-token buckets, tail absorbed at bucket 8.
     */
@@ -1685,7 +1700,7 @@ object CurationQueries {
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
-    corpusTopNgrams, corpusSourceReport, corpusLengthHist,
+    corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
     curateE2E, curateE2EScale)
 }
