@@ -127,6 +127,51 @@ object Corpus {
       .drop("__pos")
   }
 
+  /** First-fit-decreasing bin packing within (split, shard) — the
+    * pad-waste optimum chaser where [[packChunks]] is the streaming
+    * greedy: chunks sort by length descending and each drops into the
+    * first pack with room, so packs close near-full (FFD uses at most
+    * 11/9·OPT + 1 packs). Costs a real sort + random access per group,
+    * which is exactly the shape Spark's relational layer can't express —
+    * this is the codebase's one deliberate `flatMapGroups` (typed
+    * per-group imperative logic), and `nShards` bounds the group that
+    * must fit one executor's memory, same knob as the window variant.
+    * An oversize chunk (n_tokens > seqLen) closes its own pack.
+    *
+    * Deterministic: items order by (n_tokens desc, id, chunk_id), packs
+    * probe in creation order — no RNG, no partition-order dependence.
+    * Output: (idCol, chunkIdCol, split, shard, pack_id, pack_offset) like
+    * [[packChunks]]; approximate-optimal rather than order-preserving, so
+    * it registers rows-only (FFD is not reasonably expressible in SQL).
+    */
+  def packChunksFFD(chunks: DataFrame, idCol: String, chunkIdCol: String,
+                    nTokensCol: String, splitCol: String,
+                    seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1 && nShards >= 1, s"seqLen=$seqLen nShards=$nShards must be >= 1")
+    val sp = chunks.sparkSession
+    import sp.implicits._
+    val base = chunks.select(
+      col(idCol).cast(LongType),
+      col(chunkIdCol).cast(IntegerType),
+      col(nTokensCol).cast(LongType),
+      col(splitCol).cast(StringType))
+      .as[(Long, Int, Long, String)]
+    base.groupByKey { case (id, _, _, split) => (split, (id % nShards).toInt) }
+      .flatMapGroups { (key: (String, Int), it: Iterator[(Long, Int, Long, String)]) =>
+        val (split, shard) = key
+        val items = it.toArray.sortBy { case (id, cid, n, _) => (-n, id, cid) }
+        val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, cid, n, _) =>
+          val fit = sums.indexWhere(_ + n <= seqLen)
+          val (pack, offset) =
+            if (fit >= 0) { val o = sums(fit); sums(fit) += n; (fit, o) }
+            else { sums += n; (sums.length - 1, 0L) }
+          (id, cid, split, shard, pack.toLong, offset)
+        }
+      }
+      .toDF(idCol, chunkIdCol, "split", "shard", "pack_id", "pack_offset")
+  }
+
   /** Hex upper bound for a keep-fraction over 16^4 = 65536 uniform
     * md5-prefix buckets (granularity 1/65536 ≈ 0.0015%).
     */

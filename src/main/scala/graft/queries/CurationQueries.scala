@@ -1263,6 +1263,27 @@ object CurationQueries {
             FROM pk
             ORDER BY doc_id, chunk_id"""))
 
+  /** FFD packing twin — approximate-optimal pad waste, per-group
+    * imperative (flatMapGroups), not SQL-expressible → rows-only check;
+    * pack-count superiority over boundary-respecting next-fit and the
+    * capacity invariants are gated in CorpusSpec/GraftProps.
+    */
+  val curatePackFFD = Q("q_curate_pack_ffd",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val chunks = d.select(col("doc_id"),
+          Text.hashSplit(Text.normalize(col("text")),
+            Seq("train" -> "cd", "valid" -> "e6"), "test").as("split"),
+          posexplode(Text.tokenChunks(Text.tokens(col("text")), 32, 24))
+            .as(Seq("__pos", "c")))
+        .select(col("doc_id"), col("split"), (col("__pos") + 1).as("chunk_id"),
+          col("c.n_tokens").as("n_tokens"))
+      Corpus.packChunksFFD(chunks, "doc_id", "chunk_id", "n_tokens", "split",
+        seqLen = 128, nShards = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+    None)
+
   val curatePack = Q("q_curate_pack",
     (s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1695,7 +1716,7 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateShuffle, curateDomainFilter, curateScrub,
     curateRepetition, curateChunk,
-    curatePack, curatePackBucketed,
+    curatePack, curatePackBucketed, curatePackFFD,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,

@@ -201,6 +201,52 @@ class CorpusSpec extends SparkTestBase {
     assert(out.filter(_._3 == 1).map(t => (t._4, t._5)).toSeq == Seq((0L, 0L)))
   }
 
+  test("packChunksFFD: capacity respected, beats boundary-respecting next-fit, deterministic") {
+    import spark.implicits._
+    // NOTE the baseline: packChunks' cumsum stream is contiguous (zero
+    // waste, but chunks straddle pack boundaries), so the fair comparison
+    // for a boundary-respecting packer is next-fit in arrival order.
+    // Three 65s then three 63s: next-fit closes 65|65|65+63|63+63 = 4
+    // packs; FFD pairs 65+63 three times = 3 packs (the classic case).
+    val lens = Seq(65L, 65L, 65L, 63L, 63L, 63L)
+    val chunks = lens.zipWithIndex.map { case (l, i) => (1L, i + 1, l, "train") }
+      .toDF("doc_id", "chunk_id", "n_tokens", "split")
+    val ffd = Corpus.packChunksFFD(chunks, "doc_id", "chunk_id", "n_tokens",
+      "split", seqLen = 128, nShards = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(4), r.getLong(5)))
+    val byPack = ffd.groupBy(_._2)
+    val lensById = lens.zipWithIndex.map { case (l, i) => (i + 1) -> l }.toMap
+    // capacity: per-pack token sums never exceed seqLen
+    byPack.values.foreach(g => assert(g.map(c => lensById(c._1)).sum <= 128))
+    // offsets tile each pack: sorted offsets equal the running sums
+    byPack.values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      sorted.zip(sorted.scanLeft(0L) { case (acc, c) => acc + lensById(c._1) })
+        .foreach { case (c, expectedOffset) => assert(c._3 == expectedOffset) }
+    }
+    // next-fit baseline computed locally
+    val nextFit = lens.foldLeft((0, 0L)) { case ((packs, open), n) =>
+      if (open + n <= 128) (math.max(packs, 1), open + n) else (packs + 1, n)
+    }._1
+    assert(byPack.size < nextFit,
+      s"FFD used ${byPack.size} packs, next-fit $nextFit — expected strict win")
+    assert(byPack.size == 3)
+    // deterministic rerun
+    val again = Corpus.packChunksFFD(chunks, "doc_id", "chunk_id", "n_tokens",
+      "split", seqLen = 128, nShards = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(4), r.getLong(5)))
+    assert(again.sortBy(_._1).toSeq == ffd.sortBy(_._1).toSeq)
+    // oversize chunk closes its own pack, everything else still fits
+    val over = Seq((1L, 1, 200L, "train"), (1L, 2, 60L, "train"), (1L, 3, 60L, "train"))
+      .toDF("doc_id", "chunk_id", "n_tokens", "split")
+    val o = Corpus.packChunksFFD(over, "doc_id", "chunk_id", "n_tokens",
+      "split", seqLen = 128, nShards = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(4)))
+    val oversizePack = o.find(_._1 == 1).get._2
+    assert(o.filter(_._2 == oversizePack).map(_._1).toSeq == Seq(1),
+      "the 200-token chunk must sit alone in its pack")
+  }
+
   test("shuffleShard: dense per-shard positions, seed-keyed permutation, no global sort") {
     import spark.implicits._
     val df = (0 until 200).map(_.toLong).toDF("doc_id")

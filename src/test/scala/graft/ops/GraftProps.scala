@@ -154,6 +154,21 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("packChunksFFD: every chunk packed once; packs respect capacity unless oversize-alone") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 200L)), Gen.chooseNum(32, 128)) { (lens, seqLen) =>
+      val chunks = lens.zipWithIndex.map { case (l, i) => (1L, i + 1, l, "train") }
+        .toDF("doc_id", "chunk_id", "n_tokens", "split")
+      val out = Corpus.packChunksFFD(chunks, "doc_id", "chunk_id",
+        "n_tokens", "split", seqLen, nShards = 1).collect()
+        .map(r => (r.getInt(1), r.getLong(4)))
+      val lensById = lens.zipWithIndex.map { case (l, i) => (i + 1) -> l }.toMap
+      out.map(_._1).sorted.toSeq == (1 to lens.length) &&
+        out.groupBy(_._2).values.forall { g =>
+          val tot = g.map(c => lensById(c._1)).sum
+          tot <= seqLen || (g.length == 1 && lensById(g.head._1) > seqLen)
+        }
+    }
+
   property("sq8TopK: rank is dense 1..k per query and cosines are non-increasing") =
     forAll(Gen.chooseNum(5, 20), Gen.chooseNum(2, 6), Gen.chooseNum(1L, 99L)) { (n, k, salt) =>
       val vecs = (0 until n).map(i =>
