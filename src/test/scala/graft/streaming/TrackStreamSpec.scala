@@ -86,9 +86,15 @@ class TrackStreamSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Text
     val filler = (1 to 40).map(i => s"word$i").mkString(" ")
-    val stream = MemoryStream[(Long, Timestamp, String)]
-    val streamDf = stream.toDF.toDF("doc_id", "Time", "text")
-    val curated = TrackStream.dedupStream(streamDf, "text", "Time")
+    val stream = MemoryStream[(Long, Timestamp, String, String)]
+    val streamDf = stream.toDF.toDF("doc_id", "Time", "text", "url")
+    // the domain screen is a stateless expression + a static-side
+    // anti-join, so it lifts into the continuous query like the other
+    // per-row screens (stream-static joins are streaming-legal)
+    val blocked = Seq("spam.example.com").toDF("domain")
+    val screened = graft.ops.Corpus.filterByDomainBlocklist(
+      streamDf, "url", blocked, "domain")
+    val curated = TrackStream.dedupStream(screened, "text", "Time")
       .withColumn("__q", Text.qualityStruct(col("text")))
       .filter(col("__q.n_tokens").between(30, 200))
       .withColumn("scrubbed", Text.scrubPii(col("text")))
@@ -100,9 +106,14 @@ class TrackStreamSpec extends SparkTestBase {
       .outputMode("append").start()
     try {
       stream.addData(Seq(
-        (1L, ts("2024-03-11 06:00:00"), s"$filler mail a.b@example.com now"),
-        (2L, ts("2024-03-11 06:01:00"), s"$filler mail a.b@example.com now"), // dup of 1
-        (3L, ts("2024-03-11 06:02:00"), "too short")))                        // fails band
+        (1L, ts("2024-03-11 06:00:00"), s"$filler mail a.b@example.com now",
+          "https://ok.example.org/1"),
+        (2L, ts("2024-03-11 06:01:00"), s"$filler mail a.b@example.com now", // dup of 1
+          "https://ok.example.org/2"),
+        (3L, ts("2024-03-11 06:02:00"), "too short",                         // fails band
+          "https://ok.example.org/3"),
+        (4L, ts("2024-03-11 06:03:00"), s"$filler unique spam payload here", // blocked domain
+          "https://spam.example.com/4")))
       query.processAllAvailable()
       val out = spark.table("curate_stream").collect()
       assert(out.map(_.getLong(0)).toSet == Set(1L))
