@@ -1263,6 +1263,66 @@ object CurationQueries {
             FROM pk
             ORDER BY doc_id, chunk_id"""))
 
+  /** Pack materialization — the consumer-facing emit step: the greedy
+    * pack layout joined back to chunk text, one row per (split, shard,
+    * pack) with the chunks concatenated in offset order. At scale this is
+    * the last aggregation before training shards hit disk; the groupBy
+    * shuffles (pack key, chunk text) once and each pack's payload is
+    * bounded by seqLen tokens.
+    */
+  val curatePackEmit = Q("q_curate_pack_emit",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val chunks = d.select(col("doc_id"),
+          Text.hashSplit(Text.normalize(col("text")),
+            Seq("train" -> "cd", "valid" -> "e6"), "test").as("split"),
+          posexplode(Text.tokenChunks(Text.tokens(col("text")), 32, 24))
+            .as(Seq("__pos", "c")))
+        .select(col("doc_id"), col("split"), (col("__pos") + 1).as("chunk_id"),
+          col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+      Corpus.packChunks(chunks, "doc_id", "chunk_id", "n_tokens", "split",
+        seqLen = 128, nShards = 8)
+        .groupBy("split", "shard", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pack_offset"), col("chunk_text")))),
+            c => c.getField("chunk_text")), " ").as("pack_text"))
+        .orderBy("split", "shard", "pack_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            toks AS (SELECT doc_id, ntext,
+                            LIST_FILTER(STRING_SPLIT(ntext, ' '), x -> x <> '') AS t
+                     FROM base),
+            starts AS (
+              SELECT doc_id, ntext, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+              FROM toks WHERE LEN(t) > 0),
+            ch AS (
+              SELECT doc_id,
+                     CASE WHEN SUBSTR(MD5(ntext), 1, 2) < 'cd' THEN 'train'
+                          WHEN SUBSTR(MD5(ntext), 1, 2) < 'e6' THEN 'valid'
+                          ELSE 'test' END AS split,
+                     CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
+                     CAST(LEN(t[s + 1 : s + 32]) AS BIGINT) AS n_tokens,
+                     ARRAY_TO_STRING(t[s + 1 : s + 32], ' ') AS chunk_text
+              FROM starts),
+            pk AS (
+              SELECT doc_id, chunk_id, split, doc_id % 8 AS shard, chunk_text, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY split, doc_id % 8
+                       ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS pos
+              FROM ch)
+            SELECT split, shard, CAST(pos // 128 AS BIGINT) AS pack_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   STRING_AGG(chunk_text, ' ' ORDER BY pos) AS pack_text
+            FROM pk
+            GROUP BY split, shard, pos // 128
+            ORDER BY split, shard, pack_id"""))
+
   /** FFD packing twin — approximate-optimal pad waste, per-group
     * imperative (flatMapGroups), not SQL-expressible → rows-only check;
     * pack-count superiority over boundary-respecting next-fit and the
@@ -1716,7 +1776,7 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateShuffle, curateDomainFilter, curateScrub,
     curateRepetition, curateChunk,
-    curatePack, curatePackBucketed, curatePackFFD,
+    curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,
