@@ -498,6 +498,22 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** Per-group vocabulary report: token volume, distinct-term count and
+    * the corpus-level type/token ratio — the Heaps'-law growth diagnostic
+    * (a source whose vocabulary stops growing is repeating itself; one
+    * that grows linearly is noise/UUID-like). Scale shape: explode is
+    * narrow, the distinct-aggregate shuffles (group, term) pairs — the
+    * same |vocab|-bounded frame tfIdfTopTerms builds, never broadcast.
+    */
+  def vocabReport(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), explode(Text.tokens(col(textCol))).as("__t"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("__t")).as("n_terms"),
+        round(countDistinct(col("__t")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("type_token_ratio"))
+
   /** Per-group duplication report: how much of each source is exact-dup
     * (by the normalized-content digest [[graft.ops.Dedup.exactDedup]]
     * keys on). Drives mixing decisions — a crawl slice at 40% dup rate

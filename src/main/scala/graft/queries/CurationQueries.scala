@@ -1515,6 +1515,23 @@ object CurationQueries {
                     + LN(CAST(SUM(n) AS DOUBLE)), 6) AS lang_entropy
             FROM pl GROUP BY source ORDER BY source"""))
 
+  /** Per-source vocabulary growth — the Heaps'-law diagnostic. */
+  val corpusVocab = Q("q_corpus_vocab",
+    (s, dir) =>
+      Corpus.vocabReport(Tables.documents(s, dir), "source", "text")
+        .orderBy("source"),
+    Some("""WITH tk AS (
+              SELECT source,
+                     UNNEST(LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS t
+              FROM documents)
+            SELECT source,
+                   COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT t) AS n_terms,
+                   ROUND(CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+            FROM tk GROUP BY source ORDER BY source"""))
+
   /** Per-source exact-dup rate — the mixing-decision diagnostic. */
   val corpusDupRate = Q("q_corpus_dup_rate",
     (s, dir) =>
@@ -1782,6 +1799,7 @@ object CurationQueries {
     textBigramPpl,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
+    corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
     curateE2E, curateE2EScale)
 }
