@@ -23,16 +23,28 @@ import graft.queries.Q
   * the sum of medians; per-query min, raw samples, and per-sample epoch
   * timestamps ride along in bench_out.json so a judge can see exactly
   * where a noise window sat without rerunning.
-  * Between runs the plan cache and any persisted/checkpointed RDD blocks
-  * are dropped, so one query's caching can never tax its successors;
-  * `rdd_blocks_scrubbed` in the output names any query whose blocks
-  * (eager localCheckpoints pending ContextCleaner reclaim) needed scrubbing.
   *
-  * Optional scale section: when SPARK_GRAFT_SF1_DIR points at a generated
-  * sf1 directory (see [[ScaleGen]]), the queries named in
-  * SPARK_GRAFT_SF1_QUERIES (default: the 10 heaviest by round-2 minima)
-  * run ONCE each there and land under "sf1" in the JSON — a memory-scaling
-  * smoke, not a timing signal.
+  * Session isolation (round 6): each pass runs in a FRESH SparkSession,
+  * and so do the sf1/sf30 scale sections. Round 5 reused one session for
+  * 3×95 queries plus the scale set, and the session degraded measurably
+  * across passes (q_curate_e2e_scale 11.9 → 23.3 → 50.5 s on identical
+  * data; sf1 queries up to 5× their round-4 cost on equivalent corpora) —
+  * leaked eager-localCheckpoint blocks draining through the async
+  * ContextCleaner taxed whatever ran later. A session rebuild costs
+  * seconds against a ~16-minute suite and makes every sample start from
+  * the same state; within a pass, `runOnce` scrubs the plan cache and
+  * unpersists leaked blocks with blocking=true so reclamation is billed
+  * to the leaking query, not its successors.
+  *
+  * Optional scale sections: when SPARK_GRAFT_SF1_DIR (default
+  * /tmp/graft-sf1; see [[ScaleGen]]) exists, the queries named in
+  * SPARK_GRAFT_SF1_QUERIES (default: the heavy set) run ONCE each there —
+  * in their own fresh session — and land under "sf1" in the JSON; same
+  * for SPARK_GRAFT_SF30_DIR (default /tmp/graft-sf30) under "sf30". A
+  * memory-scaling smoke, not a timing signal.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the catalog (dev loop: measure
+  * one query without paying for the suite).
   */
 object Bench {
 
@@ -60,10 +72,36 @@ object Bench {
     // position — the largest shuffles in the suite by row count
     "q_dedup_substring", "q_dedup_substring_strip")
 
+  private def newSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Untimed warmup: touch every table once so scan/codegen/JIT setup
+    * isn't billed to whichever query happens to run first in a fresh
+    * session.
+    */
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
+
   /** Time one end-to-end noop-write of the query; then scrub session state
-    * (plan cache + persisted RDD blocks) so runs are independent. Returns
-    * (seconds-if-succeeded, blocks-leaked-before-scrub): a failed rep yields
-    * None so it can never masquerade as a fast sample in the medians.
+    * (plan cache + persisted RDD blocks) so runs are independent. The
+    * unpersist is BLOCKING: reclamation work is billed here, to the query
+    * that leaked the blocks — round 5's blocking=false left eager
+    * localCheckpoint blocks to the async ContextCleaner, and they drained
+    * during whichever queries ran next. Returns (seconds-if-succeeded,
+    * blocks-leaked-before-scrub): a failed rep yields Left so it can never
+    * masquerade as a fast sample in the medians.
     */
   private def runOnce(spark: SparkSession, q: Q, dir: String): (Either[String, Double], Boolean) = {
     val t0 = System.nanoTime()
@@ -76,7 +114,7 @@ object Bench {
       }
     val leaked = spark.sparkContext.getPersistentRDDs.nonEmpty
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     (res, leaked)
   }
 
@@ -92,36 +130,68 @@ object Bench {
       case c => c.toString
     }
 
+  private def fmt(d: Double): String =
+    // Locale.ROOT: a comma-decimal locale would emit invalid JSON.
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** One scale section (sf1/sf30): pre-validate every table in the dir,
+    * run the picked queries once each in a FRESH session, emit the JSON
+    * fragment (`,"<label>":{…}[,"<label>_errors":{…}],"<label>_dir":…`).
+    */
+  private def scaleSection(label: String, dir: String, cpus: String,
+                           picked: Seq[Q]): String = {
+    val spark = newSession(cpus)
+    try {
+      // Pre-validate the generated dir: every table readable and
+      // non-empty. Round 4's failed ScaleGen left documents.parquet as an
+      // empty dir and the three queries touching it printed bare nulls
+      // (UNABLE_TO_INFER_SCHEMA) with no hint why — a corrupt corpus must
+      // produce an explicit marker, not a silent hole.
+      val tableErrs: Seq[(String, String)] = Tables.all.flatMap { t =>
+        try {
+          if (spark.read.parquet(s"$dir/$t.parquet").head(1).isEmpty)
+            Some(t -> "table is empty") else None
+        } catch { case e: Throwable =>
+          Some(t -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        }
+      }
+      warmup(spark, dir)
+      val ran = picked.map(q => q.name -> runOnce(spark, q, dir)._1)
+      val entries = ran.map { case (n, r) =>
+        "\"" + n + "\":" + r.toOption.map(fmt).getOrElse("null")
+      }
+      val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
+        ran.collect { case (n, Left(m)) => s""""$n":"${jesc(m)}"""" }
+      val errJson =
+        if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
+      s""","$label":${entries.mkString("{", ",", "}")}$errJson,"${label}_dir":"$dir""""
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: touch every table once so scan/codegen/JIT setup
-    // isn't billed to whichever query happens to run first
-    Tables.all.foreach { t =>
-      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
-    }
+    val catalog = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(SparkEntry.catalog)(names => SparkEntry.catalog.filter(q => names(q.name)))
     // Interleaved passes (see the noise protocol above): pass p runs the
-    // whole catalog once; a query's samples are minutes apart, so a
-    // sustained host-noise window lands in at most one of them.
+    // whole catalog once IN ITS OWN SparkSession; a query's samples are
+    // minutes apart, so a sustained host-noise window lands in at most
+    // one of them, and no pass inherits another's session state.
     val passSamples: Seq[(String, Long, Either[String, Double], Boolean)] =
       (1 to reps).flatMap { _ =>
-        SparkEntry.catalog.map { q =>
-          val ts = System.currentTimeMillis() / 1000L
-          val (r, leaked) = runOnce(spark, q, sfDir)
-          (q.name, ts, r, leaked)
-        }
+        val spark = newSession(cpus)
+        try {
+          warmup(spark, sfDir)
+          catalog.map { q =>
+            val ts = System.currentTimeMillis() / 1000L
+            val (r, leaked) = runOnce(spark, q, sfDir)
+            (q.name, ts, r, leaked)
+          }
+        } finally spark.stop()
       }
-    val results = SparkEntry.catalog.map { q =>
+    val results = catalog.map { q =>
       val mine = passSamples.filter(_._1 == q.name)
       (q.name, mine.flatMap(_._3.toOption), mine.exists(_._4), mine.map(_._2))
     }
@@ -133,8 +203,6 @@ object Bench {
     val failed = results.filter(_._2.isEmpty).map(_._1)
     val partial = results.filter(r => r._2.nonEmpty && r._2.length < reps).map(_._1)
     val leakers = results.filter(_._3).map(_._1)
-    // Locale.ROOT: a comma-decimal locale would emit invalid JSON.
-    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jmap(rows: Seq[(String, Seq[Double], Boolean, Seq[Long])])(f: Seq[Double] => String): String =
       rows.map { case (n, s, _, _) => "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -146,39 +214,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = good.map(r => median(r._2)).sum
 
-    // optional sf1 memory-scaling smoke: single pass over the heavy set.
-    // Defaults to the ScaleGen output path so a generated sf1 is picked
-    // up automatically; silently skipped when the dir doesn't exist.
-    val sf1Json = Some(sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")).filter { d =>
-      new java.io.File(d).isDirectory
-    }.map { d =>
-      // Pre-validate the generated dir: every table readable and
-      // non-empty. Round 4's failed ScaleGen left documents.parquet as an
-      // empty dir and the three queries touching it printed bare nulls
-      // (UNABLE_TO_INFER_SCHEMA) with no hint why — a corrupt corpus must
-      // produce an explicit marker, not a silent hole.
-      val tableErrs: Seq[(String, String)] = Tables.all.flatMap { t =>
-        try {
-          if (spark.read.parquet(s"$d/$t.parquet").head(1).isEmpty)
-            Some(t -> "table is empty") else None
-        } catch { case e: Throwable =>
-          Some(t -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
-        }
-      }
-      val names = sys.env.get("SPARK_GRAFT_SF1_QUERIES")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(HeavyQueries)
-      val picked = SparkEntry.catalog.filter(q => names.contains(q.name))
-      val ran = picked.map(q => q.name -> runOnce(spark, q, d)._1)
-      val entries = ran.map { case (n, r) =>
-        "\"" + n + "\":" + r.toOption.map(fmt).getOrElse("null")
-      }
-      val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
-        ran.collect { case (n, Left(m)) => s""""$n":"${jesc(m)}"""" }
-      val errJson =
-        if (errs.isEmpty) "" else s""","sf1_errors":${errs.mkString("{", ",", "}")}"""
-      s""","sf1":${entries.mkString("{", ",", "}")}$errJson,"sf1_dir":"$d""""
-    }.getOrElse("")
+    // optional scale sections, each in a fresh session (sf1 default path
+    // is the ScaleGen output dir so a generated corpus is picked up
+    // automatically; silently skipped when a dir doesn't exist)
+    val sf1Names = sys.env.get("SPARK_GRAFT_SF1_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(HeavyQueries)
+    val scaleJson = Seq(
+      "sf1" -> sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1"),
+      "sf30" -> sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "/tmp/graft-sf30"))
+      .filter { case (_, d) => new java.io.File(d).isDirectory }
+      .map { case (label, d) =>
+        scaleSection(label, d, cpus, catalog.filter(q => sf1Names.contains(q.name)))
+      }.mkString
 
     // The driver captures only a short tail of combined sbt output and
     // expects ONE bare JSON line. Two consequences drive the shape here:
@@ -186,9 +234,9 @@ object Bench {
     //     so the whole line plus sbt's trailing "[success]" message fits
     //     inside a ~2000-char tail window (the r3 line, with raw samples
     //     and the sf1 section inlined, overflowed it -> parsed:null);
-    // (2) it must be the LAST thing printed, after spark.stop(), with
-    //     logging silenced, so no log line interleaves behind it.
-    // The full detail (min/samples/leak-scrub/sf1) still lands in
+    // (2) it must be the LAST thing printed, with logging silenced, so no
+    //     log line interleaves behind it.
+    // The full detail (min/samples/leak-scrub/sf1/sf30) still lands in
     // bench_out.json for re-adjudication.
     val errJson = if (failed.isEmpty) "" else s""","errors":${jarr(failed)}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
@@ -196,15 +244,16 @@ object Bench {
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_min":$mins,"samples":$samples,""" +
       s""""sample_ts":$sampleTs,"reps":$reps,"interleaved":true,""" +
+      s""""session_per_pass":true,""" +
       s""""errors":${jarr(failed)},"partial_reps":${jarr(partial)},""" +
-      s""""rdd_blocks_scrubbed":${jarr(leakers)}$sf1Json,"sf":"$sfDir"}"""
+      s""""rdd_blocks_scrubbed":${jarr(leakers)}$scaleJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // every session is already stopped — nothing can interleave behind
+    // the one JSON line the driver parses
     println(line)
   }
 }

@@ -129,9 +129,13 @@ object Dedup {
     * makes it AQE-coalescing-exempt.
     */
   private def fanoutSides(df: DataFrame, keys: Seq[String],
-                          aCols: Seq[Column], bCols: Seq[Column]): (DataFrame, DataFrame) =
-    (pinFanout(df.select(aCols: _*), keys.map(col): _*),
-     pinFanout(df.select(bCols: _*), keys.map(col): _*))
+                          aCols: Seq[Column], bCols: Seq[Column],
+                          pin: Boolean = true): (DataFrame, DataFrame) =
+    if (pin)
+      (pinFanout(df.select(aCols: _*), keys.map(col): _*),
+       pinFanout(df.select(bCols: _*), keys.map(col): _*))
+    else
+      (df.select(aCols: _*), df.select(bCols: _*))
 
   /** Null-tolerant `c >= t` for post-aggregation threshold filters.
     *
@@ -145,6 +149,55 @@ object Dedup {
     */
   private def atLeast(c: Column, t: Double): Column =
     coalesce(c >= t, lit(false))
+
+  /** Adaptive broadcast policy for the near-dup candidate/verify/attach
+    * joins, generalizing the connected-components pattern: every one of
+    * those joins carries a frame that is Θ(corpus) AT SCALE — which is why
+    * each is shuffle_hash-pinned by default (the planner's undersized
+    * post-explosion/post-checkpoint estimates would otherwise build
+    * driver-side broadcasts of the whole corpus' shingle sets) — but at
+    * small-corpus scale the same frames are tens of MB and five pinned
+    * shuffles per stage cost ~3× the broadcast plan (measured on the
+    * composed curation gate: 16.6 s broadcast vs 64.1 s pinned at sf0.1).
+    *
+    * The deciding count runs on a frame that is already eagerly
+    * localCheckpoint-ed (metadata-cheap — blocks are materialized), and
+    * the ceilings are Spark confs so plan-shape tests can force either
+    * side of the boundary:
+    *
+    *   - [[ShingleCeilingKey]] (default 2M): total shingle OCCURRENCES —
+    *     the unit that bounds the byte size of broadcast shingle-array
+    *     frames (~10-20 B/occurrence → worst case a few tens of MB).
+    *   - [[PairCeilingKey]] (default 1M): candidate-pair / bucket-row
+    *     count for frames of fixed-width numeric rows (CC round frames,
+    *     SimHash chunk frames, near-dup loser lists — two or three longs
+    *     per row, so 1M rows ≈ tens of MB).
+    *
+    * Below the ceiling joins drop their pins (and fan-out repartitions)
+    * and the planner broadcasts; above it every corpus-sized side stays
+    * shuffle_hash-pinned — the 100 TB contract, plan-shape-tested in
+    * DedupSpec on both sides of the boundary.
+    */
+  private[ops] val ShingleCeilingKey = "spark.graft.dedup.broadcastShingleCeiling"
+  private[ops] val PairCeilingKey = "spark.graft.dedup.broadcastPairCeiling"
+
+  private def shingleCeiling(df: DataFrame): Long =
+    df.sparkSession.conf.get(ShingleCeilingKey, "2000000").toLong
+
+  private def pairCeiling(df: DataFrame): Long =
+    df.sparkSession.conf.get(PairCeilingKey, "1000000").toLong
+
+  /** identity below the ceiling (planner free to broadcast), shuffle_hash
+    * pin above it.
+    */
+  private def adaptivePin(small: Boolean): DataFrame => DataFrame =
+    if (small) identity else _.hint("shuffle_hash")
+
+  /** Total shingle occurrences of a checkpointed `wordShingled` frame —
+    * the byte-mass proxy the shingle ceiling is compared against.
+    */
+  private def totalShingles(shingled: DataFrame): Long =
+    shingled.agg(coalesce(sum(size(col("__sh"))), lit(0L))).head().getLong(0)
 
   /** Exact dedup: keep, per distinct normalized text, the row with the
     * smallest `idCol`. Implemented as min-id-per-digest + semi-join back so
@@ -477,17 +530,24 @@ object Dedup {
           .filter(col("__df") > maxShingleDocFreq).select("__s")
         index0.join(broadcast(hot), Seq("__s"), "left_anti")
       }
+    // adaptive broadcast (see the ceiling scaladoc): index0 is checkpointed
+    // so the occurrence count is metadata-cheap; a small corpus gets the
+    // broadcast plan, a big one keeps the pinned shape below
+    val small = index0.count() <= shingleCeiling(df)
+    val h = adaptivePin(small)
     val (a, b) = fanoutSides(index, Seq("__s"),
       Seq(col("__s"), col("__id").as("id_a"), col("__size").as("__na")),
-      Seq(col("__s"), col("__id").as("id_b"), col("__size").as("__nb")))
-    // shuffle_hash, NOT broadcast: Catalyst's static size estimate of a
-    // Generate-exploded frame is far below its real size, so the planner
-    // broadcasts the entire index — a single-threaded 260k-row (at sf0.1)
-    // hashed-relation build on the driver, measured 3 s vs 0.5 s for the
-    // distributed per-partition build; at real scale the broadcast would
-    // simply OOM the driver. Hash beats sort-merge here because the index
-    // is unsorted and per-key groups are small (doc-frequency-bounded).
-    a.join(b.hint("shuffle_hash"), Seq("__s"))
+      Seq(col("__s"), col("__id").as("id_b"), col("__size").as("__nb")),
+      pin = !small)
+    // Above the ceiling: shuffle_hash, NOT broadcast — Catalyst's static
+    // size estimate of a Generate-exploded frame is far below its real
+    // size, so the planner would broadcast the entire index — a
+    // single-threaded 260k-row (at sf0.1) hashed-relation build on the
+    // driver, measured 3 s vs 0.5 s for the distributed per-partition
+    // build; at real scale the broadcast would simply OOM the driver.
+    // Hash beats sort-merge here because the index is unsorted and
+    // per-key groups are small (doc-frequency-bounded).
+    a.join(h(b), Seq("__s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "__na", "__nb")
       .agg(count(lit(1)).as("__common"))
@@ -539,6 +599,14 @@ object Dedup {
     val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
       .localCheckpoint(true)
+    // adaptive broadcast (see the ceiling scaladoc): the checkpointed
+    // shingled frame makes the occurrence count cheap; below the ceiling
+    // the five joins of this path drop their pins and the planner's
+    // broadcast plan wins ~3× at gate scale, above it every corpus-sized
+    // side stays shuffle_hash-pinned
+    val small = shingled.agg(coalesce(sum(col("__size")), lit(0L)))
+      .head().getLong(0) <= shingleCeiling(df)
+    val h = adaptivePin(small)
     val hashes0 = shingled
       .select(col("__id"), col("__size"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
@@ -565,7 +633,7 @@ object Dedup {
     // the same cardinality class as the index itself (it grows with the
     // corpus under Heaps' law) — so the planner's broadcast pick here is
     // the same driver-OOM-at-scale trap as the verify joins below
-    val prefix = hashes.join(dfreq.hint("shuffle_hash"), Seq("__s"))
+    val prefix = hashes.join(h(dfreq), Seq("__s"))
       .groupBy("__id", "__size")
       .agg(array_sort(collect_list(struct(col("__df"), col("__s")))).as("__ds"))
       .withColumn("__plen",
@@ -574,29 +642,33 @@ object Dedup {
         explode(transform(slice(col("__ds"), lit(1), col("__plen")), x => x.getField("__s")))
           .as("__s"))
     // same AQE fan-out-blindness guard as fanoutSides: pin the candidate
-    // join's parallelism (full × prefix on the shingle hash)
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val full = hashes.select(col("__s"), col("__id").as("__idf"))
-      .repartition(parts, col("__s"))
-    // shuffle_hash: without it the planner broadcasts the FULL index side
-    // (pre-explosion size estimate again) — the candidate join must stay
-    // distributed, with both sides' pinned repartitions feeding it
+    // join's parallelism (full × prefix on the shingle hash) — skipped
+    // below the ceiling, where the broadcast plan has no fan-out shuffle
+    val pinned: DataFrame => DataFrame =
+      if (small) identity
+      else {
+        val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        _.repartition(parts, col("__s"))
+      }
+    val full = pinned(hashes.select(col("__s"), col("__id").as("__idf")))
+    // shuffle_hash above the ceiling: without it the planner broadcasts
+    // the FULL index side (pre-explosion size estimate again) — the
+    // candidate join must stay distributed, with both sides' pinned
+    // repartitions feeding it
     val candidates = full.join(
-      prefix.withColumnRenamed("__id", "__idp").repartition(parts, col("__s"))
-        .hint("shuffle_hash"), Seq("__s"))
+      h(pinned(prefix.withColumnRenamed("__id", "__idp"))), Seq("__s"))
       .filter(col("__idf") =!= col("__idp"))
       .select(least(col("__idf"), col("__idp")).as("id_a"),
         greatest(col("__idf"), col("__idp")).as("id_b"))
       .distinct()
-    // shuffle_hash: same anti-broadcast reasoning as minhashLshPairs'
-    // verify joins — never ship the whole corpus' shingle arrays
+    // shuffle_hash above the ceiling: same anti-broadcast reasoning as
+    // minhashLshPairs' verify joins — never ship the whole corpus'
+    // shingle arrays
     val withA = candidates.join(
-      shingled.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__size").as("__na"))
-        .hint("shuffle_hash"),
+      h(shingled.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__size").as("__na"))),
       Seq("id_a"))
     val withB = withA.join(
-      shingled.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__size").as("__nb"))
-        .hint("shuffle_hash"),
+      h(shingled.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__size").as("__nb"))),
       Seq("id_b"))
     withB
       .withColumn("__common", size(array_intersect(col("__sha"), col("__shb"))))
@@ -649,6 +721,10 @@ object Dedup {
     // (a bare persist here is never unpersisted: the result is lazy)
     val shingled = wordShingled(df, textCol, idCol, n)
       .localCheckpoint(true)
+    // adaptive broadcast (see the ceiling scaladoc): checkpointed frame →
+    // cheap occurrence count; small corpora broadcast, big ones stay pinned
+    val small = totalShingles(shingled) <= shingleCeiling(df)
+    val h = adaptivePin(small)
     val sig = shingled.withColumn("__sig",
       minhashSignature(col("__sh"), bands * rowsPerBand))
     // one row per (band, bucket-hash-of-r-minhashes, id). Eager checkpoint:
@@ -663,24 +739,27 @@ object Dedup {
       .localCheckpoint(true)
     val (l, r) = fanoutSides(banded, Seq("__band", "__bucket"),
       Seq(col("__band"), col("__bucket"), col("__id").as("id_a")),
-      Seq(col("__band"), col("__bucket"), col("__id").as("id_b")))
-    // shuffle_hash for the same reason as ngramJaccardPairs: the static
-    // estimate of an exploded frame undersizes it and the planner would
-    // build a driver-side broadcast of the whole banded index
-    val candidates = l.join(r.hint("shuffle_hash"), Seq("__band", "__bucket"))
+      Seq(col("__band"), col("__bucket"), col("__id").as("id_b")),
+      pin = !small)
+    // shuffle_hash above the ceiling, for the same reason as
+    // ngramJaccardPairs: the static estimate of an exploded frame
+    // undersizes it and the planner would build a driver-side broadcast
+    // of the whole banded index
+    val candidates = l.join(h(r), Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // exact verification on the candidate set only. shuffle_hash on the
-    // shingled side: its checkpoint stats come from the PRE-explosion scan
-    // estimate, so the planner would BROADCAST the entire corpus' shingle
-    // arrays — a single-threaded driver-side HashedRelation build of the
-    // whole dataset, twice (observed at sf1), and a guaranteed driver OOM
-    // at real scale. A hash join partitioned on id keeps both sides
-    // distributed; candidates are id-uniform so there is no skew.
-    val withA = candidates.join(shingled.withColumnRenamed("__id", "id_a")
-      .withColumnRenamed("__sh", "__sha").hint("shuffle_hash"), Seq("id_a"))
-    val withB = withA.join(shingled.withColumnRenamed("__id", "id_b")
-      .withColumnRenamed("__sh", "__shb").hint("shuffle_hash"), Seq("id_b"))
+    // shingled side above the ceiling: its checkpoint stats come from the
+    // PRE-explosion scan estimate, so the planner would BROADCAST the
+    // entire corpus' shingle arrays — a single-threaded driver-side
+    // HashedRelation build of the whole dataset, twice (observed at sf1),
+    // and a guaranteed driver OOM at real scale. A hash join partitioned
+    // on id keeps both sides distributed; candidates are id-uniform so
+    // there is no skew.
+    val withA = candidates.join(h(shingled.withColumnRenamed("__id", "id_a")
+      .withColumnRenamed("__sh", "__sha")), Seq("id_a"))
+    val withB = withA.join(h(shingled.withColumnRenamed("__id", "id_b")
+      .withColumnRenamed("__sh", "__shb")), Seq("id_b"))
     withB.withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
           size(array_union(col("__sha"), col("__shb"))))
@@ -731,17 +810,15 @@ object Dedup {
     * successive label frames. Lineage is cut per round with an eager
     * localCheckpoint (plans would otherwise grow exponentially).
     */
-  /** Pair-count ceiling under which CC round joins may broadcast: every
-    * round frame is bounded by 2×pairs rows of two longs, so below this
-    * the biggest possible broadcast is ~tens of MB — safe — and letting
-    * the planner broadcast saves ~5 shuffles × rounds on the tiny graphs
-    * typical after near-dup verification. Above it the round joins are
-    * shuffle_hash-pinned (the frames are Θ(dup-graph vertices) —
-    * corpus-scale on a 30-50%-dup crawl — and their post-checkpoint size
-    * estimates are unreliable). The pair frame is already eagerly
-    * checkpointed, so the deciding count() is metadata-cheap.
-    */
-  private val CcBroadcastablePairs = 1000000L
+  // CC round joins use the shared pair ceiling ([[PairCeilingKey]],
+  // default 1M): every round frame is bounded by 2×pairs rows of two
+  // longs, so below the ceiling the biggest possible broadcast is ~tens
+  // of MB — safe — and letting the planner broadcast saves ~5 shuffles ×
+  // rounds on the tiny graphs typical after near-dup verification. Above
+  // it the round joins are shuffle_hash-pinned (the frames are
+  // Θ(dup-graph vertices) — corpus-scale on a 30-50%-dup crawl — and
+  // their post-checkpoint size estimates are unreliable). The pair frame
+  // is eagerly checkpointed, so the deciding count() is metadata-cheap.
 
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     def notStarForest(e: DataFrame, h: DataFrame => DataFrame): Boolean = {
@@ -757,10 +834,9 @@ object Dedup {
     // curation pipeline spent 2× its pair-generation time right here).
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // small graphs: let the planner broadcast the round frames; big
-    // graphs: pin every round join to shuffle_hash (see CcBroadcastablePairs)
-    val h: DataFrame => DataFrame =
-      if (p0.count() <= CcBroadcastablePairs) identity
-      else _.hint("shuffle_hash")
+    // graphs: pin every round join to shuffle_hash (see the pair-ceiling
+    // note above)
+    val h = adaptivePin(p0.count() <= pairCeiling(p0))
     val verts = p0.select(col("id_a").as("id"))
       .union(p0.select(col("id_b").as("id")))
       .distinct()
@@ -817,9 +893,7 @@ object Dedup {
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // same small-graph broadcast / big-graph shuffle_hash adaptivity as
     // the star variant (labels is Θ(dup-graph vertices))
-    val h: DataFrame => DataFrame =
-      if (p0.count() <= CcBroadcastablePairs) identity
-      else _.hint("shuffle_hash")
+    val h = adaptivePin(p0.count() <= pairCeiling(p0))
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -850,15 +924,23 @@ object Dedup {
                        n: Int, threshold: Double,
                        prefixFilter: Boolean = false,
                        maxShingleDocFreq: Long = 0L): DataFrame = {
+    // checkpoint the pair list ONCE: the adaptive decision below counts
+    // it, and connectedComponents' own internal checkpoint then
+    // materializes from these blocks instead of re-running the whole
+    // candidate+verify plan
     val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold,
       maxShingleDocFreq = maxShingleDocFreq, prefixFilter = prefixFilter)
-    val losers = connectedComponents(pairs.select("id_a", "id_b"))
+      .select("id_a", "id_b").localCheckpoint(true)
+    val losers = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
-    // shuffle_hash: losers is Θ(duplicate docs) — on a dup-heavy corpus
-    // (web crawls run 30-50% near-dup) that is corpus-scale, so it must
-    // never be a driver-side broadcast
-    df.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
+    // losers is bounded by 2×pairs rows of one long each, so the pair
+    // ceiling applies: broadcast below it, shuffle_hash above — losers is
+    // Θ(duplicate docs) on a dup-heavy corpus (web crawls run 30-50%
+    // near-dup), corpus-scale, and must never be a driver-side broadcast
+    // at real scale
+    val h = adaptivePin(pairs.count() <= pairCeiling(df))
+    df.join(h(losers), Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff
@@ -923,10 +1005,14 @@ object Dedup {
     val chunked = hashed.select(col("__id"), col("__h"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
       .localCheckpoint(true)
+    // adaptive broadcast (see the ceiling scaladoc): chunked rows are
+    // fixed-width (4 numeric cols), so the pair ceiling applies
+    val small = chunked.count() <= pairCeiling(df)
     val (l, r) = fanoutSides(chunked, Seq("__chunk", "__ckey"),
       Seq(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha")),
-      Seq(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb")))
-    l.join(r.hint("shuffle_hash"), Seq("__chunk", "__ckey"))
+      Seq(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb")),
+      pin = !small)
+    l.join(adaptivePin(small)(r), Seq("__chunk", "__ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))

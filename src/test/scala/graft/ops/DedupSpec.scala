@@ -302,38 +302,82 @@ class DedupSpec extends SparkTestBase {
     assert(cut == uncut.filter { case (a, b, _) => (a, b) == (1L, 2L) })
   }
 
-  test("near-dup plans never broadcast the corpus and pin fan-out join parallelism") {
-    // Scale contract, locked as a plan shape: (1) no BroadcastExchange
-    // anywhere — the checkpointed shingled/banded frames carry
-    // pre-explosion size estimates, so without hints the planner would
-    // build driver-side HashedRelations of the ENTIRE corpus' shingle
-    // sets for the verify joins (driver OOM at real scale); (2) the
-    // candidate self-joins consume REPARTITION_BY_NUM exchanges —
-    // user-pinned partitioning AQE cannot coalesce — not coalescible
-    // ENSURE_REQUIREMENTS ones (AQE's size-based coalescing is blind to
-    // join fan-out and once serialized a 200M-candidate stage onto 4
-    // cores).
+  test("near-dup plans above the broadcast ceiling never broadcast the corpus " +
+       "and pin fan-out join parallelism") {
+    // Scale contract, locked as a plan shape for ABOVE-ceiling corpora
+    // (ceilings forced to 0 so sf0.001 exercises the at-scale plan):
+    // (1) no BroadcastExchange anywhere — the checkpointed
+    // shingled/banded frames carry pre-explosion size estimates, so
+    // without hints the planner would build driver-side HashedRelations
+    // of the ENTIRE corpus' shingle sets for the verify joins (driver
+    // OOM at real scale); (2) the candidate self-joins consume
+    // REPARTITION_BY_NUM exchanges — user-pinned partitioning AQE cannot
+    // coalesce — not coalescible ENSURE_REQUIREMENTS ones (AQE's
+    // size-based coalescing is blind to join fan-out and once serialized
+    // a 200M-candidate stage onto 4 cores).
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val plans = Seq(
-      "minhash" -> Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5),
+    spark.conf.set(Dedup.ShingleCeilingKey, "0")
+    spark.conf.set(Dedup.PairCeilingKey, "0")
+    try {
+      val plans = Seq(
+        "minhash" -> Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5),
+        "ngram-plain" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2),
+        "ngram-prefix" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2,
+          prefixFilter = true),
+        "simhash" -> Dedup.simhashPairs(corpus, "text", "doc_id", 3))
+      for ((name, df) <- plans) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          s"$name plan broadcasts a corpus-sized frame")
+        assert(plan.contains("REPARTITION_BY_NUM"),
+          s"$name plan lost its pinned fan-out repartition")
+      }
+      // keep/loser attach joins: both sides Θ(corpus) (keep = one row per
+      // distinct doc; losers = dup members, 30-50% of a crawl corpus)
+      for ((name, df) <- Seq(
+        "exactDedup" -> Dedup.exactDedup(corpus, "text", "doc_id"),
+        "nearDupSurvivors" -> Dedup.nearDupSurvivors(corpus, "text", "doc_id", 3, 0.2)))
+        assert(!df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+          s"$name plan broadcasts a corpus-sized frame")
+    } finally {
+      spark.conf.unset(Dedup.ShingleCeilingKey)
+      spark.conf.unset(Dedup.PairCeilingKey)
+    }
+  }
+
+  test("near-dup plans below the broadcast ceiling engage the broadcast plan " +
+       "and produce identical pairs") {
+    // The other side of the ceiling: at default ceilings (2M shingle
+    // occurrences / 1M pairs) the sf0.001 corpus is far below both, so
+    // the candidate/verify joins must drop their shuffle_hash pins and
+    // let the planner broadcast — the ~3× small-corpus plan (the
+    // q_curate_e2e r5 regression was exactly this ceiling missing). The
+    // pair lists must be byte-identical on both sides of the boundary.
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val broadcastPlans = Seq(
       "ngram-plain" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2),
       "ngram-prefix" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2,
         prefixFilter = true),
-      "simhash" -> Dedup.simhashPairs(corpus, "text", "doc_id", 3))
-    for ((name, df) <- plans) {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastExchange"),
-        s"$name plan broadcasts a corpus-sized frame")
-      assert(plan.contains("REPARTITION_BY_NUM"),
-        s"$name plan lost its pinned fan-out repartition")
+      "minhash" -> Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5))
+    for ((name, df) <- broadcastPlans)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        s"$name plan below the ceiling should engage broadcast joins")
+    // result equivalence across the boundary (plan-only change)
+    val below = pairs(Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2,
+      prefixFilter = true))
+    spark.conf.set(Dedup.ShingleCeilingKey, "0")
+    spark.conf.set(Dedup.PairCeilingKey, "0")
+    try {
+      val above = pairs(Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2,
+        prefixFilter = true))
+      assert(below == above, "pair list must not depend on the join strategy")
+      assert(below.nonEmpty)
+    } finally {
+      spark.conf.unset(Dedup.ShingleCeilingKey)
+      spark.conf.unset(Dedup.PairCeilingKey)
     }
-    // keep/loser attach joins: both sides Θ(corpus) (keep = one row per
-    // distinct doc; losers = dup members, 30-50% of a crawl corpus)
-    for ((name, df) <- Seq(
-      "exactDedup" -> Dedup.exactDedup(corpus, "text", "doc_id"),
-      "nearDupSurvivors" -> Dedup.nearDupSurvivors(corpus, "text", "doc_id", 3, 0.2)))
-      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
-        s"$name plan broadcasts a corpus-sized frame")
   }
 
   test("simhash chunk bounds are disjoint, covering and non-empty for every chunk count") {
