@@ -953,8 +953,28 @@ object Dedup {
   /** HOF-builtin form of [[simhash64]], kept to property-test the fused
     * expression (bit-identical by construction).
     */
-  def simhash64Hof(textCol: Column): Column = {
-    val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
+  def simhash64Hof(textCol: Column): Column =
+    simhashVote(transform(Text.tokens(textCol), t => xxhash64(t)))
+
+  /** [[simhash64]] variant whose per-token 64-bit hash is assembled from
+    * the first 16 hex digits of md5 (hi half << 32 | lo half). md5 is the
+    * one 64-bit-capable hash Spark and DuckDB both expose with identical
+    * semantics, so THIS variant's pair list is fully SQL-oracle-able (the
+    * `q_dedup_simhash` gate) — the fused xxhash64 expression stays the
+    * scale path (one codegen'd eval per row vs 64 HOF aggregates here).
+    */
+  def simhash64Md5(textCol: Column): Column =
+    simhashVote(transform(Text.tokens(textCol), t =>
+      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast(LongType), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast(LongType))))
+
+  /** Per-bit majority vote over an array of 64-bit token hashes: bit j of
+    * the result is 1 iff more hashes have bit j set than clear. Shared by
+    * the HOF and md5 simhash forms; the sum of distinct powers of two is
+    * exact in two's complement (the 1L<<63 term wraps negative, which is
+    * the intended bit pattern).
+    */
+  private def simhashVote(hashes: Column): Column = {
     val bits: Seq[Column] = (0 until 64).map { j =>
       val vote = aggregate(hashes, lit(0), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
@@ -989,17 +1009,28 @@ object Dedup {
     * classic 4×16-bit split); wider radii mean more/narrower chunks →
     * bigger buckets, the inherent LSH recall/cost trade.
     * Emits (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    *
+    * `tokenHash` picks the per-token hash feeding the bit votes:
+    * `"xxhash64"` (default — the fused codegen'd expression, the scale
+    * path) or `"md5"` ([[simhash64Md5]] — cross-engine reproducible, the
+    * oracle-gated path; same bucketing, same completeness guarantee).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, tokenHash: String = "xxhash64"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming=$maxHamming: beyond 16 the ${maxHamming + 1} chunks degenerate " +
         "(<4-bit buckets collide constantly); use minhash/ngram dedup instead")
+    val sigExpr = tokenHash match {
+      case "xxhash64" => simhash64(col(textCol))
+      case "md5"      => simhash64Md5(col(textCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown simhash token hash '$other' (xxhash64 | md5)")
+    }
     val chunkExprs = chunkBounds(maxHamming + 1).map { case (off, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       shiftright(col("__h"), off).bitwiseAND(lit(mask))
     }
-    val hashed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__h"))
+    val hashed = df.select(col(idCol).as("__id"), sigExpr.as("__h"))
     // checkpoint: both self-join sides read the chunked frame; recomputing
     // it re-runs the 64-bit-vote simhash over every token of the corpus
     val chunked = hashed.select(col("__id"), col("__h"),

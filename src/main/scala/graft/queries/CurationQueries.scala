@@ -328,14 +328,43 @@ object CurationQueries {
             ORDER BY id_a, id_b"""))
 
   /** SimHash(64-bit) near-dup pairs within hamming distance 3 via 16-bit
-    * chunk bucketing (pigeonhole-complete for d ≤ 3). xxhash64-based → no
-    * SQL oracle (rows-only check).
+    * chunk bucketing (pigeonhole-complete for d ≤ 3). The gate runs the
+    * md5-token-hash variant (Spark md5 ≡ DuckDB md5) so the ENTIRE pair
+    * list is oracled: the SQL rebuilds each 64-bit signature from
+    * per-token md5 halves with the same per-bit majority vote, then takes
+    * all pairs at bit_count(xor) ≤ 3 — bucketing completeness means the
+    * chunked Spark path must emit exactly the all-pairs answer. The
+    * xxhash64 variant (the fused-expression scale path) stays covered by
+    * DedupSpec's bit-parity + pigeonhole tests.
     */
   val dedupSimhash = Q("q_dedup_simhash",
     (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+      Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+        maxHamming = 3, tokenHash = "md5")
         .orderBy("id_a", "id_b"),
-    None)
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT AS hi,
+                     ('0x' || SUBSTR(MD5(tok), 9, 8))::BIGINT AS lo
+              FROM toks WHERE LEN(tok) > 0),
+            votes AS (
+              SELECT doc_id, j,
+                CASE WHEN SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j
+                                               ELSE hi >> (j - 32) END) & 1) = 1
+                             THEN 1 ELSE -1 END) > 0
+                     THEN POWER(2, j)::HUGEINT ELSE 0::HUGEINT END AS bitval
+              FROM h CROSS JOIN GENERATE_SERIES(0, 63) AS g(j)
+              GROUP BY doc_id, j),
+            sig AS (SELECT doc_id, SUM(bitval) AS sig FROM votes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   BIT_COUNT(XOR(a.sig, b.sig))::INTEGER AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 3
+            ORDER BY id_a, id_b"""))
 
   /** Embedding-cosine near-dup pairs, exact all-pairs path (the oracle
     * definition); the LSH-bucketed scale path is exercised by

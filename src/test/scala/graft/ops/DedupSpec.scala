@@ -135,6 +135,39 @@ class DedupSpec extends SparkTestBase {
     assert(viaBuckets.map(t => (t._1, t._2, t._3.toInt)) == exact)
   }
 
+  test("md5 simhash variant is bit-identical to a JVM reference and its pairs are exact") {
+    // the md5-token-hash variant backs the q_dedup_simhash oracle gate:
+    // assert the Spark expression chain (conv/substring/md5 + HOF votes)
+    // against an independent JVM MessageDigest reference, and the chunked
+    // pair path against the all-pairs definition on those signatures
+    def md5h(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    }
+    def refSig(text: String): Long = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
+      (0 until 64).map { j =>
+        val vote = toks.map(t => if (((md5h(t) >> j) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << j else 0L
+      }.sum
+    }
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64Md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t) <- texts)
+      assert(sigs(id) == refSig(t), s"doc $id md5-simhash differs from JVM reference")
+    val exact = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if d <= 3
+    } yield (a, b, d)).toSet
+    val viaBuckets = Dedup.simhashPairs(docs, "text", "doc_id", 3, tokenHash = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue)).toSet
+    assert(viaBuckets == exact)
+  }
+
   test("cosine dup pairs: exact and LSH paths find identical-direction vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
