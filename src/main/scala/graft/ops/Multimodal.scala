@@ -616,11 +616,270 @@ object Multimodal {
   def resizeStub(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame =
     df.withColumn("resize_target", struct(lit(w).as("width"), lit(h).as("height")))
 
-  /** Frame sampling plumbing for video payloads: emit every `every`-th
-    * frame index up to `maxFrames` as (id, frame_no) rows — the schema and
-    * explode shape a real ffmpeg sampler produces.
+  /** Parsed ISO-BMFF sample tables of one track: media timescale, one
+    * size and one duration (in media ticks) per sample, and the 1-based
+    * sync-sample (keyframe) numbers from `stss` (`None` = no stss box,
+    * which per ISO/IEC 14496-12 §8.6.2 means EVERY sample is sync).
     */
-  def frameSampleStub(df: DataFrame, idCol: String, maxFrames: Int, every: Int): DataFrame =
-    df.select(col(idCol),
-      explode(sequence(lit(0), lit(maxFrames - 1), lit(every))).as("frame_no"))
+  private[ops] final case class Mp4Samples(timescale: Int, sizes: Array[Long],
+                                           durations: Array[Long],
+                                           syncSamples: Option[Set[Long]])
+
+  /** First child box with `boxTag` in `[start, end)`, as its CONTENT
+    * range (past the 8/16-byte header). Same size discipline as
+    * [[parseMp4Header]]: 32-bit size, size==1 → 64-bit largesize,
+    * size==0 → to end; corrupt sizes stop the walk.
+    */
+  private def findBox(p: Array[Byte], start: Long, end: Long,
+                      boxTag: String): Option[(Long, Long)] = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    var o = start
+    while (o + 8 <= end) {
+      val sz0 = be32(o.toInt)
+      val t = new String(p, o.toInt + 4, 4, "US-ASCII")
+      var hdr = 8L
+      var sz = sz0
+      if (sz0 == 1 && o + 16 <= end) { sz = be64(o.toInt + 8); hdr = 16 }
+      else if (sz0 == 0) sz = end - o
+      if (sz < hdr) return None // corrupt size: stop walking
+      if (t == boxTag) return Some((o + hdr, math.min(end, o + sz)))
+      o += sz
+    }
+    None
+  }
+
+  /** REAL header-only parse of the `stbl` sample tables — the metadata a
+    * frame sampler schedules decode work from, recovered without any
+    * codec: walks `moov/trak/mdia/{mdhd,minf/stbl/{stsz,stts,stss}}` (the
+    * first track carrying an stsz — the fixture and typical
+    * single-track corpora; a multi-track selector would iterate traks),
+    * then expands
+    *
+    *   - `stsz` → per-sample byte sizes (fixed-size and per-entry forms),
+    *   - `stts` → per-sample durations in media-timescale ticks
+    *     (run-length (count, delta) entries, expansion capped at the
+    *     stsz sample count so a corrupt stts cannot allocate unbounded),
+    *   - `stss` → the 1-based sync-sample set (absent box = all sync).
+    *
+    * The media timescale comes from `mdhd` (v0 and v1), NOT `mvhd` —
+    * stts ticks are media-track units. Every read is bounds-checked;
+    * any structural violation yields None (one corrupt payload must
+    * never fail a 100 TB job).
+    */
+  private[ops] def parseMp4SampleTable(p: Array[Byte]): Option[Mp4Samples] = {
+    def be32(o: Long): Long =
+      ((p(o.toInt) & 0xffL) << 24) | ((p(o.toInt + 1) & 0xffL) << 16) |
+        ((p(o.toInt + 2) & 0xffL) << 8) | (p(o.toInt + 3) & 0xffL)
+    if (p.length < 16 || new String(p, 4, 4, "US-ASCII") != "ftyp") return None
+    try {
+      for {
+        (ms, me) <- findBox(p, 0, p.length.toLong, "moov")
+        (ts, te) <- findBox(p, ms, me, "trak")
+        (mds, mde) <- findBox(p, ts, te, "mdia")
+        (mhs, _) <- findBox(p, mds, mde, "mdhd")
+        (mns, mne) <- findBox(p, mds, mde, "minf")
+        (sbs, sbe) <- findBox(p, mns, mne, "stbl")
+        (szs, sze) <- findBox(p, sbs, sbe, "stsz")
+        (tts, tte) <- findBox(p, sbs, sbe, "stts")
+        timescale <- {
+          val ver = p(mhs.toInt) & 0xff
+          if (ver == 0 && mhs + 16 <= p.length) Some(be32(mhs + 12).toInt)
+          else if (ver == 1 && mhs + 24 <= p.length) Some(be32(mhs + 20).toInt)
+          else None
+        }
+        if timescale > 0
+        sizes <- {
+          // stsz: version/flags, sample_size, sample_count[, entries]
+          if (szs + 12 > sze) None
+          else {
+            val fixed = be32(szs + 4)
+            val n = be32(szs + 8)
+            // a fixed-size stsz has no entry table to bound n against, so
+            // bound it by the payload itself — a count exceeding the byte
+            // length is corrupt and must not drive the allocation below
+            if (n < 0 || n > math.max(p.length.toLong, 1L)) None
+            else if (fixed != 0) Some(Array.fill(n.toInt)(fixed))
+            else if (szs + 12 + 4L * n > sze) None
+            else Some(Array.tabulate(n.toInt)(i => be32(szs + 12 + 4L * i)))
+          }
+        }
+        durations <- {
+          // stts: version/flags, entry_count, (sample_count, delta)*
+          if (tts + 8 > tte) None
+          else {
+            val entries = be32(tts + 4)
+            if (tts + 8 + 8L * entries > tte) None
+            else {
+              val out = Array.ofDim[Long](sizes.length)
+              var i = 0
+              var e = 0L
+              while (e < entries && i < out.length) {
+                val cnt = be32(tts + 8 + 8 * e)
+                val delta = be32(tts + 12 + 8 * e)
+                var c = 0L
+                while (c < cnt && i < out.length) { out(i) = delta; i += 1; c += 1 }
+                e += 1
+              }
+              if (i == out.length) Some(out) else None // stts under-covers stsz
+            }
+          }
+        }
+      } yield {
+        val sync = findBox(p, sbs, sbe, "stss").flatMap { case (sss, sse) =>
+          if (sss + 8 > sse) None
+          else {
+            val n = be32(sss + 4)
+            if (sss + 8 + 4L * n > sse) None
+            else Some(Array.tabulate(n.toInt)(i => be32(sss + 8 + 4L * i)).toSet)
+          }
+        }
+        Mp4Samples(timescale, sizes, durations, sync)
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** One row per MP4 sample, from the REAL `stbl` parse — the
+    * header-only half of frame sampling (what to decode, when, how many
+    * bytes) that a production pipeline uses to schedule codec work and
+    * that filtering/budgeting stages consume directly:
+    *
+    *   (idCol, sample_no [1-based], size_bytes, duration_ticks,
+    *    dts_ticks [sum of prior durations], time_ms, keyframe)
+    *
+    * Payloads that don't parse emit ZERO rows (the op is a sample
+    * enumerator, not a validator — pair with [[decodeVideo]]'s stub
+    * marker to audit unparseable payloads). Narrow mapPartitions;
+    * payloads never shuffle. Replaces the former frameSampleStub: the
+    * emitted schedule is now read from the container, not invented.
+    */
+  def decodeVideoSamples(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("sample_no", LongType),
+      StructField("size_bytes", LongType),
+      StructField("duration_ticks", LongType),
+      StructField("dts_ticks", LongType),
+      StructField("time_ms", DoubleType),
+      StructField("keyframe", BooleanType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val payload = if (raw == null) Array.emptyByteArray else raw
+        parseMp4SampleTable(payload).toSeq.flatMap { s =>
+          var dts = 0L
+          (0 until s.sizes.length).map { i =>
+            val no = i + 1L
+            val row = Row(r.get(idIdx), no, s.sizes(i), s.durations(i), dts,
+              dts * 1000.0 / s.timescale,
+              s.syncSamples.forall(_.contains(no)))
+            dts += s.durations(i)
+            row
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Keyframe-aligned frame sampling from the real sample tables: every
+    * `every`-th sample per payload, up to `maxFrames` — the decode
+    * schedule a production sampler hands to the codec stage. Pure
+    * DataFrame tail over [[decodeVideoSamples]] (window-free: the sample
+    * enumeration is already per-payload ordered by construction).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   maxFrames: Int, every: Int): DataFrame =
+    decodeVideoSamples(df, idCol, payloadCol)
+      .filter((col("sample_no") - 1) % every === 0 &&
+        (col("sample_no") - 1) / every < maxFrames)
+      .withColumn("frame_no", ((col("sample_no") - 1) / every).cast(IntegerType))
+
+  /** Minimal MP4 with REAL sample tables (fixture half of the
+    * `q_mm_mp4_samples` gate): ftyp + moov{mvhd, trak{mdia{mdhd,
+    * minf{stbl{stsz,stts,stss}}}}} + mdat carrying `data`. The tables
+    * are arithmetic functions of `data.length` so an oracle can
+    * recompute every emitted sample without parsing:
+    *
+    *   - samples: ceil(len / chunkBytes), sample i sized chunkBytes
+    *     except a short last chunk (per-entry stsz, sample_size = 0);
+    *   - durations: 100 ticks each, except the LAST sample at
+    *     100 + len % 100 (two-entry stts — exercises run-length
+    *     expansion);
+    *   - keyframes: samples 1, 1+keyEvery, 1+2·keyEvery, … (stss).
+    */
+  def mp4PayloadWithSamples(data: Array[Byte], timescale: Int = 600,
+                            chunkBytes: Int = 64, keyEvery: Int = 5): Array[Byte] = {
+    val len = data.length
+    val n = (len + chunkBytes - 1) / chunkBytes
+    val lastDur = 100 + len % 100
+    val sttsEntries: Seq[(Int, Int)] =
+      if (n == 0) Seq.empty
+      else if (n == 1) Seq(1 -> lastDur)
+      else Seq((n - 1) -> 100, 1 -> lastDur)
+    val syncs = (1 to n by keyEvery).toSeq
+    val stszSz = 8 + 12 + 4 * n
+    val sttsSz = 8 + 8 + 8 * sttsEntries.length
+    val stssSz = 8 + 8 + 4 * syncs.length
+    val stblSz = 8 + stszSz + sttsSz + stssSz
+    val minfSz = 8 + stblSz
+    val mdhdSz = 8 + 24 // v0: ver/flags, ctime, mtime, timescale, duration, lang+pre
+    val mdiaSz = 8 + mdhdSz + minfSz
+    val trakSz = 8 + mdiaSz
+    val mvhdSz = 8 + 4 + 96
+    val moovSz = 8 + mvhdSz + trakSz
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSz + 8 + len) // BE by default
+    bb.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0).put("isom".getBytes("US-ASCII"))
+    bb.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhdSz).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(len)
+    bb.position(bb.position() + 80)
+    bb.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+    bb.putInt(mdiaSz).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(mdhdSz).put("mdhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale).putInt(sttsEntries.map(e => e._1.toLong * e._2).sum.toInt)
+      .putInt(0) // language + pre_defined
+    bb.putInt(minfSz).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(n) // ver/flags, sample_size=0 (per-entry), count
+    (1 to n).foreach(i => bb.putInt(if (i * chunkBytes <= len) chunkBytes
+                                    else len - (i - 1) * chunkBytes))
+    bb.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
+      .putInt(0).putInt(sttsEntries.length)
+    sttsEntries.foreach { case (c, d) => bb.putInt(c).putInt(d) }
+    bb.putInt(stssSz).put("stss".getBytes("US-ASCII"))
+      .putInt(0).putInt(syncs.length)
+    syncs.foreach(bb.putInt)
+    bb.putInt(8 + len).put("mdat".getBytes("US-ASCII")).put(data)
+    bb.array()
+  }
+
+  /** Wrap a binary column in the sample-table MP4 envelope row-by-row
+    * (fixture half of `q_mm_mp4_samples`; see [[mp4PayloadWithSamples]]).
+    */
+  def synthesizeMp4WithSamples(df: DataFrame, idCol: String, payloadCol: String,
+                               timescale: Int = 600, chunkBytes: Int = 64,
+                               keyEvery: Int = 5): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val data = if (raw == null) Array.emptyByteArray else raw
+        Row(r.get(idIdx), mp4PayloadWithSamples(data, timescale, chunkBytes, keyEvery))
+      }
+    }(enc)
+  }
 }

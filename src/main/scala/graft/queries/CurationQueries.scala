@@ -1016,6 +1016,38 @@ object CurationQueries {
               'mp4' AS format
             FROM documents ORDER BY doc_id"""))
 
+  /** Per-sample MP4 metadata, REAL `stbl` parse end to end: document
+    * bytes ride as mdat inside an envelope whose stsz/stts/stss tables
+    * are arithmetic functions of the byte length (64-byte chunks,
+    * 100-tick durations with a len%100 remainder on the last sample,
+    * every-5th keyframes — see Multimodal.mp4PayloadWithSamples). DuckDB
+    * recomputes every emitted sample row from OCTET_LENGTH alone, so the
+    * gate proves the parser walks moov/trak/mdia/minf/stbl and expands
+    * the run-length tables correctly — a parser reading the mdat body or
+    * inventing a schedule cannot produce these rows.
+    */
+  val mmMp4Samples = Q("q_mm_mp4_samples",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      val enveloped = Multimodal.synthesizeMp4WithSamples(docs, "doc_id", "payload",
+        timescale = 600, chunkBytes = 64, keyEvery = 5)
+      Multimodal.decodeVideoSamples(enveloped, "doc_id", "payload")
+        .orderBy("doc_id", "sample_no")
+    },
+    Some("""WITH d AS (SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS len FROM documents),
+            s AS (SELECT doc_id, len,
+                         UNNEST(RANGE(1, CAST(CEIL(len / 64.0) AS BIGINT) + 1)) AS i
+                  FROM d WHERE len > 0)
+            SELECT doc_id,
+                   i AS sample_no,
+                   CAST(CASE WHEN i * 64 <= len THEN 64 ELSE len - (i - 1) * 64 END AS BIGINT) AS size_bytes,
+                   CAST(CASE WHEN i = CAST(CEIL(len / 64.0) AS BIGINT) THEN 100 + len % 100 ELSE 100 END AS BIGINT) AS duration_ticks,
+                   CAST((i - 1) * 100 AS BIGINT) AS dts_ticks,
+                   (i - 1) * 100 * 1000.0 / 600 AS time_ms,
+                   (i - 1) % 5 = 0 AS keyframe
+            FROM s ORDER BY doc_id, sample_no"""))
+
   /** FLAC modality, REAL STREAMINFO decode end to end: document bytes
     * ride as the unread frame section of a fLaC envelope whose
     * total-samples field is data.length; the bit-packed STREAMINFO parse
@@ -1829,6 +1861,6 @@ object CurationQueries {
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
-    mmBinary, mmWav, mmMp3, mmMp4, mmFlac, mmWebp,
+    mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     curateE2E, curateE2EScale)
 }

@@ -187,10 +187,81 @@ class MultimodalSpec extends SparkTestBase {
     assert(stubs(1).getDouble(0) == stubs(3).getDouble(0)) // deterministic per payload
   }
 
-  test("frameSampleStub explodes sampled frame indices per payload") {
-    val out = Multimodal.frameSampleStub(payloads, "id", maxFrames = 10, every = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    assert(out.toSet == Set(1L, 2L).flatMap(id => Seq(0, 3, 6, 9).map(f => (id, f))))
+  test("parseMp4SampleTable reads golden stsz/stts/stss tables (per-entry and fixed-size)") {
+    // 150 bytes at 64-byte chunks → 3 samples (64, 64, 22); durations
+    // 100, 100, 100 + 150 % 100 = 150; keyframes every 5th → sample 1
+    val p = Multimodal.mp4PayloadWithSamples(Array.fill[Byte](150)(7),
+      timescale = 600, chunkBytes = 64, keyEvery = 5)
+    val Some(s) = Multimodal.parseMp4SampleTable(p)
+    assert(s.timescale == 600)
+    assert(s.sizes.toSeq == Seq(64L, 64L, 22L))
+    assert(s.durations.toSeq == Seq(100L, 100L, 150L))
+    assert(s.syncSamples.contains(Set(1L)))
+    // fixed-size stsz form (sample_size != 0, no entry table): patch the
+    // per-entry box into the fixed form in place — stsz content is at a
+    // known offset only in a hand-built payload, so rebuild a minimal one
+    val fixedStsz = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 32 + 8 + 8 + 8 + 8 + 20 + 8 + 24)
+      val stszSz = 8 + 12 // fixed-size form: no table
+      val sttsSz = 8 + 8 + 8
+      val stblSz = 8 + stszSz + sttsSz
+      val minfSz = 8 + stblSz
+      val mdhdSz = 8 + 24
+      val mdiaSz = 8 + mdhdSz + minfSz
+      val trakSz = 8 + mdiaSz
+      val moovSz = 8 + trakSz
+      bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      bb.putInt(moovSz).put("moov".getBytes)
+      bb.putInt(trakSz).put("trak".getBytes)
+      bb.putInt(mdiaSz).put("mdia".getBytes)
+      bb.putInt(mdhdSz).put("mdhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(90000).putInt(1200).putInt(0)
+      bb.putInt(minfSz).put("minf".getBytes)
+      bb.putInt(stblSz).put("stbl".getBytes)
+      bb.putInt(stszSz).put("stsz".getBytes).putInt(0).putInt(512).putInt(4)
+      bb.putInt(sttsSz).put("stts".getBytes).putInt(0).putInt(1).putInt(4).putInt(300)
+      bb.array()
+    }
+    val Some(f) = Multimodal.parseMp4SampleTable(fixedStsz)
+    assert(f.timescale == 90000)
+    assert(f.sizes.toSeq == Seq(512L, 512L, 512L, 512L))
+    assert(f.durations.toSeq == Seq(300L, 300L, 300L, 300L))
+    assert(f.syncSamples.isEmpty) // no stss → every sample sync
+    // corrupt/truncated payloads parse to None, never throw
+    assert(Multimodal.parseMp4SampleTable(p.take(40)).isEmpty)
+    assert(Multimodal.parseMp4SampleTable("not a movie".getBytes).isEmpty)
+    val underCover = p.clone() // stts covering fewer samples than stsz
+    // flip the stts entry_count from 2 to 1 (locate the tag by pattern —
+    // offset arithmetic is what the parser is for): the surviving run
+    // covers 2 of the 3 stsz samples, which must be rejected
+    val i = underCover.indexOfSlice("stts".getBytes)
+    underCover(i + 11) = 1
+    assert(Multimodal.parseMp4SampleTable(underCover).isEmpty)
+  }
+
+  test("decodeVideoSamples emits the schedule; sampleFrames picks every-th sample") {
+    val data1 = Array.fill[Byte](150)(3) // 3 samples
+    val data2 = Array.fill[Byte](64)(4)  // 1 sample
+    val df = Seq((1L, data1), (2L, data2), (3L, "garbage".getBytes))
+      .toDF("id", "payload")
+    val env = Multimodal.synthesizeMp4WithSamples(df.filter(col("id") < 3L), "id", "payload")
+      .union(df.filter(col("id") === 3L)) // id 3 stays unparseable
+    val out = Multimodal.decodeVideoSamples(env, "id", "payload")
+      .orderBy("id", "sample_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(out.count(_._1 == 1L) == 3 && out.count(_._2 == 1L) == 2)
+    assert(out.filter(_._1 == 3L).isEmpty) // unparseable → zero rows
+    val s2 = out.filter(t => t._1 == 1L && t._2 == 2L).head
+    assert(s2._3 == 64L && s2._4 == 100L && s2._5 == 100L &&
+      math.abs(s2._6 - 100 * 1000.0 / 600) < 1e-9 && !s2._7)
+    val last = out.filter(_._1 == 1L).last
+    assert(last._4 == 150L && last._5 == 200L) // 100 + 150 % 100; dts cumsum
+    // frame sampling: every 2nd sample, so samples 1 and 3 for id 1
+    val frames = Multimodal.sampleFrames(env, "id", "payload", maxFrames = 10, every = 2)
+      .select("id", "sample_no", "frame_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(frames == Set((1L, 1L, 0), (1L, 3L, 1), (2L, 1L, 0)))
   }
 
   test("flacPayload round-trips through parseFlacHeader; garbage does not") {
