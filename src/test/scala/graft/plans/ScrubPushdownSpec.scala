@@ -76,6 +76,69 @@ class ScrubPushdownSpec extends SparkTestBase {
     assert(actual == expected)
   }
 
+  test("pushes through a Project -> Filter -> Generate chain, same rows") {
+    // post-explode filter between the scrub and the Generate: the filter
+    // keys on the GENERATED column so the optimizer cannot sink it, and
+    // the scrub must commute past both operators
+    val filtered = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("pos"), col("tok"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrubbed"))
+    val optimized = filtered.queryExecution.optimizedPlan
+    assert(scrubPosition(optimized) == ((true, false)),
+      s"precondition: scrub above Filter-over-Generate\n$optimized")
+    val rewritten = ScrubPushdown(optimized)
+    assert(scrubPosition(rewritten) == ((false, true)),
+      s"scrub should sit below the Generate after rewrite\n$rewritten")
+    val expected = filtered.orderBy("doc_id", "pos").collect().toSeq
+    val actual = GraftShim.ofRows(spark, rewritten)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(actual == expected)
+  }
+
+  test("pushes through a Project -> Project -> Generate chain, same rows") {
+    // a nondeterministic middle column keeps CollapseProject from merging
+    // the stacked projects, so the rule sees the two-Project shape; the
+    // pushed attribute must get threaded through the middle project list
+    val stacked = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"), col("text"), rand().as("r"))
+      .select(col("doc_id"), col("pos"), col("r"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrubbed"))
+    val optimized = stacked.queryExecution.optimizedPlan
+    // precondition: the stacked-Project shape survived optimization
+    val shapes = optimized.collect { case Project(_, Project(_, _: Generate)) => () }
+    assert(shapes.nonEmpty, s"precondition: stacked projects over Generate\n$optimized")
+    assert(scrubPosition(optimized) == ((true, false)))
+    val rewritten = ScrubPushdown(optimized)
+    assert(scrubPosition(rewritten) == ((false, true)),
+      s"scrub should sit below the Generate after rewrite\n$rewritten")
+    val expected = stacked.orderBy("doc_id", "pos")
+      .select("doc_id", "pos", "scrubbed").collect().toSeq
+    val actual = GraftShim.ofRows(spark, rewritten)
+      .orderBy("doc_id", "pos").select("doc_id", "pos", "scrubbed").collect().toSeq
+    assert(actual == expected)
+  }
+
+  test("does NOT push a scrub that references a column the middle project renames") {
+    // the intermediate aliases text -> t2 with an actual transformation,
+    // so the scrub's reference is NOT the generator-child's attribute and
+    // the conservative child-output check must refuse the push
+    val renamed = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), concat(col("text"), col("tok")).as("t2"), rand().as("r"))
+      .select(col("doc_id"), col("pos"), col("r"),
+        regexp_replace(col("t2"), "[0-9]+", "<NUM>").as("scrubbed"))
+    val optimized = renamed.queryExecution.optimizedPlan
+    val rewritten = ScrubPushdown(optimized)
+    assert(rewritten == optimized,
+      s"scrub of a renamed/transformed column must stay put\n$rewritten")
+  }
+
   test("does NOT push a scrub that references the generated column") {
     val dependent = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
