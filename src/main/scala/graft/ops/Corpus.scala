@@ -478,9 +478,17 @@ object Corpus {
     */
   def reweightMixture(df: DataFrame, stratumCol: String, keyCol: String,
                       weights: Map[String, Double],
-                      defaultWeight: Double = 1.0): DataFrame = {
+                      defaultWeight: Double = 1.0,
+                      maxWeight: Double = 100.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
       "mixture weights must be >= 0")
+    // upper sanity bound: output rows scale LINEARLY with each weight
+    // (sequence(1, copies) replication), so a typo'd weight — 225 for
+    // 2.25 — silently amplifies a stratum 100×. Raise maxWeight
+    // explicitly when a three-digit upsample is actually intended.
+    require((weights.values ++ Seq(defaultWeight)).forall(_ <= maxWeight),
+      s"mixture weight exceeds maxWeight=$maxWeight — output rows grow " +
+        "linearly with the weight; raise maxWeight explicitly if intended")
     def copiesFor(w: Double): Column = {
       val base = math.floor(w).toLong
       val frac = w - base
@@ -558,7 +566,10 @@ object Corpus {
     */
   def filterByDomainBlocklist(df: DataFrame, urlCol: String,
                               blocked: DataFrame, blockedCol: String): DataFrame = {
-    val b = blocked.select(col(blockedCol).as("__blocked_domain")).distinct()
+    // lower() on the blocklist side: Text.urlDomain lowercases extracted
+    // domains, so an uppercase blocklist entry would otherwise never
+    // match anything — silently dropping nothing
+    val b = blocked.select(lower(col(blockedCol)).as("__blocked_domain")).distinct()
     df.withColumn("__domain", Text.urlDomain(col(urlCol)))
       .join(b, col("__domain") === col("__blocked_domain"), "left_anti")
       .drop("__domain")

@@ -482,11 +482,24 @@ object Dedup {
       .groupBy("__id").agg(collect_set(col("__pos")).as("__rm"))
     // shuffle_hash: the removal-set frame is Θ(docs with duplication) —
     // corpus-order, never a driver broadcast
+    //
+    // Rebuild via array_except over the position sequence, NOT a
+    // per-position array_contains membership test: array_except hashes
+    // its right argument once (O(tokens + removed)), while
+    // filter(toks, (_, i) => !array_contains(rm, i)) scans the removal
+    // set per token — O(tokens × removed), quadratic in doc length for
+    // the heavily-duplicated long documents this op targets (~10^10
+    // comparisons on a mostly-duplicated 100k-token doc). Kept positions
+    // come back in original order, and get() is O(1) per element.
     toks.join(removed.hint("shuffle_hash"), Seq("__id"), "left")
       .withColumn("__rmset", coalesce(col("__rm"), array().cast(ArrayType(IntegerType))))
+      .withColumn("__kept",
+        when(size(col("__toks")) === 0, array().cast(ArrayType(IntegerType)))
+          .otherwise(array_except(
+            sequence(lit(0), size(col("__toks")) - 1), col("__rmset"))))
       .select(col("__id").as(idCol),
-        array_join(filter(col("__toks"),
-          (_, i) => !array_contains(col("__rmset"), i)), " ").as("clean_text"),
+        array_join(transform(col("__kept"), p => get(col("__toks"), p)), " ")
+          .as("clean_text"),
         (size(col("__toks")) - size(col("__rmset"))).cast(LongType).as("n_kept"),
         size(col("__rmset")).cast(LongType).as("n_removed"))
   }
@@ -1157,17 +1170,26 @@ object Dedup {
                     nAssign: Int = 2, iters: Int = 3): DataFrame = {
     require(nCells >= 1, s"nCells=$nCells must be >= 1")
     require(nAssign >= 1 && nAssign <= 4, s"nAssign=$nAssign out of [1,4]")
+    require(nAssign <= nCells,
+      s"nAssign=$nAssign > nCells=$nCells: a vector cannot take more " +
+        "distinct cells than exist")
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val cents = Similarity.ivfCentroids(df, idCol, vecCol, nCells, iters)
+    // ivfCentroids can return FEWER centroids than requested (empty
+    // clusters drop); cap the peeling depth at the realized count, or
+    // the surplus passes would execute the full score+aggregate subtree
+    // only to produce empty frames (the centroid frame is tiny and
+    // derived from per-step-checkpointed state, so the count is cheap)
+    val effAssign = math.min(nAssign.toLong, cents.count()).toInt
     val scored = vecs.crossJoin(broadcast(cents))
       .withColumn("__cos", Similarity.cosine(col("__v"), col("centroid")))
-    // peel off the argmax nAssign times: pass m re-scores with the m-1
+    // peel off the argmax effAssign times: pass m re-scores with the m-1
     // already-chosen cells excluded (carried as columns __c1..__c(m-1));
     // each pass's max-struct agg partial-aggregates map-side, so only n
     // rows per pass reach the shuffle — never the n × nCells stream
     var chosen = vecs.select(col("__id"))
     val parts = Seq.newBuilder[DataFrame]
-    for (m <- 1 to nAssign) {
+    for (m <- 1 to effAssign) {
       val prior = (1 until m).map(i => col(s"__c$i"))
       // checkpoint each pass: `best` feeds BOTH the cells union and the
       // next pass's exclusion list — unmaterialized, pass m's full

@@ -97,7 +97,10 @@ object Runner {
 
   /** Config-driven curation (reference S7 discipline — the stage's knobs
     * come from the layered YAML, mirroring how `validate` takes its k's):
-    * an absent `curation:` section reproduces the default chain.
+    * an absent `curation:` section reproduces the default chain. The
+    * decontamination screen activates when `curation.benchmark_path`
+    * names a parquet corpus with a `text` column; `decontaminate_n` /
+    * `decontaminate_min_shared` tune the shingle length and hit floor.
     */
   def curate(spark: SparkSession, tables: StageTables, docs: DataFrame,
              conf: graft.sources.PipelineConfig.Conf): Unit = {
@@ -106,6 +109,9 @@ object Runner {
       jaccardThreshold = c.jaccardThreshold,
       minTokens = c.minTokens, maxTokens = c.maxTokens,
       maxShingleDocFreq = c.maxShingleDocFreq,
+      benchmark = c.benchmarkPath.map(spark.read.parquet(_)),
+      decontaminateN = c.decontaminateN,
+      decontaminateMinShared = c.decontaminateMinShared,
       nfcNormalize = c.nfcNormalize,
       stripSpanK = c.stripSpanK,
       urlCol = c.urlCol,

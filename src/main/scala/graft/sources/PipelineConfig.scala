@@ -26,7 +26,10 @@ object PipelineConfig {
                           maxTokens: Long, nfcNormalize: Boolean,
                           stripSpanK: Int, maxShingleDocFreq: Long,
                           urlCol: Option[String] = None,
-                          blockedDomains: Seq[String] = Nil)
+                          blockedDomains: Seq[String] = Nil,
+                          benchmarkPath: Option[String] = None,
+                          decontaminateN: Int = 8,
+                          decontaminateMinShared: Long = 1L)
 
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
@@ -58,7 +61,10 @@ object PipelineConfig {
       getDouble("curation.strip_span_k").map(_.toInt).getOrElse(0),
       getDouble("curation.max_shingle_doc_freq").map(_.toLong).getOrElse(0L),
       getString("curation.url_col"),
-      getStringList("curation.blocked_domains"))
+      getStringList("curation.blocked_domains"),
+      getString("curation.benchmark_path"),
+      getDouble("curation.decontaminate_n").map(_.toInt).getOrElse(8),
+      getDouble("curation.decontaminate_min_shared").map(_.toLong).getOrElse(1L))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r

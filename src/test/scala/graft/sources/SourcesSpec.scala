@@ -219,6 +219,20 @@ class SourcesSpec extends SparkTestBase {
         |""".stripMargin).curationConf
     assert(dom.urlCol.contains("url"))
     assert(dom.blockedDomains == Seq("spam.example.com", "ads.example.net"))
+    // decontamination knobs: benchmark parquet path + shingle length + floor
+    val dec = PipelineConfig.parse(
+      """default:
+        |  curation:
+        |    benchmark_path: /data/benchmarks/eval.parquet
+        |    decontaminate_n: 13
+        |    decontaminate_min_shared: 2
+        |""".stripMargin).curationConf
+    assert(dec.benchmarkPath.contains("/data/benchmarks/eval.parquet"))
+    assert(dec.decontaminateN == 13 && dec.decontaminateMinShared == 2L)
+    // absent -> screen off, stage defaults
+    assert(empty.curationConf.benchmarkPath.isEmpty &&
+      empty.curationConf.decontaminateN == 8 &&
+      empty.curationConf.decontaminateMinShared == 1L)
   }
 
   test("S8: add_version stamps timestamp + short sha") {
