@@ -66,10 +66,24 @@ object HashExprs {
   }
 
   /** 64-bit SimHash over a token array: bit j of the output is 1 iff the
-    * sum over tokens of ±1 (bit j of xxhash64(token)) is positive.
+    * sum over tokens of ±1 (bit j of `tokenHash`(token)) is positive.
+    *
+    * `tokenHash` = `"xxhash64"` (Spark's own XxHash64Function, seed 42 —
+    * bit-identical to the SQL builtin, the default/scale choice) or
+    * `"md5"` (first 16 hex digits of md5 as hi<<32|lo — reproducible in
+    * any engine with an md5(), which is what makes the `q_dedup_simhash`
+    * gate fully oracle-able; one MessageDigest per row, reset per token).
+    * Either way the whole signature is ONE eval per row — the HOF
+    * formulation re-inlines the token-hash subtree into each of the 64
+    * bit-votes (HOFs are CodegenFallback: no common-subexpression
+    * elimination), recomputing every token hash 64× (measured 29 s vs
+    * ~1 s on the sf0.1 gate).
     */
-  case class SimHash64(child: Expression)
+  case class SimHash64(child: Expression, tokenHash: String = "xxhash64")
     extends UnaryExpression with CodegenFallback {
+
+    require(tokenHash == "xxhash64" || tokenHash == "md5",
+      s"unknown simhash token hash '$tokenHash' (xxhash64 | md5)")
 
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
@@ -77,10 +91,21 @@ object HashExprs {
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      val md =
+        if (tokenHash == "md5") java.security.MessageDigest.getInstance("MD5")
+        else null
       val votes = new Array[Int](64)
       var j = 0
       while (j < n) {
-        val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, SqlSeed)
+        val h =
+          if (md == null) XxHash64Function.hash(arr.getUTF8String(j), StringType, SqlSeed)
+          else {
+            val d = md.digest(arr.getUTF8String(j).getBytes) // digest() resets
+            ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          }
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -104,6 +129,6 @@ object HashExprs {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), numHashes))
 
-  def simhash64(tokens: Column): Column =
-    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+  def simhash64(tokens: Column, tokenHash: String = "xxhash64"): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens), tokenHash))
 }

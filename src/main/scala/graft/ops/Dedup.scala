@@ -969,14 +969,23 @@ object Dedup {
   def simhash64Hof(textCol: Column): Column =
     simhashVote(transform(Text.tokens(textCol), t => xxhash64(t)))
 
-  /** [[simhash64]] variant whose per-token 64-bit hash is assembled from
-    * the first 16 hex digits of md5 (hi half << 32 | lo half). md5 is the
-    * one 64-bit-capable hash Spark and DuckDB both expose with identical
-    * semantics, so THIS variant's pair list is fully SQL-oracle-able (the
-    * `q_dedup_simhash` gate) — the fused xxhash64 expression stays the
-    * scale path (one codegen'd eval per row vs 64 HOF aggregates here).
+  /** [[simhash64]] variant whose per-token 64-bit hash is the first 16
+    * hex digits of md5 (bytes 0-7 big-endian). md5 is the one
+    * 64-bit-capable hash Spark and DuckDB both expose with identical
+    * semantics, so THIS variant's pair list is fully SQL-oracle-able
+    * (the `q_dedup_simhash` gate). Same fused one-eval-per-row
+    * expression as the xxhash64 form — see
+    * [[graft.functions.HashExprs.SimHash64]] for why the HOF shape is
+    * 60× slower here.
     */
   def simhash64Md5(textCol: Column): Column =
+    graft.functions.HashExprs.simhash64(Text.tokens(textCol), "md5")
+
+  /** HOF-builtin form of [[simhash64Md5]] (conv/substring/md5 chain),
+    * kept to property-test the fused expression's MessageDigest token
+    * hash against Spark's own md5() builtin (bit-identical).
+    */
+  def simhash64Md5Hof(textCol: Column): Column =
     simhashVote(transform(Text.tokens(textCol), t =>
       shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast(LongType), 32)
         .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast(LongType))))

@@ -158,6 +158,11 @@ class DedupSpec extends SparkTestBase {
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     for ((id, t) <- texts)
       assert(sigs(id) == refSig(t), s"doc $id md5-simhash differs from JVM reference")
+    // and the fused MessageDigest token hash is bit-identical to the
+    // Spark-builtin conv/substring/md5 HOF chain
+    docs.select(Dedup.simhash64Md5(col("text")).as("expr"),
+        Dedup.simhash64Md5Hof(col("text")).as("hof")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
     val exact = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
       d = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
