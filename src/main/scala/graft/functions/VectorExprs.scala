@@ -94,24 +94,46 @@ object VectorExprs {
 
   /** Hyperplane-LSH bucket: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes, weight(p, i) derived from
-    * xxhash64 exactly like the HOF form in Similarity.planeWeight
-    * (bit-parity property-tested). `planeOffset` selects an independent
-    * plane family (planes planeOffset..planeOffset+bits-1) — the
-    * OR-amplification hook: each LSH table t uses offset t*bits.
+    * `planeHash`. `planeOffset` selects an independent plane family
+    * (planes planeOffset..planeOffset+bits-1) — the OR-amplification
+    * hook: each LSH table t uses offset t*bits.
+    *
+    * `planeHash` = `"xxhash64"` (exactly the HOF form in
+    * Similarity.planeWeight, bit-parity property-tested — the default)
+    * or `"md5"` (first 15 hex digits of md5("p_i") mod 2000001, mapped
+    * to [-1, 1] — reproducible in any engine with an md5(), which makes
+    * the bucketing itself SQL-oracle-able; projections are sequential
+    * double adds in index order, bit-identical to DuckDB's ordered
+    * LIST_INNER_PRODUCT, verified on the gate corpus). Either family is
+    * a deterministic pseudo-random direction set; recall behavior is
+    * identical in distribution.
     */
-  case class HyperplaneBucket(child: Expression, bits: Int, planeOffset: Int = 0)
+  case class HyperplaneBucket(child: Expression, bits: Int, planeOffset: Int = 0,
+                              planeHash: String = "xxhash64")
     extends UnaryExpression {
+
+    require(planeHash == "xxhash64" || planeHash == "md5",
+      s"unknown plane hash '$planeHash' (xxhash64 | md5)")
 
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_bucket"
 
-    // weight(p, i) = (pmod(xxhash64(p, i), 2000001) - 1e6) / 1e6, where
-    // xxhash64(p, i) folds: hash(i, hash(p, seed=42)) — SQL builtin order
+    // weight(p, i) = (pmod(h(p, i), 2000001) - 1e6) / 1e6, where h is
+    // the xxhash64 fold hash(i, hash(p, seed=42)) — SQL builtin order —
+    // or the 60-bit md5 prefix of "p_i"
     private def weight(p: Int, i: Int): Double = {
-      val h = XxHash64Function.hash(i, IntegerType,
-        XxHash64Function.hash(p, IntegerType, 42L))
       val m = 2000001L
-      val pm = ((h % m) + m) % m
+      val pm =
+        if (planeHash == "md5") {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${p}_$i".getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(15), 16) % m
+        } else {
+          val h = XxHash64Function.hash(i, IntegerType,
+            XxHash64Function.hash(p, IntegerType, 42L))
+          ((h % m) + m) % m
+        }
       (pm - 1000000.0) / 1000000.0
     }
 
@@ -190,6 +212,8 @@ object VectorExprs {
       GraftShim.expression(a.cast("array<double>")),
       GraftShim.expression(b.cast("array<double>"))))
 
-  def hyperplaneBucket(v: Column, bits: Int, planeOffset: Int = 0): Column =
-    GraftShim.column(HyperplaneBucket(GraftShim.expression(v.cast("array<double>")), bits, planeOffset))
+  def hyperplaneBucket(v: Column, bits: Int, planeOffset: Int = 0,
+                       planeHash: String = "xxhash64"): Column =
+    GraftShim.column(HyperplaneBucket(
+      GraftShim.expression(v.cast("array<double>")), bits, planeOffset, planeHash))
 }

@@ -1085,7 +1085,8 @@ object Dedup {
     */
   def cosineDupPairs(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, lshBits: Int = 0,
-                     lshTables: Int = 8): DataFrame = {
+                     lshTables: Int = 8,
+                     planeHash: String = "xxhash64"): DataFrame = {
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     def verified(candidates: DataFrame): DataFrame = candidates
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
@@ -1118,7 +1119,7 @@ object Dedup {
       // (id_a, id_b, cosine) collapses them exactly.
       val bucketed = vecs.select(col("__id"), col("__v"),
         posexplode(array((0 until lshTables).map(t =>
-          Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits)): _*))
+          Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits, planeHash)): _*))
           .as(Seq("__table", "__bkt")))
         .localCheckpoint(true)
       // fanoutSides: this join explodes ~1000× (200M candidates from a

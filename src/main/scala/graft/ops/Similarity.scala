@@ -52,8 +52,9 @@ object Similarity {
     * OR-amplified scheme passes offset t*bits.
     * Fused expression; [[hyperplaneBucketHof]] kept for parity testing.
     */
-  def hyperplaneBucket(vec: Column, bits: Int, planeOffset: Int = 0): Column =
-    graft.functions.VectorExprs.hyperplaneBucket(vec, bits, planeOffset)
+  def hyperplaneBucket(vec: Column, bits: Int, planeOffset: Int = 0,
+                       planeHash: String = "xxhash64"): Column =
+    graft.functions.VectorExprs.hyperplaneBucket(vec, bits, planeOffset, planeHash)
 
   def hyperplaneBucketHof(vec: Column, bits: Int, planeOffset: Int = 0): Column = {
     val idx = sequence(lit(0), size(vec) - 1)

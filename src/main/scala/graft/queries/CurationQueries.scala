@@ -390,16 +390,45 @@ object CurationQueries {
     * (candidates within any of 16 independent 4-bit bucket tables;
     * OR-amplified recall 1-(1-p⁴)¹⁶ ≈ 0.95 even at the 0.45 threshold's
     * p ≈ 0.65 per-plane agreement, vs ≈ 3% for a single 8-bit signature).
-    * Approximate → rows-only check; recall vs the exact path is gated
-    * numerically in DedupSpec.
+    *
+    * FULLY oracled despite being an LSH path: the gate runs md5-derived
+    * plane weights (reproducible in DuckDB), and the oracle rebuilds
+    * every (table, bucket) signature — LIST_INNER_PRODUCT accumulates
+    * the projection in index order, bit-identical to the expression's
+    * sequential double adds — then takes within-bucket pairs and
+    * verifies exact cosine, i.e. the complete LSH definition, not just
+    * its output shape. Recall vs the exact path stays gated numerically
+    * in DedupSpec (xxhash64 planes, the default family).
     */
   val dedupCosineLsh = Q("q_dedup_embed_cosine_lsh",
     (s, dir) =>
       Dedup.cosineDupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
-        threshold = 0.45, lshBits = 4, lshTables = 16)
+        threshold = 0.45, lshBits = 4, lshTables = 16, planeHash = "md5")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
         .orderBy("id_a", "id_b"),
-    None)
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            planes AS (
+              SELECT t, b,
+                     LIST_TRANSFORM(RANGE(0, 64),
+                       i -> (('0x' || SUBSTR(MD5((t*4+b) || '_' || i), 1, 15))::BIGINT
+                             % 2000001 - 1000000) / 1000000.0) AS w
+              FROM RANGE(0, 16) tt(t), RANGE(0, 4) bb(b)),
+            bk AS (
+              SELECT v.vec_id, p.t,
+                     SUM(CASE WHEN LIST_INNER_PRODUCT(v.e, p.w) >= 0
+                              THEN (2 ^ p.b)::BIGINT ELSE 0 END)::BIGINT AS bucket
+              FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.t),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                                  AND a.vec_id < b.vec_id),
+            pr AS (
+              SELECT id_a, id_b, LIST_COSINE_SIMILARITY(va.e, vb.e) AS cosine
+              FROM cand
+              JOIN v va ON va.vec_id = cand.id_a
+              JOIN v vb ON vb.vec_id = cand.id_b)
+            SELECT id_a, id_b, ROUND(cosine, 9) AS cosine
+            FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
 
   /** SemDeDup clustered variant with soft (top-2) cell assignment.
     * Approximate (pairs outside any shared cell missed by design) →

@@ -186,6 +186,12 @@ class DedupSpec extends SparkTestBase {
     val lsh = Dedup.cosineDupPairs(vecs, "embedding", "vec_id", 0.999, lshBits = 2)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == Set((1L, 2L))) // identical vectors share every hyperplane bucket
+    // the md5 plane family (the oracle-gated variant) behaves identically
+    // on identical-direction vectors — any plane family must
+    val lshMd5 = Dedup.cosineDupPairs(vecs, "embedding", "vec_id", 0.999,
+      lshBits = 2, planeHash = "md5")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshMd5 == Set((1L, 2L)))
   }
 
   test("connected components: chains collapse to min label") {
