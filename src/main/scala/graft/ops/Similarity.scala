@@ -238,11 +238,12 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, bits: Int, probeHamming: Int = 1): DataFrame = {
+              k: Int, bits: Int, probeHamming: Int = 1,
+              planeHash: String = "xxhash64"): DataFrame = {
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__cv"))
-      .withColumn("__bkt", hyperplaneBucket(col("__cv"), bits))
+      .withColumn("__bkt", hyperplaneBucket(col("__cv"), bits, 0, planeHash))
     val q0 = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
-      .withColumn("__qbkt", hyperplaneBucket(col("__qv"), bits))
+      .withColumn("__qbkt", hyperplaneBucket(col("__qv"), bits, 0, planeHash))
     // multiprobe: expand each query to every bucket within Hamming distance
     // `probeHamming` of its own bucket — C(bits,1)+…+C(bits,r) probes/query
     // (the flip masks are computed once on the driver; the per-row work is

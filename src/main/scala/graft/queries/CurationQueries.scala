@@ -484,18 +484,56 @@ object CurationQueries {
     },
     None)
 
-  /** Approximate LSH top-k (multiprobe hyperplane buckets) — rows-only. */
+  /** Approximate LSH top-k (multiprobe hyperplane buckets) — FULLY
+    * oracled on md5-derived planes, same discipline as
+    * [[dedupCosineLsh]]: the SQL rebuilds every 8-bit bucket signature
+    * bit-exactly (ordered LIST_INNER_PRODUCT), expands each query to its
+    * bucket plus all Hamming-1 probes (XOR over the bit_count(m)≤1
+    * masks), scores candidates with exact cosine and ranks — the
+    * complete multiprobe definition, not just the output shape.
+    */
   val knnLsh = Q("q_knn_cosine_lsh",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding",
-        k = 5, bits = 8, probeHamming = 1)
+        k = 5, bits = 8, probeHamming = 1, planeHash = "md5")
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 9).as("cosine"))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            planes AS (
+              SELECT b,
+                     LIST_TRANSFORM(RANGE(0, 64),
+                       i -> (('0x' || SUBSTR(MD5(b || '_' || i), 1, 15))::BIGINT
+                             % 2000001 - 1000000) / 1000000.0) AS w
+              FROM RANGE(0, 8) bb(b)),
+            bk AS (
+              SELECT v.vec_id,
+                     SUM(CASE WHEN LIST_INNER_PRODUCT(v.e, p.w) >= 0
+                              THEN (2 ^ p.b)::BIGINT ELSE 0 END)::BIGINT AS bucket
+              FROM v CROSS JOIN planes p GROUP BY v.vec_id),
+            probes AS (
+              SELECT qb.vec_id AS query_id, XOR(qb.bucket, m.m) AS bucket
+              FROM bk qb, RANGE(0, 256) m(m)
+              WHERE qb.vec_id < 16 AND BIT_COUNT(m.m) <= 1),
+            cand AS (
+              SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+              FROM probes p JOIN bk cb ON cb.bucket = p.bucket
+              WHERE cb.vec_id <> p.query_id),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     LIST_COSINE_SIMILARITY(vq.e, vn.e) AS cos
+              FROM cand
+              JOIN v vq ON vq.vec_id = cand.query_id
+              JOIN v vn ON vn.vec_id = cand.neighbor_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
 
   /** Scalar-quantized (int8) top-k — approximate like IVF/LSH, but the
     * approximation is a pure deterministic function of the data (no
