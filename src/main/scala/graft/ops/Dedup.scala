@@ -504,6 +504,94 @@ object Dedup {
         size(col("__rmset")).cast(LongType).as("n_removed"))
   }
 
+  /** The exploded line frame shared by the line-granularity screens:
+    * one row per (id, 0-based line position, line), lines split on
+    * '\n' with trailing empties preserved, plus the 64-bit hash of the
+    * NORMALIZED line — null for lines that normalize to empty (blank
+    * lines are layout, not content: they never count as duplicated).
+    */
+  private def lineFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = Text.normalize(col("__line"))
+    df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__h", when(length(norm) > 0, xxhash64(norm)))
+  }
+
+  /** Line-granularity duplication screen — the CCNet/RefinedWeb
+    * paragraph-dedup diagnostic: for every input row, how many of its
+    * non-blank lines (normalized) occur at least `minOccurs` times
+    * corpus-wide, over all (doc, position) occurrences. Boilerplate
+    * headers/footers/nav text repeat at LINE granularity across
+    * otherwise-distinct pages — document-level dedup never sees them,
+    * and the k-token span screen ([[duplicatedSpanStats]]) dilutes them
+    * across span windows; this is the screen that measures them
+    * directly. Returns one row per input row:
+    * (idCol, n_lines, n_dup_lines, dup_line_fraction), n_lines counting
+    * non-blank lines only.
+    *
+    * Scale shape: one shuffle row per non-blank LINE — (64-bit hash,
+    * id) — line text never shuffles; one occurrence-count aggregate +
+    * one shuffle-hash join back, the [[duplicatedSpanStats]] discipline
+    * at coarser granularity.
+    */
+  def duplicatedLineStats(df: DataFrame, textCol: String, idCol: String,
+                          minOccurs: Long = 2L): DataFrame = {
+    require(minOccurs >= 2, s"minOccurs=$minOccurs (< 2 marks every line)")
+    val lines = lineFrame(df, textCol, idCol).filter(col("__h").isNotNull)
+    val occ = lines.groupBy("__h").agg(count(lit(1)).as("__occ"))
+    val perDoc = lines.join(occ.hint("shuffle_hash"), Seq("__h"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__occ") >= minOccurs, 1L).otherwise(0L)).as("n_dup_lines"))
+    df.select(col(idCol))
+      .join(perDoc.hint("shuffle_hash"), col(idCol) === perDoc("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"))
+      .withColumn("dup_line_fraction",
+        when(col("n_lines") > 0,
+          col("n_dup_lines").cast(DoubleType) / col("n_lines"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Keep-first line-level dedup — the removal half of the CCNet
+    * paragraph screen: every non-blank line keeps exactly its FIRST
+    * corpus occurrence (global (doc_id, position) order) and loses the
+    * rest; blank lines and line order are preserved. Returns one row
+    * per input row: (idCol, clean_text, n_lines [total split segments],
+    * n_removed_lines).
+    *
+    * Scale shape: canonical marking is ONE window (row_number over the
+    * line hash) — no self-join; removal positions are Θ(duplicated
+    * occurrences); the rebuild is the same hashed array_except position
+    * filter as [[stripDuplicatedSpans]] (O(lines + removed) per doc).
+    */
+  def stripDuplicatedLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val linesArr = df.select(col(idCol).as("__id"),
+      split(col(textCol), "\n", -1).as("__lines"))
+    val nonCanon = lineFrame(df, textCol, idCol)
+      .filter(col("__h").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy("__id", "__pos")))
+      .filter(col("__rn") >= 2)
+    val removed = nonCanon.groupBy("__id")
+      .agg(collect_set(col("__pos")).as("__rm"))
+    // shuffle_hash: the removal-set frame is Θ(docs with duplicated
+    // lines) — corpus-order on a boilerplate-heavy crawl, never a
+    // driver broadcast. Rebuild via the hashed array_except position
+    // filter (see stripDuplicatedSpans for why not per-position
+    // array_contains).
+    linesArr.join(removed.hint("shuffle_hash"), Seq("__id"), "left")
+      .withColumn("__rmset", coalesce(col("__rm"), array().cast(ArrayType(IntegerType))))
+      .withColumn("__kept",
+        array_except(sequence(lit(0), size(col("__lines")) - 1), col("__rmset")))
+      .select(col("__id").as(idCol),
+        array_join(transform(col("__kept"), p => get(col("__lines"), p)), "\n")
+          .as("clean_text"),
+        size(col("__lines")).cast(LongType).as("n_lines"),
+        size(col("__rmset")).cast(LongType).as("n_removed_lines"))
+  }
+
   /** N-gram (word-shingle) Jaccard near-dup pairs via an inverted index:
     * explode distinct shingles → self-join on shingle → count common →
     * Jaccard = common / (|A| + |B| - common) ≥ `threshold`.

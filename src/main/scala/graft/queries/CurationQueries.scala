@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -267,6 +268,90 @@ object CurationQueries {
               CAST(LEN(tk.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
             FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
             ORDER BY tk.doc_id"""))
+
+  /** Both line-granularity gates run on a synthesized MULTI-LINE corpus:
+    * each document's tokens re-chunked into 12-token lines plus one
+    * planted boilerplate footer line shared by every document (the
+    * single-line driver corpus would make the ops trivially no-op). The
+    * oracle recomputes the identical re-chunking relationally, so the
+    * synthesis itself is under the hash check too.
+    */
+  private def multilineDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        array_join(transform(
+          Text.tokenChunks(Text.tokens(col("text")), 12, 12),
+          c => c.getField("chunk_text")), "\n"),
+        lit("\nvisit our sponsor at example dot com")).as("text"))
+
+  private val multilineSql: String =
+    """base AS (
+         SELECT doc_id,
+                CONCAT(
+                  ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(t)/12.0) AS BIGINT)),
+                    g -> ARRAY_TO_STRING(t[g*12+1 : g*12+12], ' ')), chr(10)),
+                  chr(10), 'visit our sponsor at example dot com') AS text
+         FROM (SELECT doc_id,
+                      LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                        x -> LEN(x) > 0) AS t
+               FROM documents))"""
+
+  /** Line-granularity duplication screen (CCNet/RefinedWeb paragraph
+    * diagnostic): per doc, how many non-blank normalized lines occur ≥2
+    * times corpus-wide. The planted footer guarantees every doc carries
+    * at least one duplicated line.
+    */
+  val dedupLineStats = Q("q_dedup_line_stats",
+    (s, dir) =>
+      Dedup.duplicatedLineStats(multilineDocs(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(s"""WITH $multilineSql,
+            l0 AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, chr(10))) AS line FROM base),
+            ne AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(line), '\\s+', ' ', 'g')) AS nline
+                   FROM l0
+                   WHERE LEN(TRIM(REGEXP_REPLACE(LOWER(line), '\\s+', ' ', 'g'))) > 0),
+            occ AS (SELECT nline, COUNT(*) AS c FROM ne GROUP BY nline),
+            per AS (SELECT doc_id, COUNT(*) AS n_lines,
+                           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
+                    FROM ne JOIN occ USING (nline) GROUP BY doc_id)
+            SELECT b.doc_id,
+              COALESCE(per.n_lines, 0) AS n_lines,
+              COALESCE(per.n_dup_lines, 0) AS n_dup_lines,
+              CASE WHEN COALESCE(per.n_lines, 0) > 0
+                   THEN CAST(per.n_dup_lines AS DOUBLE) / per.n_lines
+                   ELSE 0.0 END AS dup_line_fraction
+            FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+            ORDER BY b.doc_id"""))
+
+  /** Keep-first line-level dedup (CCNet paragraph removal): every
+    * non-blank line survives only at its first corpus occurrence in
+    * (doc_id, position) order — the planted footer survives in exactly
+    * one document. The oracle rebuilds each document by dropping
+    * window-rank ≥ 2 line occurrences and re-aggregating in position
+    * order.
+    */
+  val dedupLineStrip = Q("q_dedup_line_strip",
+    (s, dir) =>
+      Dedup.stripDuplicatedLines(multilineDocs(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some(s"""WITH $multilineSql,
+            arr AS (SELECT doc_id, STRING_SPLIT(text, chr(10)) AS l FROM base),
+            pos AS (SELECT doc_id, UNNEST(RANGE(1, LEN(l) + 1)) AS i, l FROM arr),
+            lines AS (SELECT doc_id, i - 1 AS p, l[i] AS line,
+                             TRIM(REGEXP_REPLACE(LOWER(l[i]), '\\s+', ' ', 'g')) AS nline
+                      FROM pos),
+            marked AS (
+              SELECT doc_id, p, line,
+                     CASE WHEN LEN(nline) > 0 THEN
+                       ROW_NUMBER() OVER (PARTITION BY nline ORDER BY doc_id, p) END AS rn
+              FROM lines),
+            kept AS (SELECT doc_id, p, line FROM marked WHERE rn IS NULL OR rn = 1)
+            SELECT m.doc_id,
+              COALESCE((SELECT STRING_AGG(k.line, chr(10) ORDER BY k.p)
+                        FROM kept k WHERE k.doc_id = m.doc_id), '') AS clean_text,
+              COUNT(*) AS n_lines,
+              CAST(SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines
+            FROM marked m GROUP BY m.doc_id ORDER BY m.doc_id"""))
 
   /** Word-3-gram Jaccard near-dup pairs via inverted shingle index
     * (never all-pairs). Oracle recomputes the same definition
@@ -1914,7 +1999,8 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalNear,
     dedupDecontaminate,
-    dedupContainment, dedupSubstring, dedupSubstringStrip, dedupJaccard,
+    dedupContainment, dedupSubstring, dedupSubstringStrip,
+    dedupLineStats, dedupLineStrip, dedupJaccard,
     dedupMinhash, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,
     knnBrute, knnLsh, knnIvf, knnSq8,

@@ -135,6 +135,34 @@ class DedupSpec extends SparkTestBase {
     assert(viaBuckets.map(t => (t._1, t._2, t._3.toInt)) == exact)
   }
 
+  test("line-level dedup: keep-first across corpus, blanks preserved, stats consistent") {
+    import org.apache.spark.sql.DataFrame
+    // doc 1: header + body + footer; doc 2 repeats the header and footer
+    // (different case/spacing — normalization must unify them) around its
+    // own body, with a blank line that must survive untouched; doc 3 is
+    // entirely lines seen before → strips to empty-ish
+    val docs3: DataFrame = Seq(
+      (1L, "common header line\nunique body one\ncommon footer"),
+      (2L, "Common  HEADER line\n\nunique body two\ncommon footer"),
+      (3L, "common header line\ncommon footer")).toDF("doc_id", "text")
+    val stripped = Dedup.stripDuplicatedLines(docs3, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stripped(1L) == (("common header line\nunique body one\ncommon footer", 3L, 0L)))
+    // doc 2 loses header+footer (later occurrences), keeps blank + body;
+    // the ORIGINAL casing of kept lines is preserved (only matching is
+    // normalized)
+    assert(stripped(2L) == (("\nunique body two", 4L, 2L)))
+    assert(stripped(3L) == (("", 2L, 2L)))
+    val stats = Dedup.duplicatedLineStats(docs3, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // blank line in doc 2 is not a line for stats purposes
+    assert(stats(1L) == ((3L, 2L)) && stats(2L) == ((3L, 2L)) && stats(3L) == ((2L, 2L)))
+    // no duplication → strip is the identity
+    val solo = Seq((9L, "only\nlines\nhere")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedLines(solo, "text", "doc_id").collect().head
+    assert(out.getString(1) == "only\nlines\nhere" && out.getLong(3) == 0L)
+  }
+
   test("md5 simhash variant is bit-identical to a JVM reference and its pairs are exact") {
     // the md5-token-hash variant backs the q_dedup_simhash oracle gate:
     // assert the Spark expression chain (conv/substring/md5 + HOF votes)
