@@ -11,8 +11,8 @@ import graft.ops.{Corpus, Dedup, Text}
   *
   *   [domain blocklist] → [NFC canonicalize] → exact dedup →
   *   near-dup keep-one → [benchmark decontaminate] → [substring strip] →
-  *   quality filter → PII scrub → content-hash split →
-  *   context-window chunking
+  *   [line-level keep-first dedup] → quality filter → PII scrub →
+  *   content-hash split → context-window chunking
   *
   * (bracketed stages optional, default off — the e2e gates run the
   * default chain so their oracles stay byte-exact)
@@ -55,6 +55,7 @@ object Curate {
             decontaminateMinShared: Long = 1L,
             nfcNormalize: Boolean = false,
             stripSpanK: Int = 0,
+            stripLineDups: Boolean = false,
             urlCol: Option[String] = None,
             blockedDomains: Seq[String] = Nil): DataFrame = {
     // Optional domain blocklist before everything — the cheapest screen
@@ -131,7 +132,23 @@ object Curate {
             .hint("shuffle_hash"),
           Seq(idCol))
       else screened
-    val kept = stripped
+    // Optional line-level keep-first dedup (CCNet paragraph screen) —
+    // same slot-reasoning as the span strip: after document-level dedup
+    // (exact-dup docs would strip each other's every line), before
+    // quality (the token band must judge the text that ships). NOTE:
+    // the span strip rebuilds text WITHOUT newlines (token re-join), so
+    // enabling both makes this screen see one-line documents and do
+    // ~nothing — on line-structured corpora prefer the line screen
+    // alone (stripSpanK = 0).
+    val lineStripped =
+      if (stripLineDups)
+        stripped.drop(textCol).join(
+          Dedup.stripDuplicatedLines(stripped, textCol, idCol)
+            .select(col(idCol), col("clean_text").as(textCol))
+            .hint("shuffle_hash"),
+          Seq(idCol))
+      else stripped
+    val kept = lineStripped
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
         col("__q.mean_token_len").between(minMeanTokenLen, maxMeanTokenLen))

@@ -114,6 +114,7 @@ object Runner {
       decontaminateMinShared = c.decontaminateMinShared,
       nfcNormalize = c.nfcNormalize,
       stripSpanK = c.stripSpanK,
+      stripLineDups = c.stripLineDups,
       urlCol = c.urlCol,
       blockedDomains = c.blockedDomains), tables.curatedChunks)
   }

@@ -29,7 +29,8 @@ object PipelineConfig {
                           blockedDomains: Seq[String] = Nil,
                           benchmarkPath: Option[String] = None,
                           decontaminateN: Int = 8,
-                          decontaminateMinShared: Long = 1L)
+                          decontaminateMinShared: Long = 1L,
+                          stripLineDups: Boolean = false)
 
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
@@ -64,7 +65,8 @@ object PipelineConfig {
       getStringList("curation.blocked_domains"),
       getString("curation.benchmark_path"),
       getDouble("curation.decontaminate_n").map(_.toInt).getOrElse(8),
-      getDouble("curation.decontaminate_min_shared").map(_.toLong).getOrElse(1L))
+      getDouble("curation.decontaminate_min_shared").map(_.toLong).getOrElse(1L),
+      getBoolean("curation.strip_line_dups").getOrElse(false))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r

@@ -318,6 +318,29 @@ class PipelineSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet == Set(11L, 12L))
   }
 
+  test("curate: optional line-dedup stage strips the shared footer line, keep-first") {
+    val filler1 = (1 to 40).map(i => s"word$i").mkString(" ")
+    val filler2 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val footer = "standard footer disclaimer all rights reserved contact admin now"
+    val docs = Seq(
+      (1L, s"$filler1\n$footer"),
+      (2L, s"$filler2\n$footer")).toDF("doc_id", "text")
+    // default chain ships both footer copies; with the line screen on,
+    // doc 2's copy (later (doc_id, pos) occurrence) is cut before the
+    // quality band judges the text
+    val plain = Curate(docs).collect()
+    assert(plain.filter(_.getLong(0) == 2L)
+      .map(_.getAs[String]("chunk_text")).exists(_.contains("disclaimer")))
+    val stripped = Curate(docs, stripLineDups = true).collect()
+    assert(stripped.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(stripped.filter(_.getLong(0) == 1L)
+      .map(_.getAs[String]("chunk_text")).exists(_.contains("disclaimer")),
+      "doc 1's canonical footer occurrence must survive")
+    assert(!stripped.filter(_.getLong(0) == 2L)
+      .map(_.getAs[String]("chunk_text")).exists(_.contains("disclaimer")),
+      "doc 2's footer copy must be stripped")
+  }
+
   test("curate: domain blocklist screens before dedup so keep-one is unaffected") {
     val filler = (1 to 40).map(i => s"word$i").mkString(" ")
     val docs = Seq(

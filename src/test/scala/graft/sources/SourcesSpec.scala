@@ -233,6 +233,10 @@ class SourcesSpec extends SparkTestBase {
     assert(empty.curationConf.benchmarkPath.isEmpty &&
       empty.curationConf.decontaminateN == 8 &&
       empty.curationConf.decontaminateMinShared == 1L)
+    // line-level dedup knob
+    val ln = PipelineConfig.parse(
+      "default:\n  curation:\n    strip_line_dups: true\n").curationConf
+    assert(ln.stripLineDups && !empty.curationConf.stripLineDups)
   }
 
   test("S8: add_version stamps timestamp + short sha") {
