@@ -70,7 +70,9 @@ object Bench {
     "q_dedup_decontaminate", "q_dedup_containment",
     // substring-level screen + removal: one shuffle row per token
     // position — the largest shuffles in the suite by row count
-    "q_dedup_substring", "q_dedup_substring_strip")
+    "q_dedup_substring", "q_dedup_substring_strip",
+    // line-level keep-first dedup: one shuffle row per non-blank line
+    "q_dedup_line_strip")
 
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
