@@ -310,32 +310,40 @@ object Dedup {
     *
     * Scale shape: one row per TOKEN POSITION flows through the shuffle,
     * but each row is (64-bit span hash, id) — never span text, which
-    * stays inside the per-partition projection. Two hash aggregates
-    * (occurrence count per span, then per-doc rollup) + one shuffle-hash
-    * join on the hash; partial aggregation halves the first shuffle
-    * map-side. Docs shorter than k tokens surface with zero spans rather
-    * than dropping out, so the screen's output is a total function of the
-    * corpus (a filter downstream can rely on every id being present).
+    * stays inside the per-partition projection. The per-doc totals are a
+    * direct partial aggregate (no join); the duplicated-SPAN set is
+    * Θ(distinct duplicated spans) — far below the distinct-span count on
+    * a real corpus — and attaches via an adaptive left_semi (broadcast
+    * below the pair ceiling, so the span stream never shuffles for it;
+    * pinned streaming shuffle_hash above — a hot boilerplate span is
+    * probed linearly, never sorted on one reducer). Docs shorter than k
+    * tokens surface with zero spans rather than dropping out, so the
+    * screen's output is a total function of the corpus (a filter
+    * downstream can rely on every id being present).
     */
   def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
                           k: Int): DataFrame = {
     require(k >= 1, s"span length k=$k")
     val toks = df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+    // checkpoint: the span stream feeds the total aggregate, the dup-set
+    // aggregate and the semi join — and makes the adaptive count cheap
     val spans = toks.filter(size(col("__toks")) >= k)
       .select(col("__id"), explode(transform(
         sequence(lit(0), size(col("__toks")) - k),
         i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " ")))).as("__h"))
-    val occ = spans.groupBy("__h").agg(count(lit(1)).as("__occ"))
-    // occ has one row per DISTINCT span — Θ(corpus tokens); same
-    // no-driver-broadcast contract as exactDedup's keep frame.
-    val perDoc = spans.join(occ.hint("shuffle_hash"), Seq("__h"))
-      .groupBy("__id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-    // shuffle_hash: perDoc is corpus-sized (one row per doc with ≥1 span);
-    // the planner's post-aggregate estimate would otherwise broadcast it
+      .localCheckpoint(true)
+    val perDocTotal = spans.groupBy("__id").agg(count(lit(1)).as("n_spans"))
+    val dup = spans.groupBy("__h").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2).select("__h")
+      .localCheckpoint(true)
+    val h = adaptivePin(dup.count() <= pairCeiling(df))
+    val perDocDup = spans.join(h(dup), Seq("__h"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_dup_spans"))
+    // per-doc frames are corpus-sized (one row per doc): always pinned —
+    // the planner's post-aggregate estimate would otherwise broadcast them
+    val perDoc = perDocTotal.join(perDocDup.hint("shuffle_hash"), Seq("__id"), "left")
     df.select(col(idCol))
-      .join(perDoc.hint("shuffle_hash"), col(idCol) === perDoc("__id"), "left")
+      .join(perDoc.hint("shuffle_hash"), col(idCol) === col("__id"), "left")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
@@ -451,7 +459,11 @@ object Dedup {
     *
     * Scale shape: the span stream is one row per token position carrying
     * (64-bit hash, id, start) — text never shuffles. Canonical marking is
-    * ONE window (rank over the span hash) instead of an agg + join-back;
+    * a partial-aggregatable min-struct per span hash + an adaptive
+    * join-back of the Θ(distinct duplicated spans) canonical frame
+    * (broadcast under the pair ceiling, streaming shuffle_hash above) —
+    * NOT a row_number window, whose per-hash sort would serialize a hot
+    * boilerplate span's whole occurrence stream onto one reducer;
     * removal positions explode ≤ k rows per non-canonical occurrence
     * (bounded by k × duplicated positions, not corpus size); the rebuild
     * is a per-doc position filter with collected removal sets, which are
@@ -463,16 +475,32 @@ object Dedup {
                            k: Int): DataFrame = {
     require(k >= 1, s"span length k=$k")
     val toks = df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+    // checkpoint: the span stream feeds the canonical aggregate and the
+    // attach join, and the adaptive count reads the materialized blocks
     val spans = toks.filter(size(col("__toks")) >= k)
       .select(col("__id"), explode(transform(
         sequence(lit(0), size(col("__toks")) - k),
         i => struct(i.cast(IntegerType).as("s"),
           xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " ")).as("h")))).as("sp"))
       .select(col("__id"), col("sp.s").as("__s"), col("sp.h").as("__h"))
-    val nonCanon = spans
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__h").orderBy("__id", "__s")))
-      .filter(col("__rn") >= 2)
+      .localCheckpoint(true)
+    // canonical = min (id, start) per DUPLICATED span, via a
+    // partial-aggregatable min-struct — NOT a row_number window, whose
+    // per-hash sort serializes a hot boilerplate span's entire occurrence
+    // stream onto one reducer (hot spans are this op's target workload).
+    // The frame is Θ(distinct duplicated spans): adaptive attach —
+    // broadcast below the pair ceiling (the span stream never shuffles),
+    // pinned streaming shuffle_hash above.
+    val dupCanon = spans.groupBy("__h").agg(
+        count(lit(1)).as("__c"),
+        min(struct(col("__id"), col("__s"))).as("__first"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__first"))
+      .localCheckpoint(true)
+    val h = adaptivePin(dupCanon.count() <= pairCeiling(df))
+    val nonCanon = spans.join(h(dupCanon), Seq("__h"))
+      .filter(col("__id") =!= col("__first.__id") ||
+        col("__s") =!= col("__first.__s"))
     // collect_set deduplicates overlapping spans' positions itself — a
     // distinct() here would add a second full shuffle of the position
     // stream (k rows per non-canonical occurrence, the op's largest)
@@ -530,21 +558,37 @@ object Dedup {
     * non-blank lines only.
     *
     * Scale shape: one shuffle row per non-blank LINE — (64-bit hash,
-    * id) — line text never shuffles; one occurrence-count aggregate +
-    * one shuffle-hash join back, the [[duplicatedSpanStats]] discipline
-    * at coarser granularity.
+    * id) — line text never shuffles; per-doc totals partial-aggregate
+    * directly, and the Θ(distinct duplicated lines) set attaches via an
+    * adaptive left_semi — the [[duplicatedSpanStats]] discipline at
+    * coarser granularity.
     */
   def duplicatedLineStats(df: DataFrame, textCol: String, idCol: String,
                           minOccurs: Long = 2L): DataFrame = {
     require(minOccurs >= 2, s"minOccurs=$minOccurs (< 2 marks every line)")
+    // the exploded line stream feeds two aggregates (total + dup counts);
+    // checkpoint so the split/normalize/hash pipeline runs once, and so
+    // the adaptive count below is metadata-cheap
     val lines = lineFrame(df, textCol, idCol).filter(col("__h").isNotNull)
-    val occ = lines.groupBy("__h").agg(count(lit(1)).as("__occ"))
-    val perDoc = lines.join(occ.hint("shuffle_hash"), Seq("__h"))
-      .groupBy("__id")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("__occ") >= minOccurs, 1L).otherwise(0L)).as("n_dup_lines"))
+      .localCheckpoint(true)
+    // total per doc: direct partial aggregate — no join at all
+    val perDocTotal = lines.groupBy("__id").agg(count(lit(1)).as("n_lines"))
+    // the duplicated-line SET is Θ(distinct duplicated lines) — far
+    // smaller than the corpus; its count is cheap (derived from the
+    // checkpointed stream), and below the pair ceiling the semi join
+    // broadcasts, so the line stream never shuffles. Above it: pinned
+    // shuffle_hash — a hot boilerplate hash is processed by a streaming
+    // probe, not a sort.
+    val dup = lines.groupBy("__h").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOccurs).select("__h")
+      .localCheckpoint(true)
+    val h = adaptivePin(dup.count() <= pairCeiling(df))
+    val perDocDup = lines.join(h(dup), Seq("__h"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_dup_lines"))
+    // per-doc frames are corpus-sized (one row per doc): always pinned
+    val perDoc = perDocTotal.join(perDocDup.hint("shuffle_hash"), Seq("__id"), "left")
     df.select(col(idCol))
-      .join(perDoc.hint("shuffle_hash"), col(idCol) === perDoc("__id"), "left")
+      .join(perDoc.hint("shuffle_hash"), col(idCol) === col("__id"), "left")
       .select(col(idCol),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"))
@@ -561,27 +605,42 @@ object Dedup {
     * per input row: (idCol, clean_text, n_lines [total split segments],
     * n_removed_lines).
     *
-    * Scale shape: canonical marking is ONE window (row_number over the
-    * line hash) — no self-join; removal positions are Θ(duplicated
-    * occurrences); the rebuild is the same hashed array_except position
-    * filter as [[stripDuplicatedSpans]] (O(lines + removed) per doc).
+    * Scale shape: canonical marking is a partial-aggregatable min-struct
+    * per line hash — NOT a row_number window, which would sort every
+    * occurrence of a hash in ONE partition (a boilerplate line in half
+    * the corpus is exactly the op's target workload, and its occurrence
+    * stream must not serialize onto one reducer). The aggregate crushes
+    * hot hashes map-side to one row per (hash, map partition); the
+    * canonical frame is Θ(distinct duplicated lines) and joins back
+    * adaptively (broadcast below the pair ceiling — the line stream then
+    * never shuffles — pinned streaming shuffle_hash above). The rebuild
+    * is the same hashed array_except position filter as
+    * [[stripDuplicatedSpans]] (O(lines + removed) per doc).
     */
   def stripDuplicatedLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val linesArr = df.select(col(idCol).as("__id"),
       split(col(textCol), "\n", -1).as("__lines"))
-    val nonCanon = lineFrame(df, textCol, idCol)
-      .filter(col("__h").isNotNull)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__h").orderBy("__id", "__pos")))
-      .filter(col("__rn") >= 2)
-    val removed = nonCanon.groupBy("__id")
+    val lines = lineFrame(df, textCol, idCol).filter(col("__h").isNotNull)
+      .localCheckpoint(true)
+    // first corpus occurrence per DUPLICATED line, in (id, pos) order —
+    // min over a (id, pos) struct is order-equivalent and partial-aggregates
+    val dupCanon = lines.groupBy("__h").agg(
+        count(lit(1)).as("__c"),
+        min(struct(col("__id"), col("__pos"))).as("__first"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__first"))
+      .localCheckpoint(true)
+    val h = adaptivePin(dupCanon.count() <= pairCeiling(df))
+    val removed = lines.join(h(dupCanon), Seq("__h"))
+      .filter(col("__id") =!= col("__first.__id") ||
+        col("__pos") =!= col("__first.__pos"))
+      .groupBy("__id")
       .agg(collect_set(col("__pos")).as("__rm"))
-    // shuffle_hash: the removal-set frame is Θ(docs with duplicated
-    // lines) — corpus-order on a boilerplate-heavy crawl, never a
-    // driver broadcast. Rebuild via the hashed array_except position
-    // filter (see stripDuplicatedSpans for why not per-position
-    // array_contains).
-    linesArr.join(removed.hint("shuffle_hash"), Seq("__id"), "left")
+    // the removal-set frame is Θ(docs with duplicated lines) —
+    // corpus-order on a boilerplate-heavy crawl: same adaptive policy.
+    // Rebuild via the hashed array_except position filter (see
+    // stripDuplicatedSpans for why not per-position array_contains).
+    linesArr.join(h(removed), Seq("__id"), "left")
       .withColumn("__rmset", coalesce(col("__rm"), array().cast(ArrayType(IntegerType))))
       .withColumn("__kept",
         array_except(sequence(lit(0), size(col("__lines")) - 1), col("__rmset")))

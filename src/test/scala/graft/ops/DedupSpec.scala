@@ -47,12 +47,16 @@ class DedupSpec extends SparkTestBase {
     val r = Dedup.duplicatedSpanStats(rep, "text", "doc_id", k = 8)
       .collect().head
     assert(r.getLong(1) == 9L && r.getLong(2) == 2L) // span@0 == span@8
-    // scale contract: both the span-occurrence frame and the per-doc
-    // rollup are corpus-sized — nothing in this plan may broadcast
-    val plan = Dedup.duplicatedSpanStats(
-      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
-      "text", "doc_id", k = 8).queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
+    // scale contract: with the ceiling forced to 0 (the at-scale plan),
+    // the dup-set semi join and per-doc rollups are corpus-sized —
+    // nothing in this plan may broadcast
+    spark.conf.set(Dedup.PairCeilingKey, "0")
+    try {
+      val plan = Dedup.duplicatedSpanStats(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+        "text", "doc_id", k = 8).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
+    } finally spark.conf.unset(Dedup.PairCeilingKey)
   }
 
   test("stripDuplicatedSpans: canonical kept, later occurrences cut, overlap unions") {
@@ -81,11 +85,15 @@ class DedupSpec extends SparkTestBase {
     // docs shorter than k pass through re-joined and untouched
     val short = run(Seq((1L, "  only   three tokens ")).toDF("doc_id", "text"))
     assert(short(1L) == (("only three tokens", 3L, 0L)))
-    // scale contract: the removal-set frame is corpus-order — no broadcast
-    val plan = Dedup.stripDuplicatedSpans(
-      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
-      "text", "doc_id", k = 8).queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
+    // scale contract: ceiling forced to 0 — the canonical-span attach and
+    // removal-set frames are corpus-order, nothing may broadcast
+    spark.conf.set(Dedup.PairCeilingKey, "0")
+    try {
+      val plan = Dedup.stripDuplicatedSpans(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+        "text", "doc_id", k = 8).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), s"broadcast in:\n$plan")
+    } finally spark.conf.unset(Dedup.PairCeilingKey)
   }
 
   test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
