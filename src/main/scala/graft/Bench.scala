@@ -66,7 +66,8 @@ object Bench {
     "q_curate_e2e_scale",
     // ingestion-time screens: all three are single-index-join shaped and
     // cheap, included to evidence sub-linear scaling
-    "q_dedup_incremental", "q_dedup_incremental_neardup",
+    "q_dedup_incremental", "q_dedup_incremental_bloom",
+    "q_dedup_incremental_neardup",
     "q_dedup_decontaminate", "q_dedup_containment",
     // substring-level screen + removal: one shuffle row per token
     // position — the largest shuffles in the suite by row count

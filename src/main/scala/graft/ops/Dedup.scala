@@ -236,6 +236,77 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Compact membership filter over an ingested corpus' normalized-text
+    * digests — the probe side of [[exactDedupIncrementalBloom]]. At real
+    * scale the caller builds this ONCE and persists it across ingestion
+    * batches (BloomFilter.writeTo / readFrom; merge batch filters with
+    * mergeInPlace), because building scans the whole history: a 10⁹-doc
+    * corpus at 1% fpp is a ~1.2 GB filter vs a ~16 GB digest frame —
+    * and probing it is executor-local, no shuffle at all.
+    */
+  def buildDigestBloom(existing: DataFrame, textCol: String,
+                       expectedItems: Long = 0L, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    // explicit per-partition build + driver merge (the distributed shape
+    // stat.bloomFilter uses internally, but total: an empty history
+    // yields an empty filter instead of a null aggregate). Pass
+    // expectedItems at scale to skip the sizing count's extra scan.
+    val seen = existing.select(md5(Text.normalize(col(textCol))).as("__digest"))
+      .na.drop().distinct()
+    val n = if (expectedItems > 0L) expectedItems else math.max(seen.count(), 1L)
+    val parts = seen.mapPartitions { rows =>
+      val f = BloomFilter.create(n, fpp)
+      rows.foreach(r => f.putString(r.getString(0)))
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      Iterator(bos.toByteArray)
+    }(org.apache.spark.sql.Encoders.BINARY).collect()
+    parts.map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduceOption { (a, b) => a.mergeInPlace(b); a }
+      .getOrElse(BloomFilter.create(n, fpp))
+  }
+
+  /** [[exactDedupIncremental]] with a Bloom pre-screen — same EXACT
+    * result (gate-checked against the same oracle), different 100 TB
+    * cost: the plain form anti-joins every batch against the FULL
+    * history digest frame (a Θ(history) shuffle per batch); here the
+    * batch probes `bloom` executor-locally first. A bloom MISS is
+    * definitively novel (no false negatives) and never touches the
+    * history; only the bloom-positive residue — true duplicates plus
+    * ~fpp of the novel rows, typically ≪ batch — needs the exact digest
+    * check, which runs as a broadcast-semi SCAN of the history (the
+    * history is read, never shuffled) while the residue stays under the
+    * pair ceiling, falling back to the plain pinned anti-join above it.
+    */
+  def exactDedupIncrementalBloom(incoming: DataFrame, existing: DataFrame,
+                                 textCol: String, idCol: String,
+                                 bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val dig = md5(Text.normalize(col(textCol)))
+    // within-batch dedup once; the frame feeds both bloom branches and
+    // the residue count, so materialize it
+    val batch = exactDedup(incoming, textCol, idCol)
+      .withColumn("__digest", dig).localCheckpoint(true)
+    val might = graft.functions.SketchExprs.bloomMightContain(col("__digest"), bloom)
+    val fresh = batch.filter(!might)
+    val residue = batch.filter(might).localCheckpoint(true)
+    val seen = existing.select(dig.as("__digest"))
+    val survivors =
+      if (residue.count() <= pairCeiling(incoming)) {
+        // duplicate digests among the residue, via a map-side scan of the
+        // history against the broadcast residue — Θ(history) READ, zero
+        // history shuffle; the result is ≤ residue rows
+        val dup = seen.join(broadcast(residue.select("__digest").distinct()),
+            Seq("__digest"), "left_semi")
+          .distinct()
+        residue.join(broadcast(dup), Seq("__digest"), "left_anti")
+      } else {
+        // residue too big to broadcast (dup-heavy batch): the plain
+        // exact path's pinned anti-join against distinct history digests
+        residue.join(seen.distinct().hint("shuffle_hash"), Seq("__digest"), "left_anti")
+      }
+    fresh.unionByName(survivors).drop("__digest")
+  }
+
   /** Benchmark decontamination: (id, n_shared) for every `train`
     * document sharing at least `minShared` DISTINCT word n-gram shingles
     * with the `benchmark` corpus — the standard eval-leakage screen run

@@ -37,17 +37,8 @@ object CurationQueries {
     * within the batch and against the even corpus. The existing side
     * contributes only distinct digests to the anti-join.
     */
-  val dedupIncremental = Q("q_dedup_incremental",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      Dedup.exactDedupIncremental(
-        d.filter(col("doc_id") % 2 === 1),
-        d.filter(col("doc_id") % 2 === 0),
-        "text", "doc_id")
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
-    },
-    Some("""WITH norm AS (
+  private val incrementalOracleSql =
+    """WITH norm AS (
               SELECT doc_id, lang, source,
                      TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
               FROM documents),
@@ -58,7 +49,38 @@ object CurationQueries {
                 SELECT MIN(doc_id) FROM inc GROUP BY ntext))
             SELECT doc_id, lang, source FROM keep
             WHERE ntext NOT IN (SELECT ntext FROM ex)
-            ORDER BY doc_id"""))
+            ORDER BY doc_id"""
+
+  val dedupIncremental = Q("q_dedup_incremental",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.exactDedupIncremental(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    Some(incrementalOracleSql))
+
+  /** Bloom-accelerated twin of [[dedupIncremental]] — EXACT result under
+    * the SAME oracle: a bloom miss is definitively novel (no false
+    * negatives skip the history entirely), and the bloom-positive
+    * residue gets the exact digest check via a broadcast-semi scan of
+    * the history — which is read but never shuffled, the 100 TB
+    * per-batch saving over the plain anti-join.
+    */
+  val dedupIncrementalBloom = Q("q_dedup_incremental_bloom",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      Dedup.exactDedupIncrementalBloom(
+        d.filter(col("doc_id") % 2 === 1), existing, "text", "doc_id",
+        Dedup.buildDigestBloom(existing, "text"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    Some(incrementalOracleSql))
 
   /** Benchmark decontamination screen: doc_id % 4 == 0 plays the
     * benchmark set, the rest are training docs; flag trainers sharing
@@ -1997,7 +2019,8 @@ object CurationQueries {
                   FROM c WHERE copies > 0)
             ORDER BY doc_id, copy"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalNear,
+  def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalBloom,
+    dedupIncrementalNear,
     dedupDecontaminate,
     dedupContainment, dedupSubstring, dedupSubstringStrip,
     dedupLineStats, dedupLineStrip, dedupJaccard,

@@ -143,6 +143,39 @@ class DedupSpec extends SparkTestBase {
     assert(viaBuckets.map(t => (t._1, t._2, t._3.toInt)) == exact)
   }
 
+  test("bloom-accelerated incremental dedup equals the plain exact path") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val incoming = corpus.filter(col("doc_id") % 2 === 1)
+    val existing = corpus.filter(col("doc_id") % 2 === 0)
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = ids(Dedup.exactDedupIncremental(incoming, existing, "text", "doc_id"))
+    // default fpp, auto-sized
+    val bloom = Dedup.buildDigestBloom(existing, "text")
+    val viaBloom = ids(Dedup.exactDedupIncrementalBloom(
+      incoming, existing, "text", "doc_id", bloom))
+    assert(viaBloom == plain)
+    // a deliberately tiny, collision-heavy filter (8 expected items for
+    // a 250-doc history → high fpp): false positives route more rows
+    // through the exact residue check, but the RESULT must not change
+    val lossy = Dedup.buildDigestBloom(existing, "text", expectedItems = 8)
+    assert(ids(Dedup.exactDedupIncrementalBloom(
+      incoming, existing, "text", "doc_id", lossy)) == plain)
+    // the residue path never shuffles the history: broadcast joins only
+    spark.conf.set(Dedup.PairCeilingKey, "1000000")
+    try {
+      val plan = Dedup.exactDedupIncrementalBloom(
+        incoming, existing, "text", "doc_id", bloom)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"residue check should broadcast:\n$plan")
+    } finally spark.conf.unset(Dedup.PairCeilingKey)
+    // empty history: everything bloom-misses straight through
+    val none = Dedup.buildDigestBloom(existing.filter(lit(false)), "text")
+    assert(ids(Dedup.exactDedupIncrementalBloom(
+      incoming, existing.filter(lit(false)), "text", "doc_id", none)) ==
+      ids(Dedup.exactDedup(incoming, "text", "doc_id")))
+  }
+
   test("line-level dedup: keep-first across corpus, blanks preserved, stats consistent") {
     import org.apache.spark.sql.DataFrame
     // doc 1: header + body + footer; doc 2 repeats the header and footer
