@@ -245,16 +245,22 @@ object Dedup {
     * and probing it is executor-local, no shuffle at all.
     */
   def buildDigestBloom(existing: DataFrame, textCol: String,
-                       expectedItems: Long = 0L, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+                       expectedItems: Long = 0L, fpp: Double = 0.01,
+                       buildPartitions: Int = 32): org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.util.sketch.BloomFilter
     // explicit per-partition build + driver merge (the distributed shape
     // stat.bloomFilter uses internally, but total: an empty history
     // yields an empty filter instead of a null aggregate). Pass
     // expectedItems at scale to skip the sizing count's extra scan.
+    // EVERY partial filter is sized for the full n (merge requires
+    // identical geometry), so transient memory is buildPartitions ×
+    // filter bytes — the coalesce bounds it; raise buildPartitions only
+    // if the digest scan, not the bit-setting, is the bottleneck.
+    require(buildPartitions >= 1, s"buildPartitions=$buildPartitions")
     val seen = existing.select(md5(Text.normalize(col(textCol))).as("__digest"))
       .na.drop().distinct()
     val n = if (expectedItems > 0L) expectedItems else math.max(seen.count(), 1L)
-    val parts = seen.mapPartitions { rows =>
+    val parts = seen.coalesce(buildPartitions).mapPartitions { rows =>
       val f = BloomFilter.create(n, fpp)
       rows.foreach(r => f.putString(r.getString(0)))
       val bos = new java.io.ByteArrayOutputStream()
