@@ -713,11 +713,13 @@ object Dedup {
         col("__pos") =!= col("__first.__pos"))
       .groupBy("__id")
       .agg(collect_set(col("__pos")).as("__rm"))
-    // the removal-set frame is Θ(docs with duplicated lines) —
-    // corpus-order on a boilerplate-heavy crawl: same adaptive policy.
-    // Rebuild via the hashed array_except position filter (see
-    // stripDuplicatedSpans for why not per-position array_contains).
-    linesArr.join(h(removed), Seq("__id"), "left")
+    // the removal-set frame is Θ(docs with duplicated lines) — NOT
+    // bounded by the dupCanon count that sized `h` (one hot footer
+    // shared corpus-wide = tiny dupCanon, corpus-sized removed), so it
+    // is unconditionally pinned. Rebuild via the hashed array_except
+    // position filter (see stripDuplicatedSpans for why not
+    // per-position array_contains).
+    linesArr.join(removed.hint("shuffle_hash"), Seq("__id"), "left")
       .withColumn("__rmset", coalesce(col("__rm"), array().cast(ArrayType(IntegerType))))
       .withColumn("__kept",
         array_except(sequence(lit(0), size(col("__lines")) - 1), col("__rmset")))
