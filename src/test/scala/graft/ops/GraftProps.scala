@@ -85,6 +85,42 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // few distinct lines (3-word vocabulary, 1-3 words per line, up to 6
+  // lines per doc, occasional blanks) force genuine cross-doc collisions
+  private val lineDocs = Gen.nonEmptyListOf(
+    Gen.listOfN(6, Gen.oneOf(
+      Gen.listOfN(2, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")),
+      Gen.const(""))).map(_.mkString("\n")))
+    .map(_.take(8))
+
+  property("stripDuplicatedLines: keep-first conservation — each distinct dup line " +
+           "survives exactly once corpus-wide, uniques and blanks untouched") =
+    forAll(lineDocs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.stripDuplicatedLines(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+      val allIn = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split("\n", -1).map(norm).filter(_.nonEmpty).map(_ -> i) }
+      val occurrences = allIn.groupBy(_._1).view.mapValues(_.size).toMap
+      val allOut = out.toSeq.flatMap { case (_, (clean, _, _)) =>
+        clean.split("\n", -1).map(norm).filter(_.nonEmpty) }
+      val outCounts = allOut.groupBy(identity).view.mapValues(_.size).toMap
+      // every distinct non-blank line survives exactly once if duplicated,
+      // at its original multiplicity if unique
+      val conserved = occurrences.forall { case (line, n) =>
+        outCounts.getOrElse(line, 0) == (if (n >= 2) 1 else n) }
+      // totals: n_lines = split segments, removed = lines - kept non-blank... and
+      // blank segments are never removed (kept count includes them)
+      val totals = out.forall { case (id, (clean, nLines, nRemoved)) =>
+        val segs = texts(id.toInt).split("\n", -1)
+        val kept = segs.length - nRemoved
+        nLines == segs.length &&
+          (if (kept == 0) clean.isEmpty else clean.split("\n", -1).length == kept)
+      }
+      conserved && totals
+    }
+
   property("reweightMixture: per-row copies are floor(w) or ceil(w)") =
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
       Gen.chooseNum(0.0, 3.0)) { (keys, w) =>
