@@ -292,7 +292,14 @@ object Dedup {
     // the residue count, so materialize it
     val batch = exactDedup(incoming, textCol, idCol)
       .withColumn("__digest", dig).localCheckpoint(true)
-    val might = graft.functions.SketchExprs.bloomMightContain(col("__digest"), bloom)
+    // Null-guard the probe: a null text digests to null, so the raw
+    // might-contain is null and BOTH branch filters would silently drop
+    // the row — whereas the plain path keeps it (an anti-join on a null
+    // key never matches). Null digests never enter the filter
+    // ([[buildDigestBloom]] na.drop's them), so routing them to the
+    // fresh branch is exact.
+    val might = coalesce(
+      graft.functions.SketchExprs.bloomMightContain(col("__digest"), bloom), lit(false))
     val fresh = batch.filter(!might)
     val residue = batch.filter(might).localCheckpoint(true)
     val seen = existing.select(dig.as("__digest"))

@@ -145,7 +145,16 @@ class DedupSpec extends SparkTestBase {
 
   test("bloom-accelerated incremental dedup equals the plain exact path") {
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val incoming = corpus.filter(col("doc_id") % 2 === 1)
+    // null-text rows ride along: they digest to null, so the bloom probe
+    // is null — an unguarded filter(!might)/filter(might) pair would drop
+    // them from BOTH branches while the plain path keeps one (anti-join
+    // on a null key never matches). The twin contract must cover them.
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(100001L, null, "en", "srcx", 0L),
+        org.apache.spark.sql.Row(100003L, null, "en", "srcx", 0L))),
+      corpus.schema)
+    val incoming = corpus.filter(col("doc_id") % 2 === 1).unionByName(nulls)
     val existing = corpus.filter(col("doc_id") % 2 === 0)
     def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
       d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
