@@ -36,12 +36,25 @@ object Dedup {
     * running; `tables` is capped (recall at moderate thresholds is
     * intrinsically expensive — the caller sees `achievedRecall` and
     * decides, rather than the library silently exploding).
+    *
+    * maxTables defaults to 16 — a WORK/MEMORY budget, not a recall knob:
+    * every table adds a full (id, vector) copy to the bucketed self-join
+    * frame, so tables multiply the checkpoint footprint and the join's
+    * build side. Measured on a 20k×64-dim corpus at threshold 0.45: the
+    * recall-0.9 plan (8 bits, 64 tables) ran 36 s and OOM'd the 60k
+    * corpus, while 16 tables at the same bits runs in seconds and scales
+    * linearly. The cap costs recall AT THE THRESHOLD (honestly reported
+    * in `achievedRecall` — 0.40 at that scale) but barely touches the
+    * near-identical pairs that document dedup actually hunts: at cosine
+    * 0.9 the per-plane agreement is p ≈ 0.86, so 16 tables of 8 bits
+    * still catch ≈ 0.995 of them. Raise the cap only with the memory to
+    * back it.
     */
   final case class LshPlan(bits: Int, tables: Int, achievedRecall: Double,
                            expectedCandidates: Double)
 
   def planCosineLsh(n: Long, threshold: Double, targetRecall: Double = 0.9,
-                    targetBucketSize: Int = 100, maxTables: Int = 64): LshPlan = {
+                    targetBucketSize: Int = 100, maxTables: Int = 16): LshPlan = {
     require(n > 0 && threshold > -1 && threshold < 1, s"n=$n threshold=$threshold")
     require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall")
     val p = 1.0 - math.acos(threshold) / math.Pi
@@ -93,6 +106,25 @@ object Dedup {
       math.ceil(math.log1p(-targetRecall) / math.log1p(-tr)).toInt))
     val recall = 1.0 - math.pow(1.0 - tr, b)
     MinhashPlan(b, r, recall, b * n.toDouble * n.toDouble / 2.0 * math.pow(jBackground, r))
+  }
+
+  /** [[minhashLshPairs]] with (bands, rowsPerBand) sized by
+    * [[planMinhashLsh]] from the ACTUAL corpus size — the entry point to
+    * reach for when n is not known up front. Fixed banding at a growing
+    * corpus is the quadratic trap the planner scaladoc warns about; this
+    * overload pays one metadata-cheap `count()` to avoid it. Callers that
+    * already know n (or plan across many batches) should call
+    * [[planMinhashLsh]] once and pass explicit params.
+    */
+  def minhashLshPairsAuto(df: DataFrame, textCol: String, idCol: String,
+                          n: Int, threshold: Double,
+                          targetRecall: Double = 0.9,
+                          jBackground: Double = 0.05,
+                          targetCandidatesPerDoc: Double = 10.0,
+                          maxBands: Int = 128): DataFrame = {
+    val plan = planMinhashLsh(df.count(), threshold, targetRecall,
+      jBackground, targetCandidatesPerDoc, maxBands)
+    minhashLshPairs(df, textCol, idCol, n, plan.bands, plan.rowsPerBand, threshold)
   }
 
   /** Explicit hash-partitioning on the keys of an upcoming fan-out
@@ -246,7 +278,7 @@ object Dedup {
     */
   def buildDigestBloom(existing: DataFrame, textCol: String,
                        expectedItems: Long = 0L, fpp: Double = 0.01,
-                       buildPartitions: Int = 32): org.apache.spark.util.sketch.BloomFilter = {
+                       buildPartitions: Int = 8): org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.util.sketch.BloomFilter
     // explicit per-partition build + driver merge (the distributed shape
     // stat.bloomFilter uses internally, but total: an empty history
@@ -257,8 +289,15 @@ object Dedup {
     // filter bytes — the coalesce bounds it; raise buildPartitions only
     // if the digest scan, not the bit-setting, is the bottleneck.
     require(buildPartitions >= 1, s"buildPartitions=$buildPartitions")
+    // NO distinct: bloom inserts are idempotent, so deduplicating the
+    // digest stream first would pay a Θ(history) SHUFFLE purely to avoid
+    // re-setting already-set bits (measured: the distinct was half the
+    // 3M-digest build cost). The stream stays scan-shaped end to end.
+    // Sizing uses the RAW count when expectedItems is absent — an upper
+    // bound on the distinct count, and oversizing only lowers the
+    // realized fpp.
     val seen = existing.select(md5(Text.normalize(col(textCol))).as("__digest"))
-      .na.drop().distinct()
+      .na.drop()
     val n = if (expectedItems > 0L) expectedItems else math.max(seen.count(), 1L)
     val parts = seen.coalesce(buildPartitions).mapPartitions { rows =>
       val f = BloomFilter.create(n, fpp)
@@ -288,36 +327,56 @@ object Dedup {
                                  textCol: String, idCol: String,
                                  bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val dig = md5(Text.normalize(col(textCol)))
-    // within-batch dedup once; the frame feeds both bloom branches and
-    // the residue count, so materialize it
-    val batch = exactDedup(incoming, textCol, idCol)
-      .withColumn("__digest", dig).localCheckpoint(true)
     // Null-guard the probe: a null text digests to null, so the raw
-    // might-contain is null and BOTH branch filters would silently drop
+    // might-contain is null and a branch filter pair would silently drop
     // the row — whereas the plain path keeps it (an anti-join on a null
     // key never matches). Null digests never enter the filter
-    // ([[buildDigestBloom]] na.drop's them), so routing them to the
-    // fresh branch is exact.
-    val might = coalesce(
-      graft.functions.SketchExprs.bloomMightContain(col("__digest"), bloom), lit(false))
-    val fresh = batch.filter(!might)
-    val residue = batch.filter(might).localCheckpoint(true)
-    val seen = existing.select(dig.as("__digest"))
-    val survivors =
-      if (residue.count() <= pairCeiling(incoming)) {
-        // duplicate digests among the residue, via a map-side scan of the
-        // history against the broadcast residue — Θ(history) READ, zero
-        // history shuffle; the result is ≤ residue rows
-        val dup = seen.join(broadcast(residue.select("__digest").distinct()),
-            Seq("__digest"), "left_semi")
-          .distinct()
-        residue.join(broadcast(dup), Seq("__digest"), "left_anti")
-      } else {
-        // residue too big to broadcast (dup-heavy batch): the plain
-        // exact path's pinned anti-join against distinct history digests
-        residue.join(seen.distinct().hint("shuffle_hash"), Seq("__digest"), "left_anti")
-      }
-    fresh.unionByName(survivors).drop("__digest")
+    // ([[buildDigestBloom]] na.drop's them), so treating them as
+    // definitively-novel is exact.
+    def might(digest: Column) = coalesce(
+      graft.functions.SketchExprs.bloomMightContain(digest, bloom), lit(false))
+    // Pre-screen the RAW batch: one scan with an executor-local probe —
+    // no shuffle, no materialization, no history involvement. If NO raw
+    // row might be in history the batch is definitively all-novel and
+    // the history is NOT READ AT ALL — the bloom's actual 100 TB payoff.
+    // The plain path pays a Θ(history) scan + digest-distinct + shuffle
+    // for every batch including the all-novel ones (most batches of a
+    // healthy crawl); here that cost is gated on a suspected duplicate
+    // existing. Build the filter at a low fpp (cheap: ~2× bits per
+    // decade) so novel batches actually realize an empty suspect set
+    // instead of dragging ~fpp·|batch| false positives into a history
+    // scan each.
+    //
+    // Nothing here is eagerly materialized: the caller's landing action
+    // (stage-table write / checkpoint) is the ONE materialization of the
+    // batch, and the exactDedup exchange shared by the fresh/residue
+    // branches is de-duplicated inside it by ReuseExchange. An internal
+    // checkpoint (rounds 5-6) double-materialized every batch — a second
+    // eager text-frame write per batch that cost more than the history
+    // work it saved at bench scale.
+    val nSuspect = incoming.filter(might(dig)).count()
+    if (nSuspect == 0L) exactDedup(incoming, textCol, idCol)
+    else {
+      val batch = exactDedup(incoming, textCol, idCol).withColumn("__digest", dig)
+      val fresh = batch.filter(!might(col("__digest")))
+      val residue = batch.filter(might(col("__digest")))
+      val seen = existing.select(dig.as("__digest"))
+      val survivors =
+        if (nSuspect <= pairCeiling(incoming)) {
+          // duplicate digests among the residue, via a map-side scan of
+          // the history against the broadcast residue — Θ(history) READ,
+          // zero history shuffle; the result is ≤ residue rows
+          val dup = seen.join(broadcast(residue.select("__digest").distinct()),
+              Seq("__digest"), "left_semi")
+            .distinct()
+          residue.join(broadcast(dup), Seq("__digest"), "left_anti")
+        } else {
+          // residue too big to broadcast (dup-heavy batch): the plain
+          // exact path's pinned anti-join against distinct history digests
+          residue.join(seen.distinct().hint("shuffle_hash"), Seq("__digest"), "left_anti")
+        }
+      fresh.unionByName(survivors).drop("__digest")
+    }
   }
 
   /** Benchmark decontamination: (id, n_shared) for every `train`
@@ -554,11 +613,38 @@ object Dedup {
     * bounded by document length.
     *
     * Output: (idCol, clean_text, n_kept, n_removed) for every input row.
+    *
+    * `preserveNewlines = true` rebuilds clean_text with the ORIGINAL line
+    * structure: each kept token re-joins with " " inside its source line
+    * and with the original "\n" run between lines (interior blank lines
+    * survive; lines whose every token was cut become empty lines; lines
+    * after the last kept token are dropped, mirroring the default mode's
+    * trailing-whitespace collapse). Span HASHING is identical in both
+    * modes — "\n" is whitespace to [[Text.tokens]], so the flattened
+    * per-line token sequence is byte-equal to the default tokenization
+    * and spans still cross line boundaries (Lee et al.'s ExactSubstr
+    * operates on the flat token stream) — only the re-join differs. This
+    * is what makes the span strip COMPOSABLE with the line-granularity
+    * screens ([[stripDuplicatedLines]]): the default token re-join
+    * collapses every document to one line, which turns a downstream line
+    * screen into a no-op. Default false: the oracle gates pin the
+    * original byte-exact rebuild.
     */
   def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                           k: Int): DataFrame = {
+                           k: Int, preserveNewlines: Boolean = false): DataFrame = {
     require(k >= 1, s"span length k=$k")
-    val toks = df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+    val toks =
+      if (!preserveNewlines)
+        df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      else
+        // per-line tokens, flattened: __toks is byte-equal to the default
+        // mode's token sequence; __lineIdx parallels it with each token's
+        // 0-based source line for the line-aware re-join
+        df.select(col(idCol).as("__id"),
+            transform(split(col(textCol), "\n", -1), l => Text.tokens(l)).as("__tpl"))
+          .select(col("__id"), flatten(col("__tpl")).as("__toks"),
+            flatten(transform(col("__tpl"),
+              (arr, li) => transform(arr, _ => li))).as("__lineIdx"))
     // checkpoint: the span stream feeds the canonical aggregate and the
     // attach join, and the adaptive count reads the materialized blocks
     val spans = toks.filter(size(col("__toks")) >= k)
@@ -603,6 +689,28 @@ object Dedup {
     // the heavily-duplicated long documents this op targets (~10^10
     // comparisons on a mostly-duplicated 100k-token doc). Kept positions
     // come back in original order, and get() is O(1) per element.
+    val rebuilt =
+      if (!preserveNewlines)
+        array_join(transform(col("__kept"), p => get(col("__toks"), p)), " ")
+      else {
+        // line-aware re-join: the separator BEFORE kept token j is the
+        // leading "\n" run for the first piece (preserving blank lines
+        // before the first kept token), " " within a line, and the
+        // original-height "\n" run across lines. Pieces are built by a
+        // positional transform (get() is O(1)), then one array_join —
+        // linear in kept tokens, never a string-accumulator fold
+        // (quadratic in document length).
+        def li(j: Column) = get(col("__lineIdx"), get(col("__kept"), j))
+        val nl = (n: Column) => array_join(array_repeat(lit("\n"), n), "")
+        val pieces = transform(sequence(lit(0), size(col("__kept")) - 1), j =>
+          concat(
+            when(j === 0, nl(li(j)))
+              .otherwise(when(li(j) === li(j - 1), lit(" "))
+                .otherwise(nl(li(j) - li(j - 1)))),
+            get(col("__toks"), get(col("__kept"), j))))
+        when(size(col("__kept")) === 0, lit(""))
+          .otherwise(array_join(pieces, ""))
+      }
     toks.join(removed.hint("shuffle_hash"), Seq("__id"), "left")
       .withColumn("__rmset", coalesce(col("__rm"), array().cast(ArrayType(IntegerType))))
       .withColumn("__kept",
@@ -610,8 +718,7 @@ object Dedup {
           .otherwise(array_except(
             sequence(lit(0), size(col("__toks")) - 1), col("__rmset"))))
       .select(col("__id").as(idCol),
-        array_join(transform(col("__kept"), p => get(col("__toks"), p)), " ")
-          .as("clean_text"),
+        rebuilt.as("clean_text"),
         (size(col("__toks")) - size(col("__rmset"))).cast(LongType).as("n_kept"),
         size(col("__rmset")).cast(LongType).as("n_removed"))
   }
@@ -1368,17 +1475,45 @@ object Dedup {
     }
   }
 
-  /** Cell-count planning for [[semdedupPairs]] at a given corpus size:
-    * like [[planCosineLsh]]'s bits, nCells must GROW with n — fixed
-    * cells at a growing corpus is the quadratic trap (candidate volume
-    * Σ|cell|²/2 ≈ nAssign² · n²/(2·nCells)). Holding cell population
-    * near `targetCellSize` keeps the candidate stream linear in n:
-    * ~n · nAssign² · targetCellSize / 2 pairs.
+  /** [[cosineDupPairs]] with (bits, tables) sized by [[planCosineLsh]]
+    * from the ACTUAL corpus size — the entry point to reach for when n is
+    * not known up front. Fixed bits at a growing corpus is the quadratic
+    * trap (bucket occupancy n/2^bits makes the verify stream Θ(n²/2^bits);
+    * measured 8.5× time on 3× data at sf30 with bits pinned at 4); this
+    * overload pays one metadata-cheap `count()` to size the buckets
+    * instead. Callers that already know n should call [[planCosineLsh]]
+    * once and pass explicit params.
     */
-  def planSemdedupCells(n: Long, targetCellSize: Int = 200,
-                        nAssign: Int = 2): Int = {
-    require(n > 0 && targetCellSize > 0, s"n=$n targetCellSize=$targetCellSize")
-    math.max(1, math.ceil(n.toDouble * nAssign / targetCellSize).toInt)
+  def cosineDupPairsAuto(df: DataFrame, vecCol: String, idCol: String,
+                         threshold: Double, targetRecall: Double = 0.9,
+                         targetBucketSize: Int = 100, maxTables: Int = 16,
+                         planeHash: String = "xxhash64"): DataFrame = {
+    val plan = planCosineLsh(df.count(), threshold, targetRecall,
+      targetBucketSize, maxTables)
+    cosineDupPairs(df, vecCol, idCol, threshold, plan.bits, plan.tables, planeHash)
+  }
+
+  /** Cell-count planning for [[semdedupPairs]] at a given corpus size.
+    * Two quadratic traps bracket the choice: FIXED cells make the
+    * within-cell pair stream Σ|cell|²/2 ≈ nAssign²·n²/(2·nCells)
+    * quadratic, while cells LINEAR in n (holding cell population
+    * constant) make the centroid ASSIGNMENT stream n × nCells quadratic
+    * instead — at 60k vectors a linear-cells plan spent 44× more on
+    * assignment than on pairs (measured). The balanced optimum for flat
+    * k-means sets cell population s* where assignment and pair work
+    * match: iters·n·(nAssign·n/s) = nAssign²·n·s/2 ⇒ s* =
+    * √(2·iters·n/nAssign) — cells ∝ √n, total work ∝ n^1.5 (the flat-
+    * assignment floor; sub-n^1.5 needs hierarchical assignment, which is
+    * a different operator). `targetCellSize > 0` overrides s* for
+    * callers that know their regime.
+    */
+  def planSemdedupCells(n: Long, targetCellSize: Int = 0,
+                        nAssign: Int = 2, iters: Int = 3): Int = {
+    require(n > 0 && targetCellSize >= 0, s"n=$n targetCellSize=$targetCellSize")
+    val s =
+      if (targetCellSize > 0) targetCellSize.toDouble
+      else math.max(16.0, math.sqrt(2.0 * iters * n / nAssign))
+    math.max(1, math.ceil(n.toDouble * nAssign / s).toInt)
   }
 
   /** Clustered semantic dedup ("SemDeDup", Abbas et al. 2023): assign
@@ -1460,5 +1595,19 @@ object Dedup {
       .filter(atLeast(col("cosine"), threshold))
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
+  }
+
+  /** [[semdedupPairs]] with nCells sized by [[planSemdedupCells]] from
+    * the ACTUAL corpus size — the default balances the two quadratic
+    * traps (fixed cells ⇒ n² pairs; linear cells ⇒ n² assignment) at the
+    * flat-k-means optimum, cells ∝ √n. Pays one metadata-cheap
+    * `count()`; callers that know n should call [[planSemdedupCells]]
+    * directly.
+    */
+  def semdedupPairsAuto(df: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, targetCellSize: Int = 0,
+                        nAssign: Int = 2, iters: Int = 3): DataFrame = {
+    val nCells = planSemdedupCells(df.count(), targetCellSize, nAssign, iters)
+    semdedupPairs(df, vecCol, idCol, threshold, nCells, nAssign, iters)
   }
 }

@@ -124,10 +124,16 @@ object Curate {
     // and the quality band/scrub/split operate identically on normalized
     // text — but a caller tapping intermediate stages should know the
     // original casing is gone once this stage is on.
+    // When the line screen runs AFTER the span strip (the CCNet-style
+    // span-then-line stack), the strip rebuilds with the ORIGINAL line
+    // structure — the default token re-join collapses every doc to one
+    // line and would turn the line screen into a no-op. Span-only mode
+    // keeps the default byte-exact rebuild its gates pin.
     val stripped =
       if (stripSpanK > 0)
         screened.drop(textCol).join(
-          Dedup.stripDuplicatedSpans(screened, textCol, idCol, stripSpanK)
+          Dedup.stripDuplicatedSpans(screened, textCol, idCol, stripSpanK,
+            preserveNewlines = stripLineDups)
             .select(col(idCol), col("clean_text").as(textCol))
             .hint("shuffle_hash"),
           Seq(idCol))
@@ -135,11 +141,7 @@ object Curate {
     // Optional line-level keep-first dedup (CCNet paragraph screen) —
     // same slot-reasoning as the span strip: after document-level dedup
     // (exact-dup docs would strip each other's every line), before
-    // quality (the token band must judge the text that ships). NOTE:
-    // the span strip rebuilds text WITHOUT newlines (token re-join), so
-    // enabling both makes this screen see one-line documents and do
-    // ~nothing — on line-structured corpora prefer the line screen
-    // alone (stripSpanK = 0).
+    // quality (the token band must judge the text that ships).
     val lineStripped =
       if (stripLineDups)
         stripped.drop(textCol).join(

@@ -82,6 +82,112 @@ object CurationQueries {
     },
     Some(incrementalOracleSql))
 
+  /** The bloom path in ITS regime — history ≫ batch, bloom built ONCE
+    * and reused across many batches, MOST of which are all-novel (the
+    * healthy-crawl shape): the corpus amplified 20× plays the ingested
+    * history (10k docs at sf0.01, 100k at sf0.1), and six batches screen
+    * against one prebuilt low-fpp filter — only batch 0 carries planted
+    * history dups; batches 1-5 are entirely novel. The bloom's payoff is
+    * that an all-novel batch realizes an EMPTY residue and never reads
+    * the history at all (see exactDedupIncrementalBloom's short-circuit)
+    * — so the whole run pays two Θ(history) passes (build + batch 0's
+    * residue scan) where [[dedupIncrementalReusePlain]] pays six passes
+    * plus six digest-distinct shuffles. Same exact-result contract as
+    * every incremental gate: the oracle recomputes each batch's keep set
+    * relationally, blind to which path produced it.
+    */
+  private def reuseOracleSql =
+    """WITH norm AS (
+              SELECT doc_id, lang, source,
+                     TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            hist AS (
+              SELECT DISTINCT ntext || ' v' || i AS ntext
+              FROM norm, RANGE(0, 20) r(i)),
+            batches AS (
+              SELECT b, doc_id, lang, source,
+                     CASE WHEN b = 0 AND doc_id % 10 = 0 THEN ntext || ' v0'
+                          ELSE ntext || ' b' || b END AS ntext
+              FROM norm, RANGE(0, 6) rb(b)),
+            keep AS (
+              SELECT bt.* FROM batches bt
+              JOIN (SELECT b, ntext, MIN(doc_id) AS mid
+                    FROM batches GROUP BY b, ntext) m
+                ON bt.b = m.b AND bt.ntext = m.ntext AND bt.doc_id = m.mid)
+            SELECT b::INTEGER AS batch, doc_id, lang, source FROM keep
+            WHERE ntext NOT IN (SELECT ntext FROM hist)
+            ORDER BY batch, doc_id"""
+
+  private def reuseHistory(d: org.apache.spark.sql.DataFrame) =
+    (0 until 20).map(i => d.select(
+      (col("doc_id") + lit(100000L * (i + 1))).as("doc_id"),
+      concat(col("text"), lit(s" v$i")).as("text"),
+      col("lang"), col("source"))).reduce(_ unionByName _)
+
+  private def reuseBatch(d: org.apache.spark.sql.DataFrame, b: Int) =
+    d.select(col("doc_id"),
+      when(lit(b) === 0 && col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" v0")))
+        .otherwise(concat(col("text"), lit(s" b$b"))).as("text"),
+      col("lang"), col("source"))
+
+  val dedupIncrementalReuseBloom = Q("q_dedup_incremental_reuse_bloom",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      // checkpoint = the persisted corpus table both twins read (at scale
+      // this is a stored stage table, not a 20-way recompute per scan)
+      val history = reuseHistory(d).localCheckpoint(true)
+      // sizing from row counts (20 amplified copies) skips the
+      // distinct-count scan. fpp is sized to the SHORT-CIRCUIT RULE, not
+      // the usual residue-rate rule: an all-novel batch skips the history
+      // entirely only when it realizes ZERO false positives, i.e.
+      // E[FP] = |batch|·fpp ≪ 1 ⇒ fpp ≲ 0.01/|batch|. At fpp 1e-4 a
+      // 150k-row batch expects ~15 FPs and EVERY batch re-paid the
+      // history scan (measured — the bloom twin lost to plain); at 1e-8
+      // the five all-novel batches skip it with P ≈ 0.999. The price is
+      // ~4× bits (38 vs 9.6 bits/item): ~4.5 GB per 10⁹ docs vs ~1.2 GB
+      // at 1% — the right trade whenever batches are large and mostly
+      // novel, which is exactly this regime.
+      val bloom = Dedup.buildDigestBloom(history, "text",
+        expectedItems = 20L * d.count(), fpp = 1e-8)
+      // each batch LANDS (checkpoint = the stage-table append) before the
+      // next is screened — the sequential-ingestion regime both twins
+      // model; see dedupIncrementalReusePlain for why this matters there
+      (0 until 6).map { b =>
+        Dedup.exactDedupIncrementalBloom(reuseBatch(d, b), history,
+          "text", "doc_id", bloom)
+          .select(lit(b).as("batch"), col("doc_id"), col("lang"), col("source"))
+          .localCheckpoint(true)
+      }.reduce(_ unionByName _).orderBy("batch", "doc_id")
+    },
+    Some(reuseOracleSql))
+
+  /** Plain-anti-join twin of [[dedupIncrementalReuseBloom]] on the SAME
+    * history/batches — the number that shows what the bloom buys: every
+    * batch, all-novel or not, re-pays the full history scan, digest
+    * distinct and shuffle anti-join.
+    *
+    * Both twins land each batch (eager checkpoint) before screening the
+    * next — the sequential-ingestion regime, where batch N is in the
+    * stage table before batch N+1 exists. Without it this twin collapses
+    * into ONE action whose six identical history-digest-distinct
+    * subtrees Spark de-duplicates via ReuseExchange — i.e. it would
+    * measure the all-batches-at-once regime, where incremental
+    * screening is the wrong tool in the first place (union the batches
+    * and run one [[graft.ops.Dedup.exactDedup]]).
+    */
+  val dedupIncrementalReusePlain = Q("q_dedup_incremental_reuse_plain",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val history = reuseHistory(d).localCheckpoint(true)
+      (0 until 6).map { b =>
+        Dedup.exactDedupIncremental(reuseBatch(d, b), history, "text", "doc_id")
+          .select(lit(b).as("batch"), col("doc_id"), col("lang"), col("source"))
+          .localCheckpoint(true)
+      }.reduce(_ unionByName _).orderBy("batch", "doc_id")
+    },
+    Some(reuseOracleSql))
+
   /** Benchmark decontamination screen: doc_id % 4 == 0 plays the
     * benchmark set, the rest are training docs; flag trainers sharing
     * ≥ 2 distinct word-3-shingles with any benchmark doc. (Real
@@ -434,6 +540,43 @@ object CurationQueries {
             HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.5
             ORDER BY id_a, id_b"""))
 
+  /** Planner-driven twin of [[dedupMinhash]]: (bands, rowsPerBand) come
+    * from [[graft.ops.Dedup.planMinhashLsh]] at the ACTUAL corpus size
+    * (the 100 TB path — fixed banding at a growing corpus is the
+    * quadratic trap the r6 sf30 section measured on the cosine family).
+    * The oracle is the EXACT all-pairs Jaccard definition: at the gate
+    * corpora the planner's targetRecall=0.98 banding misses a
+    * threshold-j pair with p=(1-0.5^r)^b ≈ 2e-2 — but every true pair in
+    * these corpora is a planted near-identical dup far above threshold
+    * (j ≥ 0.6 ⇒ miss ≤ 1.4e-5/pair), and the whole path is seeded-hash
+    * deterministic, so equality was verified empirically at
+    * sf0.001/0.01/0.1 and cannot drift while the corpus generator is
+    * fixed.
+    */
+  val dedupMinhashAuto = Q("q_dedup_minhash_lsh_auto",
+    (s, dir) =>
+      Dedup.minhashLshPairsAuto(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.5, targetRecall = 0.98)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS ns, UNNEST(shingles) AS g FROM sh)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)), 9) AS jaccard
+            FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+            HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.5
+            ORDER BY id_a, id_b"""))
+
   /** SimHash(64-bit) near-dup pairs within hamming distance 3 via 16-bit
     * chunk bucketing (pigeonhole-complete for d ≤ 3). The gate runs the
     * md5-token-hash variant (Spark md5 ≡ DuckDB md5) so the ENTIRE pair
@@ -466,7 +609,16 @@ object CurationQueries {
                      THEN POWER(2, j)::HUGEINT ELSE 0::HUGEINT END AS bitval
               FROM h CROSS JOIN GENERATE_SERIES(0, 63) AS g(j)
               GROUP BY doc_id, j),
-            sig AS (SELECT doc_id, SUM(bitval) AS sig FROM votes GROUP BY doc_id)
+            sigv AS (SELECT doc_id, SUM(bitval) AS sig FROM votes GROUP BY doc_id),
+            -- total over the corpus: a doc that normalizes to ZERO tokens
+            -- casts no votes and signs 0, exactly as the Spark majority
+            -- vote does (two empty docs are a hamming-0 pair); null text
+            -- hashes null on the Spark side and never pairs, so it stays
+            -- excluded here too
+            sig AS (
+              SELECT d.doc_id, COALESCE(s.sig, 0::HUGEINT) AS sig
+              FROM documents d LEFT JOIN sigv s ON s.doc_id = d.doc_id
+              WHERE d.text IS NOT NULL)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    BIT_COUNT(XOR(a.sig, b.sig))::INTEGER AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -537,15 +689,69 @@ object CurationQueries {
             SELECT id_a, id_b, ROUND(cosine, 9) AS cosine
             FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
 
+  /** Planner-driven twin of [[dedupCosineLsh]]: (bits, tables) come from
+    * [[graft.ops.Dedup.planCosineLsh]] at the ACTUAL corpus size — the
+    * 100 TB path. The r6 sf30 section measured the fixed-bits trap
+    * directly (lshBits=4 ⇒ 53.3 s at sf30 vs 6.3 s at sf1, 8.5× on 3×
+    * data); this query is the one the scale sections now run. FULLY
+    * oracled: the SQL recomputes the SAME plan from COUNT(*) — the
+    * integer (bits, tables) land far from every ceil boundary at the
+    * gate corpora (verified n=500 → (3,8) with the tables ratio 7.23
+    * sitting 0.23 from its boundary; n=2000 and n=5000 cap tables at the
+    * planner's work/memory budget of 16, which is integer-exact) — then
+    * rebuilds every (table, bucket) md5-plane signature and verifies
+    * exact cosine, exactly as [[dedupCosineLsh]]'s oracle does.
+    */
+  val dedupCosineLshAuto = Q("q_dedup_embed_cosine_lsh_auto",
+    (s, dir) =>
+      Dedup.cosineDupPairsAuto(Tables.embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.45, planeHash = "md5")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            plan AS (
+              SELECT bits,
+                     LEAST(16, GREATEST(1, CAST(CEIL(LN(0.1) /
+                       LN(1 - POWER(1 - ACOS(0.45)/PI(), bits))) AS INT))) AS tabs
+              FROM (SELECT GREATEST(1, LEAST(30, CAST(CEIL(
+                      LN((SELECT COUNT(*) FROM v) / 100.0) / LN(2)) AS INT))) AS bits)),
+            planes AS (
+              SELECT t, b, p.bits,
+                     LIST_TRANSFORM(RANGE(0, 64),
+                       i -> (('0x' || SUBSTR(MD5((t*p.bits+b) || '_' || i), 1, 15))::BIGINT
+                             % 2000001 - 1000000) / 1000000.0) AS w
+              FROM plan p, RANGE(0, 64) tt(t), RANGE(0, 30) bb(b)
+              WHERE t < p.tabs AND b < p.bits),
+            bk AS (
+              SELECT v.vec_id, p.t,
+                     SUM(CASE WHEN LIST_INNER_PRODUCT(v.e, p.w) >= 0
+                              THEN (2 ^ p.b)::BIGINT ELSE 0 END)::BIGINT AS bucket
+              FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.t),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                                  AND a.vec_id < b.vec_id),
+            pr AS (
+              SELECT id_a, id_b, LIST_COSINE_SIMILARITY(va.e, vb.e) AS cosine
+              FROM cand
+              JOIN v va ON va.vec_id = cand.id_a
+              JOIN v vb ON vb.vec_id = cand.id_b)
+            SELECT id_a, id_b, ROUND(cosine, 9) AS cosine
+            FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
+
   /** SemDeDup clustered variant with soft (top-2) cell assignment.
     * Approximate (pairs outside any shared cell missed by design) →
     * rows-only check; recall vs the exact path is gated numerically in
-    * DedupSpec.
+    * DedupSpec. nCells comes from [[graft.ops.Dedup.planSemdedupCells]]
+    * at the ACTUAL corpus size, at its balanced default (cells ∝ √n —
+    * fixed cells make the pair stream quadratic, linear cells make the
+    * centroid-assignment stream quadratic; the balance point is the
+    * flat-k-means n^1.5 floor).
     */
   val dedupSemdedup = Q("q_dedup_semdedup",
     (s, dir) =>
-      Dedup.semdedupPairs(Tables.embeddings(s, dir), "embedding", "vec_id",
-        threshold = 0.45, nCells = 16, nAssign = 2)
+      Dedup.semdedupPairsAuto(Tables.embeddings(s, dir), "embedding", "vec_id",
+        threshold = 0.45, nAssign = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
         .orderBy("id_a", "id_b"),
     None)
@@ -2020,12 +2226,14 @@ object CurationQueries {
             ORDER BY doc_id, copy"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalBloom,
+    dedupIncrementalReuseBloom, dedupIncrementalReusePlain,
     dedupIncrementalNear,
     dedupDecontaminate,
     dedupContainment, dedupSubstring, dedupSubstringStrip,
     dedupLineStats, dedupLineStrip, dedupJaccard,
-    dedupMinhash, dedupSimhash,
-    dedupClusters, dedupCosine, dedupCosineLsh, dedupSemdedup,
+    dedupMinhash, dedupMinhashAuto, dedupSimhash,
+    dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
+    dedupSemdedup,
     knnBrute, knnLsh, knnIvf, knnSq8,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateShuffle, curateDomainFilter, curateScrub,

@@ -97,4 +97,43 @@ object TrackStream {
         .drop("__rn")
     }
   }
+
+  /** History-scale incremental dedup as a `foreachBatch` sink — the
+    * complement of [[dedupStream]]'s watermark-bounded screen: state is
+    * UNBOUNDED history, held as the natural pair a production ingester
+    * persists anyway — the appended corpus table (`historyDir`, parquet)
+    * plus one Bloom filter over its digests (the cross-batch state the
+    * bloom was designed to be: built once, `mergeInPlace`-updated with
+    * each kept batch, persistable via `BloomFilter.writeTo`). Each
+    * micro-batch runs [[graft.ops.Dedup.exactDedupIncrementalBloom]]
+    * against them, appends its survivors to both, and hands them to
+    * `sink`. A RE-PLAYED batch (crash-retry, at-least-once source)
+    * appends and emits ZERO rows — every row bloom-hits and the exact
+    * residue check confirms it against the corpus — which is what makes
+    * retries idempotent at 100 TB.
+    *
+    * `expectedItems`/`fpp` size the state filter AND every per-batch
+    * merge filter — `mergeInPlace` requires identical geometry, so they
+    * are fixed for the query's lifetime (size for the corpus you expect
+    * to ingest, not the corpus you have).
+    */
+  def bloomDedupForeachBatch(textCol: String, idCol: String,
+                             historyDir: String,
+                             state: org.apache.spark.util.sketch.BloomFilter,
+                             expectedItems: Long, fpp: Double = 0.01,
+                             sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    val history =
+      try spark.read.parquet(historyDir)
+      catch { case _: Throwable => batch.limit(0) } // first batch: no corpus yet
+    val kept = graft.ops.Dedup.exactDedupIncrementalBloom(
+      batch, history, textCol, idCol, state).localCheckpoint(true)
+    kept.write.mode("append").parquet(historyDir)
+    // fold the kept digests into the state filter: same (n, fpp) ⇒ same
+    // geometry, so the merge is a bitset OR
+    state.mergeInPlace(graft.ops.Dedup.buildDigestBloom(
+      kept, textCol, expectedItems = expectedItems, fpp = fpp))
+    sink(kept)
+  }
 }

@@ -96,6 +96,71 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset(Dedup.PairCeilingKey)
   }
 
+  test("stripDuplicatedSpans preserveNewlines: line structure kept, same cuts as default") {
+    // the 8-token span sits inside otherwise-distinct lines, so the only
+    // corpus-duplicated k=8 window is the span itself; the last line is
+    // SHORTER than k, invisible to the span screen in both modes
+    val span8 = "shared span sentence eight tokens exactly appearing twice"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta\n$span8 uniq1a uniq1b\ncopyright twenty six reserved"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi\n$span8 uniq2a uniq2b\ncopyright twenty six reserved"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(docs, "text", "doc_id", k = 8,
+      preserveNewlines = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 canonical: rebuilt byte-equal to its (already-normalized) input
+    assert(out(1L) == ((s"alpha beta gamma delta epsilon zeta eta theta\n$span8 uniq1a uniq1b\ncopyright twenty six reserved", 22L, 0L)))
+    // doc 2: the span's 8 tokens cut from line 1, line structure intact
+    assert(out(2L) == ((s"iota kappa lambda mu nu xi omicron pi\nuniq2a uniq2b\ncopyright twenty six reserved", 14L, 8L)))
+    // a line whose EVERY token is cut survives as an empty line (interior
+    // blank preserved), and token counts match the default-mode rebuild
+    val lineDocs = Seq(
+      (1L, "one two three four five six seven eight\ntail line stays"),
+      (2L, "prefix line stays here\none two three four five six seven eight\nsuffix line"))
+      .toDF("doc_id", "text")
+    val pres = Dedup.stripDuplicatedSpans(lineDocs, "text", "doc_id", k = 8,
+      preserveNewlines = true).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(pres(2L) == (("prefix line stays here\n\nsuffix line", 6L, 8L)))
+    // parity with the default rebuild: identical cuts, newline runs are
+    // the only delta (collapse them and the strings match)
+    val flat = Dedup.stripDuplicatedSpans(lineDocs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert((flat(id)._2, flat(id)._3) == ((pres(id)._2, pres(id)._3)))
+      assert(flat(id)._1 == pres(id)._1.replaceAll("\n+", " ").trim
+        .replaceAll(" +", " "))
+    }
+  }
+
+  test("auto-planned LSH twins: planner wiring equals explicit params; " +
+    "auto minhash equals the exact all-pairs oracle (driver corpus)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cosine: auto == the same call with planCosineLsh's params spelled out
+    val cplan = Dedup.planCosineLsh(emb.count(), 0.45)
+    assert(cplan.bits == 3 && cplan.tables == 8) // n=500 → documented plan
+    assert(pairs(Dedup.cosineDupPairsAuto(emb, "embedding", "vec_id", 0.45)) ==
+      pairs(Dedup.cosineDupPairs(emb, "embedding", "vec_id", 0.45,
+        cplan.bits, cplan.tables)))
+    // minhash: auto(0.98) must equal the EXACT all-pairs definition here —
+    // this is the q_dedup_minhash_lsh_auto gate's oracle claim (planted
+    // dups sit far above threshold; seeded hashing keeps it deterministic)
+    val auto = pairs(Dedup.minhashLshPairsAuto(docs, "text", "doc_id",
+      n = 3, threshold = 0.5, targetRecall = 0.98))
+    val exact = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5))
+    assert(auto == exact, s"auto banding missed ${exact -- auto} / extra ${auto -- exact}")
+    // semdedup: explicit targetCellSize override still pins population
+    // (64 → the r6 gate's historical nCells=16 at n=500); the balanced
+    // default picks √(3n)-sized cells instead
+    assert(Dedup.planSemdedupCells(500, targetCellSize = 64) == 16)
+    assert(Dedup.planSemdedupCells(500) == 26)
+  }
+
   test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
     val sh = Text.charShingles(col("text"), 5)
     val both = docs.select(
@@ -211,6 +276,29 @@ class DedupSpec extends SparkTestBase {
     val solo = Seq((9L, "only\nlines\nhere")).toDF("doc_id", "text")
     val out = Dedup.stripDuplicatedLines(solo, "text", "doc_id").collect().head
     assert(out.getString(1) == "only\nlines\nhere" && out.getLong(3) == 0L)
+  }
+
+  test("simhash: zero-token docs sign 0 and pair with each other (oracle contract)") {
+    // the q_dedup_simhash oracle now emits sig 0 for docs that normalize
+    // to zero tokens (LEFT JOIN + COALESCE); this locks the Spark side to
+    // the same total function: empty and whitespace-only texts sign 0
+    // (hamming-0 pair), null text signs null and never pairs
+    val edge = Seq((1L, "real content document here"), (8L, ""), (9L, "   \n  "))
+      .toDF("doc_id", "text")
+    val sigs = edge.select(col("doc_id"), Dedup.simhash64Md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sigs(8L) == Some(0L) && sigs(9L) == Some(0L))
+    val prs = Dedup.simhashPairs(edge, "text", "doc_id", maxHamming = 3, tokenHash = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prs == Set((8L, 9L)), s"expected only the empty-empty pair, got $prs")
+    val withNull = edge.unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(10L, null: String))),
+        edge.schema))
+    val prsNull = Dedup.simhashPairs(withNull, "text", "doc_id", maxHamming = 3,
+      tokenHash = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prsNull == Set((8L, 9L)), "null text must never pair")
   }
 
   test("md5 simhash variant is bit-identical to a JVM reference and its pairs are exact") {
@@ -694,13 +782,23 @@ class DedupSpec extends SparkTestBase {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
-  test("planSemdedupCells: cells scale linearly with n, cell population pinned") {
+  test("planSemdedupCells: balanced default grows cells ~ sqrt(n); override pins population") {
     val small = Dedup.planSemdedupCells(10000)
     val big = Dedup.planSemdedupCells(1000000)
-    // 100× corpus → 100× cells; per-cell population stays ~targetCellSize,
-    // so candidate volume stays linear in n (fixed cells would be n²)
-    assert(math.abs(big.toDouble / small - 100.0) < 1.0)
-    assert(math.abs(1000000.0 * 2 / big - 200.0) < 2.0)
+    // 100× corpus → ~10× cells (balanced flat-k-means: fixed cells make
+    // the PAIR stream quadratic, linear cells make the ASSIGNMENT stream
+    // quadratic; the √n balance is the n^1.5 floor between them)
+    assert(math.abs(big.toDouble / small - 10.0) < 1.0,
+      s"small=$small big=$big")
+    // assignment work (n·K·iters) and pair work (n·s·nAssign²/2) balance
+    // within rounding at the planned cell count
+    val n = 1000000.0; val assignW = n * big * 3
+    val pairW = n * (n * 2 / big) * 2
+    assert(assignW / pairW > 0.8 && assignW / pairW < 1.3,
+      s"assign/pair = ${assignW / pairW}")
+    // explicit targetCellSize still pins the population exactly
+    val pinned = Dedup.planSemdedupCells(1000000, targetCellSize = 200)
+    assert(math.abs(1000000.0 * 2 / pinned - 200.0) < 2.0)
   }
 
   test("semdedup: near-complete recall in its native near-identical regime") {

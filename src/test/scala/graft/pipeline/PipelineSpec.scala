@@ -341,6 +341,41 @@ class PipelineSpec extends SparkTestBase {
       "doc 2's footer copy must be stripped")
   }
 
+  test("curate: span strip + line screen compose — line-preserving rebuild " +
+    "lets the line screen cut a footer the span screen cannot see") {
+    val filler1 = (1 to 40).map(i => s"word$i").mkString(" ")
+    val filler2 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // the 8-token span is duplicated across docs INSIDE otherwise-distinct
+    // lines (span-screen territory); the footer line is only 4 tokens —
+    // shorter than k, invisible to the span screen, line-screen territory
+    val span8 = "shared span sentence eight tokens exactly appearing twice"
+    val footer = "copyright twenty six reserved"
+    val docs = Seq(
+      (1L, s"$filler1\n$span8 uniq1a uniq1b\n$footer"),
+      (2L, s"$filler2\n$span8 uniq2a uniq2b\n$footer"))
+      .toDF("doc_id", "text")
+    // span screen alone: doc 2 loses the span copy but SHIPS the footer
+    // (the flat rebuild is fine here — no line screen downstream)
+    val spanOnly = Curate(docs, stripSpanK = 8).collect()
+    assert(spanOnly.filter(_.getLong(0) == 2L)
+      .map(_.getAs[String]("chunk_text")).exists(_.contains("copyright")))
+    // both screens: doc 2 loses the span copy AND the footer copy — only
+    // possible because the span strip now rebuilds line structure when a
+    // line screen follows (the r6 flat rebuild made this a no-op)
+    val both = Curate(docs, stripSpanK = 8, stripLineDups = true).collect()
+    assert(both.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val doc1 = both.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_text"))
+    val doc2 = both.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text"))
+    assert(doc1.exists(_.contains("appearing")) && doc1.exists(_.contains("copyright")),
+      "doc 1 keeps its canonical span and footer occurrences")
+    assert(!doc2.exists(_.contains("appearing")),
+      "doc 2's span copy must be stripped by the span screen")
+    assert(!doc2.exists(_.contains("copyright")),
+      "doc 2's footer copy must be stripped by the line screen")
+    assert(doc2.exists(_.contains("uniq2a")),
+      "doc 2's novel content survives both screens")
+  }
+
   test("curate: domain blocklist screens before dedup so keep-one is unaffected") {
     val filler = (1 to 40).map(i => s"word$i").mkString(" ")
     val docs = Seq(

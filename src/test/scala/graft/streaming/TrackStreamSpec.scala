@@ -78,6 +78,38 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("foreachBatch bloom dedup: cross-batch state; a replayed batch emits zero novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("bloomdedup").toString + "/corpus"
+    val state = org.apache.spark.util.sketch.BloomFilter.create(10000, 0.01)
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = stream.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(TrackStream.bloomDedupForeachBatch("text", "doc_id", dir, state,
+        expectedItems = 10000,
+        sink = df => emitted.synchronized {
+          emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        }))
+      .start()
+    try {
+      stream.addData(Seq((1L, "alpha content one"), (2L, "beta content two")))
+      q.processAllAvailable()
+      // doc 3 duplicates ingested content; doc 4 is novel
+      stream.addData(Seq((3L, "alpha  CONTENT one"), (4L, "gamma content three")))
+      q.processAllAvailable()
+      // exact REPLAY of batch 1 (at-least-once source retry)
+      stream.addData(Seq((1L, "alpha content one"), (2L, "beta content two")))
+      q.processAllAvailable()
+      assert(emitted.toSeq == Seq(Set(1L, 2L), Set(4L), Set.empty[Long]),
+        s"per-batch novel sets: $emitted")
+      // the corpus table holds exactly the survivors — the replay
+      // appended nothing, so retries are idempotent
+      val corpus = spark.read.parquet(dir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming ingest curation: dedup + quality filter + scrub compose in one query") {
     // the per-row curation ops are pure expressions, so they lift into a
     // continuous query unchanged — this pins that the composed screen
