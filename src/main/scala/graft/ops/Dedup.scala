@@ -438,6 +438,93 @@ object Dedup {
       .select(col("train_id"), col("bench_id"), col("containment"))
   }
 
+  /** Embedding-space decontamination ("semantic decontamination"):
+    * (train id, max_cosine, n_bench_hits) for every `train` vector whose
+    * cosine similarity to at least one `benchmark` vector reaches
+    * `threshold` — the screen that catches PARAPHRASED eval leakage the
+    * n-gram screens ([[contaminatedIds]], [[benchmarkContainment]])
+    * structurally miss: a reworded eval item shares no 8-gram with its
+    * source but still embeds next to it.
+    *
+    * Scale shape, exact mode (lshBits ≤ 0): the benchmark frame is
+    * BROADCAST — a benchmark suite is vectors-in-the-thousands (MBs)
+    * against a training corpus of billions, and that asymmetry is the
+    * point: never bucket or shuffle the big side for a small screen.
+    * Candidates verify in-pipeline (probe → dot product → threshold in
+    * one codegen span) and the per-train aggregate partial-aggregates
+    * map-side, so the training corpus is read ONCE and only the
+    * Θ(contaminated) hit rows ever shuffle.
+    *
+    * LSH mode (lshBits > 0): both sides bucket on the SAME hyperplane
+    * families ([[Similarity.hyperplaneBucket]], table t uses planes
+    * [t·bits, (t+1)·bits)) and join on (table, bucket) — the bipartite
+    * form of [[cosineDupPairs]]'s self-join, for the regime where the
+    * screening side is itself corpus-sized (e.g. screening a new crawl
+    * against all previously-shipped training data). Per-table candidate
+    * volume is Θ(nTrain·nBench/2^bits); size bits for the BENCHMARK
+    * side's bucket occupancy ([[contaminatedIdsEmbeddingAuto]]) and the
+    * stream stays linear in the training corpus. Multi-table duplicate
+    * hits collapse via distinct before the aggregate, so `n_bench_hits`
+    * counts DISTINCT benchmark vectors in both modes — the two modes
+    * differ only in recall (LSH may miss pairs; exact never does).
+    */
+  def contaminatedIdsEmbedding(train: DataFrame, benchmark: DataFrame,
+                               vecCol: String, idCol: String,
+                               threshold: Double, lshBits: Int = 0,
+                               lshTables: Int = 8,
+                               planeHash: String = "xxhash64"): DataFrame = {
+    val t = train.select(col(idCol).as("__tid"),
+      col(vecCol).cast("array<double>").as("__tv"))
+    val b = benchmark.select(col(idCol).as("__bid"),
+      col(vecCol).cast("array<double>").as("__bv"))
+    val hits =
+      if (lshBits <= 0)
+        t.crossJoin(broadcast(b))
+          .withColumn("cosine", Similarity.cosine(col("__tv"), col("__bv")))
+          .filter(atLeast(col("cosine"), threshold))
+          .select(col("__tid"), col("__bid"), col("cosine"))
+      else {
+        def bucketed(df: DataFrame, id: String, v: String) =
+          df.select(col(id), col(v),
+            posexplode(array((0 until lshTables).map(tb =>
+              Similarity.hyperplaneBucket(col(v), lshBits, tb * lshBits, planeHash)): _*))
+              .as(Seq("__table", "__bkt")))
+        // pin fan-out parallelism on the train side (the corpus-sized
+        // one); the bench side builds the shuffle_hash table
+        pinFanout(bucketed(t, "__tid", "__tv"), col("__table"), col("__bkt"))
+          .join(bucketed(b, "__bid", "__bv").hint("shuffle_hash"),
+            Seq("__table", "__bkt"))
+          .withColumn("cosine", Similarity.cosine(col("__tv"), col("__bv")))
+          .filter(atLeast(col("cosine"), threshold))
+          .select(col("__tid"), col("__bid"), col("cosine"))
+          .distinct()
+      }
+    hits.groupBy("__tid")
+      .agg(max(col("cosine")).as("max_cosine"),
+        count(lit(1)).as("n_bench_hits"))
+      .select(col("__tid").as(idCol), col("max_cosine"), col("n_bench_hits"))
+  }
+
+  /** [[contaminatedIdsEmbedding]] in LSH mode with (bits, tables) sized
+    * by [[planCosineLsh]] from the BENCHMARK side's size — the side whose
+    * bucket occupancy bounds per-train-row probe work (candidates per
+    * train row ≈ tables · nBench / 2^bits). Exact mode needs no planning
+    * (broadcast the benchmark); reach for this only when the screening
+    * side is too big to broadcast.
+    */
+  def contaminatedIdsEmbeddingAuto(train: DataFrame, benchmark: DataFrame,
+                                   vecCol: String, idCol: String,
+                                   threshold: Double,
+                                   targetRecall: Double = 0.9,
+                                   targetBucketSize: Int = 100,
+                                   maxTables: Int = 16,
+                                   planeHash: String = "xxhash64"): DataFrame = {
+    val plan = planCosineLsh(benchmark.count(), threshold, targetRecall,
+      targetBucketSize, maxTables)
+    contaminatedIdsEmbedding(train, benchmark, vecCol, idCol, threshold,
+      plan.bits, plan.tables, planeHash)
+  }
+
   /** Exact duplicated-substring screen at k-token granularity: for every
     * input row, how many of its sliding k-token spans (step 1) occur MORE
     * THAN ONCE corpus-wide — the span-level analogue of the suffix-array

@@ -645,6 +645,33 @@ object CurationQueries {
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b"""))
 
+  /** Embedding-space decontamination: vec_id % 10 == 0 plays the
+    * benchmark suite, the rest are training vectors; flag every trainer
+    * within cosine 0.45 of any benchmark vector with its worst (max)
+    * similarity and distinct-hit count. Exact mode (benchmark broadcast,
+    * one scan of the training side) — the mode a real benchmark-sized
+    * screen runs; the LSH mode for corpus-sized screening sides is
+    * recall-gated in DedupSpec against this exact path.
+    */
+  val dedupDecontaminateEmbed = Q("q_dedup_decontaminate_embed",
+    (s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Dedup.contaminatedIdsEmbedding(
+        v.filter(col("vec_id") % 10 =!= 0), v.filter(col("vec_id") % 10 === 0),
+        "embedding", "vec_id", threshold = 0.4)
+        .select(col("vec_id"), round(col("max_cosine"), 9).as("max_cosine"),
+          col("n_bench_hits"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            hits AS (
+              SELECT t.vec_id, LIST_COSINE_SIMILARITY(t.e, b.e) AS c
+              FROM v t JOIN v b ON t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+              WHERE LIST_COSINE_SIMILARITY(t.e, b.e) >= 0.4)
+            SELECT vec_id, ROUND(MAX(c), 9) AS max_cosine,
+                   COUNT(*) AS n_bench_hits
+            FROM hits GROUP BY vec_id ORDER BY vec_id"""))
+
   /** Hyperplane-LSH bucketed variant of cosine dedup — the 100 TB path
     * (candidates within any of 16 independent 4-bit bucket tables;
     * OR-amplified recall 1-(1-p⁴)¹⁶ ≈ 0.95 even at the 0.45 threshold's
@@ -2228,7 +2255,7 @@ object CurationQueries {
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalBloom,
     dedupIncrementalReuseBloom, dedupIncrementalReusePlain,
     dedupIncrementalNear,
-    dedupDecontaminate,
+    dedupDecontaminate, dedupDecontaminateEmbed,
     dedupContainment, dedupSubstring, dedupSubstringStrip,
     dedupLineStats, dedupLineStrip, dedupJaccard,
     dedupMinhash, dedupMinhashAuto, dedupSimhash,

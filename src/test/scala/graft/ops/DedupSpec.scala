@@ -161,6 +161,43 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.planSemdedupCells(500) == 26)
   }
 
+  test("embedding decontamination: exact mode flags planted paraphrase pairs, " +
+    "broadcasts the benchmark, and the LSH mode is a recall-gated subset") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    def hitMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Double, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val exactDf = Dedup.contaminatedIdsEmbedding(train, bench,
+      "embedding", "vec_id", threshold = 0.4)
+    // exact mode: the training side must never shuffle — benchmark
+    // broadcasts into a nested-loop probe, hits partial-aggregate
+    assert(exactDf.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "exact mode must broadcast the benchmark side")
+    val exact = hitMap(exactDf)
+    assert(exact.nonEmpty, "threshold 0.4 must flag someone at sf0.001")
+    // cross-check one flagged id against a direct cosine computation
+    val (someId, (someMax, someHits)) = exact.head
+    val direct = Dedup.cosineDupPairs(
+      emb.filter(col("vec_id") === someId || col("vec_id") % 10 === 0),
+      "embedding", "vec_id", threshold = 0.4, lshBits = 0)
+      .filter(col("id_a") === someId || col("id_b") === someId)
+      .collect().map(_.getDouble(2))
+    assert(direct.length == someHits && math.abs(direct.max - someMax) < 1e-12)
+    // LSH mode: subset of exact with identical (max, hits) where complete;
+    // the auto-planned config reaches full recall on this corpus' planted
+    // near-identical contamination (per-plane agreement ≈ 0.87 at 0.4)
+    val lsh = hitMap(Dedup.contaminatedIdsEmbeddingAuto(train, bench,
+      "embedding", "vec_id", threshold = 0.4, targetRecall = 0.95))
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH must never invent hits")
+    lsh.foreach { case (id, (mc, nh)) =>
+      assert(math.abs(exact(id)._1 - mc) < 1e-12 && exact(id)._2 >= nh)
+    }
+    assert(lsh.size >= math.ceil(exact.size * 0.8).toInt,
+      s"recall ${lsh.size}/${exact.size} below 0.8 floor")
+  }
+
   test("MinHashSig expression is bit-identical to the HOF xxhash64 form") {
     val sh = Text.charShingles(col("text"), 5)
     val both = docs.select(
