@@ -121,6 +121,34 @@ object GraftProps extends Properties("graft") {
       conserved && totals
     }
 
+  // multiline docs over a tiny vocabulary: genuine cross-doc span
+  // collisions AND line structure (blank lines included) in one corpus
+  private val multilineDocs = Gen.nonEmptyListOf(
+    Gen.listOfN(5, Gen.oneOf(
+      Gen.listOfN(3, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")),
+      Gen.const(""))).map(_.mkString("\n")))
+    .map(_.take(8))
+
+  property("stripDuplicatedSpans preserveNewlines: same cuts as the default " +
+           "rebuild, newline runs the only delta, token counts conserved") =
+    forAll(multilineDocs, Gen.chooseNum(2, 4)) { (texts, k) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def run(pn: Boolean) = Dedup.stripDuplicatedSpans(df, "text", "doc_id", k, pn)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val flat = run(false)
+      val pres = run(true)
+      texts.indices.map(_.toLong).forall { id =>
+        val (fTxt, fKept, fRem) = flat(id)
+        val (pTxt, pKept, pRem) = pres(id)
+        // identical cut decisions (hashing is mode-independent)...
+        fKept == pKept && fRem == pRem &&
+          // ...the rebuilt token stream matches, newline runs aside...
+          fTxt == pTxt.replaceAll("\n+", " ").trim.replaceAll(" +", " ") &&
+          // ...and the preserved text carries exactly n_kept tokens
+          pTxt.split("\\s+").count(_.nonEmpty) == pKept
+      }
+    }
+
   property("reweightMixture: per-row copies are floor(w) or ceil(w)") =
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
       Gen.chooseNum(0.0, 3.0)) { (keys, w) =>
