@@ -136,4 +136,35 @@ object TrackStream {
       kept, textCol, expectedItems = expectedItems, fpp = fpp))
     sink(kept)
   }
+
+  /** [[bloomDedupForeachBatch]]'s NEAR-dup sibling: incremental n-gram
+    * Jaccard screening as a `foreachBatch` sink. Cross-batch state is
+    * the appended corpus table plus the persisted [[graft.ops.Dedup
+    * .shingleIndex]] (`indexDir`, parquet — one (id, n_shingles, 64-bit
+    * shingle hash) row per distinct shingle occurrence; at ingestion
+    * scale, the stage table to bucket by `shingle`). Each micro-batch
+    * clusters against itself, probes the index bipartite (the history is
+    * never re-tokenized — the 100 TB property), appends its survivors'
+    * rows AND shingles, and hands survivors to `sink`. A replayed batch
+    * emits zero rows — every doc jaccard-1.0-matches its own ingested
+    * copy — so at-least-once retries stay idempotent.
+    */
+  def nearDupForeachBatch(textCol: String, idCol: String,
+                          corpusDir: String, indexDir: String,
+                          n: Int = 3, threshold: Double = 0.2,
+                          sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    val index =
+      try spark.read.parquet(indexDir)
+      catch { case _: Throwable => // first batch: no index yet
+        graft.ops.Dedup.shingleIndex(batch.limit(0), textCol, idCol, n)
+      }
+    val kept = graft.ops.Dedup.nearDupIncrementalAgainstIndex(
+      batch, index, textCol, idCol, n, threshold).localCheckpoint(true)
+    kept.write.mode("append").parquet(corpusDir)
+    graft.ops.Dedup.shingleIndex(kept, textCol, idCol, n)
+      .write.mode("append").parquet(indexDir)
+    sink(kept)
+  }
 }

@@ -110,6 +110,41 @@ class TrackStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch near-dup screen: index-backed cross-batch state; replay emits zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("neardup").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val filler = (1 to 30).map(i => s"word$i").mkString(" ")
+    val q = stream.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(TrackStream.nearDupForeachBatch("text", "doc_id",
+        s"$base/corpus", s"$base/index", n = 3, threshold = 0.5,
+        sink = df => emitted.synchronized {
+          emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        }))
+      .start()
+    try {
+      stream.addData(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here")))
+      q.processAllAvailable()
+      // doc 3 is a near-dup of ingested doc 1 (two words changed out of
+      // 32); doc 4 is novel
+      stream.addData(Seq((3L, s"$filler alpha gamma"), (4L, "another novel document entirely")))
+      q.processAllAvailable()
+      // exact replay of batch 0 (at-least-once retry)
+      stream.addData(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here")))
+      q.processAllAvailable()
+      assert(emitted.toSeq == Seq(Set(1L, 2L), Set(4L), Set.empty[Long]),
+        s"per-batch novel sets: $emitted")
+      val corpus = spark.read.parquet(s"$base/corpus").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 2L, 4L))
+      // the index holds exactly the survivors' shingles
+      val idxIds = spark.read.parquet(s"$base/index").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming ingest curation: dedup + quality filter + scrub compose in one query") {
     // the per-row curation ops are pure expressions, so they lift into a
     // continuous query unchanged — this pins that the composed screen
