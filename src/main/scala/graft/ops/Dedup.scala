@@ -1466,28 +1466,45 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int, tokenHash: String = "xxhash64"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 16,
-      s"maxHamming=$maxHamming: beyond 16 the ${maxHamming + 1} chunks degenerate " +
-        "(<4-bit buckets collide constantly); use minhash/ngram dedup instead")
     val sigExpr = tokenHash match {
       case "xxhash64" => simhash64(col(textCol))
       case "md5"      => simhash64Md5(col(textCol))
       case other => throw new IllegalArgumentException(
         s"unknown simhash token hash '$other' (xxhash64 | md5)")
     }
+    hammingPairs(df.select(col(idCol), sigExpr.as("__sig")), "__sig", idCol, maxHamming)
+  }
+
+  /** Hamming-radius pairs over PRECOMPUTED 64-bit signatures — the
+    * chunk-pigeonhole core of [[simhashPairs]], exposed for any other
+    * 64-bit perceptual signature (e.g. image dHash from
+    * graft.ops.Multimodal.imageDHash). Same guarantee: candidate
+    * generation is recall-complete for the requested radius, verify is
+    * exact `bit_count(xor)`, never all-pairs. Null signatures
+    * (undecodable payloads upstream) drop out of the pairing.
+    * Emits (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def hammingPairs(sigs: DataFrame, sigCol: String, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming=$maxHamming: beyond 16 the ${maxHamming + 1} chunks degenerate " +
+        "(<4-bit buckets collide constantly); use minhash/ngram dedup instead")
     val chunkExprs = chunkBounds(maxHamming + 1).map { case (off, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1L
       shiftright(col("__h"), off).bitwiseAND(lit(mask))
     }
-    val hashed = df.select(col(idCol).as("__id"), sigExpr.as("__h"))
+    val hashed = sigs
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sigCol).cast(LongType).as("__h"))
     // checkpoint: both self-join sides read the chunked frame; recomputing
-    // it re-runs the 64-bit-vote simhash over every token of the corpus
+    // it re-runs the upstream signature (e.g. the 64-bit-vote simhash
+    // over every token of the corpus) twice
     val chunked = hashed.select(col("__id"), col("__h"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
       .localCheckpoint(true)
     // adaptive broadcast (see the ceiling scaladoc): chunked rows are
     // fixed-width (4 numeric cols), so the pair ceiling applies
-    val small = chunked.count() <= pairCeiling(df)
+    val small = chunked.count() <= pairCeiling(sigs)
     val (l, r) = fanoutSides(chunked, Seq("__chunk", "__ckey"),
       Seq(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha")),
       Seq(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb")),

@@ -8,15 +8,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed batch-wise with mapPartitions.
   *
-  * Decode is REAL where no native codec is needed: image geometry via
-  * javax.imageio header reads (PNG/JPEG/GIF/BMP) and audio geometry via
-  * a pure-JVM RIFF/WAVE chunk parse. Compressed codecs (mp3/flac/video)
-  * would need native libs absent from this container, so those payloads
+  * Decode is REAL where no native codec is needed: PNG pixels end to
+  * end (zlib is JDK-bundled — encoder and full de-filtering decoder
+  * below, plus javax.imageio for JPEG/GIF/BMP pixels), image geometry
+  * via javax.imageio header reads, audio geometry via a pure-JVM
+  * RIFF/WAVE chunk parse, MP4 sample schedules via the ISO-BMFF stbl
+  * walk. Compressed audio/video FRAME decode (mp3/flac/h264) would
+  * need native libs absent from this container, so those payloads
   * take a clearly-marked deterministic stub — everything around it is
   * real and load-bearing: the schema contract, per-partition batching,
   * encoder round-trip, and partition sizing are exactly what a
-  * production decode (libjpeg/ffmpeg via JNI, or mapInPandas on
-  * PySpark) plugs into.
+  * production decode (ffmpeg via JNI, or mapInPandas on PySpark)
+  * plugs into.
   *
   * Scale: payloads never shuffle through these ops — mapPartitions is
   * narrow; keep `spark.sql.files.maxPartitionBytes` at 128-256 MB so a
@@ -155,6 +158,466 @@ object Multimodal {
         val payload = if (raw == null) Array.emptyByteArray else raw
         val (w, h, c, fmt) = decodeOne(payload)
         Row(r.get(idIdx), payload.length.toLong, Row(w, h, c, fmt))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // PNG codec — REAL pixels end to end, pure JVM. PNG's only
+  // compression is zlib (java.util.zip, JDK-bundled), so unlike
+  // JPEG/video this modality needs no native codec: the encoder below
+  // writes spec-conformant files (signature, IHDR, filtered scanlines,
+  // deflated IDAT, CRC-32 per chunk) and the decoder walks chunks,
+  // validates CRCs, inflates and reverses all five scanline filters
+  // (None/Sub/Up/Average/Paeth). MultimodalSpec cross-validates both
+  // directions against the JDK's independent javax.imageio PNG codec.
+  // ------------------------------------------------------------------
+
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by filter apply and
+    * reverse; ties break left, then up, as the spec requires.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, body: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length) // big-endian
+    bb.putInt(body.length).put(tb).put(body)
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(body)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Real PNG encoder: 8-bit gray (1 channel), RGB (3) or RGBA (4),
+    * row-major interleaved `pixels`, per-scanline filter chosen by
+    * `filterOf(row)` (mod 5 — the default cycles through all five so
+    * every filter path is exercised and regression-visible). Output is
+    * readable by any conformant decoder (spec-checked against
+    * javax.imageio in MultimodalSpec).
+    */
+  def pngPayload(pixels: Array[Byte], width: Int, height: Int, channels: Int,
+                 filterOf: Int => Int = identity): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"degenerate geometry ${width}x$height")
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"channels=$channels (gray/RGB/RGBA only)")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    val rowLen = width * channels
+    val raw = new Array[Byte](height * (rowLen + 1))
+    var y = 0
+    while (y < height) {
+      val f = math.floorMod(filterOf(y), 5)
+      val base = y * (rowLen + 1)
+      raw(base) = f.toByte
+      var i = 0
+      while (i < rowLen) {
+        val cur = pixels(y * rowLen + i) & 0xff
+        val left = if (i >= channels) pixels(y * rowLen + i - channels) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * rowLen + i) & 0xff else 0
+        val ul = if (y > 0 && i >= channels) pixels((y - 1) * rowLen + i - channels) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        raw(base + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream(zOut.size() + 64)
+    out.write(pngSignature)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", zOut.toByteArray))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Decoded-pixel cap: a conformant but hostile header (2^31-px canvas)
+    * must degrade to a skipped row, not an executor OOM — one bad row
+    * never fails a 100 TB job. 2^28 bytes ≈ an 8k×8k RGBA frame.
+    */
+  private val MaxDecodedBytes = 1L << 28
+
+  /** Real PNG decoder: chunk walk with CRC-32 validation, concatenated
+    * IDAT inflate, full scanline de-filtering. Supports the encoder's
+    * profile (8-bit depth, gray/RGB/RGBA, no interlace) — other valid
+    * PNGs (palette, 16-bit, Adam7) and any malformed input return None
+    * rather than throwing. Returns (width, height, channels, pixels)
+    * with pixels row-major interleaved, exactly the encoder's input.
+    */
+  private[ops] def parsePng(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (p.length < 8) return None
+    var i = 0
+    while (i < 8) { if (p(i) != pngSignature(i)) return None; i += 1 }
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    var off = 8
+    var width = 0; var height = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false; var ok = true
+    val idat = new java.io.ByteArrayOutputStream()
+    while (ok && !seenIend) {
+      if (off + 12 > p.length) { ok = false }
+      else {
+        val len = be32(off)
+        if (len > p.length.toLong - off - 12) { ok = false }
+        else {
+          val n = len.toInt
+          val crc = new java.util.zip.CRC32
+          crc.update(p, off + 4, 4 + n)
+          if (crc.getValue != be32(off + 8 + n)) ok = false
+          else new String(p, off + 4, 4, "US-ASCII") match {
+            case "IHDR" =>
+              if (n != 13 || seenIhdr) ok = false
+              else {
+                width = be32(off + 8).toInt
+                height = be32(off + 12).toInt
+                val bitDepth = p(off + 16) & 0xff
+                channels = (p(off + 17) & 0xff) match {
+                  case 0 => 1; case 2 => 3; case 6 => 4; case _ => 0
+                }
+                val interlace = p(off + 20) & 0xff
+                seenIhdr = true
+                if (bitDepth != 8 || channels == 0 || interlace != 0 ||
+                  width <= 0 || height <= 0 ||
+                  width.toLong * height * channels > MaxDecodedBytes) ok = false
+              }
+            case "IDAT" => if (!seenIhdr) ok = false else idat.write(p, off + 8, n)
+            case "IEND" => seenIend = true
+            case _ => () // ancillary chunk (tEXt, gAMA, ...): skip
+          }
+          off += 12 + n
+        }
+      }
+    }
+    if (!ok || !seenIhdr || !seenIend) return None
+    val rowLen = width * channels
+    val expected = height * (rowLen + 1)
+    val raw = new Array[Byte](expected)
+    val infl = new java.util.zip.Inflater()
+    try {
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expected && !infl.finished()) {
+        val n = infl.inflate(raw, got, expected - got)
+        if (n == 0 && (infl.needsInput() || infl.needsDictionary())) return None
+        got += n
+      }
+      if (got < expected) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally infl.end()
+    val out = new Array[Byte](height * rowLen)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (rowLen + 1)) & 0xff
+      if (f > 4) return None
+      var k = 0
+      while (k < rowLen) {
+        val x = raw(y * (rowLen + 1) + 1 + k) & 0xff
+        val left = if (k >= channels) out(y * rowLen + k - channels) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * rowLen + k) & 0xff else 0
+        val ul = if (y > 0 && k >= channels) out((y - 1) * rowLen + k - channels) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        out(y * rowLen + k) = ((x + pred) & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    Some((width, height, channels, out))
+  }
+
+  /** Decode a payload to raw pixels: the hand-rolled PNG path first
+    * (filter-complete, CRC-checked), then javax.imageio as the fallback
+    * for the JDK's other pure-Java codecs (JPEG/GIF/BMP) — both REAL
+    * pixel decodes; anything neither path accepts yields None.
+    */
+  private def decodePixelsOne(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    parsePng(p).orElse {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w.toLong * h * 3 > MaxDecodedBytes) None
+          else {
+            val out = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val base = (y * w + x) * 3
+                out(base) = ((rgb >> 16) & 0xff).toByte
+                out(base + 1) = ((rgb >> 8) & 0xff).toByte
+                out(base + 2) = (rgb & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, 3, out))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Full pixel decode + per-image statistics: geometry plus exact
+    * integer aggregates over the decoded bytes — `sum_val`, a
+    * position-weighted `px_checksum` (Σ (v_i+1)·(i+1) over row-major
+    * interleaved index i — any single-pixel corruption, filter bug or
+    * channel swap moves it), min/max. Undecodable payloads emit null
+    * stats (the row survives; a 100 TB corpus always carries garbage).
+    * All-integer on purpose: no IEEE ordering hazard, so results are
+    * bit-stable under any partitioning and exactly oracle-able.
+    */
+  def decodeImagePixels(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sum_val", LongType),
+      StructField("px_checksum", LongType),
+      StructField("min_val", IntegerType),
+      StructField("max_val", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val parsed = if (raw == null) None else decodePixelsOne(raw)
+        parsed match {
+          case Some((w, h, ch, px)) =>
+            var s = 0L; var cs = 0L; var mn = 255; var mx = 0; var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xff
+              s += v
+              cs += (v + 1L) * (i + 1L)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(r.get(idIdx), w, h, ch, s, cs, mn, mx)
+          case None => Row(r.get(idIdx), null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG fixture for gate/spec corpora: geometry, channel
+    * count and every pixel are closed-form functions of the id (grouped
+    * by id%50 with a sparse id-dependent perturbation, so same-group
+    * images are near-duplicates — the perceptual-hash regime — while
+    * the DuckDB oracle recomputes each byte arithmetically). Scanline
+    * filters cycle (g+y)%5: the whole filter bank is load-bearing in
+    * every gate run.
+    */
+  private[ops] def pngFixture(id: Long): Array[Byte] = {
+    val g = math.floorMod(id, 50L).toInt
+    val w = 16 + g % 9
+    val h = 12 + g % 7
+    val ch = if (g % 2 == 0) 1 else 3
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          val noise =
+            if (math.floorMod(id / 50 + x * 13L + y * 7L, 89L) == 0L) 128L else 0L
+          // group-dependent gradient coefficients: dHash is invariant to
+          // constant brightness shifts, so a g-only OFFSET would leave
+          // cross-group signatures near-identical — varying the x/y slopes
+          // by group makes cross-group images genuinely dissimilar
+          val v = math.floorMod(
+            g * 7919L + y * (104729L + 2L * g) + x * (131L + 2L * g) + c * 17L + noise,
+            256L)
+          px((y * w + x) * ch + c) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    pngPayload(px, w, h, ch, yy => (g + yy) % 5)
+  }
+
+  /** Attach the deterministic PNG fixture as `payloadCol` (replacing any
+    * existing payload) — the fixture half of the PNG pixel gates,
+    * mirroring [[synthesizeWav]]/[[synthesizeWebp]].
+    */
+  def synthesizePng(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), pngFixture(id))
+      }
+    }(enc)
+  }
+
+  private def resampleNearest(px: Array[Byte], w: Int, h: Int, ch: Int,
+                              outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * ch)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        var c = 0
+        while (c < ch) {
+          out((y * outW + x) * ch + c) = px((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Bilinear resample with pixel-center mapping (src = (dst+0.5)·scale
+    * − 0.5, edge-clamped) and round-half-up quantization — the
+    * convention of mainstream image libraries. Float weights make this
+    * variant spec-tested rather than SQL-oracled; [[resampleNearest]]
+    * is the integer-exact oracle path.
+    */
+  private def resampleBilinear(px: Array[Byte], w: Int, h: Int, ch: Int,
+                               outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * ch)
+    var y = 0
+    while (y < outH) {
+      val fy = math.max(0.0, math.min(h - 1.0, (y + 0.5) * h / outH - 0.5))
+      val y0 = fy.toInt; val y1 = math.min(h - 1, y0 + 1); val wy = fy - y0
+      var x = 0
+      while (x < outW) {
+        val fx = math.max(0.0, math.min(w - 1.0, (x + 0.5) * w / outW - 0.5))
+        val x0 = fx.toInt; val x1 = math.min(w - 1, x0 + 1); val wx = fx - x0
+        var c = 0
+        while (c < ch) {
+          def at(yy: Int, xx: Int): Double = (px((yy * w + xx) * ch + c) & 0xff).toDouble
+          val v = at(y0, x0) * (1 - wy) * (1 - wx) + at(y0, x1) * (1 - wy) * wx +
+            at(y1, x0) * wy * (1 - wx) + at(y1, x1) * wy * wx
+          out((y * outW + x) * ch + c) = math.min(255, math.max(0, math.floor(v + 0.5).toInt)).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL image resize: decode → resample → re-encode as PNG, so the
+    * output payload is itself a decodable image (the gate round-trips it
+    * through [[decodeImagePixels]], proving encoder AND decoder on every
+    * row). `method` is "nearest" (integer-exact, the oracle path) or
+    * "bilinear". Undecodable inputs carry a null payload through.
+    */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   outW: Int, outH: Int, method: String = "nearest"): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"degenerate target ${outW}x$outH")
+    val resample: (Array[Byte], Int, Int, Int) => Array[Byte] = method match {
+      case "nearest"  => resampleNearest(_, _, _, _, outW, outH)
+      case "bilinear" => resampleBilinear(_, _, _, _, outW, outH)
+      case other => throw new IllegalArgumentException(
+        s"unknown resize method '$other' (nearest | bilinear)")
+    }
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val resized = (if (raw == null) None else decodePixelsOne(raw)).map {
+          case (w, h, ch, px) =>
+            pngPayload(resample(px, w, h, ch), outW, outH, ch, _ % 5)
+        }
+        Row(r.get(idIdx), resized.orNull)
+      }
+    }(enc)
+  }
+
+  /** 64-bit difference hash (dHash) over decoded pixels: gray values
+    * (integer (r+g+b)/3 for color) nearest-sampled on a 9×8 grid, bit
+    * y·8+x set when the right neighbor is strictly brighter. Robust to
+    * uniform brightness shifts and resize — the classic cheap perceptual
+    * near-dup signature. Integer-exact end to end (sampling, not
+    * averaging), so the signature itself is SQL-oracle-able; pairs at
+    * hamming ≤ k come from [[Dedup.hammingPairs]]'s pigeonhole buckets,
+    * never all-pairs.
+    */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("dhash", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val sig = (if (raw == null) None else decodePixelsOne(raw)).map {
+          case (w, h, ch, px) =>
+            def gray(gx: Int, gy: Int): Int = {
+              val sx = gx * w / 9
+              val sy = gy * h / 8
+              val base = (sy * w + sx) * ch
+              if (ch == 1) px(base) & 0xff
+              else ((px(base) & 0xff) + (px(base + 1) & 0xff) + (px(base + 2) & 0xff)) / 3
+            }
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (gray(gx + 1, gy) > gray(gx, gy)) hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            hash
+        }
+        Row(r.get(idIdx), sig.map(v => java.lang.Long.valueOf(v)).orNull)
       }
     }(enc)
   }

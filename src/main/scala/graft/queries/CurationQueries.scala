@@ -1509,6 +1509,191 @@ object CurationQueries {
               'webp' AS format
             FROM documents ORDER BY doc_id"""))
 
+  /** PNG modality, REAL pixels end to end: each document gets a
+    * spec-conformant PNG whose geometry, channel count and every byte
+    * are closed-form functions of doc_id (Multimodal.pngFixture —
+    * scanline filters cycle through all five types), written by the
+    * hand-rolled encoder (deflate + filter + CRC) and read back by the
+    * hand-rolled decoder (CRC check + inflate + de-filter). DuckDB never
+    * sees a PNG — it recomputes the integer pixel aggregates
+    * arithmetically from doc_id, so a single mis-filtered byte anywhere
+    * in either codec direction moves the position-weighted checksum and
+    * fails the gate.
+    */
+  val mmPngPixels = Q("q_mm_png_pixels",
+    (s, dir) => {
+      val pngs = Multimodal.synthesizePng(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeImagePixels(pngs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     16 + (doc_id % 50) % 9 AS w,
+                     12 + (doc_id % 50) % 7 AS h,
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN 1 ELSE 3 END AS ch
+              FROM documents),
+            px AS (
+              SELECT doc_id, g, w, h, ch, UNNEST(RANGE(0, w * h * ch)) AS i
+              FROM dims),
+            vals AS (
+              SELECT doc_id, w, h, ch, i,
+                (g * 7919 + (i // (ch * w)) * (104729 + 2 * g) + ((i // ch) % w) * (131 + 2 * g) + (i % ch) * 17
+                 + CASE WHEN ((doc_id // 50) + ((i // ch) % w) * 13 + (i // (ch * w)) * 7) % 89 = 0
+                        THEN 128 ELSE 0 END) % 256 AS v
+              FROM px)
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(ch AS INTEGER) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(SUM((v + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+                   CAST(MIN(v) AS INTEGER) AS min_val,
+                   CAST(MAX(v) AS INTEGER) AS max_val
+            FROM vals GROUP BY doc_id, w, h, ch ORDER BY doc_id"""))
+
+  /** REAL image resize: decode → nearest-neighbor resample to 10×7 →
+    * re-encode as PNG → decode AGAIN for the stats, so every row
+    * round-trips the codec twice and the resample arithmetic sits in
+    * between. DuckDB recomputes each resized byte from the source-pixel
+    * closed form at sx=(x·w)//10, sy=(y·h)//7 — integer-exact, no
+    * sampling convention ambiguity.
+    */
+  val mmPngResize = Q("q_mm_png_resize",
+    (s, dir) => {
+      val pngs = Multimodal.synthesizePng(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      val resized = Multimodal.resizeImages(pngs, "doc_id", "payload",
+        outW = 10, outH = 7, method = "nearest")
+      Multimodal.decodeImagePixels(resized, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     16 + (doc_id % 50) % 9 AS w,
+                     12 + (doc_id % 50) % 7 AS h,
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN 1 ELSE 3 END AS ch
+              FROM documents),
+            px AS (
+              SELECT doc_id, g, w, h, ch, UNNEST(RANGE(0, 10 * 7 * ch)) AS i
+              FROM dims),
+            m AS (
+              SELECT doc_id, g, w, h, ch, i,
+                     (i // ch) % 10 AS x, i // (ch * 10) AS y, i % ch AS c
+              FROM px),
+            vals AS (
+              SELECT doc_id, ch, i,
+                (g * 7919 + ((y * h) // 7) * (104729 + 2 * g) + ((x * w) // 10) * (131 + 2 * g) + c * 17
+                 + CASE WHEN ((doc_id // 50) + ((x * w) // 10) * 13 + ((y * h) // 7) * 7) % 89 = 0
+                        THEN 128 ELSE 0 END) % 256 AS v
+              FROM m)
+            SELECT doc_id,
+                   10 AS width, 7 AS height, CAST(ch AS INTEGER) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(SUM((v + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+                   CAST(MIN(v) AS INTEGER) AS min_val,
+                   CAST(MAX(v) AS INTEGER) AS max_val
+            FROM vals GROUP BY doc_id, ch ORDER BY doc_id"""))
+
+  /** Perceptual image hash (dHash), fully oracled: gray values (integer
+    * (r+g+b)/3) nearest-sampled on the 9×8 grid, bit y·8+x set when the
+    * right neighbor is strictly brighter. DuckDB rebuilds the 64-bit
+    * signature from the pixel closed form (HUGEINT bit sum, two's-
+    * complement-folded to BIGINT) — decoder, gray conversion, sampling
+    * and bit packing all verified byte-exactly.
+    */
+  val mmImageDhash = Q("q_mm_image_dhash",
+    (s, dir) => {
+      val pngs = Multimodal.synthesizePng(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.imageDHash(pngs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     16 + (doc_id % 50) % 9 AS w,
+                     12 + (doc_id % 50) % 7 AS h,
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN 1 ELSE 3 END AS ch
+              FROM documents),
+            r8 AS (SELECT doc_id, g, w, h, ch, UNNEST(RANGE(0, 8)) AS gy FROM dims),
+            grid AS (SELECT doc_id, g, w, h, ch, gy, UNNEST(RANGE(0, 9)) AS gx FROM r8),
+            samp AS (SELECT doc_id, g, ch, gx, gy,
+                            (gx * w) // 9 AS sx, (gy * h) // 8 AS sy
+                     FROM grid),
+            chanv AS (SELECT doc_id, g, ch, gx, gy, sx, sy, UNNEST(RANGE(0, ch)) AS c
+                      FROM samp),
+            cv AS (SELECT doc_id, ch, gx, gy,
+                     (g * 7919 + sy * (104729 + 2 * g) + sx * (131 + 2 * g) + c * 17
+                      + CASE WHEN ((doc_id // 50) + sx * 13 + sy * 7) % 89 = 0
+                             THEN 128 ELSE 0 END) % 256 AS v
+                   FROM chanv),
+            gray AS (SELECT doc_id, gx, gy, SUM(v) // MAX(ch) AS gv
+                     FROM cv GROUP BY doc_id, gx, gy),
+            bits AS (SELECT a.doc_id,
+                       CASE WHEN b.gv > a.gv
+                            THEN POWER(2, a.gy * 8 + a.gx)::HUGEINT
+                            ELSE 0::HUGEINT END AS bit
+                     FROM gray a JOIN gray b
+                       ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+                     WHERE a.gx < 8),
+            sig AS (SELECT doc_id, SUM(bit) AS s FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                             THEN s - 18446744073709551616::HUGEINT
+                             ELSE s END AS BIGINT) AS dhash
+            FROM sig ORDER BY doc_id"""))
+
+  /** Image near-duplicate pairs: dHash signatures through the same
+    * chunk-pigeonhole pairing as SimHash (Dedup.hammingPairs — 9 disjoint
+    * chunks for radius 8, recall-complete, never all-pairs). The fixture
+    * makes id%50 groups near-identical (sparse 1-in-89 pixel
+    * perturbation keyed on id//50) while group-dependent gradient slopes
+    * keep cross-group images dissimilar, so the radius-8 screen finds
+    * exactly the same-group pairs plus a thin tail. DuckDB rebuilds every
+    * signature and takes exact all-pairs at ≤ 8 — candidate-generation
+    * recall and verify both gated.
+    */
+  val mmImageNearDup = Q("q_mm_image_neardup",
+    (s, dir) => {
+      val pngs = Multimodal.synthesizePng(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      val sigs = Multimodal.imageDHash(pngs, "doc_id", "payload")
+      Dedup.hammingPairs(sigs, "dhash", "doc_id", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     16 + (doc_id % 50) % 9 AS w,
+                     12 + (doc_id % 50) % 7 AS h,
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN 1 ELSE 3 END AS ch
+              FROM documents),
+            r8 AS (SELECT doc_id, g, w, h, ch, UNNEST(RANGE(0, 8)) AS gy FROM dims),
+            grid AS (SELECT doc_id, g, w, h, ch, gy, UNNEST(RANGE(0, 9)) AS gx FROM r8),
+            samp AS (SELECT doc_id, g, ch, gx, gy,
+                            (gx * w) // 9 AS sx, (gy * h) // 8 AS sy
+                     FROM grid),
+            chanv AS (SELECT doc_id, g, ch, gx, gy, sx, sy, UNNEST(RANGE(0, ch)) AS c
+                      FROM samp),
+            cv AS (SELECT doc_id, ch, gx, gy,
+                     (g * 7919 + sy * (104729 + 2 * g) + sx * (131 + 2 * g) + c * 17
+                      + CASE WHEN ((doc_id // 50) + sx * 13 + sy * 7) % 89 = 0
+                             THEN 128 ELSE 0 END) % 256 AS v
+                   FROM chanv),
+            gray AS (SELECT doc_id, gx, gy, SUM(v) // MAX(ch) AS gv
+                     FROM cv GROUP BY doc_id, gx, gy),
+            bits AS (SELECT a.doc_id,
+                       CASE WHEN b.gv > a.gv
+                            THEN POWER(2, a.gy * 8 + a.gx)::HUGEINT
+                            ELSE 0::HUGEINT END AS bit
+                     FROM gray a JOIN gray b
+                       ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+                     WHERE a.gx < 8),
+            sig AS (SELECT doc_id, SUM(bit) AS s FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(BIT_COUNT(XOR(a.s, b.s)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE BIT_COUNT(XOR(a.s, b.s)) <= 8
+            ORDER BY id_a, id_b"""))
+
   /** End-to-end curation pipeline gate: the full composed stage
     * (graft.pipeline.Curate — exact dedup → near-dup keep-one → quality
     * filter → PII scrub → hash split → chunking) against ONE DuckDB
@@ -2273,5 +2458,6 @@ object CurationQueries {
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
+    mmPngPixels, mmPngResize, mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }

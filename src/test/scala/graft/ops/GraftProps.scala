@@ -233,6 +233,18 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  property("png codec round-trips arbitrary pixels under cycling filters") =
+    forAll(Gen.chooseNum(1, 24), Gen.chooseNum(1, 20), Gen.oneOf(1, 3, 4),
+      Gen.chooseNum(0L, Long.MaxValue / 2)) { (w, h, ch, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill[Byte](w * h * ch)(rnd.nextInt(256).toByte)
+      Multimodal.parsePng(
+        Multimodal.pngPayload(px, w, h, ch, y => (y + (seed % 5).toInt) % 5))
+        .exists { case (pw, ph, pc, out) =>
+          pw == w && ph == h && pc == ch && out.sameElements(px)
+        }
+    }
+
   property("sq8TopK: rank is dense 1..k per query and cosines are non-increasing") =
     forAll(Gen.chooseNum(5, 20), Gen.chooseNum(2, 6), Gen.chooseNum(1L, 99L)) { (n, k, salt) =>
       val vecs = (0 until n).map(i =>

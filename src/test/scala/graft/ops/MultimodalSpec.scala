@@ -305,4 +305,160 @@ class MultimodalSpec extends SparkTestBase {
       .select("meta.format").collect().map(_.getString(0))
     assert(out.forall(_ == "webp"))
   }
+
+  // ---- PNG codec: real pixels end to end ----
+
+  private def gradientPx(w: Int, h: Int, ch: Int)(f: (Int, Int, Int) => Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      px((y * w + x) * ch + c) = (f(x, y, c) & 0xff).toByte
+    px
+  }
+
+  test("PNG round-trip: every filter type x every channel count recovers exact pixels") {
+    for (ch <- Seq(1, 3, 4); f <- 0 to 4) {
+      val w = 13; val h = 7
+      val px = gradientPx(w, h, ch)((x, y, c) => x * 41 + y * 59 + c * 17 + f * 3)
+      val parsed = Multimodal.parsePng(Multimodal.pngPayload(px, w, h, ch, _ => f))
+      assert(parsed.isDefined, s"ch=$ch f=$f")
+      val (pw, ph, pch, out) = parsed.get
+      assert((pw, ph, pch) == ((w, h, ch)))
+      assert(out.toSeq == px.toSeq, s"ch=$ch f=$f")
+    }
+  }
+
+  test("PNG cross-validation against the JDK's independent imageio codec, both directions") {
+    // our encoder -> JDK decoder
+    val w = 19; val h = 11
+    val px = gradientPx(w, h, 3)((x, y, c) => x * 7 + y * 13 + c * 29)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.pngPayload(px, w, h, 3)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xff) == (px(base) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (px(base + 1) & 0xff) &&
+        (rgb & 0xff) == (px(base + 2) & 0xff), s"($x,$y)")
+    }
+    // JDK encoder -> our decoder (independent filter choices exercise de-filtering)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y,
+        (((x * 7 + y * 13) & 0xff) << 16) | (((x * 3) & 0xff) << 8) | ((y * 5) & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val parsed = Multimodal.parsePng(bos.toByteArray)
+    assert(parsed.isDefined)
+    val (pw, ph, pch, out) = parsed.get
+    assert(pw == w && ph == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = bi.getRGB(x, y)
+      val base = (y * w + x) * pch
+      assert((out(base) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (out(base + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (out(base + 2) & 0xff) == (rgb & 0xff), s"($x,$y)")
+    }
+  }
+
+  test("parsePng rejects corruption: truncation, bit flips (CRC), garbage, hostile geometry") {
+    val px = gradientPx(9, 5, 3)((x, y, c) => x + y + c)
+    val good = Multimodal.pngPayload(px, 9, 5, 3)
+    assert(Multimodal.parsePng(good).isDefined)
+    assert(Multimodal.parsePng(good.take(good.length - 7)).isEmpty) // truncated IEND
+    assert(Multimodal.parsePng(good.take(30)).isEmpty)              // truncated IHDR
+    val flipped = good.clone()
+    flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x01).toByte
+    assert(Multimodal.parsePng(flipped).isEmpty) // CRC catches payload corruption
+    assert(Multimodal.parsePng("not a png at all".getBytes).isEmpty)
+    // conformant-looking header claiming a 2^30-pixel canvas: must refuse,
+    // not allocate
+    val hostile = good.clone()
+    // IHDR width field lives at bytes 16..19 (sig 8 + len 4 + type 4)
+    hostile(16) = 0x40.toByte; hostile(17) = 0; hostile(18) = 0; hostile(19) = 0
+    assert(Multimodal.parsePng(hostile).isEmpty) // (also fails CRC — either guard suffices)
+  }
+
+  test("decodeImagePixels: stats match a hand computation; garbage row yields null stats") {
+    val w = 4; val h = 3
+    val px = gradientPx(w, h, 1)((x, y, _) => x + 10 * y)
+    val df = Seq((1L, Multimodal.pngPayload(px, w, h, 1)),
+      (2L, "junk-not-an-image".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.decodeImagePixels(df, "id", "payload").orderBy("id").collect()
+    val vals = (0 until w * h).map(i => px(i) & 0xff)
+    assert(rows(0).getInt(1) == w && rows(0).getInt(2) == h && rows(0).getInt(3) == 1)
+    assert(rows(0).getLong(4) == vals.sum.toLong)
+    assert(rows(0).getLong(5) ==
+      vals.zipWithIndex.map { case (v, i) => (v + 1L) * (i + 1L) }.sum)
+    assert(rows(0).getInt(6) == vals.min && rows(0).getInt(7) == vals.max)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(4) && rows(1).isNullAt(6))
+  }
+
+  test("decodeImagePixels reads JPEG pixels via the imageio fallback") {
+    val bi = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) bi.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val r = Multimodal.decodeImagePixels(df, "id", "payload").collect().head
+    assert(r.getInt(1) == 8 && r.getInt(2) == 6 && r.getInt(3) == 3)
+    // JPEG is lossy: a flat gray image decodes to values near 0x80
+    val mean = r.getLong(4).toDouble / (8 * 6 * 3)
+    assert(math.abs(mean - 128.0) < 8.0)
+  }
+
+  test("resizeImages nearest: 2x2 -> 4x4 block-replicates; bilinear constant stays constant") {
+    val px2 = Array[Byte](10, 20, 30, 40) // 2x2 gray
+    val df = Seq((1L, Multimodal.pngPayload(px2, 2, 2, 1))).toDF("id", "payload")
+    val up = Multimodal.resizeImages(df, "id", "payload", 4, 4, "nearest")
+    val parsed = Multimodal.parsePng(up.collect().head.getAs[Array[Byte]]("payload")).get
+    assert(parsed._1 == 4 && parsed._2 == 4 && parsed._3 == 1)
+    val expect = Seq(10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40)
+    assert(parsed._4.map(_ & 0xff).toSeq == expect)
+    val const = Array.fill[Byte](6 * 4)(77)
+    val dfc = Seq((1L, Multimodal.pngPayload(const, 6, 4, 1))).toDF("id", "payload")
+    val bl = Multimodal.resizeImages(dfc, "id", "payload", 5, 3, "bilinear")
+    val parsedBl = Multimodal.parsePng(bl.collect().head.getAs[Array[Byte]]("payload")).get
+    assert(parsedBl._4.forall(b => (b & 0xff) == 77))
+    // undecodable input -> null payload through, row survives
+    val bad = Seq((9L, "zzz".getBytes)).toDF("id", "payload")
+    assert(Multimodal.resizeImages(bad, "id", "payload", 4, 4).collect().head.isNullAt(1))
+  }
+
+  test("imageDHash: gradient directions give all-ones/all-zeros signatures") {
+    val w = 18; val h = 16
+    val inc = gradientPx(w, h, 1)((x, _, _) => x * 10)
+    val dec = gradientPx(w, h, 1)((x, _, _) => 250 - x * 10)
+    val df = Seq((1L, Multimodal.pngPayload(inc, w, h, 1)),
+      (2L, Multimodal.pngPayload(dec, w, h, 1)),
+      (3L, "garbage".getBytes)).toDF("id", "payload")
+    val sigs = Multimodal.imageDHash(df, "id", "payload").orderBy("id").collect()
+    assert(sigs(0).getLong(1) == -1L) // right neighbor always brighter: all 64 bits
+    assert(sigs(1).getLong(1) == 0L)
+    assert(sigs(2).isNullAt(1))
+  }
+
+  test("pngFixture same-group images are near-duplicates, cross-group are not") {
+    val df = Seq(7L, 57L, 107L, 8L).toDF("id") // 7,57,107 share group id%50=7
+    val pngs = Multimodal.synthesizePng(df, "id", "payload")
+    val sigs = Multimodal.imageDHash(pngs, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(7L, 57L) <= 8 && ham(7L, 107L) <= 8 && ham(57L, 107L) <= 8)
+    assert(ham(7L, 8L) > 12)
+  }
+
+  test("hammingPairs over explicit signatures: radius respected, null sigs drop") {
+    val sigs = Seq(
+      (1L, java.lang.Long.valueOf(0L)),
+      (2L, java.lang.Long.valueOf(0xffL)), // hamming 8 from id 1
+      (3L, java.lang.Long.valueOf(0x7fL)), // hamming 7 from 1, 1 from 2
+      (4L, null.asInstanceOf[java.lang.Long])).toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(sigs, "sig", "id", maxHamming = 8)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 8), (1L, 3L, 7), (2L, 3L, 1)))
+  }
 }
