@@ -116,6 +116,23 @@ object TrackStream {
     * merge filter — `mergeInPlace` requires identical geometry, so they
     * are fixed for the query's lifetime (size for the corpus you expect
     * to ingest, not the corpus you have).
+    *
+    * CRASH-ORDERING INVARIANT: the kept digests are merged into `state`
+    * BEFORE the parquet append. The bloom's only safety contract is "no
+    * false negatives vs the corpus" — a bloom that is AHEAD of the
+    * corpus (merge landed, append didn't) merely turns the replayed
+    * rows into suspects that the exact residue check resolves against
+    * the real corpus (they're absent → correctly re-emitted and
+    * re-appended); a bloom BEHIND the corpus (append landed, merge
+    * didn't) makes replayed rows bloom-miss, the all-novel
+    * short-circuit skips the history check, and the batch is
+    * re-emitted as duplicates.
+    *
+    * RESTART CONTRACT: `state` is in-memory; on process restart it must
+    * be rebuilt from (or at minimum be a superset of) the persisted
+    * corpus before the query resumes — [[bloomFromHistory]] does
+    * exactly this. Resuming with a fresh empty filter silently breaks
+    * the same no-false-negative invariant as the ordering above.
     */
   def bloomDedupForeachBatch(textCol: String, idCol: String,
                              historyDir: String,
@@ -129,12 +146,34 @@ object TrackStream {
       catch { case _: Throwable => batch.limit(0) } // first batch: no corpus yet
     val kept = graft.ops.Dedup.exactDedupIncrementalBloom(
       batch, history, textCol, idCol, state).localCheckpoint(true)
-    kept.write.mode("append").parquet(historyDir)
-    // fold the kept digests into the state filter: same (n, fpp) ⇒ same
-    // geometry, so the merge is a bitset OR
+    // fold the kept digests into the state filter FIRST (same (n, fpp) ⇒
+    // same geometry, so the merge is a bitset OR): bloom-ahead-of-corpus
+    // is safe (false positives resolved by the exact residue check);
+    // bloom-behind-corpus would re-emit a replayed batch as novel.
     state.mergeInPlace(graft.ops.Dedup.buildDigestBloom(
       kept, textCol, expectedItems = expectedItems, fpp = fpp))
+    kept.write.mode("append").parquet(historyDir)
     sink(kept)
+  }
+
+  /** Rebuild [[bloomDedupForeachBatch]]'s state filter from the
+    * persisted corpus — the RESTART step: call this before resuming the
+    * query so the in-memory bloom is a superset of `historyDir`'s
+    * digests (the no-false-negative invariant). Same (expectedItems,
+    * fpp) as the running query, so per-batch merges keep identical
+    * geometry. An empty/absent corpus yields an empty filter.
+    */
+  def bloomFromHistory(spark: org.apache.spark.sql.SparkSession,
+                       historyDir: String, textCol: String,
+                       expectedItems: Long, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val history =
+      try spark.read.parquet(historyDir)
+      catch { case _: Throwable =>
+        return org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      }
+    graft.ops.Dedup.buildDigestBloom(
+      history, textCol, expectedItems = expectedItems, fpp = fpp)
   }
 
   /** [[bloomDedupForeachBatch]]'s NEAR-dup sibling: incremental n-gram
@@ -148,6 +187,18 @@ object TrackStream {
     * rows AND shingles, and hands survivors to `sink`. A replayed batch
     * emits zero rows — every doc jaccard-1.0-matches its own ingested
     * copy — so at-least-once retries stay idempotent.
+    *
+    * RECOVERY CONTRACT: the corpus and index appends are two
+    * non-atomic writes, corpus DELIBERATELY first — a crash between
+    * them leaves the corpus ahead of the index, which a restart repairs
+    * by rebuilding the index from the corpus
+    * ([[shingleIndexFromCorpus]]) before resuming; the replayed batch
+    * then matches its own ingested copy and emits zero rows. The
+    * reverse order would be unrepairable: an index ahead of the corpus
+    * makes the replay emit zero rows for documents that were never
+    * persisted — silent data loss. So "replayed batch emits zero rows"
+    * holds for whole-batch replay after full success, and after
+    * crash-recovery once the index is rebuilt.
     */
   def nearDupForeachBatch(textCol: String, idCol: String,
                           corpusDir: String, indexDir: String,
@@ -166,5 +217,22 @@ object TrackStream {
     graft.ops.Dedup.shingleIndex(kept, textCol, idCol, n)
       .write.mode("append").parquet(indexDir)
     sink(kept)
+  }
+
+  /** Rebuild [[nearDupForeachBatch]]'s shingle index from the persisted
+    * corpus — the RESTART step after an unclean shutdown: overwrites
+    * `indexDir` with the index of exactly what `corpusDir` holds, so a
+    * corpus-ahead-of-index crash window is repaired before the query
+    * resumes. No-op (writes an empty index) if the corpus is absent.
+    */
+  def shingleIndexFromCorpus(spark: org.apache.spark.sql.SparkSession,
+                             corpusDir: String, indexDir: String,
+                             textCol: String, idCol: String,
+                             n: Int = 3): Unit = {
+    val corpus =
+      try spark.read.parquet(corpusDir)
+      catch { case _: Throwable => return }
+    graft.ops.Dedup.shingleIndex(corpus, textCol, idCol, n)
+      .write.mode("overwrite").parquet(indexDir)
   }
 }

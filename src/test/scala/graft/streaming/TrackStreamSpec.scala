@@ -145,6 +145,65 @@ class TrackStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bloom sink crash ordering: bloom-ahead-of-corpus re-emits the batch (no loss); rebuilt bloom makes replay idempotent") {
+    // the foreachBatch closure is a plain (DataFrame, Long) => Unit, so
+    // the crash windows are testable batch-side without a streaming query
+    val dir = java.nio.file.Files.createTempDirectory("bloomcrash").toString + "/corpus"
+    val state = org.apache.spark.util.sketch.BloomFilter.create(10000, 0.01)
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val sinkFn = TrackStream.bloomDedupForeachBatch("text", "doc_id", dir, state,
+      expectedItems = 10000,
+      sink = df => emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val batch1 = Seq((1L, "alpha content one"), (2L, "beta content two"))
+      .toDF("doc_id", "text")
+    // CRASH WINDOW: merge landed, append didn't — the ordering the sink
+    // now guarantees. Simulate: merge batch1's digests into state but
+    // never write the corpus.
+    state.mergeInPlace(graft.ops.Dedup.buildDigestBloom(
+      batch1, "text", expectedItems = 10000))
+    // replay of batch1: every row bloom-hits (suspect), but the exact
+    // residue check against the REAL (empty) corpus finds them absent —
+    // correctly re-emitted and re-appended. Bloom-ahead is safe.
+    sinkFn(batch1, 0L)
+    assert(emitted.toSeq == Seq(Set(1L, 2L)), s"bloom-ahead replay: $emitted")
+    assert(spark.read.parquet(dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // RESTART CONTRACT: a fresh process must rebuild the bloom from the
+    // corpus before resuming — a replay then emits zero rows.
+    val rebuilt = TrackStream.bloomFromHistory(spark, dir, "text",
+      expectedItems = 10000)
+    val emitted2 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val sinkFn2 = TrackStream.bloomDedupForeachBatch("text", "doc_id", dir, rebuilt,
+      expectedItems = 10000,
+      sink = df => emitted2 += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    sinkFn2(batch1, 1L)
+    assert(emitted2.toSeq == Seq(Set.empty[Long]), s"post-restart replay: $emitted2")
+    assert(spark.read.parquet(dir).count() == 2) // nothing re-appended
+  }
+
+  test("near-dup sink recovery: rebuilding the index from the corpus makes a crashed batch's replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("neardupcrash").toString
+    val filler = (1 to 30).map(i => s"word$i").mkString(" ")
+    val batch1 = Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here"))
+      .toDF("doc_id", "text")
+    // CRASH WINDOW: corpus append landed, index append didn't (the
+    // documented repairable order). Simulate: write rows to the corpus
+    // with no index.
+    batch1.write.mode("append").parquet(s"$base/corpus")
+    // restart step: rebuild the index from what the corpus holds
+    TrackStream.shingleIndexFromCorpus(spark, s"$base/corpus", s"$base/index",
+      "text", "doc_id", n = 3)
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val sinkFn = TrackStream.nearDupForeachBatch("text", "doc_id",
+      s"$base/corpus", s"$base/index", n = 3, threshold = 0.5,
+      sink = df => emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // replay of the crashed batch: every doc matches its own ingested
+    // copy via the rebuilt index → zero emitted, zero re-appended
+    sinkFn(batch1, 0L)
+    assert(emitted.toSeq == Seq(Set.empty[Long]), s"post-recovery replay: $emitted")
+    assert(spark.read.parquet(s"$base/corpus").count() == 2)
+  }
+
   test("streaming ingest curation: dedup + quality filter + scrub compose in one query") {
     // the per-row curation ops are pure expressions, so they lift into a
     // continuous query unchanged — this pins that the composed screen
