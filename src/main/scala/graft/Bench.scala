@@ -54,6 +54,44 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** 1-minute system load average (Linux /proc/loadavg equivalent), or -1
+    * where the platform can't report it. Recorded beside every timed
+    * sample: a pass that ran while another sbt/DuckDB process occupied the
+    * host shows load ≫ core count here, so a reader of bench_out.json can
+    * see contention without rerunning anything.
+    */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Fixed CPU-bound calibration job: 32 tasks × 100M xorshift64 steps,
+    * ~0.1–0.2 s on this idle 32-thread host. Its cost is constant-work by
+    * construction — no data, no shuffle, no IO — so ANY movement between
+    * passes is host contention, the exact failure mode that voided
+    * BENCH_r07 (a concurrent driver process inflated every query a uniform
+    * ~1.7×, and nothing in the artifact could show it). Each pass runs
+    * this once, and passes whose calibration exceeds 1.5× the best pass
+    * are flagged in "contended" in BOTH the compact driver line and
+    * bench_out.json: round-over-round comparisons should drop (or
+    * deflate by the calibration ratio) samples from flagged passes.
+    * The lambda is JIT-warmed by an untimed 1M-step run inside [[warmup]]
+    * so pass-1 calibration measures the host, not C2 compilation.
+    */
+  private def calibrate(spark: SparkSession, steps: Long = 100000000L): Double = {
+    val t0 = System.nanoTime()
+    val sink = spark.sparkContext.parallelize(1 to 32, 32).map { seed =>
+      var x = 0x9e3779b97f4a7c15L + seed
+      var i = 0L
+      while (i < steps) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      x
+    }.reduce(_ ^ _)
+    // fold the sink into stderr-less dead code the JIT can't elide
+    if (sink == 42L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Heaviest queries by round-2 per-query minima — the sf1 smoke set.
     * The LSH families run their PLANNER-DRIVEN `_auto` twins here: the
     * scale sections exist to evidence scaling, and fixed LSH params at a
@@ -116,6 +154,7 @@ object Bench {
       graft.pipeline.Curate(Tables.documents(spark, sfDir).limit(256))
         .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    calibrate(spark, steps = 1000000L) // untimed: JITs the calibration loop
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
@@ -182,6 +221,8 @@ object Bench {
         }
       }
       warmup(spark, dir)
+      val load = loadAvg
+      val calib = calibrate(spark)
       val ran = picked.map(q => q.name -> runOnce(spark, q, dir)._1)
       val entries = ran.map { case (n, r) =>
         "\"" + n + "\":" + r.toOption.map(fmt).getOrElse("null")
@@ -190,7 +231,9 @@ object Bench {
         ran.collect { case (n, Left(m)) => s""""$n":"${jesc(m)}"""" }
       val errJson =
         if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
-      s""","$label":${entries.mkString("{", ",", "}")}$errJson,"${label}_dir":"$dir""""
+      s""","$label":${entries.mkString("{", ",", "}")}$errJson,""" +
+        s""""${label}_calibration":${fmt(calib)},"${label}_load":${fmt(load)},""" +
+        s""""${label}_dir":"$dir""""
     } finally spark.stop()
   }
 
@@ -204,22 +247,42 @@ object Bench {
     // Interleaved passes (see the noise protocol above): pass p runs the
     // whole catalog once IN ITS OWN SparkSession; a query's samples are
     // minutes apart, so a sustained host-noise window lands in at most
-    // one of them, and no pass inherits another's session state.
-    val passSamples: Seq[(String, Long, Either[String, Double], Boolean)] =
-      (1 to reps).flatMap { _ =>
+    // one of them, and no pass inherits another's session state. Each
+    // pass opens with the constant-work calibration job ([[calibrate]]):
+    // its per-pass times let a reader separate "the code got slower" from
+    // "the host was busy" after the fact.
+    case class Sample(name: String, ts: Long, load: Double,
+                      res: Either[String, Double], leaked: Boolean)
+    val passes: Seq[(Double, Double, Seq[Sample])] =
+      (1 to reps).map { _ =>
         val spark = newSession(cpus)
         try {
           warmup(spark, sfDir)
-          catalog.map { q =>
+          val passLoad = loadAvg
+          val calib = calibrate(spark)
+          val samples = catalog.map { q =>
             val ts = System.currentTimeMillis() / 1000L
+            val ld = loadAvg
             val (r, leaked) = runOnce(spark, q, sfDir)
-            (q.name, ts, r, leaked)
+            Sample(q.name, ts, ld, r, leaked)
           }
+          (calib, passLoad, samples)
         } finally spark.stop()
       }
+    val calibs = passes.map(_._1)
+    val passLoads = passes.map(_._2)
+    // A pass is CONTENDED when its fixed-work calibration ran >1.5× the
+    // best pass's: constant work got slower, so something else had the
+    // cores. 1-based pass indices, matching the order of "calibration".
+    val contended: Seq[Int] =
+      if (calibs.size < 2) Seq.empty
+      else { val best = calibs.min
+             calibs.zipWithIndex.collect { case (c, i) if c > best * 1.5 => i + 1 } }
+    val passSamples: Seq[Sample] = passes.flatMap(_._3)
     val results = catalog.map { q =>
-      val mine = passSamples.filter(_._1 == q.name)
-      (q.name, mine.flatMap(_._3.toOption), mine.exists(_._4), mine.map(_._2))
+      val mine = passSamples.filter(_.name == q.name)
+      (q.name, mine.flatMap(_.res.toOption), mine.exists(_.leaked), mine.map(_.ts),
+       mine.map(_.load))
     }
     // A query only contributes samples that actually succeeded; a query
     // with zero good reps lands in "errors" and is EXCLUDED from
@@ -229,14 +292,17 @@ object Bench {
     val failed = results.filter(_._2.isEmpty).map(_._1)
     val partial = results.filter(r => r._2.nonEmpty && r._2.length < reps).map(_._1)
     val leakers = results.filter(_._3).map(_._1)
-    def jmap(rows: Seq[(String, Seq[Double], Boolean, Seq[Long])])(f: Seq[Double] => String): String =
-      rows.map { case (n, s, _, _) => "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")
+    def jmap(rows: Seq[(String, Seq[Double], Boolean, Seq[Long], Seq[Double])])(f: Seq[Double] => String): String =
+      rows.map { case (n, s, _, _, _) => "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = jmap(good)(s => fmt(median(s)))
     val mins = jmap(good)(s => fmt(s.min))
     val samples = jmap(good)(s => s.map(fmt).mkString("[", ",", "]"))
     val sampleTs = good
-      .map { case (n, _, _, ts) => "\"" + n + "\":" + ts.mkString("[", ",", "]") }
+      .map { case (n, _, _, ts, _) => "\"" + n + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val sampleLoad = good
+      .map { case (n, _, _, _, ld) => "\"" + n + "\":" + ld.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = good.map(r => median(r._2)).sum
 
@@ -270,11 +336,20 @@ object Bench {
     // The full detail (min/samples/leak-scrub/sf1/sf30) still lands in
     // bench_out.json for re-adjudication.
     val errJson = if (failed.isEmpty) "" else s""","errors":${jarr(failed)}"""
+    val calibJson = calibs.map(fmt).mkString("[", ",", "]")
+    val contJson = contended.mkString("[", ",", "]")
+    val loadJson = passLoads.map(fmt).mkString("[", ",", "]")
+    // calibration + contended ride in the COMPACT line too (≈40 chars):
+    // BENCH_r{N}.json is parsed from this line, and the whole point is
+    // that a contaminated artifact must carry its own evidence.
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,"reps":$reps$errJson,"sf":"$sfDir"}"""
+      s""""queries":$qs,"reps":$reps,"calibration":$calibJson,""" +
+      s""""contended":$contJson$errJson,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_min":$mins,"samples":$samples,""" +
-      s""""sample_ts":$sampleTs,"reps":$reps,"interleaved":true,""" +
+      s""""sample_ts":$sampleTs,"sample_load":$sampleLoad,""" +
+      s""""calibration":$calibJson,"contended":$contJson,""" +
+      s""""pass_load":$loadJson,"reps":$reps,"interleaved":true,""" +
       s""""session_per_pass":true,""" +
       s""""errors":${jarr(failed)},"partial_reps":${jarr(partial)},""" +
       s""""rdd_blocks_scrubbed":${jarr(leakers)}$scaleJson,"sf":"$sfDir"}"""
