@@ -88,6 +88,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Quantization scale for [[ivfCentroids]]' per-cell means: components
+    * round to the nearest 2⁻²⁰ (≈1e-6 — far below any embedding's signal)
+    * and accumulate as EXACT 64-bit integer sums, so the mean is
+    * independent of Spark's partial-aggregation order. A double `avg`
+    * here would make every centroid — and everything downstream of it
+    * (cell assignment, SemDeDup pairs, IVF top-k) — nondeterministic
+    * across runs, partitionings, and engines, because float addition is
+    * not associative. The scale is a power of two so the de-scaling
+    * division is exact; headroom: |sum| ≤ 2²⁰·|cell|·max|x|, overflowing
+    * long only past ~10¹² unit-scale members per cell.
+    */
+  val CentroidQuantScale: Double = 1048576.0 // 2^20
+
   /** Deterministic IVF coarse quantizer: K seed centroids (the first K
     * corpus vectors by id — no RNG) refined by `iters` Lloyd steps
     * (assign all vectors to the nearest centroid by cosine, then
@@ -97,8 +110,12 @@ object Similarity {
     * corpus + two shuffles of (cell, dim) partial means; the K-row result
     * of each step is eagerly localCheckpoint-ed so the next step (and
     * every downstream broadcast) starts from materialized rows instead of
-    * replaying the whole refinement chain. Seeds stay deterministic, so
-    * runs are reproducible at any `iters`.
+    * replaying the whole refinement chain. Seeds are deterministic and
+    * the cell means accumulate as quantized integer sums
+    * ([[CentroidQuantScale]]), so the centroid stream is BIT-reproducible
+    * at any `iters`, any partitioning, any scale — which is what lets the
+    * SemDeDup and IVF correctness gates rebuild the whole refinement in
+    * the relational oracle.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                    iters: Int = 3): DataFrame = {
@@ -107,12 +124,19 @@ object Similarity {
     val seeds = vecs.orderBy("__id").limit(k)
       .select(col("__id").as("centroid_id"), col("__v").as("centroid"))
     (1 to iters).foldLeft(seeds) { (cents, _) =>
-      // element-wise mean per cell: explode dims, average, re-assemble
+      // element-wise mean per cell: explode dims, sum exact quantized
+      // longs (order-independent), de-scale, re-assemble. floor(x·S + ½)
+      // rather than round(): floor on a double is defined identically in
+      // every IEEE engine, while round's tie rule differs across engines.
       assignToCentroids(vecs, cents)
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy("centroid_id", "__dim").agg(avg(col("__x")).as("__m"))
+        .groupBy("centroid_id", "__dim")
+        .agg(sum(floor(col("__x") * CentroidQuantScale + 0.5)).as("__qs"),
+          count(lit(1)).as("__n"))
         .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+        .agg(array_sort(collect_list(struct(col("__dim"),
+          (col("__qs").cast(DoubleType) / CentroidQuantScale /
+            col("__n").cast(DoubleType)).as("__m")))).as("__dm"))
         .select(col("centroid_id"),
           transform(col("__dm"), s => s.getField("__m")).as("centroid"))
         .localCheckpoint(true)
