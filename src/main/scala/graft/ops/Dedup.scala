@@ -112,9 +112,12 @@ object Dedup {
     * [[planMinhashLsh]] from the ACTUAL corpus size — the entry point to
     * reach for when n is not known up front. Fixed banding at a growing
     * corpus is the quadratic trap the planner scaladoc warns about; this
-    * overload pays one metadata-cheap `count()` to avoid it. Callers that
-    * already know n (or plan across many batches) should call
-    * [[planMinhashLsh]] once and pass explicit params.
+    * overload pays one sizing `count()` to avoid it — and that count
+    * EXECUTES the upstream plan of `df`: on a raw scan it is
+    * metadata-cheap, but on a derived frame it replays the whole lineage
+    * (cache or localCheckpoint `df` first, or the corpus transforms run
+    * twice). Callers that already know n (or plan across many batches)
+    * should call [[planMinhashLsh]] once and pass explicit params.
     */
   def minhashLshPairsAuto(df: DataFrame, textCol: String, idCol: String,
                           n: Int, threshold: Double,
@@ -1584,9 +1587,11 @@ object Dedup {
     * not known up front. Fixed bits at a growing corpus is the quadratic
     * trap (bucket occupancy n/2^bits makes the verify stream Θ(n²/2^bits);
     * measured 8.5× time on 3× data at sf30 with bits pinned at 4); this
-    * overload pays one metadata-cheap `count()` to size the buckets
-    * instead. Callers that already know n should call [[planCosineLsh]]
-    * once and pass explicit params.
+    * overload pays one sizing `count()` to size the buckets instead —
+    * and that count EXECUTES the upstream plan of `df`: metadata-cheap
+    * on a raw scan, a full lineage replay on a derived frame (cache or
+    * localCheckpoint `df` first). Callers that already know n should
+    * call [[planCosineLsh]] once and pass explicit params.
     */
   def cosineDupPairsAuto(df: DataFrame, vecCol: String, idCol: String,
                          threshold: Double, targetRecall: Double = 0.9,
@@ -1704,8 +1709,10 @@ object Dedup {
   /** [[semdedupPairs]] with nCells sized by [[planSemdedupCells]] from
     * the ACTUAL corpus size — the default balances the two quadratic
     * traps (fixed cells ⇒ n² pairs; linear cells ⇒ n² assignment) at the
-    * flat-k-means optimum, cells ∝ √n. Pays one metadata-cheap
-    * `count()`; callers that know n should call [[planSemdedupCells]]
+    * flat-k-means optimum, cells ∝ √n. Pays one sizing `count()` that
+    * EXECUTES the upstream plan of `df` (metadata-cheap on a raw scan, a
+    * full lineage replay on a derived frame — cache or localCheckpoint
+    * `df` first); callers that know n should call [[planSemdedupCells]]
     * directly.
     */
   def semdedupPairsAuto(df: DataFrame, vecCol: String, idCol: String,

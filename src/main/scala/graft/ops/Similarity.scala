@@ -132,7 +132,10 @@ object Similarity {
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy("centroid_id", "__dim")
         .agg(sum(floor(col("__x") * CentroidQuantScale + 0.5)).as("__qs"),
-          count(lit(1)).as("__n"))
+          // count(__x), not count(*): sum(floor(...)) skips null components,
+          // so the denominator must skip them too or a null-bearing vector
+          // would bias its cell mean toward zero
+          count(col("__x")).as("__n"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("__dim"),
           (col("__qs").cast(DoubleType) / CentroidQuantScale /

@@ -766,14 +766,76 @@ object CurationQueries {
             SELECT id_a, id_b, ROUND(cosine, 9) AS cosine
             FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
 
+  /** Cosine expressed EXACTLY as the fused
+    * [[graft.functions.VectorExprs.CosineSim]] expression computes it:
+    * `dot / (sqrt(‖a‖²) · sqrt(‖b‖²))`, null when either norm is zero.
+    * `LIST_INNER_PRODUCT` accumulates in index order — bit-identical to
+    * the expression's sequential double adds (the same property the
+    * md5-plane LSH oracles already lean on), so centroid-assignment
+    * DECISIONS (not just rounded outputs) reproduce across engines.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN LIST_INNER_PRODUCT($a, $a) > 0 AND LIST_INNER_PRODUCT($b, $b) > 0
+             THEN LIST_INNER_PRODUCT($a, $b)
+                  / (SQRT(LIST_INNER_PRODUCT($a, $a)) * SQRT(LIST_INNER_PRODUCT($b, $b))) END"""
+
+  /** DuckDB CTE chain rebuilding
+    * [[graft.ops.Similarity.ivfCentroids]]' deterministic Lloyd
+    * refinement relationally — the oracle half of the quantized-centroid
+    * contract ([[graft.ops.Similarity.CentroidQuantScale]]): seeds are
+    * the first `kSql` vectors by id, each step assigns every vector to
+    * its max-cosine centroid (ties → smallest centroid_id, exactly the
+    * max-struct `(-centroid_id)` rule) and recomputes per-cell means as
+    * `SUM(FLOOR(x·2²⁰ + ½)) / 2²⁰ / COUNT(x)` — the integer sums are
+    * order-independent, so both engines land the SAME double, bit for
+    * bit. Emits CTEs `v` (vectors), `dx` (exploded dims), `c0..c<iters>`
+    * (centroid frames); callers append their own CTEs referencing
+    * `c<iters>`. An empty cell drops out (its centroid_id groups no
+    * rows), matching the Spark stream.
+    */
+  private def lloydCtesSql(kSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { it =>
+      s"""a$it AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c${it - 1} c) WHERE rk = 1),
+            c$it AS (
+              SELECT centroid_id, LIST(m ORDER BY dim) AS cent FROM (
+                SELECT a.centroid_id, d.i AS dim,
+                       CAST(SUM(CAST(FLOOR(d.x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 1048576.0 / CAST(COUNT(d.x) AS DOUBLE) AS m
+                FROM a$it a JOIN dx d ON d.vec_id = a.vec_id
+                GROUP BY a.centroid_id, d.i)
+              GROUP BY centroid_id)"""
+    }.mkString(",\n            ")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            dx AS (SELECT vec_id, GENERATE_SUBSCRIPTS(e, 1) AS i, UNNEST(e) AS x FROM v),
+            c0 AS (
+              SELECT vec_id AS centroid_id, e AS cent FROM (
+                SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v)
+              WHERE rn <= ($kSql)),
+            $steps"""
+  }
+
   /** SemDeDup clustered variant with soft (top-2) cell assignment.
-    * Approximate (pairs outside any shared cell missed by design) →
-    * rows-only check; recall vs the exact path is gated numerically in
-    * DedupSpec. nCells comes from [[graft.ops.Dedup.planSemdedupCells]]
-    * at the ACTUAL corpus size, at its balanced default (cells ∝ √n —
-    * fixed cells make the pair stream quadratic, linear cells make the
-    * centroid-assignment stream quadratic; the balance point is the
-    * flat-k-means n^1.5 floor).
+    * Approximate vs the exact all-pairs path (pairs outside any shared
+    * cell missed by design — recall is gated numerically in DedupSpec),
+    * but DETERMINISTIC, so since the centroid stream went
+    * bit-reproducible the gate is FULLY oracled: the SQL recomputes
+    * nCells from COUNT(*) with [[graft.ops.Dedup.planSemdedupCells]]'
+    * own arithmetic (n=500 → s=√1500≈38.73, nCells=⌈25.82⌉=26 and
+    * n=2000 → ⌈51.64⌉=52 — both far from their ceil boundaries),
+    * rebuilds the 3-step Lloyd refinement ([[lloydCtesSql]]), re-derives
+    * the top-2 soft assignment as rank ≤ min(2, |centroids|) of the same
+    * (cosine desc, centroid_id) ordering — peeling m argmax passes with
+    * the prior choices excluded IS the rank-m row of that ordering — and
+    * emits within-cell pairs at exact cosine ≥ 0.45. nCells sits at the
+    * planner's balanced default (cells ∝ √n — fixed cells make the pair
+    * stream quadratic, linear cells make the centroid-assignment stream
+    * quadratic; the balance point is the flat-k-means n^1.5 floor).
     */
   val dedupSemdedup = Q("q_dedup_semdedup",
     (s, dir) =>
@@ -781,7 +843,28 @@ object CurationQueries {
         threshold = 0.45, nAssign = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("cosine"))
         .orderBy("id_a", "id_b"),
-    None)
+    Some(s"""WITH ${lloydCtesSql(
+      "SELECT GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) * 2 / " +
+        "GREATEST(16.0, SQRT(2.0 * 3 * COUNT(*) / 2.0))) AS INT)) FROM v", 3)},
+            nc AS (SELECT LEAST(2, COUNT(*)) AS eff FROM c3),
+            cells AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c), nc WHERE rk <= eff),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id
+                                       AND a.vec_id < b.vec_id),
+            sc AS (
+              SELECT id_a, id_b, ${cosSql("va.e", "vb.e")} AS cosine
+              FROM cand
+              JOIN v va ON va.vec_id = cand.id_a
+              JOIN v vb ON vb.vec_id = cand.id_b)
+            SELECT id_a, id_b, ROUND(cosine, 9) AS cosine
+            FROM sc WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
 
   /** Exact brute-force cosine top-k for a query subset — the ANN baseline.
     * Deterministic tie-break (cosine desc, neighbor_id asc).
@@ -809,8 +892,13 @@ object CurationQueries {
             ORDER BY query_id, rank"""))
 
   /** IVF approximate top-k (adaptive centroid cells, nprobe probing) —
-    * rows-only; exactness at nprobe=nlist is unit-tested against the
-    * brute-force baseline.
+    * FULLY oracled since the centroid stream went bit-reproducible: the
+    * SQL rebuilds the nlist=16 / 3-step Lloyd refinement
+    * ([[lloydCtesSql]]), assigns the corpus to cells (rank-1 of the same
+    * tie-ruled ordering), expands each query to its nprobe=4 nearest
+    * cells, and ranks exact cosine within the probed candidates — the
+    * complete IVF definition, not just the output shape. Exactness at
+    * nprobe=nlist stays unit-tested against the brute-force baseline.
     */
   val knnIvf = Q("q_knn_cosine_ivf",
     (s, dir) => {
@@ -822,7 +910,35 @@ object CurationQueries {
           round(col("cosine"), 9).as("cosine"))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""WITH ${lloydCtesSql("16", 3)},
+            cc AS (
+              SELECT vec_id AS neighbor_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c) WHERE rk = 1),
+            qp AS (
+              SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c WHERE v.vec_id < 16) WHERE rk <= 4),
+            sc AS (
+              SELECT q.query_id, c.neighbor_id, ${cosSql("vq.e", "vn.e")} AS cos
+              FROM qp q
+              JOIN cc c ON c.centroid_id = q.centroid_id
+                       AND c.neighbor_id <> q.query_id
+              JOIN v vq ON vq.vec_id = q.query_id
+              JOIN v vn ON vn.vec_id = c.neighbor_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC NULLS LAST, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM sc
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
 
   /** Approximate LSH top-k (multiprobe hyperplane buckets) — FULLY
     * oracled on md5-derived planes, same discipline as
@@ -1977,9 +2093,16 @@ object CurationQueries {
             ORDER BY split, shard, pack_id"""))
 
   /** FFD packing twin — approximate-optimal pad waste, per-group
-    * imperative (flatMapGroups), not SQL-expressible → rows-only check;
-    * pack-count superiority over boundary-respecting next-fit and the
-    * capacity invariants are gated in CorpusSpec/GraftProps.
+    * imperative (flatMapGroups) on the Spark side, and FULLY oracled
+    * despite the sequential bin state: at gate scale the state machine
+    * fits a DuckDB RECURSIVE CTE that advances every (split, shard)
+    * group one item per recursion step, carrying the open-pack fill
+    * levels as a BIGINT[] column — `fit` is the first list index with
+    * room (the first-fit probe in creation order), a miss appends a new
+    * pack. Items rank by (n_tokens DESC, doc_id, chunk_id), exactly the
+    * Spark sort. Pack-count superiority over boundary-respecting
+    * next-fit and the capacity invariants stay gated in
+    * CorpusSpec/GraftProps.
     */
   val curatePackFFD = Q("q_curate_pack_ffd",
     (s, dir) => {
@@ -1995,7 +2118,54 @@ object CurationQueries {
         seqLen = 128, nShards = 8)
         .orderBy("doc_id", "chunk_id")
     },
-    None)
+    Some("""WITH RECURSIVE base AS (
+              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            toks AS (SELECT doc_id, ntext,
+                            LIST_FILTER(STRING_SPLIT(ntext, ' '), x -> x <> '') AS t
+                     FROM base),
+            starts AS (
+              SELECT doc_id, ntext, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+              FROM toks WHERE LEN(t) > 0),
+            ch AS (
+              SELECT doc_id,
+                     CASE WHEN SUBSTR(MD5(ntext), 1, 2) < 'cd' THEN 'train'
+                          WHEN SUBSTR(MD5(ntext), 1, 2) < 'e6' THEN 'valid'
+                          ELSE 'test' END AS split,
+                     CAST(s // 24 + 1 AS INTEGER) AS chunk_id,
+                     CAST(LEN(t[s + 1 : s + 32]) AS BIGINT) AS n_tokens
+              FROM starts),
+            items AS (
+              SELECT doc_id, chunk_id, split,
+                     CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY split, doc_id % 8
+                       ORDER BY n_tokens DESC, doc_id, chunk_id) AS rn
+              FROM ch),
+            ffd AS (
+              SELECT split, shard, CAST(0 AS BIGINT) AS rn,
+                     CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS chunk_id,
+                     CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS pack_offset,
+                     CAST([] AS BIGINT[]) AS sums
+              FROM (SELECT DISTINCT split, shard FROM items)
+              UNION ALL
+              SELECT split, shard, rn, doc_id, chunk_id,
+                     CAST(CASE WHEN fit IS NULL THEN LEN(sums) ELSE fit - 1 END AS BIGINT),
+                     CAST(CASE WHEN fit IS NULL THEN 0 ELSE sums[fit] END AS BIGINT),
+                     CASE WHEN fit IS NULL THEN LIST_APPEND(sums, n)
+                          ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(sums)),
+                                 j -> CASE WHEN j = fit THEN sums[j] + n ELSE sums[j] END)
+                     END
+              FROM (
+                SELECT i.split, i.shard, i.rn, i.doc_id, i.chunk_id,
+                       i.n_tokens AS n, r.sums,
+                       LIST_FILTER(GENERATE_SERIES(1, LEN(r.sums)),
+                         j -> r.sums[j] + i.n_tokens <= 128)[1] AS fit
+                FROM ffd r
+                JOIN items i ON i.split = r.split AND i.shard = r.shard
+                            AND i.rn = r.rn + 1))
+            SELECT doc_id, chunk_id, split, shard, pack_id, pack_offset
+            FROM ffd WHERE rn > 0
+            ORDER BY doc_id, chunk_id"""))
 
   val curatePack = Q("q_curate_pack",
     (s, dir) => {

@@ -161,6 +161,44 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.planSemdedupCells(500) == 26)
   }
 
+  test("oracle plan arithmetic: the SQL-derived (bits, tables) and nCells " +
+    "equal the Scala planners at every gate corpus size") {
+    // the q_dedup_embed_cosine_lsh_auto oracle re-derives planCosineLsh in
+    // SQL and the q_dedup_semdedup oracle re-derives planSemdedupCells —
+    // if either planner's arithmetic drifts, the hash gate would fail with
+    // an opaque pair diff; this pins the re-derivations to the planners
+    // with a readable assertion at the sizes the gates actually run
+    // (sf0.001/sf0.01 embeddings = 500, sf0.1 = 2000; 5000 = the
+    // documented tables-capped point).
+    def sqlCosinePlan(n: Long): (Int, Int) = {
+      // mirrors the oracle SQL in CurationQueries.dedupCosineLshAuto:
+      //   bits = GREATEST(1, LEAST(30, CEIL(LN(n/100.0)/LN(2))))
+      //   tabs = LEAST(16, GREATEST(1, CEIL(LN(0.1) /
+      //            LN(1 - POWER(1 - ACOS(0.45)/PI(), bits)))))
+      val bits = math.max(1, math.min(30,
+        math.ceil(math.log(n / 100.0) / math.log(2)).toInt))
+      val p = 1.0 - math.acos(0.45) / math.Pi
+      val tabs = math.min(16, math.max(1,
+        math.ceil(math.log(0.1) / math.log(1 - math.pow(p, bits))).toInt))
+      (bits, tabs)
+    }
+    def sqlSemdedupCells(n: Long): Int = {
+      // mirrors the oracle SQL in CurationQueries.dedupSemdedup:
+      //   GREATEST(1, CEIL(n * 2 / GREATEST(16.0, SQRT(2.0*3*n/2.0))))
+      math.max(1, math.ceil(
+        n.toDouble * 2 / math.max(16.0, math.sqrt(2.0 * 3 * n / 2.0))).toInt)
+    }
+    for (n <- Seq(500L, 2000L, 5000L)) {
+      val plan = Dedup.planCosineLsh(n, 0.45)
+      assert(sqlCosinePlan(n) == ((plan.bits, plan.tables)),
+        s"SQL plan ${sqlCosinePlan(n)} != planCosineLsh ($n → " +
+          s"${(plan.bits, plan.tables)})")
+      assert(sqlSemdedupCells(n) == Dedup.planSemdedupCells(n),
+        s"SQL nCells ${sqlSemdedupCells(n)} != planSemdedupCells " +
+          s"(${Dedup.planSemdedupCells(n)}) at n=$n")
+    }
+  }
+
   test("embedding decontamination: exact mode flags planted paraphrase pairs, " +
     "broadcasts the benchmark, and the LSH mode is a recall-gated subset") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
