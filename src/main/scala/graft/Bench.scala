@@ -27,6 +27,36 @@ import graft.queries.Q
   * suspect flags ride along in bench_out.json so a judge can see exactly
   * where a noise window sat without rerunning.
   *
+  * Timeout protocol (round 10): the driver kills the bench process at a
+  * hard 3600 s, and rounds 7–9 each lost their entire artifact to that
+  * kill because emission was all-or-nothing at the very end of main().
+  * Three independent guards now bound the damage:
+  *
+  *   1. INCREMENTAL EMISSION — after EVERY completed pass and every scale
+  *      section, the cumulative compact line is printed and
+  *      bench_out.json is rewritten. The driver greps the LAST line
+  *      starting with `{` (build.sbt), so a kill at any point degrades to
+  *      a fewer-reps artifact (`"reps_completed"` says how many) instead
+  *      of `parsed:null`.
+  *   2. DEADLINE — SPARK_GRAFT_BENCH_DEADLINE seconds (default 3000,
+  *      ~10 min inside the driver's 3600 s kill) measured from main()
+  *      start and checked BETWEEN QUERIES everywhere; when exceeded, the
+  *      remaining queries/passes/sections are skipped and the artifact
+  *      carries `"truncated":true` plus a `"skipped"` list. Work skipped
+  *      before its first sample lands in `skipped_queries`, NOT in
+  *      `errors` — a skip is not a crash.
+  *   3. WATCHDOG — each sample runs in its own Spark job group and a
+  *      daemon timer cancels the group after SPARK_GRAFT_QUERY_CAP
+  *      seconds (default 120 — 4× the heaviest clean sf0.1 query; scale
+  *      sections use SPARK_GRAFT_SCALE_QUERY_CAP, default 600, because
+  *      sf1/sf30 queries legitimately run minutes). The r9 run lost
+  *      ~15.5 min to ONE contended q_curate_e2e sample; a capped sample
+  *      records `Left(watchdog…)` and the partial-reps machinery already
+  *      treats it as a missing rep, never as a fast median. The cancel
+  *      re-fires every 5 s until the sample ends, so multi-job queries
+  *      (e.g. a collect-then-join bloom build) can't outlive the cap by
+  *      starting their next job after the first cancel.
+  *
   * Session isolation (round 6): each pass runs in a FRESH SparkSession,
   * and so do the sf1/sf30 scale sections. Round 5 reused one session for
   * 3×95 queries plus the scale set, and the session degraded measurably
@@ -43,8 +73,13 @@ import graft.queries.Q
   * /tmp/graft-sf1; see [[ScaleGen]]) exists, the queries named in
   * SPARK_GRAFT_SF1_QUERIES (default: the heavy set) run ONCE each there —
   * in their own fresh session — and land under "sf1" in the JSON; same
-  * for SPARK_GRAFT_SF30_DIR (default /tmp/graft-sf30) under "sf30". A
-  * memory-scaling smoke, not a timing signal.
+  * for SPARK_GRAFT_SF30_DIR (default /tmp/graft-sf30) under "sf30",
+  * which defaults to its OWN curated [[Sf30Queries]] — NOT the sf1 set:
+  * the r9 run inherited all 24 sf1 picks at 30× the data (the reuse
+  * twins alone build a 60× history sequentially) and blew the budget. A
+  * memory-scaling smoke, not a timing signal. A `manifest.json` left by
+  * [[ScaleGen]] in the dir is echoed into bench_out.json so the artifact
+  * records WHICH generated corpus it measured.
   *
   * SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the catalog (dev loop: measure
   * one query without paying for the suite).
@@ -110,15 +145,17 @@ object Bench {
   }
 
   /** Expected idle-host calibration cost (seconds). Committed constant for
-    * THIS host class (32-thread local[32]; judge-measured clean range
-    * 0.25–0.42 s across sessions), overridable via
-    * SPARK_GRAFT_CALIB_BASELINE for other hardware. The absolute arm of
-    * the hot-calibration rule: without it, a run where EVERY pass is
-    * uniformly contended (the r07 failure — all passes ~1.7× slow)
-    * self-compares clean.
+    * THIS host class: set to the TOP of the judge-measured clean range
+    * (0.25–0.42 s across sessions on the 32-thread host) — not above it;
+    * round 9's 0.45 left the absolute hot threshold at 0.675 s, which a
+    * uniformly ~2×-contended run on a fast host (clean ≈0.3 s) slid
+    * under. Overridable via SPARK_GRAFT_CALIB_BASELINE for other
+    * hardware. The absolute arm of the hot-calibration rule: without it,
+    * a run where EVERY pass is uniformly contended (the r07 failure — all
+    * passes ~1.7× slow) self-compares clean.
     */
   private def calibBaseline: Double =
-    sys.env.getOrElse("SPARK_GRAFT_CALIB_BASELINE", "0.45").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_CALIB_BASELINE", "0.42").toDouble
 
   /** Queries between mid-pass calibration points. 16 → ~8 extra
     * calibration runs per ~95-query pass, ≈2–3 s of a ~10-minute pass —
@@ -133,6 +170,30 @@ object Bench {
     */
   private def isHot(c: Double, runBest: Double): Boolean =
     c > 1.5 * math.min(runBest, calibBaseline)
+
+  /** Wall-clock deadline for the WHOLE bench (seconds from main() entry).
+    * Default 3000 leaves ~10 min of headroom inside the driver's hard
+    * 3600 s kill for the sample in flight plus session teardown.
+    */
+  private def deadlineSecs: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "3000").toDouble
+
+  /** Per-sample watchdog cap for the main sf0.1 suite (seconds). 120 ≈ 4×
+    * the heaviest clean query (q_curate_e2e, 28.4 s); anything past it is
+    * contention or a regression, and either way one sample must not eat
+    * the run's budget (r9 lost 15.5 min to one sample).
+    */
+  private def queryCap: Double =
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP", "120").toDouble
+
+  /** Per-sample watchdog cap for sf1/sf30 scale sections (seconds).
+    * Separate from [[queryCap]] because scale queries legitimately run
+    * minutes (the r3 sf1 section's fixed-param LSH entries ran 85–162 s;
+    * the planner-driven replacements are far cheaper but reuse twins
+    * still build a 20× history sequentially).
+    */
+  private def scaleQueryCap: Double =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERY_CAP", "600").toDouble
 
   /** Heaviest queries by round-2 per-query minima — the sf1 smoke set.
     * The LSH families run their PLANNER-DRIVEN `_auto` twins here: the
@@ -169,6 +230,28 @@ object Bench {
     // image near-dup: dHash + chunk-pigeonhole pairing over decoded PNG
     // payloads — the binary-modality representative in the scale set
     "q_mm_image_neardup")
+
+  /** The sf30 smoke set: 8 representatives, one per operator family that
+    * scales interestingly — NOT the 24-query sf1 pick. At 30× the data
+    * the sf1 set cannot fit any budget (the reuse twins alone replay six
+    * sequential batches over a 60× history), and a smoke section's job is
+    * "does each FAMILY still complete and scale sanely", not a census.
+    */
+  val Sf30Queries: Seq[String] = Seq(
+    "q_dedup_minhash_lsh_auto",       // planner-driven text LSH
+    "q_dedup_embed_cosine_lsh_auto",  // planner-driven vector LSH
+    "q_dedup_semdedup",               // IVF-cell semantic dedup
+    "q_knn_cosine_ivf",               // ANN probe path
+    "q_dedup_incremental_bloom",      // ingest screen + bloom short-circuit
+    "q_dedup_substring",              // largest shuffle by row count
+    "q_dedup_line_strip",             // line-level keep-first
+    "q_curate_e2e_scale")             // the composed pipeline
+
+  /** Daemon timer backing the per-sample watchdog ([[runOnce]]). */
+  private lazy val watchdogTimer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
+    })
 
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -209,24 +292,42 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
-  /** Time one end-to-end noop-write of the query; then scrub session state
-    * (plan cache + persisted RDD blocks) so runs are independent. The
-    * unpersist is BLOCKING: reclamation work is billed here, to the query
-    * that leaked the blocks — round 5's blocking=false left eager
-    * localCheckpoint blocks to the async ContextCleaner, and they drained
-    * during whichever queries ran next. Returns (seconds-if-succeeded,
-    * blocks-leaked-before-scrub): a failed rep yields Left so it can never
-    * masquerade as a fast sample in the medians.
+  /** Time one end-to-end noop-write of the query under a watchdog-capped
+    * job group; then scrub session state (plan cache + persisted RDD
+    * blocks) so runs are independent. The unpersist is BLOCKING:
+    * reclamation work is billed here, to the query that leaked the
+    * blocks — round 5's blocking=false left eager localCheckpoint blocks
+    * to the async ContextCleaner, and they drained during whichever
+    * queries ran next. Returns (seconds-if-succeeded,
+    * blocks-leaked-before-scrub): a failed OR capped rep yields Left so
+    * it can never masquerade as a fast sample in the medians.
+    *
+    * The watchdog cancels the sample's job group after `capSecs` and
+    * re-fires every 5 s (a multi-job query — e.g. collect-then-join —
+    * would otherwise just launch its NEXT job after the one-shot cancel).
+    * The group name is nanoTime-unique so a stale timer firing after this
+    * sample ends can never cancel a later sample's work.
     */
-  private def runOnce(spark: SparkSession, q: Q, dir: String): (Either[String, Double], Boolean) = {
+  private def runOnce(spark: SparkSession, q: Q, dir: String,
+                      capSecs: Double): (Either[String, Double], Boolean) = {
+    val group = s"bench-${q.name}-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val canceller = watchdogTimer.scheduleAtFixedRate(
+      () => { fired.set(true); spark.sparkContext.cancelJobGroup(group) },
+      (capSecs * 1000).toLong, 5000L, java.util.concurrent.TimeUnit.MILLISECONDS)
     val t0 = System.nanoTime()
     val res =
       try { q.fn(spark, dir).write.format("noop").mode("overwrite").save()
             Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+        val why =
+          if (fired.get) s"watchdog cancel after ${capSecs}s"
+          else Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+        System.err.println(s"[bench] ${q.name} failed: $why")
+        Left(why)
       }
+      finally { canceller.cancel(false); spark.sparkContext.clearJobGroup() }
     val leaked = spark.sparkContext.getPersistentRDDs.nonEmpty
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -255,9 +356,14 @@ object Bench {
     * The section is calibration-BRACKETED like a main pass (start + end
     * points; single-sample sections get no mid-points — they are one
     * sample per query anyway, so the bracket IS the sample's bracket).
+    * `timeLeft()` is consulted between queries: once false, the rest of
+    * the pick is skipped (recorded under `<label>_skipped`) — a scale
+    * smoke must degrade to fewer queries, not blow the artifact.
+    * A ScaleGen `manifest.json` in the dir is echoed verbatim as
+    * `<label>_manifest` so the artifact records which corpus it measured.
     */
   private def scaleSection(label: String, dir: String, cpus: String,
-                           picked: Seq[Q]): String = {
+                           picked: Seq[Q], timeLeft: () => Boolean): String = {
     val spark = newSession(cpus)
     try {
       // Pre-validate the generated dir: every table readable and
@@ -276,9 +382,16 @@ object Bench {
       warmup(spark, dir)
       val load = loadAvg
       val calibStart = calibrate(spark)
-      val ran = picked.map { q =>
-        val r = runOnce(spark, q, dir)._1
-        (q.name, r, loadAvg)
+      val (ran, skipped) = {
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double], Double)]
+        val skip = scala.collection.mutable.ArrayBuffer.empty[String]
+        picked.foreach { q =>
+          if (timeLeft()) {
+            val r = runOnce(spark, q, dir, scaleQueryCap)._1
+            done += ((q.name, r, loadAvg))
+          } else skip += q.name
+        }
+        (done.toSeq, skip.toSeq)
       }
       val calibEnd = calibrate(spark)
       val hot = isHot(calibStart, calibStart.min(calibEnd)) ||
@@ -291,16 +404,34 @@ object Bench {
         ran.collect { case (n, Left(m), _) => s""""$n":"${jesc(m)}"""" }
       val errJson =
         if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
-      s""","$label":${entries.mkString("{", ",", "}")}$errJson,""" +
+      val skipJson =
+        if (skipped.isEmpty) ""
+        else s""","${label}_skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val manifestJson = {
+        val f = new java.io.File(s"$dir/manifest.json")
+        if (f.isFile) {
+          val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          // echo only a sane single-line JSON object; anything else would
+          // corrupt the artifact it is supposed to annotate
+          if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
+            s""","${label}_manifest":$s""" else ""
+        } else ""
+      }
+      s""","$label":${entries.mkString("{", ",", "}")}$errJson$skipJson,""" +
         s""""${label}_calibration":[${fmt(calibStart)},${fmt(calibEnd)}],""" +
         s""""${label}_contended":$hot,""" +
         s""""${label}_load":${fmt(load)},""" +
-        s""""${label}_sample_load":${loads.mkString("{", ",", "}")},""" +
-        s""""${label}_dir":"$dir""""
+        s""""${label}_sample_load":${loads.mkString("{", ",", "}")}""" +
+        manifestJson +
+        s""","${label}_dir":"$dir""""
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - startNs) / 1e9
+    def timeLeft(): Boolean = elapsed < deadlineSecs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
@@ -323,147 +454,205 @@ object Bench {
                       res: Either[String, Double], leaked: Boolean,
                       calibIdx: Int)
     case class Pass(calibs: Seq[Double], passLoad: Double, samples: Seq[Sample])
-    val passes: Seq[Pass] =
-      (1 to reps).map { _ =>
+    case class Judged(secs: Double, ts: Long, load: Double, suspect: Boolean)
+
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
+    val scaleJsons = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skippedWork = scala.collection.mutable.ArrayBuffer.empty[String]
+    var truncated = false
+
+    /** Recompute the cumulative artifact from everything finished so far,
+      * rewrite bench_out.json and print the compact line. Called after
+      * every pass and every scale section (and once at the very end) —
+      * the driver greps the LAST `{`-line of the output tail, so each
+      * call strictly improves what a kill would salvage.
+      */
+    def emit(): Unit = {
+      val ps = passes.toSeq
+      val runBest = (calibBaseline +: ps.flatMap(_.calibs)).min
+      // A pass is CONTENDED when ANY of its calibration points ran hot
+      // ([[isHot]] — relative to the run's best point AND to the absolute
+      // idle baseline), so "drop flagged passes" is safe advice.
+      // BENCH_r08's failure mode was the reverse: pass 3 calibrated clean
+      // at its start, went hot mid-pass, and was the one pass left
+      // UNflagged.
+      val contended: Seq[Int] =
+        ps.zipWithIndex.collect {
+          case (p, i) if p.calibs.exists(isHot(_, runBest)) => i + 1 }
+      // A sample is SUSPECT when either surrounding calibration point ran
+      // hot; only successful reps are judged, so every per-query array
+      // below (samples / ts / load / suspect) is index-aligned.
+      val judged: Seq[(String, Judged)] = ps.flatMap { p =>
+        p.samples.flatMap { s =>
+          s.res.toOption.map { secs =>
+            s.name -> Judged(secs, s.ts, s.load,
+              isHot(p.calibs(s.calibIdx), runBest) ||
+                isHot(p.calibs(s.calibIdx + 1), runBest))
+          }
+        }
+      }
+      val attempted: Set[String] = ps.flatMap(_.samples.map(_.name)).toSet
+      val results: Seq[(String, Seq[Judged], Boolean)] = catalog.map { q =>
+        (q.name, judged.collect { case (n, j) if n == q.name => j },
+          ps.exists(_.samples.exists(s => s.name == q.name && s.leaked)))
+      }
+      // A query only contributes samples that actually succeeded; a query
+      // with zero good reps lands in "errors" (if it ran and crashed/was
+      // capped) or "skipped_queries" (if the deadline preempted its first
+      // sample) and is EXCLUDED from "queries"/"value" rather than
+      // polluting the medians with the short wall time of a crash.
+      val good = results.filter(_._2.nonEmpty)
+      val failed = results.filter(r => r._2.isEmpty && attempted(r._1)).map(_._1)
+      val neverRan = results.filter(r => r._2.isEmpty && !attempted(r._1)).map(_._1)
+      val partial = results.filter(r => r._2.nonEmpty && r._2.length < reps).map(_._1)
+      val leakers = results.filter(_._3).map(_._1)
+      // The reported per-query number is the median over CLEAN samples
+      // when any exist — contention only ever inflates a constant-work
+      // host, so dropping suspect samples is strictly de-noising, never
+      // cherry-picking. A query whose every sample is suspect falls back
+      // to the all-samples median and is listed in "no_clean_samples".
+      def cleanOf(ms: Seq[Judged]): Seq[Judged] = {
+        val c = ms.filterNot(_.suspect); if (c.nonEmpty) c else ms
+      }
+      val noClean = good.filter(_._2.forall(_.suspect)).map(_._1)
+      val nSuspect = judged.count(_._2.suspect)
+      def jmap(rows: Seq[(String, Seq[Judged], Boolean)])(f: Seq[Judged] => String): String =
+        rows.map { case (n, s, _) => "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")
+      def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val qs = jmap(good)(s => fmt(median(cleanOf(s).map(_.secs))))
+      // min over ALL samples (clean ⊆ all and contention only inflates,
+      // so the global min is always the best clean estimate)
+      val mins = jmap(good)(s => fmt(s.map(_.secs).min))
+      val samples = jmap(good)(s => s.map(j => fmt(j.secs)).mkString("[", ",", "]"))
+      val sampleTs = jmap(good)(s => s.map(_.ts).mkString("[", ",", "]"))
+      val sampleLoad = jmap(good)(s => s.map(j => fmt(j.load)).mkString("[", ",", "]"))
+      val sampleSuspect = jmap(good)(s => s.map(_.suspect).mkString("[", ",", "]"))
+      val total = good.map(r => median(cleanOf(r._2).map(_.secs))).sum
+
+      // The driver captures only a short tail of combined sbt output and
+      // expects ONE bare JSON line. Two consequences drive the shape:
+      // (1) the stdout line must be COMPACT — medians only, 3 decimals —
+      //     so the whole line plus sbt's trailing "[success]" message
+      //     fits inside a ~2000-char tail window (the r3 line, with raw
+      //     samples and the sf1 section inlined, overflowed it ->
+      //     parsed:null);
+      // (2) cumulative emission means the LAST printed line always
+      //     reflects all completed work — logging is silenced, and each
+      //     pass/section boundary reprints, so even a SIGKILL leaves a
+      //     complete line in the tail.
+      // The full detail (min/samples/leak-scrub/sf1/sf30) lands in
+      // bench_out.json for re-adjudication.
+      val errJson = if (failed.isEmpty) "" else s""","errors":${jarr(failed)}"""
+      // calibration: one array of bracket points PER PASS (start, every
+      // calibEvery queries, end).
+      val calibJson = ps
+        .map(_.calibs.map(fmt).mkString("[", ",", "]")).mkString("[", ",", "]")
+      val contJson = contended.mkString("[", ",", "]")
+      val loadJson = ps.map(p => fmt(p.passLoad)).mkString("[", ",", "]")
+      val skipJson =
+        if (skippedWork.isEmpty && neverRan.isEmpty) ""
+        else s""","skipped":${jarr(skippedWork.toSeq ++ neverRan)}"""
+      // calibration + contended + suspect/no_clean counts ride in the
+      // COMPACT line too: BENCH_r{N}.json is parsed from this line, and
+      // the whole point is that a contaminated (or truncated) artifact
+      // must carry its own evidence. "suspect" = samples whose bracketing
+      // calibration ran hot; medians exclude them where a clean sample
+      // exists ("clean_medians"); "no_clean" = queries whose EVERY sample
+      // is suspect, i.e. whose median silently fell back to all samples.
+      val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs,"reps":$reps,"reps_completed":${ps.length},""" +
+        s""""truncated":$truncated,"calibration":$calibJson,""" +
+        s""""calib_baseline":${fmt(calibBaseline)},""" +
+        s""""contended":$contJson,"suspect":$nSuspect,""" +
+        s""""no_clean":${noClean.length},"clean_medians":true""" +
+        s"""$errJson$skipJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs,"queries_min":$mins,"samples":$samples,""" +
+        s""""sample_ts":$sampleTs,"sample_load":$sampleLoad,""" +
+        s""""sample_suspect":$sampleSuspect,""" +
+        s""""calibration":$calibJson,"calib_baseline":${fmt(calibBaseline)},""" +
+        s""""calib_every":$calibEvery,"contended":$contJson,""" +
+        s""""suspect":$nSuspect,"clean_medians":true,""" +
+        s""""no_clean_samples":${jarr(noClean)},""" +
+        s""""pass_load":$loadJson,"reps":$reps,""" +
+        s""""reps_completed":${ps.length},"truncated":$truncated,""" +
+        s""""deadline_secs":${fmt(deadlineSecs)},"elapsed_secs":${fmt(elapsed)},""" +
+        s""""query_cap_secs":${fmt(queryCap)},""" +
+        s""""scale_query_cap_secs":${fmt(scaleQueryCap)},"interleaved":true,""" +
+        s""""session_per_pass":true,""" +
+        s""""errors":${jarr(failed)},"partial_reps":${jarr(partial)},""" +
+        s""""skipped_queries":${jarr(skippedWork.toSeq ++ neverRan)},""" +
+        s""""rdd_blocks_scrubbed":${jarr(leakers)}${scaleJsons.mkString},""" +
+        s""""sf":"$sfDir"}"""
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+      println(line)
+    }
+
+    (1 to reps).foreach { p =>
+      if (!timeLeft()) {
+        if (!skippedWork.contains(s"pass$p")) { truncated = true; skippedWork += s"pass$p" }
+      } else {
         val spark = newSession(cpus)
         try {
           warmup(spark, sfDir)
           val passLoad = loadAvg
           val calibs = scala.collection.mutable.ArrayBuffer(calibrate(spark))
-          val samples = catalog.zipWithIndex.map { case (q, qi) =>
-            if (qi > 0 && qi % calibEvery == 0) calibs += calibrate(spark)
-            val ts = System.currentTimeMillis() / 1000L
-            val (r, leaked) = runOnce(spark, q, sfDir)
-            // load read AFTER the run: the 1-minute average then covers
-            // the sample's own window rather than the prior query's
-            Sample(q.name, ts, loadAvg, r, leaked, calibs.length - 1)
+          val samples = scala.collection.mutable.ArrayBuffer.empty[Sample]
+          var cut = false
+          catalog.zipWithIndex.foreach { case (q, qi) =>
+            if (cut || !timeLeft()) {
+              if (!cut) { cut = true; truncated = true
+                skippedWork += s"pass$p:from:${q.name}" }
+            } else {
+              if (qi > 0 && qi % calibEvery == 0) calibs += calibrate(spark)
+              val ts = System.currentTimeMillis() / 1000L
+              val (r, leaked) = runOnce(spark, q, sfDir, queryCap)
+              // load read AFTER the run: the 1-minute average then covers
+              // the sample's own window rather than the prior query's
+              samples += Sample(q.name, ts, loadAvg, r, leaked, calibs.length - 1)
+            }
           }
           calibs += calibrate(spark) // closing bracket
-          Pass(calibs.toSeq, passLoad, samples)
+          // a pass that got zero samples in (deadline expired during its
+          // warmup) is not a completed rep — don't let it inflate
+          // reps_completed; its skip marker already rides in "skipped"
+          if (samples.nonEmpty) passes += Pass(calibs.toSeq, passLoad, samples.toSeq)
         } finally spark.stop()
-      }
-    val runBest = passes.flatMap(_.calibs).min
-    // A pass is CONTENDED when ANY of its calibration points ran hot
-    // ([[isHot]] — relative to the run's best point AND to the absolute
-    // idle baseline), so "drop flagged passes" is safe advice. BENCH_r08's
-    // failure mode was the reverse: pass 3 calibrated clean at its start,
-    // went hot mid-pass, and was the one pass left UNflagged.
-    val contended: Seq[Int] =
-      passes.zipWithIndex.collect {
-        case (p, i) if p.calibs.exists(isHot(_, runBest)) => i + 1 }
-    // A sample is SUSPECT when either surrounding calibration point ran
-    // hot; only successful reps are judged, so every per-query array
-    // below (samples / ts / load / suspect) is index-aligned.
-    case class Judged(secs: Double, ts: Long, load: Double, suspect: Boolean)
-    val judged: Seq[(String, Judged)] = passes.flatMap { p =>
-      p.samples.flatMap { s =>
-        s.res.toOption.map { secs =>
-          s.name -> Judged(secs, s.ts, s.load,
-            isHot(p.calibs(s.calibIdx), runBest) ||
-              isHot(p.calibs(s.calibIdx + 1), runBest))
-        }
+        emit()
       }
     }
-    val results: Seq[(String, Seq[Judged], Boolean)] = catalog.map { q =>
-      (q.name, judged.collect { case (n, j) if n == q.name => j },
-        passes.exists(_.samples.exists(s => s.name == q.name && s.leaked)))
-    }
-    // A query only contributes samples that actually succeeded; a query
-    // with zero good reps lands in "errors" and is EXCLUDED from
-    // "queries"/"value" rather than polluting the medians with the short
-    // wall time of a crash.
-    val good = results.filter(_._2.nonEmpty)
-    val failed = results.filter(_._2.isEmpty).map(_._1)
-    val partial = results.filter(r => r._2.nonEmpty && r._2.length < reps).map(_._1)
-    val leakers = results.filter(_._3).map(_._1)
-    // The reported per-query number is the median over CLEAN samples when
-    // any exist — contention only ever inflates a constant-work host, so
-    // dropping suspect samples is strictly de-noising, never cherry-
-    // picking. A query whose every sample is suspect falls back to the
-    // all-samples median and is listed in "no_clean_samples".
-    def cleanOf(ms: Seq[Judged]): Seq[Judged] = {
-      val c = ms.filterNot(_.suspect); if (c.nonEmpty) c else ms
-    }
-    val noClean = good.filter(_._2.forall(_.suspect)).map(_._1)
-    val nSuspect = judged.count(_._2.suspect)
-    def jmap(rows: Seq[(String, Seq[Judged], Boolean)])(f: Seq[Judged] => String): String =
-      rows.map { case (n, s, _) => "\"" + n + "\":" + f(s) }.mkString("{", ",", "}")
-    def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = jmap(good)(s => fmt(median(cleanOf(s).map(_.secs))))
-    // min over ALL samples (clean ⊆ all and contention only inflates, so
-    // the global min is always the best clean estimate)
-    val mins = jmap(good)(s => fmt(s.map(_.secs).min))
-    val samples = jmap(good)(s => s.map(j => fmt(j.secs)).mkString("[", ",", "]"))
-    val sampleTs = jmap(good)(s => s.map(_.ts).mkString("[", ",", "]"))
-    val sampleLoad = jmap(good)(s => s.map(j => fmt(j.load)).mkString("[", ",", "]"))
-    val sampleSuspect = jmap(good)(s => s.map(_.suspect).mkString("[", ",", "]"))
-    val total = good.map(r => median(cleanOf(r._2).map(_.secs))).sum
 
     // optional scale sections, each in a fresh session (sf1 default path
     // is the ScaleGen output dir so a generated corpus is picked up
-    // automatically; silently skipped when a dir doesn't exist)
+    // automatically; silently skipped when a dir doesn't exist, skipped
+    // WITH a marker when the deadline already passed)
     def picked(envVar: String, fallback: Seq[String]): Seq[String] =
       sys.env.get(envVar)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(fallback)
     val sf1Names = picked("SPARK_GRAFT_SF1_QUERIES", HeavyQueries)
-    // sf30 falls back to the sf1 pick, but can be narrowed independently
-    // (a query affordable at sf1 may not be worth 30× the wall time)
-    val sf30Names = picked("SPARK_GRAFT_SF30_QUERIES", sf1Names)
-    val scaleJson = Seq(
+    val sf30Names = picked("SPARK_GRAFT_SF30_QUERIES", Sf30Queries)
+    Seq(
       ("sf1", sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1"), sf1Names),
       ("sf30", sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "/tmp/graft-sf30"), sf30Names))
       .filter { case (_, d, _) => new java.io.File(d).isDirectory }
-      .map { case (label, d, names) =>
-        scaleSection(label, d, cpus, catalog.filter(q => names.contains(q.name)))
-      }.mkString
+      .foreach { case (label, d, names) =>
+        if (!timeLeft()) { truncated = true; skippedWork += label }
+        else {
+          scaleJsons +=
+            scaleSection(label, d, cpus, catalog.filter(q => names.contains(q.name)),
+              () => timeLeft())
+          emit()
+        }
+      }
 
-    // The driver captures only a short tail of combined sbt output and
-    // expects ONE bare JSON line. Two consequences drive the shape here:
-    // (1) the stdout line must be COMPACT — medians only, 3 decimals —
-    //     so the whole line plus sbt's trailing "[success]" message fits
-    //     inside a ~2000-char tail window (the r3 line, with raw samples
-    //     and the sf1 section inlined, overflowed it -> parsed:null);
-    // (2) it must be the LAST thing printed, with logging silenced, so no
-    //     log line interleaves behind it.
-    // The full detail (min/samples/leak-scrub/sf1/sf30) still lands in
-    // bench_out.json for re-adjudication.
-    val errJson = if (failed.isEmpty) "" else s""","errors":${jarr(failed)}"""
-    // calibration: one array of bracket points PER PASS (start, every
-    // calibEvery queries, end) — not one scalar per pass as in r8.
-    val calibJson = passes
-      .map(_.calibs.map(fmt).mkString("[", ",", "]")).mkString("[", ",", "]")
-    val contJson = contended.mkString("[", ",", "]")
-    val loadJson = passes.map(p => fmt(p.passLoad)).mkString("[", ",", "]")
-    // calibration + contended + suspect count ride in the COMPACT line
-    // too: BENCH_r{N}.json is parsed from this line, and the whole point
-    // is that a contaminated artifact must carry its own evidence.
-    // "suspect" = samples whose bracketing calibration ran hot; medians
-    // exclude them where a clean sample exists ("clean_medians").
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,"reps":$reps,"calibration":$calibJson,""" +
-      s""""calib_baseline":${fmt(calibBaseline)},""" +
-      s""""contended":$contJson,"suspect":$nSuspect,"clean_medians":true""" +
-      s"""$errJson,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,"queries_min":$mins,"samples":$samples,""" +
-      s""""sample_ts":$sampleTs,"sample_load":$sampleLoad,""" +
-      s""""sample_suspect":$sampleSuspect,""" +
-      s""""calibration":$calibJson,"calib_baseline":${fmt(calibBaseline)},""" +
-      s""""calib_every":$calibEvery,"contended":$contJson,""" +
-      s""""suspect":$nSuspect,"clean_medians":true,""" +
-      s""""no_clean_samples":${jarr(noClean)},""" +
-      s""""pass_load":$loadJson,"reps":$reps,"interleaved":true,""" +
-      s""""session_per_pass":true,""" +
-      s""""errors":${jarr(failed)},"partial_reps":${jarr(partial)},""" +
-      s""""rdd_blocks_scrubbed":${jarr(leakers)}$scaleJson,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    // every session is already stopped — nothing can interleave behind
-    // the one JSON line the driver parses
-    println(line)
+    // final cumulative line: every session is stopped, nothing can
+    // interleave behind it — and if truncation marked work skipped after
+    // the last mid-run emit, this is the line that records it
+    emit()
   }
 }

@@ -210,7 +210,19 @@ object ScaleGen {
         org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(vecSchema)))
     wr(vecs, "embeddings")
 
-    println(s"""{"scalegen":"$out","mult":$mult,"docs":$nDocs,"vecs":$nVecs}""")
+    // One-line manifest inside the output dir: the bench scale sections
+    // echo it into bench_out.json, so every artifact records WHICH
+    // generated corpus (source, multiplier, sizes, when) it measured —
+    // without it, a stale or hand-edited dir silently changes the numbers
+    // and nothing in the artifact can show it.
+    val manifest =
+      s"""{"src":"$src","mult":$mult,"docs":$nDocs,"vecs":$nVecs,""" +
+        s""""vocab":${vocab.length},""" +
+        s""""generated_epoch":${System.currentTimeMillis() / 1000L}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/manifest.json"),
+      (manifest + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(manifest)
     spark.stop()
   }
 }

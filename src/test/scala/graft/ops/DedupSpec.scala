@@ -161,6 +161,31 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.planSemdedupCells(500) == 26)
   }
 
+  /** Mirror of the oracle SQL in CurationQueries.dedupCosineLshAuto:
+    *   bits = GREATEST(1, LEAST(30, CEIL(LN(n/100.0)/LN(2))))
+    *   tabs = LEAST(16, GREATEST(1, CEIL(LN(0.1) /
+    *            LN(1 - POWER(1 - ACOS(0.45)/PI(), bits)))))
+    * The ONE test-side copy of this arithmetic — both the gate-size test
+    * and the dense sweep below pin the Scala planner to it, so the three
+    * dialects (Scala log1p, DuckDB LN(1-x), this mirror's log(1-x))
+    * cannot drift apart unnoticed.
+    */
+  private def sqlCosinePlan(n: Long): (Int, Int) = {
+    val bits = math.max(1, math.min(30,
+      math.ceil(math.log(n / 100.0) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(0.45) / math.Pi
+    val tabs = math.min(16, math.max(1,
+      math.ceil(math.log(0.1) / math.log(1 - math.pow(p, bits))).toInt))
+    (bits, tabs)
+  }
+
+  /** Mirror of the oracle SQL in CurationQueries.dedupSemdedup:
+    *   GREATEST(1, CEIL(n * 2 / GREATEST(16.0, SQRT(2.0*3*n/2.0))))
+    */
+  private def sqlSemdedupCells(n: Long): Int =
+    math.max(1, math.ceil(
+      n.toDouble * 2 / math.max(16.0, math.sqrt(2.0 * 3 * n / 2.0))).toInt)
+
   test("oracle plan arithmetic: the SQL-derived (bits, tables) and nCells " +
     "equal the Scala planners at every gate corpus size") {
     // the q_dedup_embed_cosine_lsh_auto oracle re-derives planCosineLsh in
@@ -170,24 +195,6 @@ class DedupSpec extends SparkTestBase {
     // with a readable assertion at the sizes the gates actually run
     // (sf0.001/sf0.01 embeddings = 500, sf0.1 = 2000; 5000 = the
     // documented tables-capped point).
-    def sqlCosinePlan(n: Long): (Int, Int) = {
-      // mirrors the oracle SQL in CurationQueries.dedupCosineLshAuto:
-      //   bits = GREATEST(1, LEAST(30, CEIL(LN(n/100.0)/LN(2))))
-      //   tabs = LEAST(16, GREATEST(1, CEIL(LN(0.1) /
-      //            LN(1 - POWER(1 - ACOS(0.45)/PI(), bits)))))
-      val bits = math.max(1, math.min(30,
-        math.ceil(math.log(n / 100.0) / math.log(2)).toInt))
-      val p = 1.0 - math.acos(0.45) / math.Pi
-      val tabs = math.min(16, math.max(1,
-        math.ceil(math.log(0.1) / math.log(1 - math.pow(p, bits))).toInt))
-      (bits, tabs)
-    }
-    def sqlSemdedupCells(n: Long): Int = {
-      // mirrors the oracle SQL in CurationQueries.dedupSemdedup:
-      //   GREATEST(1, CEIL(n * 2 / GREATEST(16.0, SQRT(2.0*3*n/2.0))))
-      math.max(1, math.ceil(
-        n.toDouble * 2 / math.max(16.0, math.sqrt(2.0 * 3 * n / 2.0))).toInt)
-    }
     for (n <- Seq(500L, 2000L, 5000L)) {
       val plan = Dedup.planCosineLsh(n, 0.45)
       assert(sqlCosinePlan(n) == ((plan.bits, plan.tables)),
@@ -196,6 +203,34 @@ class DedupSpec extends SparkTestBase {
       assert(sqlSemdedupCells(n) == Dedup.planSemdedupCells(n),
         s"SQL nCells ${sqlSemdedupCells(n)} != planSemdedupCells " +
           s"(${Dedup.planSemdedupCells(n)}) at n=$n")
+    }
+  }
+
+  test("oracle plan arithmetic: dense n-sweep 100..200k — the SQL mirror " +
+    "equals the Scala planners at every size, including ceil boundaries") {
+    // The planner arithmetic exists in three dialects (Scala log1p, DuckDB
+    // LN(1-x), the mirror above) and the gate-size test pins only three
+    // n values; a ULP-level divergence adjacent to a ceil() boundary at
+    // any OTHER corpus size would surface as an opaque oracle hash diff
+    // in some future gate. Sweep a ~300-point log-spaced grid plus every
+    // bits-formula boundary n = 100·2^k ± 1 (the exact points where
+    // ceil(log2(n/100)) steps), so boundary drift fails HERE with the n
+    // and both plans in the message.
+    val grid = (0 to 330).map(i => math.round(100.0 * math.pow(1.0233, i)))
+    val bitEdges = (0 to 11).flatMap { k =>
+      val n = 100L << k; Seq(n - 1, n, n + 1)
+    }
+    val sweep = (grid ++ bitEdges).filter(n => n >= 100 && n <= 200000)
+      .distinct.sorted
+    assert(sweep.length > 300) // the sweep is actually dense
+    for (n <- sweep) {
+      val plan = Dedup.planCosineLsh(n, 0.45)
+      assert(sqlCosinePlan(n) == ((plan.bits, plan.tables)),
+        s"SQL plan ${sqlCosinePlan(n)} != planCosineLsh " +
+          s"${(plan.bits, plan.tables)} at n=$n")
+      assert(sqlSemdedupCells(n) == Dedup.planSemdedupCells(n),
+        s"SQL nCells ${sqlSemdedupCells(n)} != planSemdedupCells " +
+          s"${Dedup.planSemdedupCells(n)} at n=$n")
     }
   }
 
