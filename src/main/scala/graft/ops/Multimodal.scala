@@ -357,12 +357,14 @@ object Multimodal {
   }
 
   /** Decode a payload to raw pixels: the hand-rolled PNG path first
-    * (filter-complete, CRC-checked), then javax.imageio as the fallback
-    * for the JDK's other pure-Java codecs (JPEG/GIF/BMP) — both REAL
-    * pixel decodes; anything neither path accepts yields None.
+    * (filter-complete, CRC-checked), then the hand-rolled baseline JPEG
+    * path ([[Jpeg.decode]] — Huffman + dequant + IDCT + JFIF color),
+    * then javax.imageio as the fallback for the JDK's other pure-Java
+    * codecs (progressive JPEG/GIF/BMP) — all REAL pixel decodes;
+    * anything no path accepts yields None.
     */
   private def decodePixelsOne(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
-    parsePng(p).orElse {
+    parsePng(p).orElse(Jpeg.decode(p)).orElse {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
         if (img == null) None
@@ -487,6 +489,25 @@ object Multimodal {
       rows.map { r =>
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), pngFixture(id))
+      }
+    }(enc)
+  }
+
+  /** Attach the deterministic block-constant JPEG fixture as
+    * `payloadCol` — the fixture half of the q_mm_jpeg_pixels gate,
+    * mirroring [[synthesizePng]]; see [[Jpeg.jpegFixture]] for why the
+    * round-trip is integer-exact.
+    */
+  def synthesizeJpeg(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Jpeg.jpegFixture(id))
       }
     }(enc)
   }

@@ -1667,6 +1667,70 @@ object CurationQueries {
                    CAST(MAX(v) AS INTEGER) AS max_val
             FROM vals GROUP BY doc_id, w, h, ch ORDER BY doc_id"""))
 
+  /** JPEG modality, REAL pixels end to end through the hand-rolled
+    * baseline codec (Jpeg.scala — FDCT + Huffman entropy coding one way,
+    * marker parse + Huffman decode + dequant + IDCT + JFIF color
+    * conversion the other). Every fixture image is BLOCK-CONSTANT, which
+    * makes the lossy codec exact by construction: constant 8×8 tiles
+    * have DC-only DCT coefficients and the fixture quant table's DC step
+    * of 8 divides them out losslessly (see Jpeg scaladoc). DuckDB never
+    * sees a JPEG — it recomputes each decoded pixel from the per-block
+    * closed form, including the floor(x+0.5) JFIF YCbCr→RGB arithmetic
+    * for the color half of the corpus, so a one-bit Huffman slip or an
+    * IDCT scaling error anywhere moves the position-weighted checksum.
+    */
+  val mmJpegPixels = Q("q_mm_jpeg_pixels",
+    (s, dir) => {
+      val jpgs = Multimodal.synthesizeJpeg(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeImagePixels(jpgs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     8 * (2 + (doc_id % 50) % 3) AS w,
+                     8 * (1 + (doc_id % 50) % 2) AS h,
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN 1 ELSE 3 END AS ch
+              FROM documents),
+            px AS (
+              SELECT doc_id, g, w, h, ch, UNNEST(RANGE(0, w * h * ch)) AS i
+              FROM dims),
+            m AS (
+              SELECT doc_id, g, w, h, ch, i,
+                     (i // ch) % w AS x, i // (ch * w) AS y, i % ch AS c
+              FROM px),
+            bv AS (
+              SELECT doc_id, g, ch, i, c,
+                     CAST((g*37 + (doc_id // 50)*31 + (x // 8)*(19 + 2*g)
+                           + (y // 8)*(29 + 2*g)) % 256 AS DOUBLE) AS yv,
+                     CAST((g*37 + (doc_id // 50)*31 + (x // 8)*(19 + 2*g)
+                           + (y // 8)*(29 + 2*g) + 41) % 256 AS DOUBLE) AS cb,
+                     CAST((g*37 + (doc_id // 50)*31 + (x // 8)*(19 + 2*g)
+                           + (y // 8)*(29 + 2*g) + 82) % 256 AS DOUBLE) AS cr
+              FROM m),
+            vals AS (
+              SELECT doc_id, ch, i,
+                     CASE WHEN ch = 1 THEN CAST(yv AS INTEGER)
+                          WHEN c = 0 THEN LEAST(255, GREATEST(0, CAST(FLOOR(
+                            yv + (1.402::DOUBLE) * (cr - 128.0) + 0.5) AS INTEGER)))
+                          WHEN c = 1 THEN LEAST(255, GREATEST(0, CAST(FLOOR(
+                            yv - (0.344136::DOUBLE) * (cb - 128.0)
+                               - (0.714136::DOUBLE) * (cr - 128.0) + 0.5) AS INTEGER)))
+                          ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                            yv + (1.772::DOUBLE) * (cb - 128.0) + 0.5) AS INTEGER)))
+                     END AS v
+              FROM bv),
+            dims2 AS (SELECT doc_id, w, h, ch FROM dims)
+            SELECT d.doc_id,
+                   CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+                   CAST(d.ch AS INTEGER) AS channels,
+                   CAST(SUM(v.v) AS BIGINT) AS sum_val,
+                   CAST(SUM((v.v + 1) * (v.i + 1)) AS BIGINT) AS px_checksum,
+                   CAST(MIN(v.v) AS INTEGER) AS min_val,
+                   CAST(MAX(v.v) AS INTEGER) AS max_val
+            FROM dims2 d JOIN vals v ON d.doc_id = v.doc_id
+            GROUP BY d.doc_id, d.w, d.h, d.ch ORDER BY d.doc_id"""))
+
   /** REAL image resize: decode → nearest-neighbor resample to 10×7 →
     * re-encode as PNG → decode AGAIN for the stats, so every row
     * round-trips the codec twice and the resample arithmetic sits in
@@ -2628,6 +2692,6 @@ object CurationQueries {
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
-    mmPngPixels, mmPngResize, mmImageDhash, mmImageNearDup,
+    mmPngPixels, mmJpegPixels, mmPngResize, mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }

@@ -219,6 +219,54 @@ object TrackStream {
     sink(kept)
   }
 
+  /** The SEMANTIC sibling of [[bloomDedupForeachBatch]] /
+    * [[nearDupForeachBatch]]: streaming benchmark decontamination as a
+    * `foreachBatch` sink. State is the STATIC benchmark embedding set
+    * (decontamination screens against a fixed eval suite, not against
+    * ingested history — no cross-batch mutation at all), so unlike the
+    * other two sinks there is no crash-ordering hazard: each micro-batch
+    * runs [[graft.ops.Dedup.contaminatedIdsEmbedding]] against the
+    * benchmark, drops every row whose embedding cosine-matches any
+    * benchmark item at `threshold` (paraphrased contamination — the
+    * n-gram screens can't see it), appends the clean rows to
+    * `corpusDir`, and hands them to `sink`. A batch consisting entirely
+    * of benchmark paraphrases emits zero rows.
+    *
+    * Exact mode broadcasts the benchmark into a nested-loop probe (the
+    * plan DedupSpec asserts): right for benchmark suites that fit a
+    * broadcast, i.e. almost all of them. For an outsized screening set,
+    * pass `useLsh = true` to route through
+    * [[graft.ops.Dedup.contaminatedIdsEmbeddingAuto]] — bucketed
+    * candidates, planner-sized from the benchmark, recall-gated.
+    *
+    * Replay idempotence differs from the dedup sinks BY DESIGN: the
+    * screen is stateless, so a replayed batch re-emits its clean rows
+    * (and re-appends them — at-least-once, exactly like any
+    * append-mode parquet sink); compose AFTER [[bloomDedupForeachBatch]]
+    * (or under `dropDuplicatesWithinWatermark`) when exactly-once
+    * survivors are required. Screens compose in any order; dedup-first
+    * is cheaper (digest compare ≪ 64-dim cosine per row).
+    */
+  def semanticScreenForeachBatch(vecCol: String, idCol: String,
+                                 benchmark: DataFrame,
+                                 threshold: Double,
+                                 corpusDir: String,
+                                 useLsh: Boolean = false,
+                                 sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val flagged =
+      if (useLsh)
+        graft.ops.Dedup.contaminatedIdsEmbeddingAuto(
+          batch, benchmark, vecCol, idCol, threshold)
+      else
+        graft.ops.Dedup.contaminatedIdsEmbedding(
+          batch, benchmark, vecCol, idCol, threshold)
+    val kept = batch.join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    kept.write.mode("append").parquet(corpusDir)
+    sink(kept)
+  }
+
   /** Rebuild [[nearDupForeachBatch]]'s shingle index from the persisted
     * corpus — the RESTART step after an unclean shutdown: overwrites
     * `indexDir` with the index of exactly what `corpusDir` holds, so a

@@ -145,6 +145,59 @@ class TrackStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch semantic screen: a paraphrased-contaminated batch emits zero rows; novel rows pass") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Array[Double] = {
+      val r = new java.util.Random(seed); Array.fill(16)(r.nextGaussian())
+    }
+    // paraphrase proxy: tiny perturbation of a benchmark vector
+    // (cosine ≈ 0.999 ≫ the 0.8 screen threshold); independent gaussian
+    // vectors sit near cosine 0 — far below it
+    def paraphrase(seed: Int, jitterSeed: Int): Array[Double] = {
+      val r = new java.util.Random(jitterSeed)
+      vec(seed).map(x => x + 0.02 * r.nextGaussian())
+    }
+    val bench = (0 until 5).map(i => (1000L + i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val stream = MemoryStream[(Long, Array[Double])]
+    val dir = java.nio.file.Files.createTempDirectory("semscreen").toString + "/corpus"
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = stream.toDF.toDF("vec_id", "embedding").writeStream
+      .foreachBatch(TrackStream.semanticScreenForeachBatch("embedding", "vec_id",
+        bench, threshold = 0.8, corpusDir = dir,
+        sink = df => emitted.synchronized {
+          emitted += df.select("vec_id").collect().map(_.getLong(0)).toSet
+        }))
+      .start()
+    try {
+      // batch 0: ENTIRELY benchmark paraphrases — the n-gram-invisible
+      // contamination case the screen exists for; must emit zero rows
+      stream.addData((0 until 5).map(i => (i.toLong, paraphrase(i, 50 + i))))
+      q.processAllAvailable()
+      // batch 1: two novel vectors + one more paraphrase
+      stream.addData(Seq((10L, vec(100)), (11L, vec(101)),
+        (12L, paraphrase(2, 77))))
+      q.processAllAvailable()
+      assert(emitted.toSeq == Seq(Set.empty[Long], Set(10L, 11L)),
+        s"per-batch clean sets: $emitted")
+      // the corpus holds exactly the clean rows
+      val corpus = spark.read.parquet(dir).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(corpus == Set(10L, 11L))
+    } finally q.stop()
+    // LSH-mode twin (the outsized-benchmark path) screens the same batch
+    // identically — batch-side call, the closure is a plain function
+    val dir2 = java.nio.file.Files.createTempDirectory("semscreen2").toString + "/corpus"
+    val got = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val mixed = ((0 until 5).map(i => (i.toLong, paraphrase(i, 90 + i)))
+      :+ (20L -> vec(200))).toDF("vec_id", "embedding")
+    TrackStream.semanticScreenForeachBatch("embedding", "vec_id", bench,
+      threshold = 0.8, corpusDir = dir2, useLsh = true,
+      sink = df => got += df.select("vec_id").collect().map(_.getLong(0)).toSet)
+      .apply(mixed, 0L)
+    assert(got.toSeq == Seq(Set(20L)))
+  }
+
   test("bloom sink crash ordering: bloom-ahead-of-corpus re-emits the batch (no loss); rebuilt bloom makes replay idempotent") {
     // the foreachBatch closure is a plain (DataFrame, Long) => Unit, so
     // the crash windows are testable batch-side without a streaming query
