@@ -164,12 +164,18 @@ object Bench {
   private def calibEvery: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "16").toInt)
 
-  /** A calibration point ran hot when it exceeds 1.5× the smaller of the
-    * run's best point and the absolute idle baseline (see
-    * [[calibBaseline]] for why the absolute arm exists).
+  /** A calibration point ran hot when it exceeds the smaller of 2× the
+    * run's best point (the SPIKE arm — way above the run's own floor)
+    * and 1.5× the absolute idle baseline (the UNIFORM arm — see
+    * [[calibBaseline]]: a run where every point is slow self-compares
+    * clean on the spike arm alone). The spike arm is 2×, not 1.5×: the
+    * constant-work job's own clean jitter spans ~0.24–0.52 s within one
+    * run (measured r10 on an idle host), so 1.5× of a low best point
+    * flagged ordinary jitter as contention — 77 phantom suspects and
+    * every pass "contended" on an idle machine.
     */
   private def isHot(c: Double, runBest: Double): Boolean =
-    c > 1.5 * math.min(runBest, calibBaseline)
+    c > math.min(2.0 * runBest, 1.5 * calibBaseline)
 
   /** Wall-clock deadline for the WHOLE bench (seconds from main() entry).
     * Default 3000 leaves ~10 min of headroom inside the driver's hard
@@ -470,15 +476,16 @@ object Bench {
     def emit(): Unit = {
       val ps = passes.toSeq
       val runBest = (calibBaseline +: ps.flatMap(_.calibs)).min
-      // A pass is CONTENDED when ANY of its calibration points ran hot
-      // ([[isHot]] — relative to the run's best point AND to the absolute
-      // idle baseline), so "drop flagged passes" is safe advice.
-      // BENCH_r08's failure mode was the reverse: pass 3 calibrated clean
-      // at its start, went hot mid-pass, and was the one pass left
-      // UNflagged.
+      // A pass is CONTENDED when TWO OR MORE of its calibration points
+      // ran hot ([[isHot]]) — a sustained window spans multiple bracket
+      // points (BENCH_r08's mid-pass climb would flag several), while a
+      // single outlier point only marks its adjacent SAMPLES suspect
+      // (strictly de-noising) without branding the whole pass. So "drop
+      // flagged passes" stays safe advice and an idle-host run with one
+      // jittery point reports contended:[].
       val contended: Seq[Int] =
         ps.zipWithIndex.collect {
-          case (p, i) if p.calibs.exists(isHot(_, runBest)) => i + 1 }
+          case (p, i) if p.calibs.count(isHot(_, runBest)) >= 2 => i + 1 }
       // A sample is SUSPECT when either surrounding calibration point ran
       // hot; only successful reps are judged, so every per-query array
       // below (samples / ts / load / suspect) is index-aligned.
