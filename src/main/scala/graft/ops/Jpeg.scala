@@ -206,11 +206,15 @@ object Jpeg {
     * baseline JFIF JPEG, 4:4:4 (no subsampling), standard Huffman tables,
     * caller-chosen quantization tables ([[StdLumaQuant]] for realistic
     * lossy output; [[FlatQuant]] for the lossless-by-construction
-    * block-constant fixtures).
+    * block-constant fixtures). `restartInterval` > 0 emits DRI + RSTn
+    * markers every that many MCUs (resynchronization points a real
+    * encoder inserts so bit corruption can't cascade past a marker) —
+    * and gives the decoder's restart path a same-codec exercise.
     */
   def encode(px: Array[Byte], w: Int, h: Int, ch: Int,
              lumaQ: Array[Int] = StdLumaQuant,
-             chromaQ: Array[Int] = StdChromaQuant): Array[Byte] = {
+             chromaQ: Array[Int] = StdChromaQuant,
+             restartInterval: Int = 0): Array[Byte] = {
     require(ch == 1 || ch == 3, s"channels must be 1 or 3, got $ch")
     require(px.length == w * h * ch, "pixel buffer size mismatch")
     val out = new java.io.ByteArrayOutputStream()
@@ -243,6 +247,9 @@ object Jpeg {
           ++ spec._2.map(_.toByte))
     dht(0, 0, DcLumaSpec); dht(1, 0, AcLumaSpec)
     if (ch == 3) { dht(0, 1, DcChromaSpec); dht(1, 1, AcChromaSpec) }
+    if (restartInterval > 0)
+      writeSeg(out, 0xdd, Array[Byte]( // DRI (B.2.4.4)
+        ((restartInterval >> 8) & 0xff).toByte, (restartInterval & 0xff).toByte))
     // SOS: every component in one interleaved scan
     val sosBody = new Array[Byte](1 + 2 * ch + 3)
     sosBody(0) = ch.toByte
@@ -262,10 +269,21 @@ object Jpeg {
     val block = new Array[Double](64)
     val mcusX = (w + 7) / 8
     val mcusY = (h + 7) / 8
+    var mcuIdx = 0
+    var rstN = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          // restart boundary (E.1.4): pad to a byte, emit RST(n mod 8),
+          // reset every DC predictor
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + (rstN % 8))
+          rstN += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        mcuIdx += 1
         c = 0
         while (c < ch) {
           // level-shifted block, edge-replicated past the image border

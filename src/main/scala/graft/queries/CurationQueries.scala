@@ -1731,6 +1731,69 @@ object CurationQueries {
             FROM dims2 d JOIN vals v ON d.doc_id = v.doc_id
             GROUP BY d.doc_id, d.w, d.h, d.ch ORDER BY d.doc_id"""))
 
+  /** CROSS-CODEC resize: decode the block-constant JPEG fixture through
+    * the hand-rolled baseline decoder → nearest-resample to 10×7 →
+    * re-encode as PNG → decode again for the stats — one row round-trips
+    * BOTH image codecs with the resample arithmetic in between. Exact
+    * because the JPEG leg is lossless on block-constant fixtures and the
+    * PNG leg is lossless always; DuckDB recomputes each resized byte
+    * from the source block at (sx·8⁻¹, sy·8⁻¹) including the JFIF color
+    * conversion the decoder applied before the resample.
+    */
+  val mmJpegResize = Q("q_mm_jpeg_resize",
+    (s, dir) => {
+      val jpgs = Multimodal.synthesizeJpeg(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      val resized = Multimodal.resizeImages(jpgs, "doc_id", "payload",
+        outW = 10, outH = 7, method = "nearest")
+      Multimodal.decodeImagePixels(resized, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     8 * (2 + (doc_id % 50) % 3) AS w,
+                     8 * (1 + (doc_id % 50) % 2) AS h,
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN 1 ELSE 3 END AS ch
+              FROM documents),
+            px AS (
+              SELECT doc_id, g, w, h, ch, UNNEST(RANGE(0, 10 * 7 * ch)) AS i
+              FROM dims),
+            m AS (
+              SELECT doc_id, g, w, h, ch, i,
+                     ((i // ch) % 10 * w) // 10 AS sx,
+                     (i // (ch * 10) * h) // 7 AS sy,
+                     i % ch AS c
+              FROM px),
+            bv AS (
+              SELECT doc_id, g, ch, i, c,
+                     CAST((g*37 + (doc_id // 50)*31 + (sx // 8)*(19 + 2*g)
+                           + (sy // 8)*(29 + 2*g)) % 256 AS DOUBLE) AS yv,
+                     CAST((g*37 + (doc_id // 50)*31 + (sx // 8)*(19 + 2*g)
+                           + (sy // 8)*(29 + 2*g) + 41) % 256 AS DOUBLE) AS cb,
+                     CAST((g*37 + (doc_id // 50)*31 + (sx // 8)*(19 + 2*g)
+                           + (sy // 8)*(29 + 2*g) + 82) % 256 AS DOUBLE) AS cr
+              FROM m),
+            vals AS (
+              SELECT doc_id, ch, i,
+                     CASE WHEN ch = 1 THEN CAST(yv AS INTEGER)
+                          WHEN c = 0 THEN LEAST(255, GREATEST(0, CAST(FLOOR(
+                            yv + (1.402::DOUBLE) * (cr - 128.0) + 0.5) AS INTEGER)))
+                          WHEN c = 1 THEN LEAST(255, GREATEST(0, CAST(FLOOR(
+                            yv - (0.344136::DOUBLE) * (cb - 128.0)
+                               - (0.714136::DOUBLE) * (cr - 128.0) + 0.5) AS INTEGER)))
+                          ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                            yv + (1.772::DOUBLE) * (cb - 128.0) + 0.5) AS INTEGER)))
+                     END AS v
+              FROM bv)
+            SELECT d.doc_id,
+                   10 AS width, 7 AS height, CAST(d.ch AS INTEGER) AS channels,
+                   CAST(SUM(v.v) AS BIGINT) AS sum_val,
+                   CAST(SUM((v.v + 1) * (v.i + 1)) AS BIGINT) AS px_checksum,
+                   CAST(MIN(v.v) AS INTEGER) AS min_val,
+                   CAST(MAX(v.v) AS INTEGER) AS max_val
+            FROM dims d JOIN vals v ON d.doc_id = v.doc_id
+            GROUP BY d.doc_id, d.ch ORDER BY d.doc_id"""))
+
   /** REAL image resize: decode → nearest-neighbor resample to 10×7 →
     * re-encode as PNG → decode AGAIN for the stats, so every row
     * round-trips the codec twice and the resample arithmetic sits in
@@ -2692,6 +2755,6 @@ object CurationQueries {
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
-    mmPngPixels, mmJpegPixels, mmPngResize, mmImageDhash, mmImageNearDup,
+    mmPngPixels, mmJpegPixels, mmPngResize, mmJpegResize, mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }

@@ -161,6 +161,33 @@ class JpegSpec extends graft.SparkTestBase {
     assert(meanAbs < 5.0, s"mean abs deviation $meanAbs vs imageio")
   }
 
+  test("restart intervals: DRI/RSTn round-trip decodes identically to the " +
+    "marker-free stream, and imageio agrees") {
+    for (ch <- Seq(1, 3)) {
+      val (w, h) = (40, 24) // 15 MCUs -> 7 RST markers at interval 2
+      val px = gradient(w, h, ch)
+      val plain = Jpeg.encode(px, w, h, ch)
+      val rst = Jpeg.encode(px, w, h, ch, restartInterval = 2)
+      assert(rst.length > plain.length, "RST markers must actually be present")
+      // same quant tables, same blocks -> byte-identical decoded pixels;
+      // only the entropy stream framing differs
+      val a = Jpeg.decode(plain).get
+      val b = Jpeg.decode(rst).get
+      assert((b._1, b._2, b._3) == ((w, h, ch)))
+      assert(java.util.Arrays.equals(a._4, b._4),
+        s"ch=$ch: restart-interval decode diverged from plain decode")
+      // imageio (an independent conformant decoder) accepts the DRI
+      // stream and matches our decode at the usual accuracy bound
+      val (iw, ih, theirs) = imageioDecode(rst)
+      assert((iw, ih) == ((w, h)))
+      val diffs = (0 until w * h).map { i =>
+        if (ch == 1) math.abs((b._4(i) & 0xff) - theirs(i * 3))
+        else math.abs((b._4(i * 3) & 0xff) - theirs(i * 3))
+      }
+      assert(diffs.max <= 2, s"ch=$ch: max deviation ${diffs.max} vs imageio")
+    }
+  }
+
   test("unsupported or corrupt payloads are rejected, not thrown") {
     assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.decode("not a jpeg at all".getBytes).isEmpty)
