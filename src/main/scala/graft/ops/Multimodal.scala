@@ -921,6 +921,188 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic PCM fixture for the audio SAMPLE gates (the audio
+    * analogue of [[pngFixture]]): geometry and every sample are
+    * closed-form functions of the id, so the DuckDB oracle recomputes
+    * the decoded PCM without ever seeing a FLAC or WAV byte. The signal
+    * is a per-channel linear ramp plus a small modular wiggle — linear
+    * so the FLAC encoder's FIXED predictors genuinely compress it
+    * (pure noise would push every subframe to VERBATIM and leave the
+    * Rice path untested), wiggled so no subframe is CONSTANT.
+    */
+  private[ops] def audioPcmFixture(id: Long): Flac.FlacAudio = {
+    val g = math.floorMod(id, 50L).toInt
+    val rate = Array(8000, 16000, 22050, 44100, 11025)(g % 5)
+    val channels = 1 + g % 2
+    val n = 400 + g * 13
+    val slope = g % 7 - 3
+    val base = math.floorMod(id, 997L).toInt - 498
+    val samples = Array.tabulate(channels) { c =>
+      Array.tabulate(n) { i =>
+        slope * i + base +
+          math.floorMod(id * 31L + c * 7919L + i * 104729L, 23L).toInt - 11
+      }
+    }
+    Flac.FlacAudio(rate, channels, 16, samples)
+  }
+
+  /** Attach the deterministic PCM fixture FLAC-encoded as `payloadCol`
+    * — the fixture half of the q_mm_flac_pcm gate, mirroring
+    * [[synthesizeJpeg]]. Block size 256 forces 2–5 frames per stream
+    * (sequential UTF-8 frame numbers, a short tail frame) and the
+    * stereo half of the corpus exercises the encoder's decorrelation
+    * decision, so the gate round-trips the whole frame layer, not just
+    * one subframe.
+    */
+  def synthesizeFlacPcm(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Flac.encode(audioPcmFixture(id), blockSize = 256))
+      }
+    }(enc)
+  }
+
+  /** Attach the deterministic PCM fixture as a 16-bit PCM WAV — the
+    * fixture half of the q_mm_wav_pcm gate; same samples as
+    * [[synthesizeFlacPcm]] so one oracle closed form covers both codecs.
+    */
+  def synthesizeWavPcm(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val a = audioPcmFixture(id)
+        val bytes = new Array[Byte](a.numSamples * a.channels * 2)
+        var i = 0
+        while (i < a.numSamples) {
+          var c = 0
+          while (c < a.channels) {
+            val v = a.samples(c)(i)
+            val o = (i * a.channels + c) * 2
+            bytes(o) = (v & 0xff).toByte
+            bytes(o + 1) = ((v >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        Row(r.get(idIdx), wavPayload(bytes, a.sampleRate, a.channels, 16))
+      }
+    }(enc)
+  }
+
+  /** 16-bit PCM WAV sample decode (the full-payload complement of the
+    * header-only [[parseWavHeader]]): locate `fmt `/`data`, reject
+    * non-PCM or non-16-bit streams, split interleaved LE samples into
+    * channel-major arrays. None, never a throw, on anything else.
+    */
+  private[ops] def parseWavPcm(p: Array[Byte]): Option[Flac.FlacAudio] = {
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, size
+    while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val o = off.toInt
+      val id = tag(o)
+      val sz = le32(o + 4)
+      if (id == "fmt " && o + 24 <= p.length)
+        fmt = Some((le16(o + 8), le16(o + 10), le32(o + 12).toInt, le16(o + 22)))
+      if (id == "data")
+        // unlike the duration estimate, sample decode needs the bytes to
+        // actually be there: clamp to the physical payload
+        data = Some((o + 8, math.min(sz, (p.length - o - 8).toLong).toInt))
+      off += 8 + sz + (sz & 1)
+    }
+    for {
+      (audioFmt, ch, rate, bits) <- fmt
+      (dOff, dSize) <- data
+      if audioFmt == 1 && bits == 16 && ch >= 1 && ch <= 8 && rate > 0
+    } yield {
+      val n = dSize / (2 * ch)
+      val samples = Array.fill(ch)(new Array[Int](n))
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < ch) {
+          val o = dOff + (i * ch + c) * 2
+          samples(c)(i) = ((p(o) & 0xff) | (p(o + 1) << 8)).toShort.toInt
+          c += 1
+        }
+        i += 1
+      }
+      Flac.FlacAudio(rate, ch, 16, samples)
+    }
+  }
+
+  /** REAL audio sample decode over a binary column: FLAC first (full
+    * CRC+MD5-verified codec, [[Flac.decode]]), then 16-bit PCM WAV —
+    * per-row stats over the decoded PCM, nulls when neither codec
+    * claims the payload. Same mapPartitions batch shape as
+    * [[decodeImagePixels]]; payloads never shuffle. sample_checksum is
+    * position- and channel-weighted (frame-interleaved index), so a
+    * single sample moved between channels or shifted in time changes
+    * it — the audio analogue of px_checksum.
+    */
+  def decodeAudioPcm(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_val", LongType),
+      StructField("sample_checksum", LongType),
+      StructField("min_val", IntegerType),
+      StructField("max_val", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val parsed =
+          if (raw == null) None
+          else Flac.decode(raw).orElse(parseWavPcm(raw))
+        parsed match {
+          case Some(a) if a.numSamples > 0 =>
+            var s = 0L; var cs = 0L
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < a.numSamples) {
+              var c = 0
+              while (c < a.channels) {
+                val v = a.samples(c)(i)
+                val idx = i.toLong * a.channels + c
+                s += v
+                cs += (v + 32769L) * (idx + 1L)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                c += 1
+              }
+              i += 1
+            }
+            Row(r.get(idIdx), a.sampleRate, a.channels, a.bitsPerSample,
+              a.numSamples.toLong, s, cs, mn, mx)
+          case _ => Row(r.get(idIdx), null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Wrap a binary column in a VP8X WebP envelope row-by-row, dimensions
     * derived deterministically from the payload length — the fixture
     * half of the `q_mm_webp_meta` gate (see [[webpPayload]]).

@@ -1794,6 +1794,68 @@ object CurationQueries {
             FROM dims d JOIN vals v ON d.doc_id = v.doc_id
             GROUP BY d.doc_id, d.ch ORDER BY d.doc_id"""))
 
+  /** REAL lossless audio decode: the hand-rolled FLAC codec
+    * (`ops/Flac.scala` — FIXED+Rice frames, stereo decorrelation,
+    * CRC-8/CRC-16/MD5 verified) encodes a closed-form PCM fixture per
+    * document and [[Multimodal.decodeAudioPcm]] decodes it back for
+    * per-row sample stats. FLAC is lossless by construction, so DuckDB
+    * recomputes every decoded sample from the fixture arithmetic
+    * without ever seeing a FLAC byte — a one-bit Rice slip, predictor
+    * error, or channel-decorrelation mistake anywhere moves the
+    * position-and-channel-weighted checksum.
+    */
+  private val audioPcmOracle: String =
+    """WITH geo AS (
+       |  SELECT doc_id, doc_id % 50 AS g,
+       |         CASE (doc_id % 50) % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 11025 END AS rate,
+       |         1 + (doc_id % 50) % 2 AS ch,
+       |         400 + (doc_id % 50) * 13 AS n,
+       |         (doc_id % 50) % 7 - 3 AS slope,
+       |         doc_id % 997 - 498 AS base
+       |  FROM documents),
+       |idxs AS (
+       |  SELECT doc_id, rate, ch, n, slope, base, UNNEST(RANGE(0, n * ch)) AS j
+       |  FROM geo),
+       |vals AS (
+       |  SELECT doc_id, rate, ch, n, j,
+       |         slope * (j // ch) + base
+       |           + (doc_id * 31 + (j % ch) * 7919 + (j // ch) * 104729) % 23 - 11 AS v
+       |  FROM idxs)
+       |SELECT doc_id,
+       |       CAST(rate AS INTEGER) AS sample_rate,
+       |       CAST(ch AS INTEGER) AS channels,
+       |       CAST(16 AS INTEGER) AS bits_per_sample,
+       |       CAST(n AS BIGINT) AS n_samples,
+       |       CAST(SUM(v) AS BIGINT) AS sum_val,
+       |       CAST(SUM((v + 32769) * (j + 1)) AS BIGINT) AS sample_checksum,
+       |       CAST(MIN(v) AS INTEGER) AS min_val,
+       |       CAST(MAX(v) AS INTEGER) AS max_val
+       |FROM vals GROUP BY doc_id, rate, ch, n ORDER BY doc_id""".stripMargin
+
+  val mmFlacPcm = Q("q_mm_flac_pcm",
+    (s, dir) => {
+      val flacs = Multimodal.synthesizeFlacPcm(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeAudioPcm(flacs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some(audioPcmOracle))
+
+  /** Same PCM fixture through the 16-bit WAV path of
+    * [[Multimodal.decodeAudioPcm]] — the two codecs share one oracle,
+    * so a FLAC-vs-WAV disagreement can only be a codec bug, never a
+    * fixture ambiguity (FlacSpec asserts their equality row-by-row).
+    */
+  val mmWavPcm = Q("q_mm_wav_pcm",
+    (s, dir) => {
+      val wavs = Multimodal.synthesizeWavPcm(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeAudioPcm(wavs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some(audioPcmOracle))
+
   /** REAL image resize: decode → nearest-neighbor resample to 10×7 →
     * re-encode as PNG → decode AGAIN for the stats, so every row
     * round-trips the codec twice and the resample arithmetic sits in
@@ -2755,6 +2817,7 @@ object CurationQueries {
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
-    mmPngPixels, mmJpegPixels, mmPngResize, mmJpegResize, mmImageDhash, mmImageNearDup,
+    mmPngPixels, mmJpegPixels, mmPngResize, mmJpegResize, mmFlacPcm, mmWavPcm,
+    mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }
