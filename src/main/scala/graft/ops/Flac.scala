@@ -353,11 +353,22 @@ object Flac {
     total
   }
 
+  /** Rice parameter by the standard mean estimate (k ≈ log2 of the mean
+    * zigzag magnitude), refined by exact bit counts at k−1/k/k+1. A
+    * 31-value exhaustive scan is ~10× more O(n) passes for <0.1% size —
+    * at 60k docs per partition that was the whole encode cost.
+    */
   private def bestRiceK(res: Array[Int], from: Int): (Int, Long) = {
-    var bestK = 0
-    var bestBits = riceBits(res, from, 0)
-    var k = 1
-    while (k <= 30) {
+    var sumZ = 0L
+    var i = from
+    while (i < res.length) { sumZ += ((res(i) << 1) ^ (res(i) >> 31)).toLong & 0xffffffffL; i += 1 }
+    val cnt = res.length - from
+    val mean = if (cnt == 0) 0L else sumZ / cnt
+    val est = if (mean <= 0) 0 else math.min(30, 63 - java.lang.Long.numberOfLeadingZeros(mean))
+    var bestK = math.max(0, est - 1)
+    var bestBits = riceBits(res, from, bestK)
+    var k = bestK + 1
+    while (k <= math.min(30, est + 1)) {
       val b = riceBits(res, from, k)
       if (b < bestBits) { bestBits = b; bestK = k }
       k += 1
@@ -376,22 +387,22 @@ object Flac {
     }
   }
 
-  /** Cheap cost model for the stereo decision: best-fixed-order Rice
-    * bits (order search is exact; only the stereo pick uses it, so a
-    * near-tie mis-pick costs bits, never correctness).
+  /** Sum of |order-2 residual| — the standard one-pass proxy for coded
+    * size, used only for the stereo-layout pick (a near-tie mis-pick
+    * costs bits, never correctness). Order 2 because it discriminates
+    * both tonal and noisy material without favoring either.
     */
   private def estimateSubframeBits(data: Array[Int], bps: Int): Long = {
-    if (data.forall(_ == data(0))) return bps.toLong + 8
-    var best = Long.MaxValue
-    var order = 0
-    while (order <= 4 && order < data.length) {
-      val res = fixedResidual(data, order)
-      val (_, bits) = bestRiceK(res, 0)
-      val total = bits + order.toLong * bps + 8
-      if (total < best) best = total
-      order += 1
+    val n = data.length
+    if (n < 3) return n.toLong * bps
+    var s = 0L
+    var i = 2
+    while (i < n) {
+      val r = data(i).toLong - 2L * data(i - 1) + data(i - 2)
+      s += math.abs(r)
+      i += 1
     }
-    math.min(best, data.length.toLong * bps + 8)
+    s
   }
 
   /** CONSTANT when flat; else best FIXED order with exact per-partition
@@ -406,37 +417,41 @@ object Flac {
       w.put(data(0).toLong, bps)
       return
     }
-    // pick FIXED order + partition order by exact bit count
+    // FIXED order by the one-pass sum-|residual| proxy (the standard
+    // encoder heuristic — optimality affects size, never correctness),
+    // then ONE partition-order choice sized so partitions hold ≥64
+    // samples, then the estimate-refined Rice k per partition. The
+    // previous exhaustive order×po×k scan was ~1000 O(n) passes per
+    // block and made fixture synthesis the dominant cost of the gate.
     var bestOrder = 0
-    var bestPo = 0
-    var bestBits = Long.MaxValue
-    var bestRes: Array[Int] = null
+    var bestScore = Long.MaxValue
     var order = 0
     while (order <= 4 && order < n) {
-      val res = fixedResidual(data, order)
-      var po = 0
-      while (po <= 6) {
-        val parts = 1 << po
-        if (n % parts == 0 && (n >> po) > order) {
-          var bits = 0L
-          var p = 0
-          var ok = true
-          while (p < parts && ok) {
-            val from = if (p == 0) 0 else p * (n >> po) - order
-            val until = (p + 1) * (n >> po) - order
-            if (until <= from) ok = false
-            else {
-              val seg = java.util.Arrays.copyOfRange(res, from, until)
-              val (_, b) = bestRiceK(seg, 0)
-              bits += b + 4
-              p += 1
-            }
-          }
-          if (ok && bits < bestBits) { bestBits = bits; bestOrder = order; bestPo = po; bestRes = res }
-        }
-        po += 1
+      val co = FixedCoef(order)
+      var s = 0L
+      var i = order
+      while (i < n) {
+        var r = data(i).toLong
+        var t = 0
+        while (t < order) { r -= co(t).toLong * data(i - 1 - t); t += 1 }
+        s += math.abs(r)
+        i += 1
       }
+      if (s < bestScore) { bestScore = s; bestOrder = order }
       order += 1
+    }
+    val bestRes = fixedResidual(data, bestOrder)
+    var bestPo = 0
+    while (bestPo < 6 && n % (1 << (bestPo + 1)) == 0 &&
+      (n >> (bestPo + 1)) >= 64 && (n >> (bestPo + 1)) > bestOrder) bestPo += 1
+    var bestBits = 0L
+    var pScan = 0
+    while (pScan < (1 << bestPo)) {
+      val from = if (pScan == 0) 0 else pScan * (n >> bestPo) - bestOrder
+      val until = (pScan + 1) * (n >> bestPo) - bestOrder
+      val seg = java.util.Arrays.copyOfRange(bestRes, from, until)
+      bestBits += bestRiceK(seg, 0)._2 + 4
+      pScan += 1
     }
     val headerAndWarmup = 8L + bestOrder.toLong * bps + 2 + 4
     if (bestRes == null || bestBits + headerAndWarmup >= n.toLong * bps + 8) {

@@ -359,12 +359,14 @@ object Multimodal {
   /** Decode a payload to raw pixels: the hand-rolled PNG path first
     * (filter-complete, CRC-checked), then the hand-rolled baseline JPEG
     * path ([[Jpeg.decode]] — Huffman + dequant + IDCT + JFIF color),
-    * then javax.imageio as the fallback for the JDK's other pure-Java
-    * codecs (progressive JPEG/GIF/BMP) — all REAL pixel decodes;
-    * anything no path accepts yields None.
+    * then the hand-rolled GIF path ([[Gif.decode]] — LZW + palette +
+    * deinterlace), then javax.imageio as the fallback for the JDK's
+    * remaining pure-Java codecs (progressive JPEG/BMP) — all REAL pixel
+    * decodes; anything no path accepts yields None.
     */
   private def decodePixelsOne(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
-    parsePng(p).orElse(Jpeg.decode(p)).orElse {
+    parsePng(p).orElse(Jpeg.decode(p))
+      .orElse(Gif.decode(p, maxBytes = MaxDecodedBytes)).orElse {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
         if (img == null) None
@@ -917,6 +919,25 @@ object Multimodal {
         val raw = r.getAs[Array[Byte]](payloadIdx)
         val data = if (raw == null) Array.emptyByteArray else raw
         Row(r.get(idIdx), flacPayload(data, sampleRate, channels, bitsPerSample))
+      }
+    }(enc)
+  }
+
+  /** Attach the deterministic palette-indexed GIF fixture as
+    * `payloadCol` — the fixture half of the q_mm_gif_pixels gate,
+    * mirroring [[synthesizePng]]; see [[Gif.gifFixture]] for the
+    * closed form (half the corpus interlaced, palette sizes 4/8/16).
+    */
+  def synthesizeGif(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Gif.gifFixture(id))
       }
     }(enc)
   }

@@ -1794,6 +1794,53 @@ object CurationQueries {
             FROM dims d JOIN vals v ON d.doc_id = v.doc_id
             GROUP BY d.doc_id, d.ch ORDER BY d.doc_id"""))
 
+  /** REAL GIF decode through the hand-rolled LZW codec
+    * (`ops/Gif.scala`): the palette-indexed fixture — half the corpus
+    * interlaced — is decoded by [[Multimodal.decodeImagePixels]], and
+    * DuckDB recomputes every RGB byte as palette arithmetic over the
+    * closed-form index arithmetic, never seeing a GIF byte. A one-bit
+    * LZW slip, a width-growth off-by-one, or a deinterlace error moves
+    * the position-weighted checksum.
+    */
+  val mmGifPixels = Q("q_mm_gif_pixels",
+    (s, dir) => {
+      val gifs = Multimodal.synthesizeGif(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeImagePixels(gifs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     11 + (doc_id % 50) % 8 AS w,
+                     7 + (doc_id % 50) % 5 AS h,
+                     CASE (doc_id % 50) % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS nc
+              FROM documents),
+            px AS (
+              SELECT doc_id, g, w, h, nc, UNNEST(RANGE(0, w * h * 3)) AS i
+              FROM dims),
+            m AS (
+              SELECT doc_id, g, w, h, nc, i,
+                     (i // 3) % w AS x, i // (3 * w) AS y, i % 3 AS c
+              FROM px),
+            pv AS (
+              SELECT doc_id, g, w, h, i, c,
+                     (x * 7 + y * 11 + doc_id // 50 + g) % nc AS p
+              FROM m),
+            vals AS (
+              SELECT doc_id, w, h, i,
+                     CASE c WHEN 0 THEN (p * 37 + g * 11) % 256
+                            WHEN 1 THEN (p * 59 + g * 13) % 256
+                            ELSE (p * 83 + g * 17) % 256 END AS v
+              FROM pv)
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(SUM((v + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+                   CAST(MIN(v) AS INTEGER) AS min_val,
+                   CAST(MAX(v) AS INTEGER) AS max_val
+            FROM vals GROUP BY doc_id, w, h ORDER BY doc_id"""))
+
   /** REAL lossless audio decode: the hand-rolled FLAC codec
     * (`ops/Flac.scala` — FIXED+Rice frames, stereo decorrelation,
     * CRC-8/CRC-16/MD5 verified) encodes a closed-form PCM fixture per
@@ -2817,7 +2864,7 @@ object CurationQueries {
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
-    mmPngPixels, mmJpegPixels, mmPngResize, mmJpegResize, mmFlacPcm, mmWavPcm,
-    mmImageDhash, mmImageNearDup,
+    mmPngPixels, mmJpegPixels, mmGifPixels, mmPngResize, mmJpegResize,
+    mmFlacPcm, mmWavPcm, mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }
