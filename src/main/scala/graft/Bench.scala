@@ -86,10 +86,17 @@ import graft.queries.Q
   */
 object Bench {
 
+  /** Median with the LOWER middle on even counts. Benchmark samples are
+    * contaminated one-sidedly (GC pauses, page-cache misses, missed
+    * contention only ever ADD time), so averaging the two middles lets a
+    * single high outlier drag the reported number: the r10 clean run's
+    * q_dedup_minhash_lsh kept samples [19.8, 3.3] after one suspect
+    * exclusion and "averaged" to 11.5 s — neither sample's reality.
+    */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    if (n % 2 == 1) s(n / 2) else s(n / 2 - 1)
   }
 
   /** 1-minute system load average (Linux /proc/loadavg equivalent), or -1
@@ -391,27 +398,37 @@ object Bench {
       }
       warmup(spark, dir)
       val load = loadAvg
-      val calibStart = calibrate(spark)
+      // calibration BETWEEN EVERY query, not just section brackets: a
+      // scale query runs minutes, so a host-contention burst (r10: an
+      // idle-looking box ran sf30 semdedup at 17× — external steal the
+      // loadavg can't see) can hit one query and leave both section-end
+      // brackets clean. Per-query points cost ~0.3 s each against
+      // minute-scale samples and pin the heat to the sample it bit.
+      val calibs = scala.collection.mutable.ArrayBuffer[Double](calibrate(spark))
       val (ran, skipped) = {
-        val done = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double], Double)]
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double], Double, Int)]
         val skip = scala.collection.mutable.ArrayBuffer.empty[String]
         picked.foreach { q =>
           if (timeLeft()) {
+            val before = calibs.length - 1
             val r = runOnce(spark, q, dir, scaleQueryCap)._1
-            done += ((q.name, r, loadAvg))
+            calibs += calibrate(spark)
+            done += ((q.name, r, loadAvg, before))
           } else skip += q.name
         }
         (done.toSeq, skip.toSeq)
       }
-      val calibEnd = calibrate(spark)
-      val hot = isHot(calibStart, calibStart.min(calibEnd)) ||
-        isHot(calibEnd, calibStart.min(calibEnd))
-      val entries = ran.map { case (n, r, _) =>
+      val runBest = calibs.min
+      val hot = calibs.count(isHot(_, runBest)) >= 2
+      val suspects = ran.collect {
+        case (n, _, _, i) if isHot(calibs(i), runBest) || isHot(calibs(i + 1), runBest) => n
+      }
+      val entries = ran.map { case (n, r, _, _) =>
         "\"" + n + "\":" + r.toOption.map(fmt).getOrElse("null")
       }
-      val loads = ran.map { case (n, _, ld) => "\"" + n + "\":" + fmt(ld) }
+      val loads = ran.map { case (n, _, ld, _) => "\"" + n + "\":" + fmt(ld) }
       val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
-        ran.collect { case (n, Left(m), _) => s""""$n":"${jesc(m)}"""" }
+        ran.collect { case (n, Left(m), _, _) => s""""$n":"${jesc(m)}"""" }
       val errJson =
         if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
       val skipJson =
@@ -429,8 +446,9 @@ object Bench {
         } else ""
       }
       s""","$label":${entries.mkString("{", ",", "}")}$errJson$skipJson,""" +
-        s""""${label}_calibration":[${fmt(calibStart)},${fmt(calibEnd)}],""" +
+        s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
         s""""${label}_contended":$hot,""" +
+        s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""${label}_load":${fmt(load)},""" +
         s""""${label}_sample_load":${loads.mkString("{", ",", "}")}""" +
         manifestJson +
@@ -444,7 +462,15 @@ object Bench {
     def timeLeft(): Boolean = elapsed < deadlineSecs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // 5 passes, not 3: after one suspect exclusion a 3-pass query is
+    // down to two samples — one GC-unlucky sample then decides the
+    // median (see [[median]]). Five passes keep ≥3 clean samples through
+    // one exclusion. Budget: the r10 clean 3-pass run measured ~300 s
+    // for the cold pass + ~170 s per warm pass + ~460 s of scale
+    // sections ≈ 1450 s at 5 passes, half the 3000 s deadline — and the
+    // deadline guard + per-pass emission degrade an overrun to fewer
+    // reps, never to a lost artifact.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
     val catalog = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .fold(SparkEntry.catalog)(names => SparkEntry.catalog.filter(q => names(q.name)))

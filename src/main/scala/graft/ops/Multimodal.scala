@@ -360,13 +360,15 @@ object Multimodal {
     * (filter-complete, CRC-checked), then the hand-rolled baseline JPEG
     * path ([[Jpeg.decode]] — Huffman + dequant + IDCT + JFIF color),
     * then the hand-rolled GIF path ([[Gif.decode]] — LZW + palette +
-    * deinterlace), then javax.imageio as the fallback for the JDK's
-    * remaining pure-Java codecs (progressive JPEG/BMP) — all REAL pixel
+    * deinterlace), then the hand-rolled BMP path ([[Bmp.decode]]), then
+    * javax.imageio as the fallback for the JDK's remaining pure-Java
+    * codecs (progressive JPEG, RLE/bitfield BMP) — all REAL pixel
     * decodes; anything no path accepts yields None.
     */
   private def decodePixelsOne(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     parsePng(p).orElse(Jpeg.decode(p))
-      .orElse(Gif.decode(p, maxBytes = MaxDecodedBytes)).orElse {
+      .orElse(Gif.decode(p, maxBytes = MaxDecodedBytes))
+      .orElse(Bmp.decode(p, maxBytes = MaxDecodedBytes)).orElse {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
         if (img == null) None
@@ -942,6 +944,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Attach the deterministic 24-bit BMP fixture as `payloadCol` — the
+    * fixture half of the q_mm_bmp_pixels gate, mirroring
+    * [[synthesizeGif]]; see [[Bmp.bmpFixture]] (odd widths keep the
+    * DWORD row padding load-bearing).
+    */
+  def synthesizeBmp(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Bmp.bmpFixture(id))
+      }
+    }(enc)
+  }
+
   /** Deterministic PCM fixture for the audio SAMPLE gates (the audio
     * analogue of [[pngFixture]]): geometry and every sample are
     * closed-form functions of the id, so the DuckDB oracle recomputes
@@ -1067,6 +1088,56 @@ object Multimodal {
       }
       Flac.FlacAudio(rate, ch, 16, samples)
     }
+  }
+
+  /** REAL audio resample over a binary column: decode (FLAC or 16-bit
+    * WAV), nearest-sample resample to `dstRate`, re-encode as FLAC —
+    * the audio analogue of [[resizeImages]], and with a WAV input the
+    * row crosses BOTH audio codecs. Nearest (zero-order hold) on
+    * integer index arithmetic out[i] = src[(i·srcRate)/dstRate], so the
+    * result is integer-exact and closed-form oracle-able; a real
+    * pipeline would choose a windowed-sinc kernel for quality, but the
+    * Spark-side plumbing (decode → transform → re-encode, payloads
+    * never shuffling) is identical. Undecodable payloads yield null.
+    */
+  def resampleAudio(df: DataFrame, idCol: String, payloadCol: String,
+                    dstRate: Int): DataFrame = {
+    require(dstRate > 0)
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField(payloadCol, BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val parsed =
+          if (raw == null) None
+          else Flac.decode(raw).orElse(parseWavPcm(raw))
+        val resampled = parsed.flatMap { a =>
+          val n = a.numSamples
+          // encode accepts bps 8–24; decode accepts 4..24 — a narrower
+          // input degrades to null rather than throwing in the executor
+          if (n == 0 || a.sampleRate <= 0 || a.bitsPerSample < 8) None
+          else {
+            val m = (n.toLong * dstRate / a.sampleRate).toInt
+            if (m == 0) None
+            else {
+              val out = Array.tabulate(a.channels) { c =>
+                val src = a.samples(c)
+                Array.tabulate(m) { i =>
+                  src(math.min(n - 1, (i.toLong * a.sampleRate / dstRate).toInt))
+                }
+              }
+              Some(Flac.encode(
+                Flac.FlacAudio(dstRate, a.channels, a.bitsPerSample, out), blockSize = 256))
+            }
+          }
+        }
+        Row(r.get(idIdx), resampled.orNull)
+      }
+    }(enc)
   }
 
   /** REAL audio sample decode over a binary column: FLAC first (full

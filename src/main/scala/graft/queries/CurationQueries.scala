@@ -1841,6 +1841,95 @@ object CurationQueries {
                    CAST(MAX(v) AS INTEGER) AS max_val
             FROM vals GROUP BY doc_id, w, h ORDER BY doc_id"""))
 
+  /** REAL BMP decode through the hand-rolled DIB codec
+    * (`ops/Bmp.scala`): 24-bit BI_RGB fixtures with odd widths (DWORD
+    * row padding load-bearing), decoded by
+    * [[Multimodal.decodeImagePixels]]; DuckDB recomputes every RGB byte
+    * from the gradient closed form. A BGR swap, a padding slip, or a
+    * bottom-up row-order error moves the position-weighted checksum.
+    */
+  val mmBmpPixels = Q("q_mm_bmp_pixels",
+    (s, dir) => {
+      val bmps = Multimodal.synthesizeBmp(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.decodeImagePixels(bmps, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, doc_id % 50 AS g,
+                     13 + (doc_id % 50) % 7 AS w,
+                     6 + (doc_id % 50) % 5 AS h
+              FROM documents),
+            px AS (
+              SELECT doc_id, g, w, h, UNNEST(RANGE(0, w * h * 3)) AS i
+              FROM dims),
+            vals AS (
+              SELECT doc_id, w, h, i,
+                     ((i // 3) % w * (11 + g) + i // (3 * w) * (17 + 2 * g)
+                      + (i % 3) * 41 + doc_id // 50) % 256 AS v
+              FROM px)
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(SUM((v + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+                   CAST(MIN(v) AS INTEGER) AS min_val,
+                   CAST(MAX(v) AS INTEGER) AS max_val
+            FROM vals GROUP BY doc_id, w, h ORDER BY doc_id"""))
+
+  /** CROSS-CODEC audio resample: the WAV fixture decodes through the
+    * PCM path, nearest-resamples to 4 kHz on integer index arithmetic
+    * (out[i] = src[(i·srcRate)/4000], m = n·4000/srcRate samples), is
+    * re-encoded by the FLAC encoder, and decodes AGAIN for the stats —
+    * one row round-trips both audio codecs with the resample in
+    * between, the audio twin of q_mm_jpeg_resize. DuckDB recomputes
+    * every resampled sample from the fixture closed form at the source
+    * index.
+    */
+  val mmAudioResample = Q("q_mm_audio_resample",
+    (s, dir) => {
+      val wavs = Multimodal.synthesizeWavPcm(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      val resampled = Multimodal.resampleAudio(wavs, "doc_id", "payload", dstRate = 4000)
+      Multimodal.decodeAudioPcm(resampled, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH geo AS (
+       |  SELECT doc_id, doc_id % 50 AS g,
+       |         CASE (doc_id % 50) % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 11025 END AS rate,
+       |         1 + (doc_id % 50) % 2 AS ch,
+       |         400 + (doc_id % 50) * 13 AS n,
+       |         (doc_id % 50) % 7 - 3 AS slope,
+       |         doc_id % 997 - 498 AS base
+       |  FROM documents),
+       |res AS (
+       |  SELECT doc_id, rate, ch, n, slope, base,
+       |         (n * 4000) // rate AS m
+       |  FROM geo),
+       |idxs AS (
+       |  SELECT doc_id, rate, ch, n, m, slope, base, UNNEST(RANGE(0, m * ch)) AS j
+       |  FROM res),
+       |src AS (
+       |  SELECT doc_id, rate, ch, n, m, slope, base, j,
+       |         LEAST(n - 1, ((j // ch) * rate) // 4000) AS si
+       |  FROM idxs),
+       |vals AS (
+       |  SELECT doc_id, ch, m, j,
+       |         slope * si + base
+       |           + (doc_id * 31 + (j % ch) * 7919 + si * 104729) % 23 - 11 AS v
+       |  FROM src)
+       |SELECT doc_id,
+       |       CAST(4000 AS INTEGER) AS sample_rate,
+       |       CAST(ch AS INTEGER) AS channels,
+       |       CAST(16 AS INTEGER) AS bits_per_sample,
+       |       CAST(m AS BIGINT) AS n_samples,
+       |       CAST(SUM(v) AS BIGINT) AS sum_val,
+       |       CAST(SUM((v + 32769) * (j + 1)) AS BIGINT) AS sample_checksum,
+       |       CAST(MIN(v) AS INTEGER) AS min_val,
+       |       CAST(MAX(v) AS INTEGER) AS max_val
+       |FROM vals GROUP BY doc_id, ch, m ORDER BY doc_id""".stripMargin))
+
   /** REAL lossless audio decode: the hand-rolled FLAC codec
     * (`ops/Flac.scala` — FIXED+Rice frames, stereo decorrelation,
     * CRC-8/CRC-16/MD5 verified) encodes a closed-form PCM fixture per
@@ -2864,7 +2953,7 @@ object CurationQueries {
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
-    mmPngPixels, mmJpegPixels, mmGifPixels, mmPngResize, mmJpegResize,
-    mmFlacPcm, mmWavPcm, mmImageDhash, mmImageNearDup,
+    mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
+    mmFlacPcm, mmWavPcm, mmAudioResample, mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }

@@ -289,6 +289,25 @@ class FlacSpec extends graft.SparkTestBase {
     assert(Multimodal.parseWavPcm(wav8).isEmpty)
   }
 
+  test("resampleAudio: WAV in → nearest 4 kHz → FLAC out matches the index closed form") {
+    val df = spark.range(0, 30).toDF("doc_id")
+    val wavs = Multimodal.synthesizeWavPcm(df, "doc_id", "payload")
+    val res = Multimodal.resampleAudio(wavs, "doc_id", "payload", dstRate = 4000)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (id <- 0L until 30L) {
+      val a = Multimodal.audioPcmFixture(id)
+      val dec = Flac.decode(res(id))
+      assert(dec.isDefined, s"id=$id resampled stream undecodable")
+      val b = dec.get
+      val m = (a.numSamples.toLong * 4000 / a.sampleRate).toInt
+      assert(b.sampleRate == 4000 && b.channels == a.channels && b.numSamples == m)
+      for (c <- 0 until a.channels; i <- 0 until m) {
+        val si = math.min(a.numSamples - 1, (i.toLong * a.sampleRate / 4000).toInt)
+        assert(b.samples(c)(i) == a.samples(c)(si), s"id=$id c=$c i=$i")
+      }
+    }
+  }
+
   test("decodeAudioPcm over a DataFrame: FLAC and WAV fixtures produce identical stats") {
     val df = spark.range(0, 40).toDF("doc_id")
     val viaFlac = Multimodal.decodeAudioPcm(
