@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Bpe, Corpus, Dedup, Multimodal, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-curation operator set
   * (dedup / similarity search / text analysis / multimodal plumbing) over
@@ -2744,6 +2744,35 @@ object CurationQueries {
             FROM pt LEFT JOIN vocab USING (term)
             ORDER BY doc_id, pos"""))
 
+  /** Distributed BPE trainer (`ops/Bpe.scala`): 8 merge rounds over
+    * the word-type frequency table, each round one bounded shuffle +
+    * one TakeOrdered argmax. The DuckDB oracle REPLAYS training — every
+    * round re-derives its pair counts, argmax (same tiebreak) and
+    * merge application via a recursive-CTE fixpoint REPLACE — so a
+    * tiebreak slip, a greedy-overlap error, or a count drift in any
+    * round changes that round's rule and the gate hash.
+    */
+  val bpeTrain = Q("q_bpe_train",
+    (s, dir) =>
+      Bpe.trainTable(Tables.documents(s, dir), "text", nMerges = 8)
+        .orderBy("step"),
+    Some(Bpe.trainOracle(8)))
+
+  /** BPE encoder under the 8 trained rules: one row per word position
+    * with its greedy subword segmentation. The oracle re-derives the
+    * rules AND re-segments every token through the same fixpoint
+    * machinery, in rank order — encoder and trainer share one
+    * definition of "greedy merge" across both engines.
+    */
+  val bpeEncode = Q("q_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = Bpe.train(docs, "text", nMerges = 8)
+      Bpe.encode(docs, "text", "doc_id", rules)
+        .orderBy("doc_id", "pos")
+    },
+    Some(Bpe.encodeOracle(8)))
+
   /** HTML → text extraction: each document rides inside a synthetic
     * page with a style block, a comment, a script whose body contains a
     * bare '<' (so block removal MUST precede tag-stripping), and
@@ -2950,6 +2979,7 @@ object CurationQueries {
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
+    bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
