@@ -61,6 +61,18 @@ class BpeSpec extends graft.SparkTestBase {
     assert(bad == 0, "subwords must concatenate to the original word")
   }
 
+  test("native BpeSegment expression is bit-identical to the nested-fold twin") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val rules = Bpe.train(df, "text", nMerges = 8)
+    val expr = Bpe.encode(df, "text", "doc_id", rules)
+      .orderBy("doc_id", "pos").collect()
+    val fold = Bpe.encodeFold(df, "text", "doc_id", rules)
+      .orderBy("doc_id", "pos").collect()
+    assert(expr.length == fold.length && expr.length > 0)
+    for ((e, f) <- expr.zip(fold)) assert(e == f, s"diverged at $e vs $f")
+  }
+
   test("determinism: same corpus → identical rules across runs") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(300)
