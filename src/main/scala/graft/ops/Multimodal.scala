@@ -1195,6 +1195,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio feature extraction over a binary column: decode (FLAC
+    * or 16-bit WAV) then reduce each payload to the standard cheap
+    * audio-quality signals — energy (Σv², the RMS numerator), zero
+    * crossings (sign changes per channel, the classic
+    * silence/noise/voicing discriminator), and peak amplitude. All
+    * integer-exact, so the gate oracle recomputes them from the fixture
+    * closed form; payloads never shuffle (same posture as
+    * [[decodeAudioPcm]]). A crossing is (v<0) != (prev<0), counted
+    * within each channel independently and summed.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", LongType),
+      StructField("peak_abs", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](payloadIdx)
+        val parsed =
+          if (raw == null) None
+          else Flac.decode(raw).orElse(parseWavPcm(raw))
+        parsed match {
+          case Some(a) if a.numSamples > 0 =>
+            var energy = 0L
+            var zc = 0L
+            var peak = 0
+            var c = 0
+            while (c < a.channels) {
+              val s = a.samples(c)
+              var i = 0
+              while (i < s.length) {
+                val v = s(i)
+                energy += v.toLong * v
+                if (i > 0 && (v < 0) != (s(i - 1) < 0)) zc += 1
+                val av = math.abs(v)
+                if (av > peak) peak = av
+                i += 1
+              }
+              c += 1
+            }
+            Row(r.get(idIdx), a.sampleRate, a.channels, a.numSamples.toLong,
+              energy, zc, peak)
+          case _ => Row(r.get(idIdx), null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Wrap a binary column in a VP8X WebP envelope row-by-row, dimensions
     * derived deterministically from the payload length — the fixture
     * half of the `q_mm_webp_meta` gate (see [[webpPayload]]).

@@ -1930,6 +1930,53 @@ object CurationQueries {
        |       CAST(MAX(v) AS INTEGER) AS max_val
        |FROM vals GROUP BY doc_id, ch, m ORDER BY doc_id""".stripMargin))
 
+  /** REAL audio feature extraction through the FLAC codec: energy,
+    * per-channel zero crossings, peak amplitude — the cheap audio
+    * quality signals a curation pipeline filters on. Integer-exact, so
+    * DuckDB recomputes all three from the fixture closed form (the
+    * zero-crossing count needs LAG over the reconstructed per-channel
+    * sample sequence — an off-by-one in channel de-interleaving or
+    * sample order shows up immediately).
+    */
+  val mmAudioFeatures = Q("q_mm_audio_features",
+    (s, dir) => {
+      val flacs = Multimodal.synthesizeFlacPcm(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", "payload")
+      Multimodal.audioFeatures(flacs, "doc_id", "payload")
+        .orderBy("doc_id")
+    },
+    Some("""WITH geo AS (
+       |  SELECT doc_id, doc_id % 50 AS g,
+       |         CASE (doc_id % 50) % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 11025 END AS rate,
+       |         1 + (doc_id % 50) % 2 AS ch,
+       |         400 + (doc_id % 50) * 13 AS n,
+       |         (doc_id % 50) % 7 - 3 AS slope,
+       |         doc_id % 997 - 498 AS base
+       |  FROM documents),
+       |idxs AS (
+       |  SELECT doc_id, rate, ch, n, slope, base, UNNEST(RANGE(0, n * ch)) AS j
+       |  FROM geo),
+       |vals AS (
+       |  SELECT doc_id, rate, ch, n,
+       |         j % ch AS c, j // ch AS i,
+       |         slope * (j // ch) + base
+       |           + (doc_id * 31 + (j % ch) * 7919 + (j // ch) * 104729) % 23 - 11 AS v
+       |  FROM idxs),
+       |lagd AS (
+       |  SELECT doc_id, rate, ch, n, c, i, v,
+       |         LAG(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+       |  FROM vals)
+       |SELECT doc_id,
+       |       CAST(rate AS INTEGER) AS sample_rate,
+       |       CAST(ch AS INTEGER) AS channels,
+       |       CAST(n AS BIGINT) AS n_samples,
+       |       CAST(SUM(v * v) AS BIGINT) AS energy,
+       |       CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       |       CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs
+       |FROM lagd GROUP BY doc_id, rate, ch, n ORDER BY doc_id""".stripMargin))
+
   /** REAL lossless audio decode: the hand-rolled FLAC codec
     * (`ops/Flac.scala` — FIXED+Rice frames, stereo decorrelation,
     * CRC-8/CRC-16/MD5 verified) encodes a closed-form PCM fixture per
@@ -2984,6 +3031,6 @@ object CurationQueries {
     corpusVocab,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
-    mmFlacPcm, mmWavPcm, mmAudioResample, mmImageDhash, mmImageNearDup,
+    mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,
     curateE2E, curateE2EScale)
 }
