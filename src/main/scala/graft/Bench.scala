@@ -246,7 +246,11 @@ object Bench {
     "q_dedup_line_strip",
     // image near-dup: dHash + chunk-pigeonhole pairing over decoded PNG
     // payloads — the binary-modality representative in the scale set
-    "q_mm_image_neardup")
+    "q_mm_image_neardup",
+    // BPE trainer: rounds run over the word-TYPE table, so cost tracks
+    // Heaps'-law vocabulary growth (~sqrt of corpus), not corpus size —
+    // the flattest scaling curve in the suite, included as evidence
+    "q_bpe_train")
 
   /** The sf30 smoke set: 8 representatives, one per operator family that
     * scales interestingly — NOT the 24-query sf1 pick. At 30× the data
@@ -262,7 +266,8 @@ object Bench {
     "q_dedup_incremental_bloom",      // ingest screen + bloom short-circuit
     "q_dedup_substring",              // largest shuffle by row count
     "q_dedup_line_strip",             // line-level keep-first
-    "q_curate_e2e_scale")             // the composed pipeline
+    "q_curate_e2e_scale",             // the composed pipeline
+    "q_bpe_train")                    // word-type-table rounds: ~flat at 30×
 
   /** Daemon timer backing the per-sample watchdog ([[runOnce]]). */
   private lazy val watchdogTimer =
