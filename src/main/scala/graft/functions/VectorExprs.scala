@@ -207,6 +207,102 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Runtime helper for [[TopCells]]: ids of the `k` centroids with the
+    * highest cosine against `v`, ordered best-first, ties to the SMALLER
+    * centroid id — bit-compatible with the peel-argmax-by
+    * `max(struct(cos, -centroid_id))` formulation it replaces
+    * (uncomputable cosines — zero norms, length mismatch — rank as -∞,
+    * exactly where SQL null sorts under max). `norms` carries the
+    * precomputed centroid L2 norms so the hot loop is one fused
+    * dot+query-norm pass per centroid.
+    */
+  def topCellsEval(v: ArrayData, mat: Array[Array[Double]], ids: Array[Long],
+                   norms: Array[Double], k: Int): ArrayData = {
+    val d = v.numElements()
+    val q = new Array[Double](d)
+    var nq = 0.0
+    var i = 0
+    while (i < d) {
+      val x = v.getDouble(i)
+      q(i) = x
+      nq += x * x
+      i += 1
+    }
+    val nqs = math.sqrt(nq)
+    val bestIds = new Array[Long](k)
+    val bestScores = new Array[Double](k)
+    java.util.Arrays.fill(bestScores, Double.NegativeInfinity)
+    java.util.Arrays.fill(bestIds, Long.MaxValue)
+    var c = 0
+    while (c < mat.length) {
+      val cent = mat(c)
+      val score =
+        if (cent.length != d || nq <= 0 || norms(c) <= 0) Double.NegativeInfinity
+        else {
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += q(j) * cent(j); j += 1 }
+          dot / (nqs * norms(c))
+        }
+      val id = ids(c)
+      // insertion into the top-k, ordered by (score desc, id asc)
+      var pos = k
+      while (pos > 0 && (score > bestScores(pos - 1) ||
+        (score == bestScores(pos - 1) && id < bestIds(pos - 1)))) pos -= 1
+      if (pos < k) {
+        var m = k - 1
+        while (m > pos) { bestScores(m) = bestScores(m - 1); bestIds(m) = bestIds(m - 1); m -= 1 }
+        bestScores(pos) = score
+        bestIds(pos) = id
+      }
+      c += 1
+    }
+    val out = new Array[Long](math.min(k, mat.length))
+    System.arraycopy(bestIds, 0, out, 0, out.length)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Best-`k` centroid ids for a vector against a plan-referenced
+    * centroid matrix — the IVF/SemDeDup assign step as ONE native
+    * expression: n rows × one tight JVM loop, replacing an
+    * n × nCells crossJoin stream through join/aggregate machinery
+    * whose throughput proved hostage to JIT profile state (r10: the
+    * same sf30 semdedup section ran 19 s or 483 s across identical
+    * runs with clean calibration brackets; the tight loop has no
+    * megamorphic dispatch to lose).
+    */
+  case class TopCells(child: Expression, ids: Array[Long],
+                      mat: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+
+    require(k >= 1 && k <= mat.length, s"k=$k out of [1, ${mat.length}]")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "top_cells"
+
+    @transient private lazy val norms: Array[Double] =
+      mat.map(c => math.sqrt(c.map(x => x * x).sum))
+
+    override def nullSafeEval(v: Any): Any =
+      topCellsEval(v.asInstanceOf[ArrayData], mat, ids, norms, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("topCellsMat", mat, "double[][]")
+      val idsRef = ctx.addReferenceObj("topCellsIds", ids, "long[]")
+      val normsRef = ctx.addReferenceObj("topCellsNorms", norms, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExprs.topCellsEval($c, $matRef, $idsRef, $normsRef, $k)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TopCells =
+      copy(child = newChild)
+  }
+
+  def topCells(v: Column, ids: Array[Long], mat: Array[Array[Double]],
+               k: Int): Column =
+    GraftShim.column(TopCells(
+      GraftShim.expression(v.cast("array<double>")), ids, mat, k))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(
       GraftShim.expression(a.cast("array<double>")),

@@ -1662,39 +1662,33 @@ object Dedup {
         "distinct cells than exist")
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val cents = Similarity.ivfCentroids(df, idCol, vecCol, nCells, iters)
+    // Assign via the native [[graft.functions.VectorExprs.TopCells]]
+    // expression: centroids collect to the driver (they are √n-sized by
+    // the planner — the same object the previous formulation BROADCAST,
+    // so no new memory class) and ride into the plan as a referenced
+    // matrix; each vector's best-k cells are one tight JVM loop. The
+    // n × nCells crossJoin+max-struct peel this replaces pushed ~930M
+    // rows through join/aggregate machinery at sf30 and its throughput
+    // proved hostage to JIT profile state (19 s vs 483 s across
+    // identical runs, clean calibration brackets both times); ordering
+    // semantics are bit-identical — (cosine desc, centroid_id asc),
+    // uncomputable cosines ranked last — and DedupSpec pins this
+    // against the retained join formulation on the real corpus.
+    val centRows = cents
+      .select(col("centroid_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+    val ids = centRows.map(_.getLong(0))
+    val mat = centRows.map(_.getSeq[Double](1).toArray)
     // ivfCentroids can return FEWER centroids than requested (empty
-    // clusters drop); cap the peeling depth at the realized count, or
-    // the surplus passes would execute the full score+aggregate subtree
-    // only to produce empty frames (the centroid frame is tiny and
-    // derived from per-step-checkpointed state, so the count is cheap)
-    val effAssign = math.min(nAssign.toLong, cents.count()).toInt
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("__cos", Similarity.cosine(col("__v"), col("centroid")))
-    // peel off the argmax effAssign times: pass m re-scores with the m-1
-    // already-chosen cells excluded (carried as columns __c1..__c(m-1));
-    // each pass's max-struct agg partial-aggregates map-side, so only n
-    // rows per pass reach the shuffle — never the n × nCells stream
-    var chosen = vecs.select(col("__id"))
-    val parts = Seq.newBuilder[DataFrame]
-    for (m <- 1 to effAssign) {
-      val prior = (1 until m).map(i => col(s"__c$i"))
-      // checkpoint each pass: `best` feeds BOTH the cells union and the
-      // next pass's exclusion list — unmaterialized, pass m's full
-      // score+aggregate subtree (the dominant cost) would re-execute
-      // inside every later pass (Spark shares no common subplans)
-      val best = scored.join(chosen.hint("shuffle_hash"), Seq("__id"))
-        .filter(prior.foldLeft(lit(true))((p, c) => p && col("centroid_id") =!= c))
-        .groupBy("__id")
-        .agg(max(struct(col("__cos"), (-col("centroid_id")).as("__nid"),
-          col("centroid_id"), col("__v"))).as("__best"))
-        .select(col("__id"), col("__best.centroid_id").as(s"__c$m"),
-          col("__best.__v").as("__v"))
-        .localCheckpoint(true)
-      parts += best.select(col("__id"), col(s"__c$m").as("centroid_id"), col("__v"))
-      chosen = chosen.join(
-        best.select(col("__id"), col(s"__c$m")).hint("shuffle_hash"), Seq("__id"))
-    }
-    val cells = parts.result().reduce(_ unionByName _).localCheckpoint(true)
+    // clusters drop); cap the assign depth at the realized count
+    val effAssign = math.min(nAssign, ids.length)
+    if (effAssign == 0) // empty corpus → no cells, no pairs
+      return vecs.limit(0).select(col("__id").as("id_a"), col("__id").as("id_b"),
+        lit(null).cast("double").as("cosine"))
+    val cells = vecs.select(col("__id"),
+      explode(graft.functions.VectorExprs.topCells(col("__v"), ids, mat, effAssign))
+        .as("centroid_id"),
+      col("__v")).localCheckpoint(true)
     val (a, b) = fanoutSides(cells, Seq("centroid_id"),
       Seq(col("centroid_id"), col("__id").as("id_a"), col("__v").as("__va")),
       Seq(col("centroid_id"), col("__id").as("id_b"), col("__v").as("__vb")))
@@ -1715,6 +1709,41 @@ object Dedup {
     * `df` first); callers that know n should call [[planSemdedupCells]]
     * directly.
     */
+  /** The crossJoin + peel-argmax formulation of the SemDeDup/IVF cell
+    * assignment, retained as the reference twin for
+    * [[graft.functions.VectorExprs.TopCells]] (DedupSpec asserts set
+    * equality on the real corpus — same contract as the hash/vector
+    * expressions vs their HOF forms). Pass m re-scores with the m−1
+    * already-chosen cells excluded; each pass's max-struct agg
+    * partial-aggregates map-side, so only n rows per pass reach the
+    * shuffle. Output: (__id, centroid_id, __v), one row per assignment.
+    */
+  private[ops] def assignCellsJoin(vecs: DataFrame, cents: DataFrame,
+                                   effAssign: Int): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("centroid")))
+    var chosen = vecs.select(col("__id"))
+    val parts = Seq.newBuilder[DataFrame]
+    for (m <- 1 to effAssign) {
+      val prior = (1 until m).map(i => col(s"__c$i"))
+      // checkpoint each pass: `best` feeds BOTH the cells union and the
+      // next pass's exclusion list — unmaterialized, pass m's full
+      // score+aggregate subtree would re-execute inside every later pass
+      val best = scored.join(chosen.hint("shuffle_hash"), Seq("__id"))
+        .filter(prior.foldLeft(lit(true))((p, c) => p && col("centroid_id") =!= c))
+        .groupBy("__id")
+        .agg(max(struct(col("__cos"), (-col("centroid_id")).as("__nid"),
+          col("centroid_id"), col("__v"))).as("__best"))
+        .select(col("__id"), col("__best.centroid_id").as(s"__c$m"),
+          col("__best.__v").as("__v"))
+        .localCheckpoint(true)
+      parts += best.select(col("__id"), col(s"__c$m").as("centroid_id"), col("__v"))
+      chosen = chosen.join(
+        best.select(col("__id"), col(s"__c$m")).hint("shuffle_hash"), Seq("__id"))
+    }
+    parts.result().reduce(_ unionByName _)
+  }
+
   def semdedupPairsAuto(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, targetCellSize: Int = 0,
                         nAssign: Int = 2, iters: Int = 3): DataFrame = {

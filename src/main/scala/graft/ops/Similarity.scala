@@ -146,21 +146,30 @@ object Similarity {
     }
   }
 
-  /** Nearest centroid per vector (centroids broadcast; argmin via
-    * greatest-cosine struct — one pass, no window).
-    * [[graft.ops.Dedup.semdedupPairs]] runs the same max-struct argmax
-    * shape but inline (its peeled passes carry exclusion columns this
-    * single-assignment signature has no room for).
+  /** Nearest centroid per vector via the native
+    * [[graft.functions.VectorExprs.TopCells]] expression (k = 1):
+    * centroids collect to the driver — the same √n-bounded object the
+    * previous formulation broadcast — and each vector's cell is one
+    * tight JVM loop. Replaces an n × nlist crossJoin + max-struct
+    * argmax whose throughput proved hostage to JIT profile state at
+    * sf30 (see [[graft.ops.Dedup.semdedupPairs]]); ordering semantics
+    * are bit-identical (cosine desc, centroid_id asc, uncomputable
+    * cosines last) and SimilaritySpec's IVF gates replay this
+    * assignment in SQL unchanged.
     */
   private def assignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = vecs.crossJoin(broadcast(centroids))
-      .withColumn("__cos", cosine(col("__v"), col("centroid")))
-    // max_by over (cosine, centroid_id desc tie-break) — deterministic
-    joined.groupBy("__id")
-      .agg(max(struct(col("__cos"), (-col("centroid_id")).as("__nid"),
-        col("centroid_id"), col("__v"))).as("__best"))
-      .select(col("__id"), col("__best.centroid_id").as("centroid_id"),
-        col("__best.__v").as("__v"))
+    val centRows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+    val ids = centRows.map(_.getLong(0))
+    val mat = centRows.map(_.getSeq[Double](1).toArray)
+    if (ids.isEmpty) // empty corpus → no cells, typed-compatible empty frame
+      return vecs.limit(0).select(col("__id"),
+        lit(null).cast("long").as("centroid_id"), col("__v"))
+    vecs.select(col("__id"),
+      element_at(graft.functions.VectorExprs.topCells(col("__v"), ids, mat, 1), 1)
+        .as("centroid_id"),
+      col("__v"))
   }
 
   /** IVF approximate top-k: corpus vectors are partitioned into `nlist`

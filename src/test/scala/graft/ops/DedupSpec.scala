@@ -956,4 +956,30 @@ class DedupSpec extends SparkTestBase {
     info(s"hard ${hard.size}/${exact.size}, soft ${soft.size}/${exact.size} " +
       "(moderate-threshold recall is intrinsically partial — see scaladoc)")
   }
+
+  test("native TopCells assignment equals the crossJoin+peel formulation " +
+    "(real corpus, k = 1 and 2)") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecs = emb.select(col("vec_id").as("__id"),
+      col("embedding").cast("array<double>").as("__v"))
+    val cents = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val centRows = cents
+      .select(col("centroid_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+    val ids = centRows.map(_.getLong(0))
+    val mat = centRows.map(_.getSeq[Double](1).toArray)
+    for (k <- Seq(1, 2)) {
+      val native = vecs.select(col("__id"),
+        explode(graft.functions.VectorExprs.topCells(col("__v"), ids, mat, k))
+          .as("centroid_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val joined = Dedup.assignCellsJoin(vecs, cents, k)
+        .select(col("__id"), col("centroid_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native == joined,
+        s"k=$k: native ${native.size} vs join ${joined.size}; " +
+          s"diff ${(native diff joined).take(3)} / ${(joined diff native).take(3)}")
+    }
+  }
 }
