@@ -126,6 +126,64 @@ object HashExprs {
       copy(child = newChild)
   }
 
+  /** Exact Jaccard of two SORTED string arrays by zero-allocation
+    * sorted-merge — the near-dup verify kernel. The builtin
+    * `size(array_intersect)/size(array_union)` formulation builds a
+    * per-pair hash set through generic ArrayData machinery; on the sf30
+    * candidate stream that shape's throughput proved JIT-profile-
+    * hostage (the same bimodality the centroid assign had —
+    * 7 s or 120 s across identical runs). Here each pair is one merge
+    * scan over arrays the caller sorted ONCE per document.
+    *
+    * CONTRACT: both inputs ascending (UTF8String binary order, i.e.
+    * `array_sort`), distinct, null-free — exactly what
+    * `wordShinglesFromTokens` + `array_sort` produce. Both-empty yields
+    * NaN (0/0), matching the builtin formulation; the property suite
+    * pins equality against the builtins on random inputs.
+    */
+  case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      java.lang.Double.valueOf(HashExprs.jaccardSortedEval(a, b))
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.HashExprs.jaccardSortedEval($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSorted =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Runtime helper for [[JaccardSorted]], shared by eval and codegen. */
+  def jaccardSortedEval(a: ArrayData, b: ArrayData): Double = {
+    val m = a.numElements()
+    val n = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < m && j < n) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c.toDouble / (m + n - c)
+  }
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftShim.column(JaccardSorted(GraftShim.expression(a), GraftShim.expression(b)))
+
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), numHashes))
 

@@ -1106,18 +1106,20 @@ object Dedup {
       .distinct()
     // shuffle_hash above the ceiling: same anti-broadcast reasoning as
     // minhashLshPairs' verify joins — never ship the whole corpus'
-    // shingle arrays
+    // shingle arrays. Verification runs the sorted-merge Jaccard
+    // expression over once-per-document-sorted arrays (see
+    // minhashLshPairs for why the builtin hash-set pair was replaced).
     val withA = candidates.join(
-      h(shingled.select(col("__id").as("id_a"), col("__sh").as("__sha"), col("__size").as("__na"))),
+      h(shingled.select(col("__id").as("id_a"),
+        array_sort(col("__sh")).as("__sha"))),
       Seq("id_a"))
     val withB = withA.join(
-      h(shingled.select(col("__id").as("id_b"), col("__sh").as("__shb"), col("__size").as("__nb"))),
+      h(shingled.select(col("__id").as("id_b"),
+        array_sort(col("__sh")).as("__shb"))),
       Seq("id_b"))
     withB
-      .withColumn("__common", size(array_intersect(col("__sha"), col("__shb"))))
       .withColumn("jaccard",
-        col("__common").cast(DoubleType) /
-          (col("__na") + col("__nb") - col("__common")))
+        graft.functions.HashExprs.jaccardSorted(col("__sha"), col("__shb")))
       .filter(atLeast(col("jaccard"), threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -1199,13 +1201,20 @@ object Dedup {
     // and a guaranteed driver OOM at real scale. A hash join partitioned
     // on id keeps both sides distributed; candidates are id-uniform so
     // there is no skew.
-    val withA = candidates.join(h(shingled.withColumnRenamed("__id", "id_a")
+    // verify via the sorted-merge Jaccard expression: shingle arrays are
+    // sorted ONCE per document on the (checkpointed) join sides, then
+    // each candidate pair is a zero-allocation merge scan — the builtin
+    // array_intersect/array_union pair built a per-candidate hash set
+    // whose throughput proved JIT-profile-hostage at sf30 (7 s vs 120 s
+    // across identical runs; see VectorExprs.TopCells for the same
+    // disease in the centroid assign)
+    val sortedShingles = shingled.withColumn("__sh", array_sort(col("__sh")))
+    val withA = candidates.join(h(sortedShingles.withColumnRenamed("__id", "id_a")
       .withColumnRenamed("__sh", "__sha")), Seq("id_a"))
-    val withB = withA.join(h(shingled.withColumnRenamed("__id", "id_b")
+    val withB = withA.join(h(sortedShingles.withColumnRenamed("__id", "id_b")
       .withColumnRenamed("__sh", "__shb")), Seq("id_b"))
     withB.withColumn("jaccard",
-        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
-          size(array_union(col("__sha"), col("__shb"))))
+        graft.functions.HashExprs.jaccardSorted(col("__sha"), col("__shb")))
       .filter(atLeast(col("jaccard"), threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
