@@ -1650,11 +1650,14 @@ object Dedup {
     * (measured 0.43 hard / 0.57 soft on the test corpus) and
     * [[cosineDupPairs]]' OR-amplified LSH is the right tool.
     *
-    * Scale shape: centroids ride a broadcast (nCells × dim doubles —
-    * sized for up to ~10⁵ cells; beyond that shard the assignment join).
-    * The top-`nAssign` assignment is `nAssign` peeled max-struct
-    * aggregation passes — each shuffles only n pre-aggregated rows,
-    * never the n × nCells scored stream, and never a window over it.
+    * Scale shape: centroids collect to the driver and ride into the
+    * plan as a referenced matrix (nCells × dim doubles — planner-sized
+    * ∝ √n, the same object the pre-r10 formulation broadcast; beyond
+    * ~10⁵ cells shard the assignment). The top-`nAssign` assignment is
+    * ONE [[graft.functions.VectorExprs.TopCells]] evaluation per vector
+    * — a tight JVM loop, n output rows, nothing n × nCells ever
+    * materialized (the crossJoin + peeled max-struct formulation it
+    * replaced survives as [[assignCellsJoin]] for the parity spec).
     * The within-cell self-join shuffles on the cell id with the same
     * pinned fan-out + shuffle-hash discipline as every candidate join
     * here. A pathologically hot cell is the quadratic object; at corpus
