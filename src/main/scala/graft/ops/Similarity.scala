@@ -266,6 +266,139 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Per-subspace view of a vector frame: one row per (vector, subspace)
+    * with the `dsub`-component subvector. The explode is narrow (no
+    * shuffle) — the ×m fan-out exists only inside the training/encode
+    * stages and never carries full vectors across the wire.
+    */
+  private def pqSubvectors(vecs: DataFrame, m: Int, dsub: Int): DataFrame =
+    vecs.select(col("__id"), explode(sequence(lit(0), lit(m - 1))).as("__s"), col("__v"))
+      .select(col("__id"), col("__s"),
+        slice(col("__v"), col("__s") * dsub + 1, lit(dsub)).as("__sv"))
+
+  /** Squared L2 distance computed as `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` with each
+    * inner product a sequential left-to-right double sum — the SAME
+    * association order DuckDB's `LIST_INNER_PRODUCT` uses, so codebook
+    * assignment DECISIONS reproduce bit-for-bit in the relational oracle
+    * (the property every centroid gate already leans on via [[cosine]]).
+    * The canonical PQ subquantizer metric: unlike cosine it respects
+    * subvector magnitude, which the reconstruction must preserve.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Nearest PQ code per (vector, subspace): min over the broadcast
+    * codebook of (squared L2 asc, code asc) — the deterministic tie rule,
+    * expressed as a min-struct so the per-(id, subspace) reduction
+    * map-side combines instead of windowing. The subvector rides in the
+    * struct's LAST slot (code is unique, so it never participates in the
+    * comparison) purely so the training loop gets it back without a
+    * second join against the subvector frame.
+    */
+  private def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame =
+    sv.join(broadcast(codebook), Seq("__s"))
+      .select(col("__id"), col("__s"),
+        struct(l2sq(col("__sv"), col("cent")).as("__d"), col("code").as("__code"),
+          col("__sv").as("__sv")).as("__cand"))
+      .groupBy("__id", "__s")
+      .agg(min(col("__cand")).as("__w"))
+      .select(col("__id"), col("__s"), col("__w.__code").as("code"),
+        col("__w.__sv").as("__sv"))
+
+  /** Deterministic product-quantization codebooks: the d-dim space splits
+    * into `m` subspaces of `dsub` dims; each subspace gets `ksub`
+    * centroids seeded from the first `ksub` corpus vectors by id (code =
+    * 1-based rank — no RNG) and refined by `iters` Lloyd steps under
+    * squared-L2 assignment ([[l2sq]]) with the same quantized-integer
+    * mean update as [[ivfCentroids]] ([[CentroidQuantScale]]), so the
+    * whole codebook stream is BIT-reproducible at any partitioning and
+    * rebuildable in the relational oracle. Returns (__s, code, cent).
+    *
+    * Scale note: training cost is one corpus pass per Lloyd step (the
+    * per-candidate work is ksub tiny dot products), but at 100 TB you
+    * train on a deterministic id-bounded sample (`corpus.filter(id <
+    * cap)`) — PQ codebooks converge on ~10⁵–10⁶ vectors and nothing
+    * downstream cares that the trainer saw a subset; the gates train on
+    * the full (small) corpus so the oracle replays every row.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, dsub: Int, ksub: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val sv = pqSubvectors(vecs, m, dsub)
+    val seedRanks = vecs.orderBy("__id").limit(ksub)
+      .select(col("__id"), row_number().over(Window.orderBy("__id")).as("code"))
+    val c0 = sv.join(broadcast(seedRanks), "__id")
+      .select(col("__s"), col("code"), col("__sv").as("cent"))
+      .localCheckpoint(true)
+    (1 to iters).foldLeft(c0) { (cents, _) =>
+      // element-wise mean per (subspace, code): exact quantized long sums
+      // (order-independent), de-scale, re-assemble — see [[ivfCentroids]]
+      pqAssign(sv, cents)
+        .select(col("__s"), col("code"), posexplode(col("__sv")).as(Seq("__dim", "__x")))
+        .groupBy("__s", "code", "__dim")
+        .agg(sum(floor(col("__x") * CentroidQuantScale + 0.5)).as("__qs"),
+          count(col("__x")).as("__n"))
+        .groupBy("__s", "code")
+        .agg(array_sort(collect_list(struct(col("__dim"),
+          (col("__qs").cast(DoubleType) / CentroidQuantScale /
+            col("__n").cast(DoubleType)).as("__m")))).as("__dm"))
+        .select(col("__s"), col("code"),
+          transform(col("__dm"), s => s.getField("__m")).as("cent"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Product-quantized approximate top-k: every corpus vector is stored
+    * as `m` small codes (one per subspace — at m=8 that is 8 bytes
+    * against 256 for float64, a 32× memory/bandwidth compression, the
+    * standard way a 100 TB embedding corpus fits an ANN serving tier),
+    * candidates are shortlisted by approximate cosine against the
+    * codebook RECONSTRUCTION, and the `shortlist` survivors per query are
+    * re-ranked by exact cosine. Classic ADC evaluates the same score as
+    * per-subspace lookup-table partial sums; here the score is computed
+    * as one full-length sequential dot against the reconstructed vector —
+    * mathematically identical, and bit-identical across engines (the LUT
+    * association order would differ from SQL's `LIST_INNER_PRODUCT`),
+    * which is what lets the gate oracle replay shortlist DECISIONS, not
+    * just the output shape.
+    *
+    * Scale shape: codebooks are ksub·d doubles (broadcast, ~KB);
+    * reconstruction is a broadcast join + flatten on the corpus side (no
+    * corpus shuffle); the only shuffles are the per-query rank windows,
+    * sized |queries|·|corpus| and |queries|·shortlist.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             k: Int, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+             iters: Int = 3, shortlist: Int = 50): DataFrame = {
+    val codebook = pqCodebooks(corpus, cId, cVec, m, dsub, ksub, iters)
+    val cVecs = corpus.select(col(cId).as("__id"), col(cVec).cast("array<double>").as("__v"))
+    val codes = pqAssign(pqSubvectors(cVecs, m, dsub), codebook)
+    // reconstruction: codes → centroids, flattened in (subspace, dim)
+    // order — the decoded form of the m-byte stored representation
+    val recon = codes.join(broadcast(codebook), Seq("__s", "code"))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__s"), col("cent")))).as("__sc"))
+      .select(col("__id").as("neighbor_id"),
+        flatten(transform(col("__sc"), s => s.getField("cent"))).as("__recon"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
+    val short = broadcast(q).crossJoin(recon)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", cosine(col("__qv"), col("__recon")))
+      .withColumn("__srk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__approx").desc, col("neighbor_id"))))
+      .filter(col("__srk") <= shortlist)
+      .select(col("query_id"), col("__qv"), col("neighbor_id"))
+    val cRaw = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__cv"))
+    broadcast(short).join(cRaw, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries bucketed by
     * [[hyperplaneBucket]]; each query only scores its own bucket. The
     * 100 TB path — candidate work divides by 2^bits at some recall cost

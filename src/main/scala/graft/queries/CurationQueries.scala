@@ -991,6 +991,108 @@ object CurationQueries {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** Squared L2 expressed EXACTLY as [[graft.ops.Similarity]]'s private
+    * `l2sq` computes it: `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩`, each inner product a
+    * sequential index-order sum (`LIST_INNER_PRODUCT` ≡ the HOF fold),
+    * the subtraction/addition in the same association order — so PQ code
+    * assignment DECISIONS reproduce bit-for-bit across engines.
+    */
+  private def l2sqSql(a: String, b: String): String =
+    s"(LIST_INNER_PRODUCT($a, $a) - 2 * LIST_INNER_PRODUCT($a, $b) + LIST_INNER_PRODUCT($b, $b))"
+
+  /** DuckDB CTE chain rebuilding [[graft.ops.Similarity.pqCodebooks]]'
+    * per-subspace Lloyd refinement plus the final corpus encoding: CTEs
+    * `v` (vectors), `s0` (subvectors: one row per (vector, subspace)),
+    * `sdx` (exploded subvector dims), `p0..p<iters>` (codebook frames
+    * keyed (s, code); seeds = the first `ksub` vectors by id, code =
+    * 1-based id rank), `a1..a<iters>` (assignments), and `enc` (the
+    * final (vec_id, s, code) encoding against `p<iters>`). Assignment is
+    * min squared-L2 ([[l2sqSql]]) with ties to the smallest code — the
+    * min-struct rule — and means are the same order-independent
+    * quantized-integer sums as [[lloydCtesSql]].
+    */
+  private def pqLloydCtesSql(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    def assignSql(to: String): String =
+      s"""SELECT vec_id, s, code FROM (
+                SELECT s0.vec_id, s0.s, c.code,
+                       ROW_NUMBER() OVER (PARTITION BY s0.vec_id, s0.s
+                         ORDER BY ${l2sqSql("s0.sv", "c.cent")} ASC NULLS LAST,
+                                  c.code) AS rk
+                FROM s0 JOIN $to c ON c.s = s0.s) WHERE rk = 1"""
+    val steps = (1 to iters).map { it =>
+      s"""a$it AS (${assignSql(s"p${it - 1}")}),
+            p$it AS (
+              SELECT s, code, LIST(mv ORDER BY dim) AS cent FROM (
+                SELECT a.s, a.code, d.i AS dim,
+                       CAST(SUM(CAST(FLOOR(d.x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 1048576.0 / CAST(COUNT(d.x) AS DOUBLE) AS mv
+                FROM a$it a JOIN sdx d ON d.vec_id = a.vec_id AND d.s = a.s
+                GROUP BY a.s, a.code, d.i)
+              GROUP BY s, code)"""
+    }.mkString(",\n            ")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            s0 AS (SELECT vec_id, s, LIST_SLICE(e, s * $dsub + 1, s * $dsub + $dsub) AS sv
+                   FROM v, RANGE(0, $m) ss(s)),
+            sdx AS (SELECT vec_id, s, GENERATE_SUBSCRIPTS(sv, 1) AS i, UNNEST(sv) AS x
+                    FROM s0),
+            p0 AS (
+              SELECT s0.s, r.code, s0.sv AS cent
+              FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS code FROM v) r
+              JOIN s0 ON s0.vec_id = r.vec_id WHERE r.code <= $ksub),
+            $steps,
+            enc AS (${assignSql(s"p$iters")})"""
+  }
+
+  /** Product-quantized top-k (m=8 subspaces × ksub=16 codes — 8 stored
+    * bytes per 64-d vector) — FULLY oracled: the SQL rebuilds the
+    * per-subspace 3-step Lloyd codebooks ([[pqLloydCtesSql]]), encodes
+    * the corpus, reconstructs each vector from its codes in (subspace,
+    * dim) order, shortlists the top 50 per query by approximate cosine
+    * against the reconstruction (DESC NULLS LAST, neighbor asc — the
+    * same tie rule the Spark window applies), and re-ranks the shortlist
+    * by exact cosine — the complete PQ definition including every
+    * shortlist decision, not just the output shape. Exactness at
+    * shortlist ≥ corpus stays unit-tested against brute force.
+    */
+  val knnPq = Q("q_knn_cosine_pq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = 8, dsub = 8, ksub = 16, iters = 3, shortlist = 50)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${pqLloydCtesSql(m = 8, dsub = 8, ksub = 16, iters = 3)},
+            rec AS (
+              SELECT c.vec_id, LIST(d.x ORDER BY c.s, d.i) AS recon
+              FROM enc c
+              JOIN (SELECT s, code, GENERATE_SUBSCRIPTS(cent, 1) AS i, UNNEST(cent) AS x
+                    FROM p3) d
+                ON d.s = c.s AND d.code = c.code
+              GROUP BY c.vec_id),
+            sh AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${cosSql("q.e", "r.recon")} DESC NULLS LAST,
+                                  r.vec_id) AS srk
+                FROM v q JOIN rec r ON r.vec_id <> q.vec_id
+                WHERE q.vec_id < 16) WHERE srk <= 50),
+            sc AS (
+              SELECT sh.query_id, sh.neighbor_id, ${cosSql("vq.e", "vn.e")} AS cos
+              FROM sh
+              JOIN v vq ON vq.vec_id = sh.query_id
+              JOIN v vn ON vn.vec_id = sh.neighbor_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC NULLS LAST, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM sc
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** Scalar-quantized (int8) top-k — approximate like IVF/LSH, but the
     * approximation is a pure deterministic function of the data (no
     * hash-bucket or centroid structure), so unlike those two it IS
@@ -3017,7 +3119,7 @@ object CurationQueries {
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,
-    knnBrute, knnLsh, knnIvf, knnSq8,
+    knnBrute, knnLsh, knnIvf, knnSq8, knnPq,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateSplit, curateShuffle, curateDomainFilter, curateScrub,
     curateRepetition, curateChunk,

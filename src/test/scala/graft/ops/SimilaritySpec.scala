@@ -148,6 +148,65 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("pqTopK with shortlist >= corpus is exact (re-rank covers everything)") {
+    // every corpus row survives the shortlist, so the exact re-rank must
+    // reproduce brute force bit-for-bit regardless of codebook quality
+    val exact = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id", "cosine").orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    val pq = Similarity.pqTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding",
+      k = 4, m = 4, dsub = 4, ksub = 8, iters = 2, shortlist = 100)
+      .select("query_id", "rank", "neighbor_id", "cosine").orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(pq == exact)
+  }
+
+  test("pqCodebooks: per-subspace frames with dsub-dim centroids, deterministic rerun") {
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, dsub = 4, ksub = 8)
+      .orderBy("__s", "code").collect()
+    assert(cb.nonEmpty && cb.length <= 4 * 8)
+    assert(cb.map(_.getInt(0)).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(cb.forall(_.getSeq[Double](2).length == 4))
+    // quantized-integer means → the codebook stream is bit-reproducible
+    val again = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, dsub = 4, ksub = 8)
+      .orderBy("__s", "code").collect()
+    assert(again.map(_.toSeq).toSeq == cb.map(_.toSeq).toSeq)
+  }
+
+  test("pqTopK: shortlisted recall on the real corpus, deterministic reruns") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.pqTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, m = 8, dsub = 8, ksub = 16, iters = 3, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = run()
+    val gotSet = got.map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+    val recall = gotSet.intersect(exact).size.toDouble / exact.size
+    info(s"PQ recall@5 (shortlist=50) = $recall")
+    // 16 codes × 8 subspaces on gaussian 64-d data is a coarse code, but
+    // the 50-deep shortlist + exact re-rank recovers most of the top-5
+    assert(recall >= 0.6, s"PQ recall collapsed: $recall")
+    // codebooks, codes and shortlists are all deterministic — rerun is identical
+    assert(run() == got)
+    // survivors carry EXACT cosines (re-ranked), not reconstructed ones
+    val exactCos = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val key = (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      exactCos.get(key).foreach(c => assert(c == r(3).asInstanceOf[Double],
+        s"PQ emitted a non-exact cosine for $key"))
+    }
+  }
+
   test("sq8 codes stay in the signed-byte domain and constant dims decode to mn") {
     // a corpus with one constant dimension (span = 0) and extreme values
     val rows = Seq(
