@@ -575,6 +575,30 @@ object Corpus {
       .drop("__domain")
   }
 
+  /** RefinedWeb-style per-domain cap: keep at most `cap` documents per
+    * domain, chosen by deterministic hash rank (md5(seed ‖ id), id as the
+    * total tie-break) — a pseudo-random but engine-reproducible sample,
+    * so a dominant domain can't swamp the corpus mixture and reruns keep
+    * the SAME representatives. `seed` draws a fresh sample.
+    *
+    * Scale shape: one shuffle on the domain key; the rank-≤cap filter is
+    * a WindowGroupLimit in Spark 3.5+, so each partition keeps only cap
+    * rows per domain BEFORE the full sort materializes — a skewed
+    * mega-domain costs its partial top-cap per map task, not a full
+    * per-domain sort. Document payloads ride the one shuffle; at 100 TB
+    * cap on (domain, id) first and semi-join the survivors if rows are
+    * wide.
+    */
+  def capPerDomain(df: DataFrame, domainCol: String, idCol: String,
+                   cap: Int, seed: String = ""): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(md5(concat(lit(seed), col(idCol).cast(StringType))), col(idCol))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Deterministic epoch shuffle: every row gets a pseudo-random `shard`
     * (one md5-prefix byte mod `nShards` — no RNG, so the permutation is a
     * pure function of (seed, id) and reproduces across runs, engines and

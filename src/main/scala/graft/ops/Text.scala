@@ -200,6 +200,50 @@ object Text {
       when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(lit(0.0)).as("stopword_hit_ratio"))
   }
 
+  /** Gopher-style per-document rule bank (Rae et al. 2021 §A1.1 — the
+    * published heuristics, applied verbatim where the signal exists in a
+    * plain-text column): token-count band, alphabetic-word fraction,
+    * symbol-to-word ratio (# and ellipsis), bullet-started and
+    * ellipsis-ended line fractions, and a distinct-stopword floor.
+    * Everything is a pure codegen'd expression over one projection — the
+    * rule bank fuses into the scan and costs zero shuffles at any scale.
+    * Complements [[qualityStruct]] (chars/tokens/punct/case ratios):
+    * together they cover the standard quality-filter battery.
+    */
+  def gopherStruct(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    // a "word" is alphabetic if it contains at least one letter after
+    // lowercasing — pure-symbol/numeric tokens fail
+    val alphaWords = size(filter(toks, x => x.rlike("[a-z]")))
+    val nSym = size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0)))
+    val lines = split(c, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+    val stopHits = langScore(c, langProfiles.head._2)
+    struct(
+      nTok.cast(LongType).as("n_tokens"),
+      when(nTok > 0, alphaWords.cast(DoubleType) / nTok).as("alpha_word_frac"),
+      when(nTok > 0, nSym.cast(DoubleType) / nTok).as("symbol_word_ratio"),
+      when(nLines > 0, bulletLines.cast(DoubleType) / nLines).as("bullet_line_frac"),
+      when(nLines > 0, ellipsisLines.cast(DoubleType) / nLines).as("ellipsis_line_frac"),
+      stopHits.cast(LongType).as("n_stopword_hits"))
+  }
+
+  /** The published Gopher keep-decision over [[gopherStruct]]'s signals:
+    * 50–100k tokens, >80% alphabetic words, <10% symbol-word ratio,
+    * <90% bullet lines, <30% ellipsis lines, ≥2 distinct stopwords.
+    * Null-safe: a null ratio (empty doc) fails its rule.
+    */
+  def gopherKeep(g: Column): Column =
+    g.getField("n_tokens").between(50L, 100000L) &&
+      coalesce(g.getField("alpha_word_frac") > 0.8, lit(false)) &&
+      coalesce(g.getField("symbol_word_ratio") < 0.1, lit(false)) &&
+      coalesce(g.getField("bullet_line_frac") < 0.9, lit(false)) &&
+      coalesce(g.getField("ellipsis_line_frac") < 0.3, lit(false)) &&
+      g.getField("n_stopword_hits") >= 2L
+
   /** Token-window chunking — the context-window packing primitive of a
     * training-data pipeline: split a document into windows of
     * `size` tokens starting every `stride` tokens (overlap =

@@ -1487,6 +1487,90 @@ object CurationQueries {
             FROM toks LEFT JOIN top ON toks.doc_id = top.doc_id
             ORDER BY toks.doc_id"""))
 
+  /** Gopher rule bank (Rae et al. 2021 §A1.1) over decorated docs: the
+    * synthetic corpus is uniformly clean prose, so the gate plants
+    * deterministic doc_id-keyed decorations (12 bullet lines on id%7=0,
+    * a trailing ellipsis line on id%5=0, a symbol line on id%11=0) that
+    * push different documents across different rule thresholds — every
+    * rule fires on real structure, not vacuously. The keep decision is
+    * computed from the UNROUNDED ratios on both sides.
+    */
+  val curateGopher = Q("q_curate_gopher_rules",
+    (s, dir) => {
+      val bullets = (1 to 12).map(i => s"- item $i\n").mkString
+      val decorated = concat(
+        when(col("doc_id") % 7 === 0, lit(bullets)).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("\nto be continued...")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n# ## ### #### #")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.gopherStruct(decorated).as("g"))
+        .select(col("doc_id"),
+          col("g.n_tokens").as("n_tokens"),
+          round(col("g.alpha_word_frac"), 9).as("alpha_word_frac"),
+          round(col("g.symbol_word_ratio"), 9).as("symbol_word_ratio"),
+          round(col("g.bullet_line_frac"), 9).as("bullet_line_frac"),
+          round(col("g.ellipsis_line_frac"), 9).as("ellipsis_line_frac"),
+          col("g.n_stopword_hits").as("n_stopword_hits"),
+          Text.gopherKeep(col("g")).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH dec AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 7 = 0
+                      THEN ${(1 to 12).map(i => s"'- item $i' || CHR(10)").mkString(" || ")}
+                      ELSE '' END) || text ||
+                (CASE WHEN doc_id % 5 = 0 THEN CHR(10) || 'to be continued...' ELSE '' END) ||
+                (CASE WHEN doc_id % 11 = 0 THEN CHR(10) || '# ## ### #### #' ELSE '' END) AS txt
+              FROM documents),
+            t AS (
+              SELECT doc_id, txt,
+                LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(txt), '\\s+', ' ', 'g')), ' '),
+                            x -> x <> '') AS toks,
+                STRING_SPLIT(txt, CHR(10)) AS lines
+              FROM dec),
+            m AS (
+              SELECT doc_id,
+                LEN(toks) AS n_tokens,
+                LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]'))) AS n_alpha,
+                LEN(REGEXP_EXTRACT_ALL(txt, '#|\\.\\.\\.')) AS n_sym,
+                LEN(lines) AS n_lines,
+                LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(TRIM(l), '^[-*•]'))) AS n_bullet,
+                LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '(\\.\\.\\.|…)$$'))) AS n_ell,
+                LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+                  ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop
+              FROM t)
+            SELECT doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens END, 9) AS alpha_word_frac,
+              ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_sym AS DOUBLE) / n_tokens END, 9) AS symbol_word_ratio,
+              ROUND(CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines END, 9) AS bullet_line_frac,
+              ROUND(CASE WHEN n_lines > 0 THEN CAST(n_ell AS DOUBLE) / n_lines END, 9) AS ellipsis_line_frac,
+              CAST(n_stop AS BIGINT) AS n_stopword_hits,
+              (n_tokens BETWEEN 50 AND 100000)
+                AND COALESCE(CAST(n_alpha AS DOUBLE) / n_tokens > 0.8, FALSE)
+                AND COALESCE(CAST(n_sym AS DOUBLE) / n_tokens < 0.1, FALSE)
+                AND COALESCE(CAST(n_bullet AS DOUBLE) / n_lines < 0.9, FALSE)
+                AND COALESCE(CAST(n_ell AS DOUBLE) / n_lines < 0.3, FALSE)
+                AND n_stop >= 2 AS keep
+            FROM m ORDER BY doc_id"""))
+
+  /** RefinedWeb-style per-domain cap: at most 10 docs per source, chosen
+    * by deterministic md5 rank — the mixture-control selection primitive.
+    * At sf0.01 every source holds ~25 docs, so the cap genuinely cuts;
+    * the oracle replays the identical (md5(seed‖id), id) ranking.
+    */
+  val selectDomainCap = Q("q_select_domain_cap",
+    (s, dir) =>
+      Corpus.capPerDomain(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "source", "doc_id", cap = 10, seed = "cap0")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY MD5('cap0' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+            ORDER BY doc_id"""))
+
   /** Context-window chunking: 32-token windows every 24 tokens (8-token
     * overlap) — one row per (doc, chunk) with 1-based chunk index.
     * Chunking is a pure expression fused into the scan; the explode is
@@ -3121,6 +3205,7 @@ object CurationQueries {
     dedupSemdedup,
     knnBrute, knnLsh, knnIvf, knnSq8, knnPq,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
+    curateGopher, selectDomainCap,
     curateSplit, curateShuffle, curateDomainFilter, curateScrub,
     curateRepetition, curateChunk,
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,

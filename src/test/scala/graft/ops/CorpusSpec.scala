@@ -274,6 +274,27 @@ class CorpusSpec extends SparkTestBase {
       "shuffleShard must hash-partition by shard, not range-sort globally")
   }
 
+  test("capPerDomain: cap respected, deterministic, seed redraws the sample") {
+    import spark.implicits._
+    // skewed fixture: one mega-domain (40 docs), two small ones
+    val rows = (1L to 40L).map(i => (i, "big")) ++
+      Seq((41L, "small"), (42L, "small"), (43L, "tiny"))
+    val df = rows.toDF("doc_id", "domain")
+    val kept = Corpus.capPerDomain(df, "domain", "doc_id", cap = 5, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "big") == 5)
+    assert(kept.count(_._2 == "small") == 2) // below cap → untouched
+    assert(kept.count(_._2 == "tiny") == 1)
+    // deterministic: identical rerun
+    val again = Corpus.capPerDomain(df, "domain", "doc_id", cap = 5, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq == kept.sorted.toSeq)
+    // a different seed draws a different big-domain sample (md5-keyed)
+    val other = Corpus.capPerDomain(df, "domain", "doc_id", cap = 5, seed = "s2")
+      .collect().filter(_.getString(1) == "big").map(_.getLong(0)).toSet
+    assert(other != kept.filter(_._2 == "big").map(_._1).toSet)
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")

@@ -95,6 +95,39 @@ class TextSpec extends SparkTestBase {
     assert(r(0).getLong(1) == r(1).getLong(1))
   }
 
+  test("gopher rule bank: hand-computed signals and the keep decision") {
+    // 3 lines: a bullet line, a prose line, an ellipsis line
+    val doc = "- item one\nthe cat sat of a mat and it is that for\nwait for it..."
+    val r = Seq(doc).toDF("t").select(Text.gopherStruct(col("t")).as("g"))
+      .select("g.*").collect().head
+    assert(r.getAs[Long]("n_tokens") == 17) // 3 + 11 + 3
+    // every token has a letter except "-" ("it..." keeps its letters) → 16/17
+    assert(math.abs(r.getAs[Double]("alpha_word_frac") - 16.0 / 17) < 1e-12)
+    // one "..." occurrence, no '#'
+    assert(math.abs(r.getAs[Double]("symbol_word_ratio") - 1.0 / 17) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bullet_line_frac") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ellipsis_line_frac") - 1.0 / 3) < 1e-12)
+    // distinct stopwords present: the, of, a, and, it, is, that, for = 8
+    assert(r.getAs[Long]("n_stopword_hits") == 8)
+    // keep: fails only the 50-token floor
+    val kept = Seq(doc).toDF("t")
+      .select(Text.gopherKeep(Text.gopherStruct(col("t"))).as("k")).collect().head
+    assert(!kept.getBoolean(0))
+    // pad beyond 50 tokens with clean prose → all rules pass
+    val padded = doc + (" the cat sat of a mat and it is that for" * 5)
+    val kept2 = Seq(padded).toDF("t")
+      .select(Text.gopherKeep(Text.gopherStruct(col("t"))).as("k")).collect().head
+    assert(kept2.getBoolean(0))
+  }
+
+  test("gopher rule bank: degenerate docs fail closed, not crash") {
+    val rows = Seq("", "   ", "### ### ###", "- a\n- b\n- c")
+    val got = rows.toDF("t")
+      .select(Text.gopherKeep(Text.gopherStruct(col("t"))).as("k"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, false, false, false))
+  }
+
   test("urlDomain: host extraction across port/path/query/case/www edges") {
     val cases = Seq(
       "https://www.Example.COM/path?q=1" -> "example.com",
