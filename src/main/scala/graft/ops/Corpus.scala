@@ -575,6 +575,77 @@ object Corpus {
       .drop("__domain")
   }
 
+  /** HyperLogLog register count (m = 2^4) and its bias constant α₁₆
+    * (Flajolet et al. 2007, Fig. 3 — the published small-m constant).
+    * m=16 keeps the relative error ≈ 1.04/√16 ≈ 26%: a smoke-scale
+    * parameterization chosen so a unit test can exercise BOTH the
+    * linear-counting and the raw-estimate branch on small corpora; a
+    * production p would be 12–16. Every piece of the pipeline is
+    * p-generic except the two constants.
+    */
+  val HllM = 16
+  val HllAlpha = 0.673
+
+  /** Per-(group, register) max leading-zero rank — the HLL SKETCH state.
+    * Register = first md5 hex digit; rank ρ = leading-zero bits of the
+    * next 32 hash bits + 1 (33 when all zero), computed with pure string
+    * and integer ops (regexp `^0*` + a hex-digit CASE) so the decision
+    * carries NO floating point — `floor(log2)` at a power-of-two
+    * boundary is exactly the cross-engine trap this avoids.
+    *
+    * This frame IS the mergeable sketch: max per register is
+    * associative/commutative/idempotent, so partial aggregation combines
+    * map-side, re-partitioning can't change it, and sketches from
+    * different days/shards/engines union by the same `max` — the
+    * property that makes distinct-counting feasible at 100 TB (the
+    * shuffle carries ≤ m rows per group, never the keys).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h = md5(col(keyCol).cast(StringType))
+    val reg = conv(substring(col("__h"), 1, 1), 16, 10).cast(IntegerType)
+    val win = substring(col("__h"), 2, 8)
+    val lz = length(regexp_extract(win, "^0*", 0))
+    // value of the first nonzero hex digit in the window ('' → 0 when
+    // the window is all zeros; that branch resolves to ρ = 33 anyway)
+    val fd = when(lz === 8, lit(0))
+      .otherwise(conv(win.substr(lz + 1, lit(1)), 16, 10).cast(IntegerType))
+    val lzBits = when(fd >= 8, lit(0)).when(fd >= 4, lit(1))
+      .when(fd >= 2, lit(2)).otherwise(lit(3))
+    val rho = when(lz === 8, lit(33)).otherwise(lz * 4 + lzBits + 1)
+    df.select(col(groupCol).as("__g"), h.as("__h"))
+      .select(col("__g"), reg.as("__reg"), rho.as("__rho"))
+      .groupBy("__g", "__reg").agg(max("__rho").as("__mr"))
+  }
+
+  /** HLL estimate from a register frame: harmonic mean of 2^-ρ over all
+    * m registers (absent registers contribute 2⁰ = 1), α·m²/harmonic,
+    * with the published linear-counting correction (E ≤ 2.5m and empty
+    * registers present → m·ln(m/V)). The harmonic sum is a sum of exact
+    * powers of two spanning < 53 bits, so it is EXACT in double and
+    * order-independent — the one place HLL needs a float sum, made
+    * engine-reproducible by construction.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
+    val agg = registers.groupBy("__g").agg(
+      count(lit(1)).as("__nreg"),
+      sum(pow(lit(2.0), -col("__mr"))).as("__hp"))
+    val harmonic = (lit(HllM) - col("__nreg")).cast(DoubleType) + col("__hp")
+    val e = lit(HllAlpha) * HllM * HllM / harmonic
+    val v = lit(HllM) - col("__nreg")
+    agg.select(col("__g").as(groupCol),
+      when(e <= 2.5 * HllM && v > 0,
+        lit(HllM.toDouble) * log(lit(HllM).cast(DoubleType) / v))
+        .otherwise(e).as("est_distinct"))
+  }
+
+  /** Approximate distinct `keyCol` per `groupCol` — [[hllRegisters]]
+    * composed with [[hllEstimate]]. Exact distinct shuffles every
+    * distinct (group, key) pair; this shuffles ≤ m tiny rows per group
+    * regardless of cardinality.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol), groupCol)
+
   /** RefinedWeb-style per-domain cap: keep at most `cap` documents per
     * domain, chosen by deterministic hash rank (md5(seed ‖ id), id as the
     * total tie-break) — a pseudo-random but engine-reproducible sample,

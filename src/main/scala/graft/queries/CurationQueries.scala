@@ -1555,6 +1555,62 @@ object CurationQueries {
                 AND n_stop >= 2 AS keep
             FROM m ORDER BY doc_id"""))
 
+  /** HLL distinct-count sketch per source, beside the exact count — the
+    * oracle recomputes the registers with the same string/integer ρ
+    * derivation (no floats until the estimate), the same exact
+    * power-of-two harmonic sum, and the same published constants; the
+    * estimate (one α·m²/x or m·ln(m/V) per group) rounds to 6 decimals,
+    * far coarser than any ulp divergence in `ln`. Mergeability (the
+    * 100 TB property) is spec-tested: sharded register frames max-merge
+    * to the exact whole-corpus sketch.
+    */
+  val corpusHll = Q("q_corpus_hll_distinct",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val exact = d.groupBy("source").agg(countDistinct(col("text")).as("n_exact"))
+      Corpus.hllDistinct(d, "source", "text")
+        .withColumn("est_distinct", round(col("est_distinct"), 6))
+        .join(exact, Seq("source"))
+        .orderBy("source")
+    },
+    Some(s"""WITH k AS (SELECT source, MD5(text) AS h FROM documents),
+            r AS (
+              SELECT source,
+                     ('0x' || SUBSTR(h, 1, 1))::INT AS reg,
+                     LEN(REGEXP_EXTRACT(SUBSTR(h, 2, 8), '^0*')) AS lz,
+                     SUBSTR(h, 2, 8) AS win
+              FROM k),
+            x AS (
+              SELECT source, reg, lz,
+                     CASE WHEN lz = 8 THEN 0
+                          ELSE ('0x' || SUBSTR(win, lz + 1, 1))::INT END AS fd
+              FROM r),
+            rho AS (
+              SELECT source, reg,
+                     CASE WHEN lz = 8 THEN 33
+                          ELSE lz * 4 +
+                               (CASE WHEN fd >= 8 THEN 0 WHEN fd >= 4 THEN 1
+                                     WHEN fd >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+              FROM x),
+            m AS (SELECT source, reg, MAX(rho) AS mr FROM rho GROUP BY 1, 2),
+            g AS (
+              SELECT source, COUNT(*) AS nreg,
+                     SUM(POWER(2.0, -mr)) AS hp
+              FROM m GROUP BY 1),
+            est AS (
+              SELECT source,
+                     0.673 * 16 * 16 / ((16 - nreg) * 1.0 + hp) AS e,
+                     16 - nreg AS v
+              FROM g)
+            SELECT est.source,
+                   ROUND(CASE WHEN e <= 2.5 * 16 AND v > 0
+                              THEN 16.0 * LN(16.0 / v) ELSE e END, 6) AS est_distinct,
+                   ex.n_exact
+            FROM est
+            JOIN (SELECT source, COUNT(DISTINCT text) AS n_exact
+                  FROM documents GROUP BY 1) ex ON ex.source = est.source
+            ORDER BY est.source"""))
+
   /** RefinedWeb-style per-domain cap: at most 10 docs per source, chosen
     * by deterministic md5 rank — the mixture-control selection primitive.
     * At sf0.01 every source holds ~25 docs, so the cap genuinely cuts;
@@ -3215,7 +3271,7 @@ object CurationQueries {
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
-    corpusVocab,
+    corpusVocab, corpusHll,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

@@ -295,6 +295,30 @@ class CorpusSpec extends SparkTestBase {
     assert(other != kept.filter(_._2 == "big").map(_._1).toSet)
   }
 
+  test("hllDistinct: both estimator branches, dup-idempotence, shard-merge = whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    // 5000 distinct keys, one group → raw α·m²/harmonic branch
+    val big = (1 to 5000).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val est = Corpus.hllDistinct(big, "grp", "k").collect().head.getDouble(1)
+    info(s"HLL m=16 estimate for 5000 distinct = $est")
+    assert(math.abs(est - 5000) / 5000.0 < 0.5, s"raw-branch estimate off: $est")
+    // 20 distinct keys → linear-counting branch (E <= 2.5m, V > 0)
+    val small = (1 to 20).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val estS = Corpus.hllDistinct(small, "grp", "k").collect().head.getDouble(1)
+    assert(math.abs(estS - 20) < 12, s"linear-counting estimate off: $estS")
+    // duplicate rows cannot move a max-register sketch
+    val dup = Corpus.hllDistinct(big.union(big), "grp", "k").collect().head.getDouble(1)
+    assert(dup == est)
+    // mergeability: shard the corpus, max-merge the register frames, and
+    // the estimate is EXACTLY the whole-corpus one — the 100 TB property
+    val sh1 = Corpus.hllRegisters(big.filter($"k" < "key3"), "grp", "k")
+    val sh2 = Corpus.hllRegisters(big.filter(!($"k" < "key3")), "grp", "k")
+    val merged = sh1.union(sh2).groupBy("__g", "__reg").agg(max("__mr").as("__mr"))
+    val estM = Corpus.hllEstimate(merged, "grp").collect().head.getDouble(1)
+    assert(estM == est)
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
