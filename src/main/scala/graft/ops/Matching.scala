@@ -119,4 +119,39 @@ object Matching {
       .withColumn("matched_value", when(col("match_count") === 1, col("__only")))
       .drop("__only")
   }
+
+  /** Point-in-interval range join, the scale-correct way. Spark plans a
+    * bare `start <= ts AND ts <= end` predicate as a nested-loop join
+    * (broadcast or cartesian — quadratic per key and memory-bound), so
+    * instead both sides are EQUI-keyed on a time bucket of
+    * `bucketSeconds`: each point lands in exactly one bucket, each
+    * interval explodes into the buckets it covers (a narrow explode —
+    * interval spans are bounded, points never duplicate), and the exact
+    * range predicate filters the hash-join output. One hash shuffle on
+    * (keys, bucket) replaces the nested loop; candidate work per point is
+    * the intervals sharing its bucket, not all intervals of its key.
+    *
+    * Pick `bucketSeconds` ≈ the typical interval length: much smaller
+    * multiplies the interval fan-out; much larger admits far-away
+    * candidates that the filter then discards.
+    *
+    * Returns points ++ interval columns, inner semantics (points in no
+    * interval drop; points in n intervals emit n rows).
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        keyCols: Seq[String], tsCol: String,
+                        startCol: String, endCol: String,
+                        bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds=$bucketSeconds must be >= 1")
+    // NTZ timestamps refuse a direct long cast; the hop through LTZ is
+    // value-preserving under the pipeline's fixed UTC session timezone
+    def secs(c: Column): Column = c.cast("timestamp").cast("long")
+    def bkt(c: Column): Column = floor(secs(c).cast("double") / bucketSeconds).cast("long")
+    val p = points.withColumn("__bkt", bkt(col(tsCol)))
+    val iv = intervals.withColumn("__bkt",
+      explode(sequence(bkt(col(startCol)), bkt(col(endCol)))))
+    p.join(iv, keyCols :+ "__bkt")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bkt")
+  }
 }

@@ -381,6 +381,41 @@ object CoreQueries {
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY 1"""))
 
+  /** Bucketed point-in-interval range join (extension operator): views
+    * counted into a 30-minute lookback window before each purchase by the
+    * same user. The bucket-equi rewrite ([[graft.ops.Matching
+    * .rangeJoinBucketed]]) hash-joins on (user, 15-min bucket) instead of
+    * the nested loop Spark would plan for the bare range predicate — the
+    * spec asserts the plan shape. Zero-view windows survive via the final
+    * left join (count 0), so the output covers every purchase.
+    */
+  val rangeJoin = Q("q_range_join_bucketed",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 1800 SECONDS")).as("w_start"), col("ts").as("w_end"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      val counts = Matching.rangeJoinBucketed(
+        views, purchases, Seq("user_id"), "ts", "w_start", "w_end", bucketSeconds = 900)
+        .groupBy("event_id").agg(count(lit(1)).as("n_views"))
+      purchases.select("event_id", "user_id")
+        .join(counts, Seq("event_id"), "left")
+        .na.fill(0L, Seq("n_views"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id, COUNT(v.ts) AS n_views
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL 1800 SECONDS AND v.ts <= p.ts
+            GROUP BY 1, 2
+            ORDER BY 1"""))
+
   /** SO3: union-by-name with missing-column fill + origin tag (reference
     * bind_rows(.id="form_name"), R/ingestion.R:92).
     */
@@ -566,5 +601,5 @@ object CoreQueries {
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
-    so3Union, so6Complete)
+    rangeJoin, so3Union, so6Complete)
 }

@@ -107,6 +107,30 @@ class OpsSpec extends SparkTestBase {
       (4, None)))        // no right rows for k2
   }
 
+  test("rangeJoinBucketed equals the naive range join, as a hash join") {
+    import java.sql.Timestamp
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // intervals spanning multiple buckets, touching bucket edges, nested
+    val points = Seq((1L, "u1", ts(100)), (2L, "u1", ts(900)), (3L, "u1", ts(1800)),
+      (4L, "u2", ts(100)), (5L, "u2", ts(5000)))
+      .toDF("pid", "user", "t")
+    val ivs = Seq((10L, "u1", ts(0), ts(1000)), (11L, "u1", ts(850), ts(2000)),
+      (12L, "u2", ts(99), ts(101)), (13L, "u3", ts(0), ts(10000)))
+      .toDF("iid", "user", "s", "e")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pairsOf(points.join(ivs, Seq("user"))
+      .filter(col("t") >= col("s") && col("t") <= col("e")))
+    val bucketed = Matching.rangeJoinBucketed(
+      points, ivs, Seq("user"), "t", "s", "e", bucketSeconds = 300)
+    assert(pairsOf(bucketed) == naive)
+    assert(naive == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 12L)))
+    // the point of the rewrite: an equi hash join, never a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("saltedJoin equals the plain join, deterministically") {
     val fact = Seq.tabulate(100)(i => (i % 3, i)).toDF("k", "v")
     val build = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "name")
