@@ -646,6 +646,48 @@ object Corpus {
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     hllEstimate(hllRegisters(df, groupCol, keyCol), groupCol)
 
+  /** Count-min sketch geometry: depth 4 hash rows × width 1024 counters.
+    * Error bound: overestimate ≤ ε·N with probability 1−δ where
+    * ε = e/width ≈ 0.27% and δ = e^−depth ≈ 1.8% — Cormode &
+    * Muthukrishnan 2005's published parameterization.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Count-min counter frame over a key column — the mergeable
+    * frequency-sketch state: (row j, bucket, count) with bucket =
+    * md5(j‖'_'‖key) mod width (15 hex chars → 60 bits, the same
+    * engine-parity hash the LSH planes use — no RNG, no seed state).
+    * Counters SUM across shards/days/engines, and the frame is at most
+    * depth·width rows no matter the corpus size — the shuffle carries
+    * ≤ 4096 rows, never the keys, which is what bounded-memory frequency
+    * estimation over 100 TB of tokens requires.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast(StringType).as("__k"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("__j"))
+      .select(col("__j"),
+        (conv(substring(md5(concat(col("__j").cast(StringType), lit("_"), col("__k"))),
+          1, 15), 16, 10).cast(LongType) % CmsWidth).as("__b"))
+      .groupBy("__j", "__b").agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `candidates` against a counter frame: min over
+    * the depth rows of each candidate's bucket counter (0 when a bucket
+    * was never hit). The counter frame is ≤ depth·width rows —
+    * broadcast — so estimation is a map-side join however many
+    * candidates stream through. CMS never under-counts: estimate ≥ true
+    * frequency, with the ε·N overestimate bound above.
+    */
+  def cmsEstimate(counters: DataFrame, candidates: DataFrame, keyCol: String): DataFrame =
+    candidates.select(col(keyCol), col(keyCol).cast(StringType).as("__k"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("__j"))
+      .select(col(keyCol), col("__j"),
+        (conv(substring(md5(concat(col("__j").cast(StringType), lit("_"), col("__k"))),
+          1, 15), 16, 10).cast(LongType) % CmsWidth).as("__b"))
+      .join(broadcast(counters), Seq("__j", "__b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+
   /** RefinedWeb-style per-domain cap: keep at most `cap` documents per
     * domain, chosen by deterministic hash rank (md5(seed ‖ id), id as the
     * total tie-break) — a pseudo-random but engine-reproducible sample,

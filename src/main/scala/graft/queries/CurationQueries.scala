@@ -1611,6 +1611,46 @@ object CurationQueries {
                   FROM documents GROUP BY 1) ex ON ex.source = est.source
             ORDER BY est.source"""))
 
+  /** Count-min heavy hitters: the 4×1024 counter sketch over every
+    * corpus token, point-estimated for the top-20 true tokens beside
+    * their exact counts — est ≥ exact always, bounded by ε·N. Everything
+    * is md5 buckets and integer sums, so the oracle replays the sketch
+    * bit-for-bit; mergeability (shard counters SUM to the whole) is
+    * spec-tested.
+    */
+  val corpusCms = Q("q_corpus_cms_topterms",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("token")).limit(20)
+      Corpus.cmsEstimate(Corpus.cmsCounters(toks, "token"), top, "token")
+        .join(top, Seq("token"))
+        .select(col("token"), col("n_exact"), col("est_count"))
+        .orderBy("token")
+    },
+    Some("""WITH toks AS (
+              SELECT UNNEST(LIST_FILTER(
+                STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '')) AS token
+              FROM documents),
+            ex AS (SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY 1),
+            top AS (SELECT token, n_exact FROM ex ORDER BY n_exact DESC, token LIMIT 20),
+            ctr AS (
+              SELECT j, ('0x' || SUBSTR(MD5(j || '_' || token), 1, 15))::BIGINT % 1024 AS b,
+                     COUNT(*) AS c
+              FROM toks, RANGE(0, 4) jj(j) GROUP BY 1, 2),
+            est AS (
+              SELECT t.token, MIN(COALESCE(ctr.c, 0)) AS est_count
+              FROM (SELECT token, j,
+                           ('0x' || SUBSTR(MD5(j || '_' || token), 1, 15))::BIGINT % 1024 AS b
+                    FROM top, RANGE(0, 4) jj(j)) t
+              LEFT JOIN ctr ON ctr.j = t.j AND ctr.b = t.b
+              GROUP BY 1)
+            SELECT top.token, top.n_exact, est.est_count
+            FROM top JOIN est USING (token)
+            ORDER BY token"""))
+
   /** RefinedWeb-style per-domain cap: at most 10 docs per source, chosen
     * by deterministic md5 rank — the mixture-control selection primitive.
     * At sf0.01 every source holds ~25 docs, so the cap genuinely cuts;
@@ -3271,7 +3311,7 @@ object CurationQueries {
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
-    corpusVocab, corpusHll,
+    corpusVocab, corpusHll, corpusCms,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

@@ -319,6 +319,33 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("cms: never under-counts, exact on light load, shard counters sum to whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    // skewed stream: "hot" ×500, "warm" ×50, 200 singletons
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (1 to 200).map(i => s"t$i")
+    val df = rows.toDF("k")
+    val cand = (Seq("hot", "warm", "t1", "absent")).toDF("k")
+    val counters = Corpus.cmsCounters(df, "k")
+    val est = Corpus.cmsEstimate(counters, cand, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS property: estimate >= truth; at 750 items over 4×1024 counters
+    // collisions are rare, so the heavy keys should be near-exact
+    assert(est("hot") >= 500 && est("hot") <= 510)
+    assert(est("warm") >= 50 && est("warm") <= 60)
+    assert(est("t1") >= 1)
+    assert(est("absent") >= 0) // an absent key may collide but never goes negative
+    // mergeability: counters from two shards SUM to the whole-corpus frame
+    val (a, b) = (rows.take(300), rows.drop(300))
+    val merged = Corpus.cmsCounters(a.toDF("k"), "k")
+      .union(Corpus.cmsCounters(b.toDF("k"), "k"))
+      .groupBy("__j", "__b").agg(sum("c").as("c"))
+    val estM = Corpus.cmsEstimate(merged, cand, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estM == est)
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
