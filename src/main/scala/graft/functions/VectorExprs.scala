@@ -303,6 +303,101 @@ object VectorExprs {
     GraftShim.column(TopCells(
       GraftShim.expression(v.cast("array<double>")), ids, mat, k))
 
+  /** Runtime helper for [[PqEncode]]: per subspace, the code id of the
+    * nearest centroid by squared L2, computed as `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩`
+    * with each inner product a sequential index-order sum — the exact
+    * association order of the HOF formulation it replaces and of the
+    * oracle's `LIST_INNER_PRODUCT` decomposition, so assignment DECISIONS
+    * are bit-compatible. Ties go to the smaller code id (codebooks are
+    * code-sorted, so first-strictly-less wins); an uncomputable distance
+    * (NaN) ranks last, where SQL null sorts under `ASC NULLS LAST`.
+    * `dbb` carries the per-centroid self-products precomputed in the same
+    * index order.
+    */
+  def pqEncodeEval(v: ArrayData, cents: Array[Array[Array[Double]]],
+                   codeIds: Array[Array[Long]], dbb: Array[Array[Double]],
+                   dsub: Int): ArrayData = {
+    val m = cents.length
+    if (v.numElements() != m * dsub) return null
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var daa = 0.0
+      var j = 0
+      while (j < dsub) { val x = v.getDouble(base + j); daa += x * x; j += 1 }
+      val cs = cents(s)
+      var bestD = Double.PositiveInfinity
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var dab = 0.0
+        j = 0
+        while (j < dsub) { dab += v.getDouble(base + j) * cent(j); j += 1 }
+        val d = daa - 2.0 * dab + dbb(s)(c)
+        if (d < bestD || (d == bestD && codeIds(s)(c) < bestId)) {
+          bestD = d; bestId = codeIds(s)(c)
+        }
+        c += 1
+      }
+      out(s) = bestId
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** All m PQ codes of a vector in ONE native pass — the product-
+    * quantization assign/encode step without the (vector × subspace ×
+    * centroid) candidate fan-out: the HOF formulation streamed ~m·ksub
+    * candidate rows per vector through zip_with/aggregate lambdas (three
+    * array allocations per candidate) and an interpreted struct-min, and
+    * measured 45 s warm at sf0.1 where IVF's native assign runs ~1 s.
+    * Returns `array<long>` of the per-subspace code ids (position =
+    * subspace), or null when the vector's length isn't m·dsub.
+    */
+  case class PqEncode(child: Expression, codeIds: Array[Array[Long]],
+                      cents: Array[Array[Array[Double]]], dsub: Int)
+    extends UnaryExpression {
+
+    require(cents.length == codeIds.length && cents.length >= 1 && dsub >= 1,
+      s"malformed PQ codebook: m=${cents.length}/${codeIds.length} dsub=$dsub")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_encode"
+
+    @transient private lazy val dbb: Array[Array[Double]] =
+      cents.map(_.map { c =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { s += c(j) * c(j); j += 1 }
+        s
+      })
+
+    override def nullSafeEval(v: Any): Any =
+      pqEncodeEval(v.asInstanceOf[ArrayData], cents, codeIds, dbb, dsub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+      val idsRef = ctx.addReferenceObj("pqIds", codeIds, "long[][]")
+      val dbbRef = ctx.addReferenceObj("pqDbb", dbb, "double[][]")
+      val code = ctx.freshName("pqCodes")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""org.apache.spark.sql.catalyst.util.ArrayData $code =
+           |  graft.functions.VectorExprs.pqEncodeEval($c, $centsRef, $idsRef, $dbbRef, $dsub);
+           |if ($code == null) { ${ev.isNull} = true; } else { ${ev.value} = $code; }
+           |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  def pqEncode(v: Column, codeIds: Array[Array[Long]],
+               cents: Array[Array[Array[Double]]], dsub: Int): Column =
+    GraftShim.column(PqEncode(
+      GraftShim.expression(v.cast("array<double>")), codeIds, cents, dsub))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(
       GraftShim.expression(a.cast("array<double>")),

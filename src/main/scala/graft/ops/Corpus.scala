@@ -575,6 +575,33 @@ object Corpus {
       .drop("__domain")
   }
 
+  /** Exact per-group quantiles by rank: the q-quantile is the value at
+    * row ⌈q·n⌉ of the group's value-sorted order — pure integer rank
+    * arithmetic, so (unlike `percentile_approx`'s sketch) the answer is
+    * deterministic and engine-reproducible; ties on the value can't
+    * move the SELECTED value, so no tie-break column is needed. One
+    * window sort per group (partition-parallel, never a global sort);
+    * the conditional-max collapse reads each group once.
+    *
+    * At 100 TB this is the per-GROUP quantile tool (each group must fit
+    * a spillable sort); for whole-corpus quantiles at that scale compose
+    * [[lengthHistogram]]'s bucket counts instead — rank-exactness is
+    * rarely worth a global sort.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles: $qs")
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val picks = qs.map { q =>
+      max(when(col("__rn") === ceil(lit(q) * col("__n")), col(valueCol)))
+        .as(s"p${(q * 100).round}")
+    }
+    ranked.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
+
   /** HyperLogLog register count (m = 2^4) and its bias constant α₁₆
     * (Flajolet et al. 2007, Fig. 3 — the published small-m constant).
     * m=16 keeps the relative error ≈ 1.04/√16 ≈ 26%: a smoke-scale

@@ -271,7 +271,7 @@ object Similarity {
     * shuffle) — the ×m fan-out exists only inside the training/encode
     * stages and never carries full vectors across the wire.
     */
-  private def pqSubvectors(vecs: DataFrame, m: Int, dsub: Int): DataFrame =
+  private[ops] def pqSubvectors(vecs: DataFrame, m: Int, dsub: Int): DataFrame =
     vecs.select(col("__id"), explode(sequence(lit(0), lit(m - 1))).as("__s"), col("__v"))
       .select(col("__id"), col("__s"),
         slice(col("__v"), col("__s") * dsub + 1, lit(dsub)).as("__sv"))
@@ -287,23 +287,56 @@ object Similarity {
   private def l2sq(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
-  /** Nearest PQ code per (vector, subspace): min over the broadcast
-    * codebook of (squared L2 asc, code asc) — the deterministic tie rule,
-    * expressed as a min-struct so the per-(id, subspace) reduction
-    * map-side combines instead of windowing. The subvector rides in the
-    * struct's LAST slot (code is unique, so it never participates in the
-    * comparison) purely so the training loop gets it back without a
-    * second join against the subvector frame.
+  /** HOF twin of the native PQ assignment ([[pqAssignNative]]), kept for
+    * bit-parity testing: min over the broadcast codebook of (squared L2
+    * asc, code asc) — the deterministic tie rule, expressed as a
+    * min-struct so the per-(id, subspace) reduction map-side combines.
+    * The candidate fan-out (×ksub rows per subvector, three array
+    * allocations per candidate inside [[l2sq]]) is why the native
+    * expression replaced it on the hot path: 45 s → ~1 s warm at sf0.1.
     */
-  private def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame =
+  private[ops] def pqAssignHof(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("__s"))
       .select(col("__id"), col("__s"),
         struct(l2sq(col("__sv"), col("cent")).as("__d"), col("code").as("__code"),
           col("__sv").as("__sv")).as("__cand"))
       .groupBy("__id", "__s")
       .agg(min(col("__cand")).as("__w"))
-      .select(col("__id"), col("__s"), col("__w.__code").as("code"),
-        col("__w.__sv").as("__sv"))
+      .select(col("__id"), col("__s"), col("__w.__code").cast("long").as("code"))
+
+  /** Collect a codebook frame to the driver as code-sorted per-subspace
+    * (ids, centroid matrices) — the √-corpus-free, ksub·d-double object
+    * [[graft.functions.VectorExprs.PqEncode]] references from the plan.
+    * A subspace whose every cell died collapses to empty arrays; the
+    * expression then emits Long.MaxValue for it, which joins nothing
+    * downstream (the degenerate-corpus case, matching the relational
+    * formulation where the assignment join simply finds no candidates).
+    */
+  private def collectCodebook(codebook: DataFrame, m: Int)
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val rows = codebook.select(col("__s").cast("int"), col("code").cast("long"),
+      col("cent").cast("array<double>")).collect()
+    val by = rows.groupBy(_.getInt(0))
+    val ids = Array.tabulate(m)(s =>
+      by.get(s).fold(Array.empty[Long])(_.map(_.getLong(1)).sorted))
+    val mats = Array.tabulate(m)(s =>
+      by.get(s).fold(Array.empty[Array[Double]])(
+        _.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)))
+    (ids, mats)
+  }
+
+  /** All m codes per vector via the native [[graft.functions.VectorExprs
+    * .PqEncode]] expression — one tight JVM loop per row, no candidate
+    * fan-out. Returns (__id, __s, code) long-format, bit-compatible with
+    * [[pqAssignHof]] (spec-pinned).
+    */
+  private def pqAssignNative(vecs: DataFrame, codebook: DataFrame,
+                             m: Int, dsub: Int): DataFrame = {
+    val (ids, mats) = collectCodebook(codebook, m)
+    vecs.select(col("__id"),
+      posexplode(graft.functions.VectorExprs.pqEncode(col("__v"), ids, mats, dsub))
+        .as(Seq("__s", "code")))
+  }
 
   /** Deterministic product-quantization codebooks: the d-dim space splits
     * into `m` subspaces of `dsub` dims; each subspace gets `ksub`
@@ -329,13 +362,23 @@ object Similarity {
     val seedRanks = vecs.orderBy("__id").limit(ksub)
       .select(col("__id"), row_number().over(Window.orderBy("__id")).as("code"))
     val c0 = sv.join(broadcast(seedRanks), "__id")
-      .select(col("__s"), col("code"), col("__sv").as("cent"))
+      .select(col("__s"), col("code").cast("long").as("code"), col("__sv").as("cent"))
       .localCheckpoint(true)
     (1 to iters).foldLeft(c0) { (cents, _) =>
       // element-wise mean per (subspace, code): exact quantized long sums
-      // (order-independent), de-scale, re-assemble — see [[ivfCentroids]]
-      pqAssign(sv, cents)
-        .select(col("__s"), col("code"), posexplode(col("__sv")).as(Seq("__dim", "__x")))
+      // (order-independent), de-scale, re-assemble — see [[ivfCentroids]].
+      // Assignment is the native encode; the full-vector posexplode
+      // re-derives (subspace, in-subspace dim) from the flat dim index,
+      // so the whole step is one narrow pass over the corpus — no
+      // candidate join, no subvector fan-out.
+      val (ids, mats) = collectCodebook(cents, m)
+      vecs.select(
+          graft.functions.VectorExprs.pqEncode(col("__v"), ids, mats, dsub).as("__codes"),
+          posexplode(col("__v")).as(Seq("__d0", "__x")))
+        .select(
+          (col("__d0") / dsub).cast(IntegerType).as("__s"),
+          element_at(col("__codes"), (col("__d0") / dsub).cast(IntegerType) + 1).as("code"),
+          pmod(col("__d0"), lit(dsub)).as("__dim"), col("__x"))
         .groupBy("__s", "code", "__dim")
         .agg(sum(floor(col("__x") * CentroidQuantScale + 0.5)).as("__qs"),
           count(col("__x")).as("__n"))
@@ -374,7 +417,7 @@ object Similarity {
              iters: Int = 3, shortlist: Int = 50): DataFrame = {
     val codebook = pqCodebooks(corpus, cId, cVec, m, dsub, ksub, iters)
     val cVecs = corpus.select(col(cId).as("__id"), col(cVec).cast("array<double>").as("__v"))
-    val codes = pqAssign(pqSubvectors(cVecs, m, dsub), codebook)
+    val codes = pqAssignNative(cVecs, codebook, m, dsub)
     // reconstruction: codes → centroids, flattened in (subspace, dim)
     // order — the decoded form of the m-byte stored representation
     val recon = codes.join(broadcast(codebook), Seq("__s", "code"))

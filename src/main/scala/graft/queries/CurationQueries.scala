@@ -1611,6 +1611,35 @@ object CurationQueries {
                   FROM documents GROUP BY 1) ex ON ex.source = est.source
             ORDER BY est.source"""))
 
+  /** Exact per-source token-count quantiles (p50/p90/p99) by integer
+    * rank — the deterministic alternative to `percentile_approx`, whose
+    * sketch is neither engine-reproducible nor oracle-able. The oracle
+    * replays the identical ⌈q·n⌉ rank pick.
+    */
+  val corpusQuantiles = Q("q_corpus_length_quantiles",
+    (s, dir) => {
+      val lens = Tables.documents(s, dir)
+        .select(col("source"), Text.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      Corpus.exactQuantiles(lens, "source", "n_tok", Seq(0.5, 0.9, 0.99))
+        .orderBy("source")
+    },
+    Some("""WITH lens AS (
+              SELECT source,
+                CAST(LEN(LIST_FILTER(
+                  STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT source, n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM lens)
+            SELECT source,
+                   MAX(CASE WHEN rn = CEIL(0.5 * n) THEN n_tok END) AS p50,
+                   MAX(CASE WHEN rn = CEIL(0.9 * n) THEN n_tok END) AS p90,
+                   MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_tok END) AS p99
+            FROM r GROUP BY source ORDER BY source"""))
+
   /** Count-min heavy hitters: the 4×1024 counter sketch over every
     * corpus token, point-estimated for the top-20 true tokens beside
     * their exact counts — est ≥ exact always, bounded by ε·N. Everything
@@ -3311,7 +3340,7 @@ object CurationQueries {
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
-    corpusVocab, corpusHll, corpusCms,
+    corpusVocab, corpusHll, corpusCms, corpusQuantiles,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

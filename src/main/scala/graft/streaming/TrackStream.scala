@@ -283,4 +283,43 @@ object TrackStream {
     graft.ops.Dedup.shingleIndex(corpus, textCol, idCol, n)
       .write.mode("overwrite").parquet(indexDir)
   }
+
+  /** Streaming distinct-count: per-group HyperLogLog registers
+    * ([[graft.ops.Corpus.hllRegisters]]) as `foreachBatch` state. Each
+    * micro-batch's registers max-merge into the persisted frame
+    * (`stateDir`, ≤ groups × m tiny rows — the state NEVER grows with
+    * key cardinality, which is the whole point at crawl scale), and the
+    * sink receives the updated per-group estimates.
+    *
+    * Unlike the bloom sink there is NO crash-ordering invariant to keep:
+    * register max-merge is IDEMPOTENT, so a replayed batch (at-least-once
+    * source, crash retry) merges to exactly the same frame and the
+    * estimates never double-count — the replay-safety the count-style
+    * alternative (`sum` state) structurally cannot have. The state swap
+    * is write-tmp-then-rename so a crash mid-write leaves the previous
+    * frame intact; on restart the state on disk IS the sketch (no
+    * rebuild step needed — contrast [[bloomFromHistory]]).
+    */
+  def hllDistinctForeachBatch(groupCol: String, keyCol: String,
+                              stateDir: String,
+                              sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.max
+    val batchRegs = graft.ops.Corpus.hllRegisters(batch, groupCol, keyCol)
+    val prev =
+      try Some(spark.read.parquet(stateDir))
+      catch { case _: Throwable => None } // first batch: no state yet
+    val merged = prev.fold(batchRegs)(_.union(batchRegs))
+      .groupBy("__g", "__reg").agg(max("__mr").as("__mr"))
+      .localCheckpoint(true) // materialize BEFORE overwriting what it read
+    val hadoop = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (hadoop.exists(dst)) hadoop.delete(dst, true)
+    require(hadoop.rename(tmp, dst), s"state swap $tmp -> $dst failed")
+    sink(graft.ops.Corpus.hllEstimate(merged, groupCol))
+  }
 }

@@ -346,6 +346,23 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("exactQuantiles: hand-checked rank picks, ties, single-row groups") {
+    import spark.implicits._
+    // group a: values 1..10 → p50 = rank ceil(5.0)=5 → 5; p90 = rank 9; p99 = rank 10
+    // group b: all-equal values; group c: a single row
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("c", 42L))).toDF("g", "v")
+    val got = Corpus.exactQuantiles(df, "g", "v", Seq(0.5, 0.9, 0.99))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 5L, 9L, 10L), ("b", 7L, 7L, 7L), ("c", 42L, 42L, 42L)))
+    // partition-parallel window — never a global range sort
+    val plan = Corpus.exactQuantiles(df, "g", "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      "per-group quantiles must hash-partition by group, not range-sort globally")
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")

@@ -207,6 +207,27 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native pq encode is bit-identical to the HOF min-struct assignment") {
+    val vecs = df.select(col("vec_id").as("__id"),
+      col("embedding").cast("array<double>").as("__v"))
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, dsub = 4, ksub = 8)
+    val hof = Similarity.pqAssignHof(Similarity.pqSubvectors(vecs, 4, 4), cb)
+      .select("__id", "__s", "code").orderBy("__id", "__s")
+      .collect().map(_.toSeq).toSeq
+    val nat = {
+      import graft.functions.VectorExprs
+      val rows = cb.select(col("__s").cast("int"), col("code").cast("long"),
+        col("cent").cast("array<double>")).collect()
+      val by = rows.groupBy(_.getInt(0))
+      val ids = Array.tabulate(4)(s => by(s).map(_.getLong(1)).sorted)
+      val mats = Array.tabulate(4)(s => by(s).sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray))
+      vecs.select(col("__id"),
+        posexplode(VectorExprs.pqEncode(col("__v"), ids, mats, 4)).as(Seq("__s", "code")))
+        .orderBy("__id", "__s").collect().map(_.toSeq).toSeq
+    }
+    assert(nat == hof)
+  }
+
   test("sq8 codes stay in the signed-byte domain and constant dims decode to mn") {
     // a corpus with one constant dimension (span = 0) and extreme values
     val rows = Seq(

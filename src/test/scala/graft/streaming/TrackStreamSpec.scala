@@ -380,4 +380,26 @@ class TrackStreamSpec extends SparkTestBase {
       assert(finalized.exists(_.startsWith("2024-03-11 08:00")))
     } finally query.stop()
   }
+
+  test("hll sink: cross-batch max-merge equals the whole-stream sketch; replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("hllsink").toString + "/regs"
+    val ests = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val fn = TrackStream.hllDistinctForeachBatch("src", "k", dir,
+      sink = df => ests += df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val b1 = (1 to 300).map(i => ("a", s"k$i")).toDF("src", "k")
+    val b2 = ((301 to 600).map(i => ("a", s"k$i")) ++
+      (1 to 50).map(i => ("b", s"x$i"))).toDF("src", "k")
+    fn(b1, 0L)
+    fn(b2, 1L)
+    // after batch 2 the estimates equal a batch-computed sketch of b1 ∪ b2
+    val whole = graft.ops.Corpus.hllDistinct(b1.union(b2), "src", "k").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ests(1) == whole)
+    // an at-least-once replay of batch 2 merges to the SAME frame —
+    // estimates never double-count (max is idempotent)
+    fn(b2, 1L)
+    assert(ests(2) == ests(1))
+    // persisted state is register-sized (≤ groups × m), never key-sized
+    assert(spark.read.parquet(dir).count() <= 2L * graft.ops.Corpus.HllM)
+  }
 }
