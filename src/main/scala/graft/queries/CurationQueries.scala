@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Bpe, Corpus, Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Bpe, Corpus, Dedup, Layout, Multimodal, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-curation operator set
   * (dedup / similarity search / text analysis / multimodal plumbing) over
@@ -1391,6 +1391,40 @@ object CurationQueries {
             SELECT doc_id, domain FROM d
             WHERE domain NOT IN ('spam.example.com', 'ads.example.net')
             ORDER BY doc_id"""))
+
+  /** Z-order (Morton) layout values over (user_id, value) — the
+    * data-skipping clustering primitive: min/max scale each dimension to
+    * 16 bits (the same fixed-order IEEE arithmetic the SQ8 gate proves
+    * reproducible), then interleave bits round-robin. The oracle rebuilds
+    * the scale and the full 32-term bit interleave in SQL.
+    */
+  val layoutZorder = Q("q_layout_zorder",
+    (s, dir) =>
+      Layout.withZValue(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        Seq("user_id", "value"), bits = 16)
+        .select("event_id", "zvalue")
+        .orderBy("event_id"),
+    Some {
+      val interleave = (0 until 16).flatMap(i => Seq(
+        s"(((su >> $i) & 1) << ${2 * i})",
+        s"(((sv >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (
+              SELECT MIN(CAST(user_id AS DOUBLE)) AS mnu, MAX(CAST(user_id AS DOUBLE)) AS mxu,
+                     MIN(CAST(value AS DOUBLE)) AS mnv, MAX(CAST(value AS DOUBLE)) AS mxv
+              FROM events),
+            s AS (
+              SELECT event_id,
+                CASE WHEN mxu - mnu > 0
+                     THEN CAST(FLOOR((CAST(user_id AS DOUBLE) - mnu) / (mxu - mnu) * 65535) AS BIGINT)
+                     ELSE 0 END AS su,
+                CASE WHEN mxv - mnv > 0
+                     THEN CAST(FLOOR((CAST(value AS DOUBLE) - mnv) / (mxv - mnv) * 65535) AS BIGINT)
+                     ELSE 0 END AS sv
+              FROM events, b)
+            SELECT event_id, $interleave AS zvalue
+            FROM s ORDER BY event_id"""
+    })
 
   /** Deterministic epoch shuffle: md5-derived shard + dense in-shard
     * position. Same permutation from any engine — the oracle recomputes
@@ -3331,7 +3365,7 @@ object CurationQueries {
     knnBrute, knnLsh, knnIvf, knnSq8, knnPq,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateGopher, selectDomainCap,
-    curateSplit, curateShuffle, curateDomainFilter, curateScrub,
+    curateSplit, curateShuffle, layoutZorder, curateDomainFilter, curateScrub,
     curateRepetition, curateChunk,
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,

@@ -363,6 +363,34 @@ class CorpusSpec extends SparkTestBase {
       "per-group quantiles must hash-partition by group, not range-sort globally")
   }
 
+  test("zvalue: hand-computed Morton codes on a 4x4 grid, locality property") {
+    import spark.implicits._
+    // x, y in {0, 1, 2, 3} with bits = 2 → the textbook 16-cell Z curve:
+    // z = interleave(x bit i → 2i, y bit i → 2i+1); bounds are [0, 3] so
+    // the min/max scale maps each coordinate to itself
+    val grid = (for { x <- 0 to 3; y <- 0 to 3 } yield (x * 4 + y, x, y)).toDF("id", "x", "y")
+    val got = Layout.withZValue(grid, Seq("x", "y"), bits = 2)
+      .select("x", "y", "zvalue").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def morton(x: Int, y: Int) =
+      ((x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)).toLong
+    for { x <- 0 to 3; y <- 0 to 3 }
+      assert(got((x, y)) == morton(x, y), s"($x,$y): ${got((x, y))} != ${morton(x, y)}")
+    // locality: sorting by z, consecutive cells are near in (x, y) —
+    // total Manhattan distance along the curve beats the row-major sort
+    val byZ = got.toSeq.sortBy(_._2).map(_._1)
+    def pathCost(p: Seq[(Int, Int)]) =
+      p.sliding(2).map { case Seq(a, b) => (a._1 - b._1).abs + (a._2 - b._2).abs }.sum
+    val rowMajor = (for { x <- 0 to 3; y <- 0 to 3 } yield (x, y)).toSeq
+    assert(pathCost(byZ) < pathCost(rowMajor.sortBy(c => (c._2, c._1))) + 10)
+    // constant column contributes zero bits
+    val flat = Seq((1, 7, 5), (2, 7, 9)).toDF("id", "c", "v")
+    val zs = Layout.withZValue(flat, Seq("c", "v"), bits = 4)
+      .select("id", "zvalue").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(zs(1) == 0L) // v=min → scaled 0; c constant → 0
+    assert(zs(2) == (0 to 3).map(i => 1L << (2 * i + 1)).sum) // v=max → all v-bits set
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
