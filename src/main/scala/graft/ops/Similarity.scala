@@ -338,6 +338,18 @@ object Similarity {
         .as(Seq("__s", "code")))
   }
 
+  /** Codebook reconstruction of every coded vector: codes → centroids
+    * via the broadcast codebook, flattened in (subspace, dim) order —
+    * the decoded form of the m-byte stored representation. Returns
+    * (neighbor_id, __recon).
+    */
+  private def reconFromCodes(codes: DataFrame, codebook: DataFrame): DataFrame =
+    codes.join(broadcast(codebook), Seq("__s", "code"))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__s"), col("cent")))).as("__sc"))
+      .select(col("__id").as("neighbor_id"),
+        flatten(transform(col("__sc"), s => s.getField("cent"))).as("__recon"))
+
   /** Deterministic product-quantization codebooks: the d-dim space splits
     * into `m` subspaces of `dsub` dims; each subspace gets `ksub`
     * centroids seeded from the first `ksub` corpus vectors by id (code =
@@ -417,16 +429,58 @@ object Similarity {
              iters: Int = 3, shortlist: Int = 50): DataFrame = {
     val codebook = pqCodebooks(corpus, cId, cVec, m, dsub, ksub, iters)
     val cVecs = corpus.select(col(cId).as("__id"), col(cVec).cast("array<double>").as("__v"))
-    val codes = pqAssignNative(cVecs, codebook, m, dsub)
-    // reconstruction: codes → centroids, flattened in (subspace, dim)
-    // order — the decoded form of the m-byte stored representation
-    val recon = codes.join(broadcast(codebook), Seq("__s", "code"))
-      .groupBy("__id")
-      .agg(array_sort(collect_list(struct(col("__s"), col("cent")))).as("__sc"))
-      .select(col("__id").as("neighbor_id"),
-        flatten(transform(col("__sc"), s => s.getField("cent"))).as("__recon"))
+    val recon = reconFromCodes(pqAssignNative(cVecs, codebook, m, dsub), codebook)
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
     val short = broadcast(q).crossJoin(recon)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", cosine(col("__qv"), col("__recon")))
+      .withColumn("__srk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__approx").desc, col("neighbor_id"))))
+      .filter(col("__srk") <= shortlist)
+      .select(col("query_id"), col("__qv"), col("neighbor_id"))
+    val cRaw = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__cv"))
+    broadcast(short).join(cRaw, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-PQ: the two ANN reductions composed — IVF cells bound the
+    * CANDIDATE COUNT (each query scores ~nprobe/nlist of the corpus),
+    * PQ codes bound the BYTES PER CANDIDATE (m codes instead of d
+    * floats) — which is how a 100 TB embedding corpus becomes servable:
+    * the scan per query is (nprobe/nlist)·n·m bytes. Codes here quantize
+    * the RAW vectors against one global codebook (IVFFlat-with-PQ-storage)
+    * rather than per-cell residuals: residual codebooks buy accuracy at
+    * the cost of nlist× codebook state and a train/encode coupling the
+    * relational oracle would have to replay per cell; the shortlist +
+    * exact re-rank recovers the recall either way. Shortlist by
+    * approximate cosine against the reconstruction within probed cells,
+    * exact re-rank of the survivors — every stage deterministic and
+    * replayed by the gate's SQL.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                k: Int, nlist: Int, nprobe: Int,
+                m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                iters: Int = 3, shortlist: Int = 32): DataFrame = {
+    val centroids = ivfCentroids(corpus, cId, cVec, nlist)
+    val cVecs = corpus.select(col(cId).as("__id"), col(cVec).cast("array<double>").as("__v"))
+    val cells = assignToCentroids(cVecs, centroids)
+      .select(col("centroid_id"), col("__id").as("neighbor_id"))
+    val codebook = pqCodebooks(corpus, cId, cVec, m, dsub, ksub, iters)
+    val recon = reconFromCodes(pqAssignNative(cVecs, codebook, m, dsub), codebook)
+    val corpusSide = cells.join(recon, Seq("neighbor_id"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col("__qv"), col("centroid")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cos").desc, col("centroid_id"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val short = broadcast(qCells).join(corpusSide, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__approx", cosine(col("__qv"), col("__recon")))
       .withColumn("__srk", row_number().over(

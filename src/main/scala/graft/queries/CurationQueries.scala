@@ -1011,36 +1011,40 @@ object CurationQueries {
     * min-struct rule — and means are the same order-independent
     * quantized-integer sums as [[lloydCtesSql]].
     */
-  private def pqLloydCtesSql(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+  private def pqLloydCtesSql(m: Int, dsub: Int, ksub: Int, iters: Int,
+                             prefix: String = "", emitV: Boolean = true): String = {
+    val P = prefix // CTE-name prefix so the chain composes beside lloydCtesSql
     def assignSql(to: String): String =
       s"""SELECT vec_id, s, code FROM (
                 SELECT s0.vec_id, s0.s, c.code,
                        ROW_NUMBER() OVER (PARTITION BY s0.vec_id, s0.s
                          ORDER BY ${l2sqSql("s0.sv", "c.cent")} ASC NULLS LAST,
                                   c.code) AS rk
-                FROM s0 JOIN $to c ON c.s = s0.s) WHERE rk = 1"""
+                FROM ${P}s0 s0 JOIN $to c ON c.s = s0.s) WHERE rk = 1"""
     val steps = (1 to iters).map { it =>
-      s"""a$it AS (${assignSql(s"p${it - 1}")}),
-            p$it AS (
+      s"""${P}a$it AS (${assignSql(s"${P}p${it - 1}")}),
+            ${P}p$it AS (
               SELECT s, code, LIST(mv ORDER BY dim) AS cent FROM (
                 SELECT a.s, a.code, d.i AS dim,
                        CAST(SUM(CAST(FLOOR(d.x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
                          / 1048576.0 / CAST(COUNT(d.x) AS DOUBLE) AS mv
-                FROM a$it a JOIN sdx d ON d.vec_id = a.vec_id AND d.s = a.s
+                FROM ${P}a$it a JOIN ${P}sdx d ON d.vec_id = a.vec_id AND d.s = a.s
                 GROUP BY a.s, a.code, d.i)
               GROUP BY s, code)"""
     }.mkString(",\n            ")
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            s0 AS (SELECT vec_id, s, LIST_SLICE(e, s * $dsub + 1, s * $dsub + $dsub) AS sv
+    val vCte =
+      if (emitV) "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n            "
+      else ""
+    s"""$vCte${P}s0 AS (SELECT vec_id, s, LIST_SLICE(e, s * $dsub + 1, s * $dsub + $dsub) AS sv
                    FROM v, RANGE(0, $m) ss(s)),
-            sdx AS (SELECT vec_id, s, GENERATE_SUBSCRIPTS(sv, 1) AS i, UNNEST(sv) AS x
-                    FROM s0),
-            p0 AS (
+            ${P}sdx AS (SELECT vec_id, s, GENERATE_SUBSCRIPTS(sv, 1) AS i, UNNEST(sv) AS x
+                    FROM ${P}s0),
+            ${P}p0 AS (
               SELECT s0.s, r.code, s0.sv AS cent
               FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS code FROM v) r
-              JOIN s0 ON s0.vec_id = r.vec_id WHERE r.code <= $ksub),
+              JOIN ${P}s0 s0 ON s0.vec_id = r.vec_id WHERE r.code <= $ksub),
             $steps,
-            enc AS (${assignSql(s"p$iters")})"""
+            ${P}enc AS (${assignSql(s"${P}p$iters")})"""
   }
 
   /** Product-quantized top-k (m=8 subspaces × ksub=16 codes — 8 stored
@@ -1080,6 +1084,72 @@ object CurationQueries {
                                   r.vec_id) AS srk
                 FROM v q JOIN rec r ON r.vec_id <> q.vec_id
                 WHERE q.vec_id < 16) WHERE srk <= 50),
+            sc AS (
+              SELECT sh.query_id, sh.neighbor_id, ${cosSql("vq.e", "vn.e")} AS cos
+              FROM sh
+              JOIN v vq ON vq.vec_id = sh.query_id
+              JOIN v vn ON vn.vec_id = sh.neighbor_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC NULLS LAST, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM sc
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
+  /** IVF-PQ top-k — the candidate-count reduction (nlist=16 cells,
+    * nprobe=4 probing) composed with the bytes-per-candidate reduction
+    * (8×16 PQ codes) — FULLY oracled by composing both Lloyd rebuilds:
+    * [[lloydCtesSql]] for the coarse cells, [[pqLloydCtesSql]] (prefixed
+    * `pq`) for the codebooks, then shortlist-by-reconstruction within
+    * probed cells and exact re-rank, every decision replayed.
+    */
+  val knnIvfPq = Q("q_knn_cosine_ivfpq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, m = 8, dsub = 8, ksub = 16,
+        iters = 3, shortlist = 32)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${lloydCtesSql("16", 3)},
+            ${pqLloydCtesSql(m = 8, dsub = 8, ksub = 16, iters = 3,
+                             prefix = "pq", emitV = false)},
+            cc AS (
+              SELECT vec_id AS neighbor_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c) WHERE rk = 1),
+            qp AS (
+              SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c WHERE v.vec_id < 16) WHERE rk <= 4),
+            rec AS (
+              SELECT c.vec_id, LIST(d.x ORDER BY c.s, d.i) AS recon
+              FROM pqenc c
+              JOIN (SELECT s, code, GENERATE_SUBSCRIPTS(cent, 1) AS i, UNNEST(cent) AS x
+                    FROM pqp3) d
+                ON d.s = c.s AND d.code = c.code
+              GROUP BY c.vec_id),
+            sh AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY ${cosSql("vq.e", "r.recon")} DESC NULLS LAST,
+                                  c.neighbor_id) AS srk
+                FROM qp q
+                JOIN cc c ON c.centroid_id = q.centroid_id
+                         AND c.neighbor_id <> q.query_id
+                JOIN rec r ON r.vec_id = c.neighbor_id
+                JOIN v vq ON vq.vec_id = q.query_id) WHERE srk <= 32),
             sc AS (
               SELECT sh.query_id, sh.neighbor_id, ${cosSql("vq.e", "vn.e")} AS cos
               FROM sh
@@ -3362,7 +3432,7 @@ object CurationQueries {
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,
-    knnBrute, knnLsh, knnIvf, knnSq8, knnPq,
+    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq,
     textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
     curateGopher, selectDomainCap,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter, curateScrub,

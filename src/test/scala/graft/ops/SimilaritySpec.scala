@@ -207,6 +207,37 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK: exact at full probe + full shortlist; probed recall floor") {
+    // probing every cell with an uncut shortlist must equal brute force —
+    // the exact re-rank then covers the entire corpus
+    val exact = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id", "cosine").orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    val full = Similarity.ivfPqTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 8, m = 4, dsub = 4, ksub = 8, shortlist = 100)
+      .select("query_id", "rank", "neighbor_id", "cosine").orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(full == exact)
+    // probed mode on the real corpus: recall bounded by the IVF probe
+    // (0.91 at nprobe=4) times PQ shortlist loss — gate well below both
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 16)
+    val truth = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, m = 8, dsub = 8, ksub = 16, shortlist = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"IVF-PQ recall@5 (nprobe=4, shortlist=32) = $recall")
+    assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
+  }
+
   test("native pq encode is bit-identical to the HOF min-struct assignment") {
     val vecs = df.select(col("vec_id").as("__id"),
       col("embedding").cast("array<double>").as("__v"))
