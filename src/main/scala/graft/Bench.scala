@@ -222,7 +222,7 @@ object Bench {
   val HeavyQueries: Seq[String] = Seq(
     "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh_auto", "q_dedup_cluster_keep",
     "q_dedup_embed_cosine_lsh_auto", "q_dedup_semdedup",
-    "q_knn_cosine_ivf", "q_knn_cosine_lsh", "q_knn_cosine_pq",
+    "q_knn_cosine_ivf", "q_knn_cosine_lsh", "q_knn_cosine_pq", "q_knn_cosine_ivfpq",
     "q_knn_cosine_topk", "q_v7_validate_orchestration", "q_v7_validate_fused",
     "q_r3_list_standardize",
     // the composed curation pipeline over the RAW corpus; the planted-tail

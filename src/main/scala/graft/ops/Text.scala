@@ -200,6 +200,47 @@ object Text {
       when(nTok > 0, stop.cast(DoubleType) / nTok).otherwise(lit(0.0)).as("stopword_hit_ratio"))
   }
 
+  /** Feature-hashing ("hashing trick") term-frequency buckets: one row
+    * per (doc, bucket) with the count of tokens hashing there — bucket =
+    * md5(token) mod `dim`, the same 15-hex-char engine-parity hash every
+    * md5-keyed op uses. The long format IS the scale representation
+    * (shuffle rows = tokens, bucket space fixed at `dim` regardless of
+    * vocabulary); [[hashingTfVector]] densifies it when a fixed-width
+    * vector column is needed.
+    */
+  def hashingTfBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        (expr("conv(substring(md5(__t), 1, 15), 16, 10)").cast(LongType) % dim).as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Dense `dim`-wide TF vector per document from [[hashingTfBuckets]]:
+    * the model-free text vectorizer — identical token multisets map to
+    * identical vectors, so the whole vector-similarity family
+    * (brute-force/LSH/IVF/PQ top-k, cosine dedup) runs on plain text
+    * with no embedding model in the loop. Token-less documents get the
+    * zero vector (cosine against it is null — ranked last, never
+    * crashed). Counts are exact small ints in double — bit-identical
+    * across engines by construction.
+    */
+  def hashingTfVector(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    val dense = hashingTfBuckets(df, idCol, textCol, dim)
+      .groupBy(idCol)
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("bucket"), col("cnt").cast(DoubleType))))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast(LongType)), lit(0.0))).as("tf"))
+    df.select(col(idCol)).distinct()
+      .join(dense, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tf"), array_repeat(lit(0.0), dim)).as("tf"))
+  }
+
   /** Gopher-style per-document rule bank (Rae et al. 2021 §A1.1 — the
     * published heuristics, applied verbatim where the signal exists in a
     * plain-text column): token-count band, alphabetic-word fraction,

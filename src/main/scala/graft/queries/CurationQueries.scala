@@ -1200,6 +1200,70 @@ object CurationQueries {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** Feature-hashing TF buckets (long format — the scale representation:
+    * shuffle rows = tokens, bucket space fixed regardless of vocab).
+    */
+  val textHashingTf = Q("q_text_hashing_tf",
+    (s, dir) =>
+      Text.hashingTfBuckets(Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket"),
+    Some("""WITH toks AS (
+              SELECT doc_id, UNNEST(LIST_FILTER(
+                STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '')) AS t
+              FROM documents)
+            SELECT doc_id,
+                   ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT % 64 AS bucket,
+                   COUNT(*) AS cnt
+            FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket"""))
+
+  /** Model-free text similarity search: hashing-trick TF vectors fed to
+    * the SAME brute-force cosine top-k the embedding family uses — the
+    * text→vector bridge, end-to-end oracled (dense 64-bucket vectors
+    * rebuilt via a scaffold join, identical index-order cosine).
+    */
+  val knnTextHashTf = Q("q_knn_text_hashtf",
+    (s, dir) => {
+      val tf = Text.hashingTfVector(Tables.documents(s, dir), "doc_id", "text", dim = 64)
+      Similarity.bruteForceTopK(
+        tf.filter(col("doc_id") < 16), tf, "doc_id", "tf", "doc_id", "tf", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, UNNEST(LIST_FILTER(
+                STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '')) AS t
+              FROM documents),
+            cnts AS (
+              SELECT doc_id, ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT % 64 AS b,
+                     COUNT(*) AS cnt
+              FROM toks GROUP BY 1, 2),
+            cells AS (
+              SELECT d.doc_id, r.i, COALESCE(c.cnt, 0) AS v
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN RANGE(0, 64) r(i)
+              LEFT JOIN cnts c ON c.doc_id = d.doc_id AND c.b = r.i),
+            tf AS (SELECT doc_id, LIST(CAST(v AS DOUBLE) ORDER BY i) AS tf
+                   FROM cells GROUP BY doc_id),
+            scored AS (
+              SELECT q.doc_id AS query_id, e.doc_id AS neighbor_id,
+                     CASE WHEN LIST_INNER_PRODUCT(q.tf, q.tf) > 0
+                           AND LIST_INNER_PRODUCT(e.tf, e.tf) > 0
+                          THEN LIST_INNER_PRODUCT(q.tf, e.tf)
+                               / (SQRT(LIST_INNER_PRODUCT(q.tf, q.tf))
+                                  * SQRT(LIST_INNER_PRODUCT(e.tf, e.tf))) END AS cos
+              FROM tf q JOIN tf e ON e.doc_id <> q.doc_id
+              WHERE q.doc_id < 16)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC NULLS LAST, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM scored
+            QUALIFY rank <= 3
+            ORDER BY query_id, rank"""))
+
   /** Text quality metrics + token counting (whitespace and BPE-ish). */
   val textQuality = Q("q_text_quality",
     (s, dir) => {
@@ -3433,7 +3497,8 @@ object CurationQueries {
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,
     knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq,
-    textQuality, textLangid, textFingerprint, textTfidf, curateFilter,
+    textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
+    knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter, curateScrub,
     curateRepetition, curateChunk,

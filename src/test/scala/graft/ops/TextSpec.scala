@@ -128,6 +128,28 @@ class TextSpec extends SparkTestBase {
     assert(got == Seq(false, false, false, false))
   }
 
+  test("hashingTfVector: permutation-invariant, zero vector for empty, counts conserved") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"), // same multiset, different order
+      (3L, "completely different words here"),
+      (4L, "")).toDF("doc_id", "text")
+    val vecs = Text.hashingTfVector(docs, "doc_id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs.size == 4 && vecs.values.forall(_.length == 32))
+    assert(vecs(1) == vecs(2)) // vectorization sees the multiset only
+    assert(vecs(1) != vecs(3))
+    assert(vecs(4).forall(_ == 0.0)) // token-less doc → zero vector
+    assert(vecs(1).sum == 6.0) // counts conserved (6 tokens, 'the' twice)
+    // the long form agrees with the dense form bucket by bucket
+    val long = Text.hashingTfBuckets(docs, "doc_id", "text", dim = 32)
+      .filter(col("doc_id") === 1).collect()
+      .map(r => (r.getLong(1).toInt, r.getLong(2))).toMap
+    vecs(1).zipWithIndex.foreach { case (v, i) =>
+      assert(v == long.getOrElse(i, 0L).toDouble)
+    }
+  }
+
   test("urlDomain: host extraction across port/path/query/case/www edges") {
     val cases = Seq(
       "https://www.Example.COM/path?q=1" -> "example.com",
