@@ -472,7 +472,9 @@ object Similarity {
       .select(col("centroid_id"), col("__id").as("neighbor_id"))
     val codebook = pqCodebooks(corpus, cId, cVec, m, dsub, ksub, iters)
     val recon = reconFromCodes(pqAssignNative(cVecs, codebook, m, dsub), codebook)
-    val corpusSide = cells.join(recon, Seq("neighbor_id"))
+    // shuffle_hash: BOTH sides are corpus-sized; Catalyst's agg estimate
+    // would broadcast the reconstruction frame (vectors to the driver)
+    val corpusSide = cells.join(recon.hint("shuffle_hash"), Seq("neighbor_id"))
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv"))
     val qCells = q.crossJoin(broadcast(centroids))
       .withColumn("__cos", cosine(col("__qv"), col("centroid")))

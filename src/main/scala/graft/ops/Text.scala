@@ -235,8 +235,11 @@ object Text {
       .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("__m"), i.cast(LongType)), lit(0.0))).as("tf"))
+    // shuffle_hash: `dense` is corpus-sized, but Catalyst sizes it from
+    // the aggregate estimate and would broadcast it — the driver-OOM
+    // trap every corpus-sized join in this codebase pins away
     df.select(col(idCol)).distinct()
-      .join(dense, Seq(idCol), "left")
+      .join(dense.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("tf"), array_repeat(lit(0.0), dim)).as("tf"))
   }

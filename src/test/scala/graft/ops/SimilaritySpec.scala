@@ -238,6 +238,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
   }
 
+  test("ivfPq corpus-sized recon join is shuffled, never broadcast") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "cells x reconstruction (both corpus-sized) must hash-shuffle, not broadcast")
+  }
+
   test("native pq encode is bit-identical to the HOF min-struct assignment") {
     val vecs = df.select(col("vec_id").as("__id"),
       col("embedding").cast("array<double>").as("__v"))

@@ -150,6 +150,14 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("hashingTfVector's corpus-sized dense join is shuffled, never broadcast") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Text.hashingTfVector(docs, "doc_id", "text", dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "dense TF frame (corpus-sized aggregate) must not be broadcast")
+  }
+
   test("urlDomain: host extraction across port/path/query/case/www edges") {
     val cases = Seq(
       "https://www.Example.COM/path?q=1" -> "example.com",
