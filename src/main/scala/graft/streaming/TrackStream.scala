@@ -284,6 +284,62 @@ object TrackStream {
       .write.mode("overwrite").parquet(indexDir)
   }
 
+  /** Streaming heavy-hitter counting: the count-min counter frame
+    * ([[graft.ops.Corpus.cmsCounters]]) as `foreachBatch` state. Unlike
+    * the HLL sink, counter SUM-merge is NOT idempotent — a replayed
+    * batch would double-count — so this sink demonstrates the OTHER
+    * streaming consistency pattern: a transactional batch-id watermark.
+    * The applied batch id is committed ATOMICALLY with the state (an
+    * underscore-prefixed `_batchid` marker written inside the tmp dir
+    * BEFORE the rename — parquet readers ignore `_`-files, and the
+    * rename publishes marker and counters together), so a crash in any
+    * window leaves either the old state+old marker or the new
+    * state+new marker, never a torn pair. A replayed batch id ≤ the
+    * marker is skipped (its counts are already in the state) and the
+    * sink just re-emits the current counters.
+    */
+  def cmsCountersForeachBatch(keyCol: String, stateDir: String,
+                              sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.sum
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    val marker = new org.apache.hadoop.fs.Path(stateDir + "/_batchid")
+    val applied: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](64)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        } finally in.close()
+      }
+    if (batchId <= applied) {
+      sink(spark.read.parquet(stateDir)) // replay: already applied
+    } else {
+      val batchCounters = graft.ops.Corpus.cmsCounters(batch, keyCol)
+      val prev =
+        try Some(spark.read.parquet(stateDir))
+        catch { case _: Throwable => None }
+      val merged = prev.fold(batchCounters)(p =>
+        p.union(batchCounters).groupBy("__j", "__b").agg(sum("c").as("c")))
+        .localCheckpoint(true)
+      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)
+      try out.write(s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(tmp, dst), s"state swap $tmp -> $dst failed")
+      sink(spark.read.parquet(stateDir))
+    }
+  }
+
   /** Streaming distinct-count: per-group HyperLogLog registers
     * ([[graft.ops.Corpus.hllRegisters]]) as `foreachBatch` state. Each
     * micro-batch's registers max-merge into the persisted frame

@@ -402,4 +402,27 @@ class TrackStreamSpec extends SparkTestBase {
     // persisted state is register-sized (≤ groups × m), never key-sized
     assert(spark.read.parquet(dir).count() <= 2L * graft.ops.Corpus.HllM)
   }
+
+  test("cms sink: batch-id watermark makes the non-idempotent sum-merge replay-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("cmssink").toString + "/counters"
+    val ests = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    val cand = Seq("hot", "warm").toDF("k")
+    val fn = TrackStream.cmsCountersForeachBatch("k", dir,
+      sink = df => ests += graft.ops.Corpus.cmsEstimate(df, cand, "k").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val b1 = (Seq.fill(100)("hot") ++ Seq.fill(10)("warm")).toDF("k")
+    val b2 = Seq.fill(50)("hot").toDF("k")
+    fn(b1, 0L)
+    fn(b2, 1L)
+    // after batch 2 the estimates reflect the full stream
+    assert(ests(1)("hot") >= 150 && ests(1)("hot") <= 160)
+    assert(ests(1)("warm") >= 10 && ests(1)("warm") <= 20)
+    // an at-least-once REPLAY of batch 2 is skipped by the watermark —
+    // a naive sum-merge would report ~200 here
+    fn(b2, 1L)
+    assert(ests(2) == ests(1))
+    // the next new batch applies on top
+    fn(Seq.fill(25)("hot").toDF("k"), 2L)
+    assert(ests(3)("hot") >= 175 && ests(3)("hot") <= 185)
+  }
 }
