@@ -715,6 +715,31 @@ object Corpus {
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
 
+  /** ANALYZE-style column profile: one row per listed column with row
+    * count, null count, and HLL-estimated distinct count — the
+    * table-stats pass an optimizer or a data-quality dashboard wants,
+    * composed from [[hllRegisters]] so the distinct estimate costs ≤ m
+    * shuffle rows per column instead of a per-column distinct. The
+    * unpivot is a narrow explode (one pass over the table however many
+    * columns profile); values are compared as their string casts, which
+    * both engines render identically for the integral/string types the
+    * gates exercise.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val long = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast(StringType).as("__v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.__v").as("__v"))
+    val basic = long.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val est = hllEstimate(
+      hllRegisters(long.filter(col("__v").isNotNull), "col_name", "__v"), "col_name")
+    basic.join(est, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        round(col("est_distinct"), 6).as("n_distinct_est"))
+  }
+
   /** RefinedWeb-style per-domain cap: keep at most `cap` documents per
     * domain, chosen by deterministic hash rank (md5(seed ‖ id), id as the
     * total tie-break) — a pseudo-random but engine-reproducible sample,

@@ -1779,6 +1779,61 @@ object CurationQueries {
                   FROM documents GROUP BY 1) ex ON ex.source = est.source
             ORDER BY est.source"""))
 
+  /** ANALYZE-style profile of the documents table: rows / nulls /
+    * HLL-estimated distinct per column, the same register chain as
+    * [[corpusHll]] keyed by column name over a string-cast unpivot.
+    */
+  val corpusProfile = Q("q_corpus_profile",
+    (s, dir) =>
+      Corpus.profileColumns(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name"),
+    Some("""WITH long AS (
+              SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+              UNION ALL SELECT 'text', text FROM documents
+              UNION ALL SELECT 'lang', lang FROM documents
+              UNION ALL SELECT 'source', source FROM documents
+              UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+            basic AS (
+              SELECT col_name, COUNT(*) AS n_rows,
+                     SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls
+              FROM long GROUP BY 1),
+            k AS (SELECT col_name, MD5(v) AS h FROM long WHERE v IS NOT NULL),
+            r AS (
+              SELECT col_name,
+                     ('0x' || SUBSTR(h, 1, 1))::INT AS reg,
+                     LEN(REGEXP_EXTRACT(SUBSTR(h, 2, 8), '^0*')) AS lz,
+                     SUBSTR(h, 2, 8) AS win
+              FROM k),
+            x AS (
+              SELECT col_name, reg, lz,
+                     CASE WHEN lz = 8 THEN 0
+                          ELSE ('0x' || SUBSTR(win, lz + 1, 1))::INT END AS fd
+              FROM r),
+            rho AS (
+              SELECT col_name, reg,
+                     CASE WHEN lz = 8 THEN 33
+                          ELSE lz * 4 +
+                               (CASE WHEN fd >= 8 THEN 0 WHEN fd >= 4 THEN 1
+                                     WHEN fd >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+              FROM x),
+            m AS (SELECT col_name, reg, MAX(rho) AS mr FROM rho GROUP BY 1, 2),
+            g AS (
+              SELECT col_name, COUNT(*) AS nreg, SUM(POWER(2.0, -mr)) AS hp
+              FROM m GROUP BY 1),
+            est AS (
+              SELECT col_name,
+                     0.673 * 16 * 16 / ((16 - nreg) * 1.0 + hp) AS e,
+                     16 - nreg AS v
+              FROM g)
+            SELECT basic.col_name, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_nulls AS BIGINT) AS n_nulls,
+                   ROUND(CASE WHEN e <= 2.5 * 16 AND v > 0
+                              THEN 16.0 * LN(16.0 / v) ELSE e END, 6) AS n_distinct_est
+            FROM basic
+            LEFT JOIN est ON est.col_name = basic.col_name
+            ORDER BY basic.col_name"""))
+
   /** Exact per-source token-count quantiles (p50/p90/p99) by integer
     * rank — the deterministic alternative to `percentile_approx`, whose
     * sketch is neither engine-reproducible nor oracle-able. The oracle
@@ -3509,7 +3564,7 @@ object CurationQueries {
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
-    corpusVocab, corpusHll, corpusCms, corpusQuantiles,
+    corpusVocab, corpusHll, corpusCms, corpusQuantiles, corpusProfile,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

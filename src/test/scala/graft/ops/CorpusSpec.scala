@@ -391,6 +391,26 @@ class CorpusSpec extends SparkTestBase {
     assert(zs(2) == (0 to 3).map(i => 1L << (2 * i + 1)).sum) // v=max → all v-bits set
   }
 
+  test("profileColumns: row/null counts exact, distinct estimate sane, null-only column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Option.empty[String]),
+      (2L, Some("b"), None),
+      (3L, None, None),
+      (4L, Some("a"), None)).toDF("id", "s", "dead")
+    val got = Corpus.profileColumns(df, Seq("id", "s", "dead"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toList
+    val byName = got.map(x => x._1 -> x).toMap
+    assert(byName("id") == ("id", 4L, 0L, byName("id")._4))
+    assert(byName("s")._3 == 1L) // one null
+    assert(byName("dead") == ("dead", 4L, 4L, -1.0)) // all-null → no estimate
+    // distinct estimates in the right ballpark (m=16 → generous bands)
+    assert(byName("id")._4 > 1 && byName("id")._4 < 12)
+    assert(byName("s")._4 > 0.5 && byName("s")._4 < 8)
+  }
+
   test("repetition query joins per-doc bigram stats without broadcasting them") {
     val plan = graft.SparkEntry.catalog.find(_.name == "q_curate_repetition").get
       .fn(spark, "/root/testdata/sf0.001")
