@@ -341,6 +341,12 @@ object VectorExprs {
         }
         c += 1
       }
+      // all-NaN distances (a NaN/Inf vector component poisons every
+      // candidate): fall back to the smallest code — the min-struct HOF
+      // twin (NaN compares equal-and-largest, ties to smallest code) and
+      // the oracle's ASC NULLS LAST row_number both land there, and the
+      // parity contract covers degenerate vectors too
+      if (bestId == Long.MaxValue && cs.nonEmpty) bestId = codeIds(s)(0)
       out(s) = bestId
       s += 1
     }

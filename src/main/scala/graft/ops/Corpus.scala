@@ -591,6 +591,8 @@ object Corpus {
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles: $qs")
+    require(qs.map(q => (q * 100).round).distinct.length == qs.length,
+      s"quantile labels collide after integer-percent rounding: $qs")
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
     val ranked = df.select(col(groupCol), col(valueCol))
       .withColumn("__rn", row_number().over(w))
@@ -628,6 +630,11 @@ object Corpus {
     * shuffle carries ≤ m rows per group, never the keys).
     */
   def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    // null keys are EXCLUDED, matching COUNT(DISTINCT) semantics: md5 of
+    // a null key would otherwise land a (group, null, null) register row
+    // that hllEstimate counts in __nreg but not in the harmonic sum —
+    // null silently inflating the estimate like an extra distinct key
+    val keyed = df.filter(col(keyCol).isNotNull)
     val h = md5(col(keyCol).cast(StringType))
     val reg = conv(substring(col("__h"), 1, 1), 16, 10).cast(IntegerType)
     val win = substring(col("__h"), 2, 8)
@@ -639,7 +646,7 @@ object Corpus {
     val lzBits = when(fd >= 8, lit(0)).when(fd >= 4, lit(1))
       .when(fd >= 2, lit(2)).otherwise(lit(3))
     val rho = when(lz === 8, lit(33)).otherwise(lz * 4 + lzBits + 1)
-    df.select(col(groupCol).as("__g"), h.as("__h"))
+    keyed.select(col(groupCol).as("__g"), h.as("__h"))
       .select(col("__g"), reg.as("__reg"), rho.as("__rho"))
       .groupBy("__g", "__reg").agg(max("__rho").as("__mr"))
   }
@@ -691,7 +698,11 @@ object Corpus {
     * estimation over 100 TB of tokens requires.
     */
   def cmsCounters(df: DataFrame, keyCol: String): DataFrame =
-    df.select(col(keyCol).cast(StringType).as("__k"),
+    // null keys are excluded (md5 of null hashes to a null bucket no
+    // lookup can reach — counting them would break est ≥ true for nulls
+    // while helping no real key); same COUNT-semantics as the HLL sketch
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast(StringType).as("__k"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("__j"))
       .select(col("__j"),
         (conv(substring(md5(concat(col("__j").cast(StringType), lit("_"), col("__k"))),
@@ -706,7 +717,11 @@ object Corpus {
     * frequency, with the ε·N overestimate bound above.
     */
   def cmsEstimate(counters: DataFrame, candidates: DataFrame, keyCol: String): DataFrame =
-    candidates.select(col(keyCol), col(keyCol).cast(StringType).as("__k"),
+    // null candidates drop (their occurrences were never counted — see
+    // [[cmsCounters]]); emitting est = 0 for them would silently violate
+    // the never-under-counts contract instead
+    candidates.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(keyCol).cast(StringType).as("__k"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("__j"))
       .select(col(keyCol), col("__j"),
         (conv(substring(md5(concat(col("__j").cast(StringType), lit("_"), col("__k"))),

@@ -298,8 +298,11 @@ object Similarity {
   private[ops] def pqAssignHof(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("__s"))
       .select(col("__id"), col("__s"),
-        struct(l2sq(col("__sv"), col("cent")).as("__d"), col("code").as("__code"),
-          col("__sv").as("__sv")).as("__cand"))
+        // (distance, code) only: code is unique, so a third tie-break
+        // slot could never fire — carrying the subvector there was pure
+        // shuffle weight
+        struct(l2sq(col("__sv"), col("cent")).as("__d"), col("code").as("__code"))
+          .as("__cand"))
       .groupBy("__id", "__s")
       .agg(min(col("__cand")).as("__w"))
       .select(col("__id"), col("__s"), col("__w.__code").cast("long").as("code"))

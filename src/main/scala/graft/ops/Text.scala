@@ -213,7 +213,7 @@ object Text {
     require(dim >= 1, s"dim=$dim must be >= 1")
     df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .select(col(idCol),
-        (expr("conv(substring(md5(__t), 1, 15), 16, 10)").cast(LongType) % dim).as("bucket"))
+        (conv(substring(md5(col("__t")), 1, 15), 16, 10).cast(LongType) % dim).as("bucket"))
       .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
   }
 

@@ -1741,7 +1741,8 @@ object CurationQueries {
         .join(exact, Seq("source"))
         .orderBy("source")
     },
-    Some(s"""WITH k AS (SELECT source, MD5(text) AS h FROM documents),
+    Some(s"""WITH k AS (SELECT source, MD5(text) AS h FROM documents
+                        WHERE text IS NOT NULL),
             r AS (
               SELECT source,
                      ('0x' || SUBSTR(h, 1, 1))::INT AS reg,

@@ -284,6 +284,51 @@ object TrackStream {
       .write.mode("overwrite").parquet(indexDir)
   }
 
+  /** Read-side half of the crash-safe state-dir protocol shared by the
+    * sketch sinks: repair whichever single rename a crashed
+    * [[commitState]] left unfinished — live dir present → drop any
+    * leftover `.old` (the commit published, cleanup didn't run); live
+    * dir absent but `.old` present → roll the previous state back into
+    * place (the commit renamed the live dir aside and died before
+    * publishing; the half-written `.tmp` is overwritten by the next
+    * commit). Returns whether a committed state exists. Read failures on
+    * an EXISTING dir are NOT swallowed: a corrupt or unreachable state
+    * must surface, not silently restart the sketch from zero.
+    */
+  private def recoverState(fs: org.apache.hadoop.fs.FileSystem,
+                           stateDir: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    if (fs.exists(dst)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      true
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, dst), s"state rollback $old -> $dst failed")
+      true
+    } else false
+  }
+
+  /** Write-side half: publish `stateDir + ".tmp"` (already fully
+    * written) as the live state via two renames — live → `.old`,
+    * `.tmp` → live — then drop `.old`. Renames are atomic per HDFS/posix
+    * semantics, so EVERY crash window leaves a state [[recoverState]]
+    * restores: before the first rename the live dir is untouched;
+    * between them `.old` holds the previous state; after the second the
+    * new state is live (a stale `.old` is swept on the next recover).
+    * The naive delete-then-rename this replaces had a window that
+    * destroyed BOTH copies.
+    */
+  private def commitState(fs: org.apache.hadoop.fs.FileSystem,
+                          stateDir: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) require(fs.rename(dst, old), s"state swap $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"state swap $tmp -> $dst failed")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
   /** Streaming heavy-hitter counting: the count-min counter frame
     * ([[graft.ops.Corpus.cmsCounters]]) as `foreachBatch` state. Unlike
     * the HLL sink, counter SUM-merge is NOT idempotent — a replayed
@@ -291,12 +336,13 @@ object TrackStream {
     * streaming consistency pattern: a transactional batch-id watermark.
     * The applied batch id is committed ATOMICALLY with the state (an
     * underscore-prefixed `_batchid` marker written inside the tmp dir
-    * BEFORE the rename — parquet readers ignore `_`-files, and the
-    * rename publishes marker and counters together), so a crash in any
-    * window leaves either the old state+old marker or the new
-    * state+new marker, never a torn pair. A replayed batch id ≤ the
-    * marker is skipped (its counts are already in the state) and the
-    * sink just re-emits the current counters.
+    * BEFORE the publish — parquet readers ignore `_`-files, so marker
+    * and counters always travel together), and the publish itself is
+    * the rename-aside protocol of [[commitState]]/[[recoverState]], so
+    * every crash window leaves either the old state+old marker or the
+    * new state+new marker — never a torn pair, never zero copies. A
+    * replayed batch id ≤ the marker is skipped (its counts are already
+    * in the state) and the sink just re-emits the current counters.
     */
   def cmsCountersForeachBatch(keyCol: String, stateDir: String,
                               sink: DataFrame => Unit = _ => ())
@@ -305,10 +351,10 @@ object TrackStream {
     import org.apache.spark.sql.functions.sum
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    val hasState = recoverState(fs, stateDir)
     val marker = new org.apache.hadoop.fs.Path(stateDir + "/_batchid")
     val applied: Long =
-      if (!fs.exists(marker)) -1L
+      if (!hasState || !fs.exists(marker)) -1L
       else {
         val in = fs.open(marker)
         try {
@@ -323,9 +369,10 @@ object TrackStream {
       sink(spark.read.parquet(stateDir)) // replay: already applied
     } else {
       val batchCounters = graft.ops.Corpus.cmsCounters(batch, keyCol)
-      val prev =
-        try Some(spark.read.parquet(stateDir))
-        catch { case _: Throwable => None }
+      // no catch: state exists, so a read failure is corruption or an FS
+      // outage — advancing the watermark past silently-dropped history
+      // would make the loss permanent and undetectable
+      val prev = if (hasState) Some(spark.read.parquet(stateDir)) else None
       val merged = prev.fold(batchCounters)(p =>
         p.union(batchCounters).groupBy("__j", "__b").agg(sum("c").as("c")))
         .localCheckpoint(true)
@@ -334,8 +381,7 @@ object TrackStream {
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)
       try out.write(s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(dst)) fs.delete(dst, true)
-      require(fs.rename(tmp, dst), s"state swap $tmp -> $dst failed")
+      commitState(fs, stateDir)
       sink(spark.read.parquet(stateDir))
     }
   }
@@ -351,10 +397,11 @@ object TrackStream {
     * register max-merge is IDEMPOTENT, so a replayed batch (at-least-once
     * source, crash retry) merges to exactly the same frame and the
     * estimates never double-count — the replay-safety the count-style
-    * alternative (`sum` state) structurally cannot have. The state swap
-    * is write-tmp-then-rename so a crash mid-write leaves the previous
-    * frame intact; on restart the state on disk IS the sketch (no
-    * rebuild step needed — contrast [[bloomFromHistory]]).
+    * alternative (`sum` state) structurally cannot have. The state
+    * publish is the rename-aside protocol of [[commitState]]/
+    * [[recoverState]], so every crash window leaves a readable frame;
+    * on restart the state on disk IS the sketch (no rebuild step
+    * needed — contrast [[bloomFromHistory]]).
     */
   def hllDistinctForeachBatch(groupCol: String, keyCol: String,
                               stateDir: String,
@@ -362,20 +409,19 @@ object TrackStream {
       : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions.max
+    val hadoop = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchRegs = graft.ops.Corpus.hllRegisters(batch, groupCol, keyCol)
+    // no catch: recoverState distinguishes "first batch" from "state
+    // unreadable" — the latter must surface, not restart the sketch
     val prev =
-      try Some(spark.read.parquet(stateDir))
-      catch { case _: Throwable => None } // first batch: no state yet
+      if (recoverState(hadoop, stateDir)) Some(spark.read.parquet(stateDir)) else None
     val merged = prev.fold(batchRegs)(_.union(batchRegs))
       .groupBy("__g", "__reg").agg(max("__mr").as("__mr"))
       .localCheckpoint(true) // materialize BEFORE overwriting what it read
-    val hadoop = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
-    val dst = new org.apache.hadoop.fs.Path(stateDir)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (hadoop.exists(dst)) hadoop.delete(dst, true)
-    require(hadoop.rename(tmp, dst), s"state swap $tmp -> $dst failed")
+    commitState(hadoop, stateDir)
     sink(graft.ops.Corpus.hllEstimate(merged, groupCol))
   }
 }

@@ -403,6 +403,29 @@ class TrackStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() <= 2L * graft.ops.Corpus.HllM)
   }
 
+  test("state commit: the mid-swap crash window recovers the previous frame") {
+    val dir = java.nio.file.Files.createTempDirectory("hllcrash").toString + "/regs"
+    val ests = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val fn = TrackStream.hllDistinctForeachBatch("src", "k", dir,
+      sink = df => ests += df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val b1 = (1 to 200).map(i => ("a", s"k$i")).toDF("src", "k")
+    val b2 = (201 to 400).map(i => ("a", s"k$i")).toDF("src", "k")
+    fn(b1, 0L)
+    // simulate a crash between commitState's two renames: the live dir
+    // was renamed aside and the new one never published
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    // next batch must RECOVER b1's registers (roll the .old back), not
+    // silently restart the sketch from zero
+    fn(b2, 1L)
+    val whole = graft.ops.Corpus.hllDistinct(b1.union(b2), "src", "k").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ests(1) == whole)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old"))) // swept
+  }
+
   test("cms sink: batch-id watermark makes the non-idempotent sum-merge replay-safe") {
     val dir = java.nio.file.Files.createTempDirectory("cmssink").toString + "/counters"
     val ests = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
