@@ -404,6 +404,72 @@ object VectorExprs {
     GraftShim.column(PqEncode(
       GraftShim.expression(v.cast("array<double>")), codeIds, cents, dsub))
 
+  /** Runtime helper for [[RandomProject]]: out[j] = ⟨v, signs[j]⟩ / scale,
+    * each inner product a sequential index-order double sum — the exact
+    * association order of SQL's `LIST_INNER_PRODUCT`, so projected
+    * components are bit-reproducible across engines. Null on a length
+    * mismatch (the sign matrix is sized to the corpus dimension).
+    */
+  def randomProjectEval(v: ArrayData, signs: Array[Array[Double]],
+                        scale: Double): ArrayData = {
+    val outDim = signs.length
+    val inDim = if (outDim == 0) 0 else signs(0).length
+    if (v.numElements() != inDim) return null
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = signs(j)
+      var s = 0.0
+      var i = 0
+      while (i < inDim) { s += v.getDouble(i) * row(i); i += 1 }
+      out(j) = s / scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Johnson–Lindenstrauss sign projection as ONE fused per-row kernel.
+    * The HOF formulation (transform over a 16×64 literal matrix with an
+    * aggregate(zip_with(...)) lambda per component) rendered the literal
+    * into generated Java and blew Janino's method limit — whole-stage
+    * codegen failed and the stage fell back to interpreted eval. Here the
+    * matrix rides as a REFERENCE OBJECT (one java array, never rendered
+    * into source), so the generated code is a 3-line helper call and the
+    * stage stays inside whole-stage codegen.
+    */
+  case class RandomProject(child: Expression, signs: Array[Array[Double]],
+                           scale: Double)
+    extends UnaryExpression {
+
+    require(signs.nonEmpty && signs.forall(_.length == signs(0).length) && scale > 0,
+      s"malformed projection: outDim=${signs.length} scale=$scale")
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "random_project"
+
+    override def nullSafeEval(v: Any): Any =
+      randomProjectEval(v.asInstanceOf[ArrayData], signs, scale)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val signsRef = ctx.addReferenceObj("rpSigns", signs, "double[][]")
+      val out = ctx.freshName("rpOut")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""org.apache.spark.sql.catalyst.util.ArrayData $out =
+           |  graft.functions.VectorExprs.randomProjectEval($c, $signsRef, $scale);
+           |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+           |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): RandomProject =
+      copy(child = newChild)
+  }
+
+  def randomProject(v: Column, signs: Array[Array[Double]],
+                    scale: Double): Column =
+    GraftShim.column(RandomProject(
+      GraftShim.expression(v.cast("array<double>")), signs, scale))
+
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(
       GraftShim.expression(a.cast("array<double>")),

@@ -804,4 +804,82 @@ object Corpus {
         Window.partitionBy("shard").orderBy(col("__k"), col(idCol))))
       .drop("__k")
   }
+
+  /** Multinomial Naive Bayes quality classifier — the CCNet/GPT-3-style
+    * "looks-like-the-reference-corpus" scorer: train on a labeled corpus
+    * (`posCol` true = reference-quality, false = crawl), then score every
+    * document in `corpus` with the log-odds
+    *
+    *   log P(pos) − log P(neg) + Σ_t [ log p(t|pos) − log p(t|neg) ]
+    *
+    * where p(t|c) = (count(t,c)+1) / (tokens_c + V) is Laplace-smoothed
+    * over the TRAINING vocabulary V (distinct terms across both classes).
+    * A term the training set never saw contributes the constant
+    * log((tokens_neg+V)/(tokens_pos+V)) — both class likelihoods collapse
+    * to their smoothing floor, so OOV text drifts toward the prior rather
+    * than exploding. Positive log-odds = "keep" under the usual
+    * Wikipedia-vs-CommonCrawl filter.
+    *
+    * Everything is counting and logs of rationals — no SGD, no RNG — so
+    * training is ONE hash aggregation and the whole model is
+    * reproducible across engines (the correctness oracle re-trains it
+    * relationally).
+    *
+    * Scale shape: the per-class term table is vocab-sized (billions of
+    * terms at 100 TB) — the score probe joins the exploded token stream
+    * to it ON TERM via shuffle_hash, never broadcast (same contract as
+    * [[tfIdfTopTerms]]' df attach); class totals / V / priors ride a
+    * 1-row broadcast. Docs with zero tokens score exactly the prior
+    * log-odds.
+    *
+    * Output: (idCol, n_tokens, log_odds) — log_odds rounded to 6
+    * decimals (sum-order engine divergence sits at ~1e-12).
+    */
+  def nbQualityScore(train: DataFrame, posCol: String,
+                     corpus: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    // one boolean label column; count docs + tokens per class, then the
+    // (term, class) table pivoted to one row per term so the probe join
+    // touches ONE vocab-sized side, not two
+    val trainToks = train
+      .select(col(posCol).cast(BooleanType).as("__pos"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
+    val termTable = trainToks.groupBy("term")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+    // 1-row constants frame: class token totals, vocab size, doc priors.
+    // Computed as two tiny aggs cross-joined — each is a full pass over
+    // the (already checkpointed) token stream / train frame, both
+    // corpus-bounded single-row reductions.
+    val totals = trainToks.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__tp"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__tn"),
+      countDistinct(col("term")).as("__v"))
+    val priors = train.agg(
+      sum(when(col(posCol).cast(BooleanType), 1L).otherwise(0L)).as("__dp"),
+      sum(when(!col(posCol).cast(BooleanType), 1L).otherwise(0L)).as("__dn"))
+    val consts = broadcast(totals.crossJoin(priors))
+    // probe: corpus token stream joined LEFT to the term table (OOV terms
+    // keep null counts → coalesce to 0 = the smoothing floor), constants
+    // broadcast alongside; one hash agg back to doc granularity
+    val perDoc = corpus
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .join(termTable.hint("shuffle_hash"), Seq("term"), "left")
+      .crossJoin(consts)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((coalesce(col("__cp"), lit(0L)) + 1).cast(DoubleType) /
+              (col("__tp") + col("__v")).cast(DoubleType)) -
+            log((coalesce(col("__cn"), lit(0L)) + 1).cast(DoubleType) /
+              (col("__tn") + col("__v")).cast(DoubleType))).as("__s"))
+    // shuffle_hash: perDoc is corpus-sized (one row per doc with tokens)
+    corpus.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .crossJoin(consts)
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__s"), lit(0.0)) +
+          log(col("__dp").cast(DoubleType) / col("__dn").cast(DoubleType)), 6)
+          .as("log_odds"))
+  }
 }

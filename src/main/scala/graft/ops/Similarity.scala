@@ -539,4 +539,84 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Deterministic ±1 sign matrix for [[randomProject]]: sign(j, i) = +1
+    * iff the first hex digit of md5("rp:seed:j:i") is below '8' — exactly
+    * reproducible in SQL as `SUBSTR(MD5(...), 1, 1) < '8'`, which is what
+    * lets the correctness gate rebuild the whole projection. Computed
+    * once on the driver (outDim·inDim md5 calls — microseconds) and
+    * shipped as a LITERAL, so per-row work is pure multiply-add.
+    */
+  private[ops] def rpSigns(outDim: Int, inDim: Int,
+                           seed: String): Seq[Seq[Double]] =
+    Seq.tabulate(outDim)(j => Seq.tabulate(inDim)(i =>
+      if (md5hex(s"rp:$seed:$j:$i").charAt(0) < '8') 1.0 else -1.0))
+
+  /** Johnson–Lindenstrauss sign random projection: maps `inDim`-vectors
+    * to `outDim` components, out_j = Σᵢ vᵢ·sign(j,i) / √outDim. With
+    * ±1 signs (Achlioptas' database-friendly construction) pairwise
+    * distances — and so cosine neighborhoods — are preserved to within
+    * ~√(ln n / outDim) distortion, which is the cheap way to cut an
+    * embedding corpus's bandwidth 4× (64→16 dims) before brute-force or
+    * LSH search. Deterministic end to end: the sign matrix derives from
+    * md5 ([[rpSigns]]), products are exact sign flips, and the component
+    * sum is the same sequential left-to-right double fold both engines
+    * use — so projected vectors are BIT-reproducible, not just close.
+    *
+    * Scale shape: the sign matrix rides the fused
+    * [[graft.functions.VectorExprs.RandomProject]] kernel as a reference
+    * object (outDim·inDim doubles, ~KBs — no join, nothing broadcast
+    * through the shuffle system, never rendered into generated source);
+    * the projection is one per-row expression inside whole-stage codegen,
+    * zero shuffle. Vectors whose length ≠ `inDim` project to null,
+    * matching cosine's null-safety downstream.
+    */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+                    outCol: String, seed: String = ""): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"inDim=$inDim outDim=$outDim must be >= 1")
+    val signs = rpSigns(outDim, inDim, seed).map(_.toArray).toArray
+    df.withColumn(outCol,
+      graft.functions.VectorExprs.randomProject(
+        col(vecCol), signs, math.sqrt(outDim.toDouble)))
+  }
+
+  /** ANN via random projection: shortlist by cosine in the PROJECTED
+    * space (outDim ≪ d — the cheap scan), then re-rank the `shortlist`
+    * survivors per query by exact full-dimension cosine. The same
+    * shortlist-then-rerank shape as [[pqTopK]]: the projection bounds
+    * BYTES per candidate (outDim/inDim of the full scan), the re-rank
+    * restores exactness on what survives. Every stage is deterministic —
+    * the gate's SQL replays the sign matrix, both cosines, and both rank
+    * cuts.
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             k: Int, inDim: Int, outDim: Int, shortlist: Int = 50,
+             seed: String = ""): DataFrame = {
+    val c = randomProject(
+      corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__cv")),
+      "__cv", inDim, outDim, "__cp", seed)
+    val q = randomProject(
+      queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("__qv")),
+      "__qv", inDim, outDim, "__qp", seed)
+    val short = broadcast(q).crossJoin(c.select("neighbor_id", "__cp"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", cosine(col("__qp"), col("__cp")))
+      .withColumn("__srk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__approx").desc, col("neighbor_id"))))
+      .filter(col("__srk") <= shortlist)
+      .select(col("query_id"), col("__qv"), col("neighbor_id"))
+    val cRaw = corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__cv"))
+    broadcast(short).join(cRaw, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

@@ -1200,6 +1200,64 @@ object CurationQueries {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** Random-projection ANN (Johnson–Lindenstrauss sign projection,
+    * 64 → 16 dims, shortlist in projected space + exact re-rank) —
+    * FULLY oracled: the SQL rebuilds the md5-derived ±1 sign matrix,
+    * re-projects every vector with the same ordered inner products,
+    * replays the 50-deep shortlist cut, and ranks exact cosine among
+    * the survivors.
+    */
+  val knnRp = Q("q_knn_cosine_rp",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rpTopK(
+        emb.filter(col("vec_id") < 16), emb, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, inDim = 64, outDim = 16, shortlist = 50)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH signs AS (
+              SELECT j.j, LIST(CAST(CASE WHEN SUBSTR(MD5('rp::' || j.j || ':' || i.i), 1, 1) < '8'
+                                         THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY i.i) AS s
+              FROM RANGE(0, 16) j(j), RANGE(0, 64) i(i)
+              GROUP BY j.j),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            proj AS (
+              SELECT vec_id,
+                     LIST(LIST_INNER_PRODUCT(ev, s) / SQRT(16.0) ORDER BY j) AS pv
+              FROM v, signs GROUP BY vec_id),
+            short AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                         CASE WHEN LIST_INNER_PRODUCT(q.pv, q.pv) > 0
+                               AND LIST_INNER_PRODUCT(c.pv, c.pv) > 0
+                              THEN LIST_INNER_PRODUCT(q.pv, c.pv)
+                                   / (SQRT(LIST_INNER_PRODUCT(q.pv, q.pv))
+                                      * SQRT(LIST_INNER_PRODUCT(c.pv, c.pv))) END
+                         DESC NULLS LAST, c.vec_id) AS srk
+                FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 16)
+              WHERE srk <= 50),
+            scored AS (
+              SELECT s.query_id, s.neighbor_id,
+                     CASE WHEN LIST_INNER_PRODUCT(q.ev, q.ev) > 0
+                           AND LIST_INNER_PRODUCT(e.ev, e.ev) > 0
+                          THEN LIST_INNER_PRODUCT(q.ev, e.ev)
+                               / (SQRT(LIST_INNER_PRODUCT(q.ev, q.ev))
+                                  * SQRT(LIST_INNER_PRODUCT(e.ev, e.ev))) END AS cos
+              FROM short s
+              JOIN v q ON q.vec_id = s.query_id
+              JOIN v e ON e.vec_id = s.neighbor_id)
+            SELECT query_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC NULLS LAST, neighbor_id) AS INTEGER) AS rank,
+              neighbor_id, ROUND(cos, 9) AS cosine
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
   /** Feature-hashing TF buckets (long format — the scale representation:
     * shuffle rows = tokens, bucket space fixed regardless of vocab).
     */
@@ -3518,6 +3576,60 @@ object CurationQueries {
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Multinomial Naive Bayes quality log-odds — the CCNet/GPT-3
+    * Wikipedia-vs-crawl filter shape. Train labels: sources src0–src3
+    * are the "reference-quality" class, everything else is crawl; every
+    * document is then scored. The oracle RE-TRAINS the classifier
+    * relationally: per-(term, class) counts, Laplace smoothing over the
+    * joint vocabulary, and the per-doc log-odds sum plus the doc-count
+    * prior, 6-decimal rounding on both sides.
+    */
+  val textNbQuality = Q("q_text_nb_quality",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.nbQualityScore(
+        d.withColumn("is_ref",
+          col("source").isin("src0", "src1", "src2", "src3")),
+        "is_ref", d, "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     source IN ('src0','src1','src2','src3') AS pos,
+                     UNNEST(LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS term
+              FROM documents),
+            tt AS (
+              SELECT term,
+                     SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                     SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+              FROM toks GROUP BY term),
+            tot AS (
+              SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+                     SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS tn,
+                     COUNT(DISTINCT term) AS v
+              FROM toks),
+            pri AS (
+              SELECT SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                              THEN 1 ELSE 0 END) AS dp,
+                     SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                              THEN 0 ELSE 1 END) AS dn
+              FROM documents),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(LN(CAST(COALESCE(cp, 0) + 1 AS DOUBLE) / (tp + v)) -
+                         LN(CAST(COALESCE(cn, 0) + 1 AS DOUBLE) / (tn + v))) AS s
+              FROM toks LEFT JOIN tt USING (term) CROSS JOIN tot
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+              ROUND(COALESCE(per.s, 0.0) +
+                    LN(CAST(dp AS DOUBLE) / dn), 6) AS log_odds
+            FROM documents d CROSS JOIN pri
+            LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id"""))
+
   /** Deterministic mixture reweighting: en down-sampled to 0.5, zh
     * up-sampled to 2.25, es passthrough, everything else 1.5. Hex bounds
     * are [[Corpus.fractionBound]] literals of the fractional parts
@@ -3552,7 +3664,7 @@ object CurationQueries {
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,
-    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq,
+    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp,
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,
@@ -3561,7 +3673,7 @@ object CurationQueries {
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    textBigramPpl,
+    textBigramPpl, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,

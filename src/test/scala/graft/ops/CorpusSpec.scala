@@ -418,4 +418,73 @@ class CorpusSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastExchange"),
       "per-doc bigram aggregate (corpus-sized) must not be broadcast")
   }
+
+  test("nbQualityScore matches a hand-computed Naive Bayes log-odds") {
+    import spark.implicits._
+    // training corpus: 2 reference docs, 2 crawl docs
+    //   pos tokens: good good fine | good text   → tp=5, cp(good)=3 cp(fine)=1 cp(text)=1
+    //   neg tokens: spam spam      | spam text   → tn=4, cn(spam)=3 cn(text)=1
+    // vocab = {good, fine, text, spam} → V=4; priors dp=dn=2 → prior 0
+    val train = Seq(
+      (0L, "good good fine", true), (1L, "good text", true),
+      (2L, "spam spam", false), (3L, "spam text", false))
+      .toDF("doc_id", "text", "is_ref")
+    def w(cp: Long, cn: Long): Double =
+      math.log((cp + 1.0) / (5 + 4)) - math.log((cn + 1.0) / (4 + 4))
+    val expect = Map(
+      // "good spam": w(good)=ln(4/9)-ln(1/8), w(spam)=ln(1/9)-ln(4/8)
+      10L -> (w(3, 0) + w(0, 3)),
+      // OOV-only doc: 2 unseen tokens, each the smoothing-floor constant
+      11L -> 2 * w(0, 0),
+      // zero tokens → exactly the (zero) prior
+      12L -> 0.0)
+    val score = Seq((10L, "good spam"), (11L, "zz yy"), (12L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.nbQualityScore(train, "is_ref", score, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    expect.foreach { case (id, e) =>
+      assert(math.abs(got(id) - BigDecimal(e).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"doc $id: got ${got(id)} want $e")
+    }
+    // and n_tokens rides along
+    val nt = Corpus.nbQualityScore(train, "is_ref", score, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nt == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
+  }
+
+  test("nbQualityScore separates the classes it trained on") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val posWords = Array("theorem", "lemma", "proof", "therefore", "analysis")
+    val negWords = Array("click", "win", "free", "casino", "pills")
+    val docs = (0L until 60L).map { i =>
+      val w = if (i % 2 == 0) posWords else negWords
+      (i, Seq.fill(12)(w(rng.nextInt(w.length))).mkString(" "), i % 2 == 0)
+    }.toDF("doc_id", "text", "is_ref")
+    val scored = Corpus.nbQualityScore(docs, "is_ref", docs, "text", "doc_id")
+      .join(docs.select("doc_id", "is_ref"), "doc_id").collect()
+    scored.foreach { r =>
+      val (odds, pos) = (r.getDouble(2), r.getBoolean(3))
+      assert(if (pos) odds > 0 else odds < 0,
+        s"doc ${r.getLong(0)} pos=$pos scored $odds")
+    }
+  }
+
+  test("nbQualityScore never broadcasts the vocab-sized term table") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.nbQualityScore(
+      d.withColumn("is_ref", org.apache.spark.sql.functions.col("source") === "src0"),
+      "is_ref", d, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // every broadcast is a 1-row constants attach (totals × priors,
+    // consumed twice): IdentityBroadcastMode nested-loop crosses. The
+    // vocab-sized term table and the corpus-sized perDoc frame must ride
+    // ShuffledHashJoins — a BroadcastHASHJoin anywhere means the planner
+    // driver-built one of them.
+    assert(!plan.contains("BroadcastHashJoin"),
+      "vocab/corpus-sized frame was broadcast")
+    assert(plan.linesIterator.count(_.contains("ShuffledHashJoin")) == 2,
+      "term-table probe and per-doc attach must both be shuffle joins")
+  }
 }

@@ -300,4 +300,54 @@ class SimilaritySpec extends SparkTestBase {
       .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getLong(1)).toSeq }
     assert(viaSpark == local.map { case (k, v) => k -> v.toSeq })
   }
+
+  test("randomProject matches a local computation of the md5 sign matrix") {
+    val signs = Similarity.rpSigns(4, 16, "")
+    // the sign matrix is genuinely mixed (md5 first hex digit, p = 1/2)
+    assert(signs.flatten.toSet == Set(1.0, -1.0))
+    val local = vecs.take(5).map { case (id, v) =>
+      id -> signs.map(row => v.zip(row).map { case (x, s) => x * s }.sum / 2.0).toSeq
+    }.toMap
+    val out = Similarity.randomProject(df.filter(col("vec_id") < 5),
+        "embedding", 16, 4, "rp")
+      .select("vec_id", "rp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // same sequential fold both sides — exact equality, not approx
+    assert(out == local)
+  }
+
+  test("randomProject: wrong-length vectors project to null") {
+    val d = Seq((0L, Array(1.0, 2.0)), (1L, Array.fill(16)(1.0))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(d, "embedding", 16, 4, "rp")
+      .orderBy("vec_id").select("rp").collect()
+    assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
+  }
+
+  test("rpTopK with shortlist >= corpus is exact (re-rank covers everything)") {
+    val exact = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(_.toSeq)
+    val rp = Similarity.rpTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", "vec_id", "embedding",
+      k = 4, inDim = 16, outDim = 4, shortlist = 100)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(_.toSeq)
+    assert(rp.toSeq == exact.toSeq)
+  }
+
+  test("rpTopK: shortlisted recall on the real corpus, deterministic reruns") {
+    val qs = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(
+      qs, df, "vec_id", "embedding", "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.rpTopK(
+      qs, df, "vec_id", "embedding", "vec_id", "embedding",
+      k = 4, inDim = 16, outDim = 8, shortlist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run()
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"rp recall $recall below floor") // measured 0.75+
+    assert(run() == got) // projection is deterministic — reruns identical
+  }
 }
