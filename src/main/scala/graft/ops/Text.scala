@@ -101,6 +101,48 @@ object Text {
   def urlDomain(url: Column): Column =
     regexp_replace(regexp_extract(lower(url), DomainRe, 1), "^www\\.", "")
 
+  /** Tracking query parameters stripped by [[canonicalUrl]] — the
+    * click-attribution noise (utm_*, gclid, fbclid, ref) that makes one
+    * page look like thousands of distinct URLs to a crawl frontier.
+    */
+  val TrackingParamRe = "(?:utm_[a-z0-9]+|gclid|fbclid|ref)"
+
+  /** URL canonicalization for URL-keyed dedup — the screen a crawl
+    * corpus applies BEFORE content dedup, collapsing the same page's
+    * aliases to one key: scheme and host lowercase, leading `www.` and
+    * scheme-default port dropped, fragment dropped, tracking params
+    * ([[TrackingParamRe]]) removed, one trailing slash stripped from a
+    * non-root query-less path, empty path normalized to `/`. Query parameter ORDER
+    * is preserved (sorting needs a split+re-join; callers that want
+    * order-insensitive keys should hash the sorted param list instead).
+    * Non-URLs (no `scheme://`) canonicalize to null so they drop out of
+    * URL-keyed groupings. RE2-compatible regex chain, pure codegen'd
+    * expressions — scan speed, zero shuffle, and the identical patterns
+    * replay in the SQL oracle.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    // tracking params in three positions: mid-query (&p=v), leading with
+    // a successor (?p=v& → ?), leading at end (?p=v → gone)
+    val q1 = regexp_replace(rest, s"&$TrackingParamRe=[^&]*", "")
+    val q2 = regexp_replace(q1, s"\\?$TrackingParamRe=[^&]*&", "?")
+    val q3 = regexp_replace(q2, s"\\?$TrackingParamRe=[^&]*$$", "")
+    // one trailing slash off a non-root path — only when no query is
+    // present ("[^?]+" both keeps bare "/" and refuses to touch a query
+    // string, whose values may legitimately end in "/")
+    val q4 = regexp_replace(q3, "^([^?]+)/$", "$1")
+    val path = when(length(q4) === 0, lit("/")).otherwise(q4)
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path))
+  }
+
   // HTML boilerplate patterns — RE2-compatible ((?s) inline flag +
   // non-greedy, no backrefs/lookaround) so the identical strings run in
   // Spark (java.util.regex) and DuckDB (RE2). Order matters: script/

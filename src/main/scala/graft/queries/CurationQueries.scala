@@ -1584,6 +1584,77 @@ object CurationQueries {
             WHERE domain NOT IN ('spam.example.com', 'ads.example.net')
             ORDER BY doc_id"""))
 
+  /** URL canonicalization + URL-keyed keep-first dedup: planted aliases
+    * (uppercase scheme/host, default ports, www., fragments, tracking
+    * params in all three query positions, trailing slashes, a non-URL
+    * shape) collapse to canonical keys; `is_url_dup` marks every row
+    * whose canonical key was already claimed by a lower doc_id. The
+    * oracle replays the identical RE2 regex chain step by step.
+    */
+  val curateUrlCanon = Q("q_curate_url_canon",
+    (s, dir) => {
+      val m = pmod(col("doc_id"), lit(6))
+      val withUrl = Tables.documents(s, dir).select(col("doc_id"),
+        when(m === 0, concat(lit("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id="),
+            col("doc_id").cast(StringType)))
+          .when(m === 1, lit("http://example.com:80/a/b/?ref=abc"))
+          .when(m === 2, concat(lit("https://example.com/p/"),
+            col("doc_id").cast(StringType), lit("/#frag")))
+          .when(m === 3, concat(lit("http://news.example.org/article?id="),
+            col("doc_id").cast(StringType), lit("&utm_campaign=z&x=1")))
+          .when(m === 4, concat(lit("not a url "), col("doc_id").cast(StringType)))
+          .otherwise(lit("https://shop.example.net/?gclid=123")).as("url"))
+      withUrl
+        .select(col("doc_id"), Text.canonicalUrl(col("url")).as("canon"))
+        .withColumn("is_url_dup",
+          when(col("canon").isNull, lit(false)).otherwise(
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("canon"))
+              < col("doc_id")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=' || doc_id
+                  WHEN 1 THEN 'http://example.com:80/a/b/?ref=abc'
+                  WHEN 2 THEN 'https://example.com/p/' || doc_id || '/#frag'
+                  WHEN 3 THEN 'http://news.example.org/article?id=' || doc_id || '&utm_campaign=z&x=1'
+                  WHEN 4 THEN 'not a url ' || doc_id
+                  ELSE 'https://shop.example.net/?gclid=123' END AS url
+              FROM documents),
+            ext AS (
+              SELECT doc_id,
+                LOWER(REGEXP_EXTRACT(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                LOWER(REGEXP_EXTRACT(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                REGEXP_EXTRACT(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
+              FROM (SELECT doc_id, REGEXP_REPLACE(TRIM(url), '#.*', '', 'g') AS nf FROM u)),
+            hp AS (
+              SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(h1, ':80$', '')
+                     WHEN scheme = 'https' THEN REGEXP_REPLACE(h1, ':443$', '')
+                     ELSE h1 END AS host,
+                REGEXP_REPLACE(
+                  REGEXP_REPLACE(
+                    REGEXP_REPLACE(rest,
+                      '&(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*', '', 'g'),
+                    '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*&', '?', 'g'),
+                  '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*$', '', 'g') AS q3
+              FROM (SELECT doc_id, scheme, rest,
+                      REGEXP_REPLACE(hostport, '^www\.', '') AS h1 FROM ext)),
+            canon AS (
+              SELECT doc_id,
+                CASE WHEN scheme = '' THEN NULL
+                     ELSE scheme || '://' || host ||
+                          (CASE WHEN LEN(q4) = 0 THEN '/' ELSE q4 END) END AS canon
+              FROM (SELECT doc_id, scheme, host,
+                      REGEXP_REPLACE(q3, '^([^?]+)/$', '\1') AS q4 FROM hp))
+            SELECT doc_id, canon,
+              CASE WHEN canon IS NULL THEN FALSE
+                   ELSE MIN(doc_id) OVER (PARTITION BY canon) < doc_id END AS is_url_dup
+            FROM canon
+            ORDER BY doc_id"""))
+
   /** Z-order (Morton) layout values over (user_id, value) — the
     * data-skipping clustering primitive: min/max scale each dimension to
     * 16 bits (the same fixed-order IEEE arithmetic the SQ8 gate proves
@@ -3668,7 +3739,8 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,
-    curateSplit, curateShuffle, layoutZorder, curateDomainFilter, curateScrub,
+    curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
+    curateUrlCanon, curateScrub,
     curateRepetition, curateChunk,
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,

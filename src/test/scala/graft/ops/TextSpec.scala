@@ -170,4 +170,35 @@ class TextSpec extends SparkTestBase {
       .select(Text.urlDomain(col("u"))).collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("canonicalUrl: alias collapse across every normalization rule") {
+    val cases = Seq(
+      // scheme/host case + default port + www + trailing slash
+      "HTTPS://WWW.Example.COM:443/Docs/" -> "https://example.com/Docs",
+      "http://example.com:80/a" -> "http://example.com/a",
+      // non-default port survives
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // fragment dropped; empty path → "/"
+      "https://example.com#top" -> "https://example.com/",
+      "https://example.com/" -> "https://example.com/",
+      // tracking params: leading-with-successor, mid, leading-at-end
+      "https://a.com/p?utm_source=x&id=1" -> "https://a.com/p?id=1",
+      "https://a.com/p?id=1&fbclid=zz" -> "https://a.com/p?id=1",
+      "https://a.com/p?gclid=9" -> "https://a.com/p",
+      // ref strips, but only as a whole param name
+      "https://a.com/p?ref=rss" -> "https://a.com/p",
+      "https://a.com/p?href=rss" -> "https://a.com/p?href=rss",
+      // query values may end in "/" — no trailing-slash strip with a query
+      "https://a.com/p/?x=/" -> "https://a.com/p/?x=/",
+      // path case preserved; param order preserved
+      "https://a.com/CaseS?b=2&a=1" -> "https://a.com/CaseS?b=2&a=1")
+    val got = cases.map(_._1).toDF("u")
+      .select(Text.canonicalUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      cases.map(_._1).zip(got).mkString("\n"))
+    // non-URLs canonicalize to null (they must drop out of URL keys)
+    val nu = Seq("no url here", "ftp.example.com/x").toDF("u")
+      .select(Text.canonicalUrl(col("u"))).collect()
+    assert(nu.forall(_.isNullAt(0)))
+  }
 }
