@@ -540,6 +540,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Mean-center an embedding corpus: subtract the per-dimension corpus
+    * mean from every vector — the standard anisotropy correction before
+    * cosine retrieval (embedding spaces cluster around a dominant mean
+    * direction; centering spreads the cosine distribution so neighbor
+    * rankings discriminate again). The mean uses the SAME quantized
+    * integer-sum trick as [[ivfCentroids]] ([[CentroidQuantScale]]):
+    * components round to 2⁻²⁰ and accumulate as exact long sums, so the
+    * mean — and every centered component — is BIT-reproducible across
+    * partitionings and engines (an `avg` would be order-dependent).
+    *
+    * Scale shape: one narrow posexplode pass + one d-row hash aggregate
+    * for the means; the d-element mean array rides a broadcast 1-row
+    * cross join (the sq8-bounds shape) and the subtraction is a pure
+    * zip_with — the corpus itself never shuffles. Long-sum headroom ends
+    * past ~10¹² unit-scale rows per dimension (the [[CentroidQuantScale]]
+    * contract); shard and average hierarchically beyond that.
+    */
+  def centerVectors(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val means = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .groupBy("__i")
+      .agg(sum(floor(col("__x") * CentroidQuantScale + 0.5)).as("__qs"),
+        count(col("__x")).as("__n"))
+      .agg(array_sort(collect_list(struct(col("__i"),
+        (col("__qs").cast(DoubleType) / CentroidQuantScale /
+          col("__n").cast(DoubleType)).as("__m")))).as("__dm"))
+      .select(transform(col("__dm"), s => s.getField("__m")).as("__meanArr"))
+      .localCheckpoint(true)
+    df.crossJoin(broadcast(means))
+      .withColumn(outCol,
+        zip_with(col(vecCol).cast("array<double>"), col("__meanArr"), (x, m) => x - m))
+      .drop("__meanArr")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

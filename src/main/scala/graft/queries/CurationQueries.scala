@@ -1200,6 +1200,33 @@ object CurationQueries {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** Embedding mean-centering (anisotropy correction before cosine
+    * retrieval). The quantized integer-sum mean makes every centered
+    * component bit-reproducible, so the oracle recomputes the exact
+    * doubles — ROUND(9) only guards the parquet/pandas display path.
+    */
+  val embedCenter = Q("q_embed_center",
+    (s, dir) =>
+      Similarity.centerVectors(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+          .select("vec_id", "embedding"),
+        "embedding", "centered")
+        .select(col("vec_id"), posexplode(col("centered")).as(Seq("dim", "c")))
+        .select(col("vec_id"), col("dim"), round(col("c"), 9).as("centered"))
+        .orderBy("vec_id", "dim"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                       FROM embeddings WHERE vec_id < 200),
+            dx AS (SELECT vec_id, GENERATE_SUBSCRIPTS(ev, 1) AS i, UNNEST(ev) AS x
+                   FROM v),
+            m AS (SELECT i,
+                    CAST(SUM(CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1048576.0 / CAST(COUNT(x) AS DOUBLE) AS mu
+                  FROM dx GROUP BY i)
+            SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+                   ROUND(x - mu, 9) AS centered
+            FROM dx JOIN m USING (i)
+            ORDER BY vec_id, dim"""))
+
   /** Random-projection ANN (Johnson–Lindenstrauss sign projection,
     * 64 → 16 dims, shortlist in projected space + exact re-rank) —
     * FULLY oracled: the SQL rebuilds the md5-derived ±1 sign matrix,
@@ -3735,7 +3762,7 @@ object CurationQueries {
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,
-    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp,
+    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp, embedCenter,
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,

@@ -301,6 +301,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaSpark == local.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("centerVectors: exact quantized mean, centered corpus re-centers to zero") {
+    val out = Similarity.centerVectors(df, "embedding", "centered")
+    // local mean with the same quantization
+    val local = Array.tabulate(16) { i =>
+      vecs.map(v => math.floor(v._2(i) * 1048576.0 + 0.5)).sum / 1048576.0 / vecs.length
+    }
+    val got = out.select("vec_id", "centered").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.take(5).foreach { case (id, v) =>
+      val want = v.zip(local).map { case (x, m) => x - m }.toSeq
+      assert(got(id) == want, s"vec $id") // bit-exact, not approx
+    }
+    // idempotence-ish: centering the centered corpus moves ~nothing
+    // (means are already < quantization step from zero)
+    val mean2 = Similarity.centerVectors(
+      out.select(col("vec_id"), col("centered").as("embedding")),
+      "embedding", "c2")
+      .select(posexplode(col("c2")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x")).as("m"))
+      .agg(max(abs(col("m")))).collect().head.getDouble(0)
+    assert(mean2 < 2.0 / 1048576.0, s"re-centered mean $mean2 not near zero")
+  }
+
   test("randomProject matches a local computation of the md5 sign matrix") {
     val signs = Similarity.rpSigns(4, 16, "")
     // the sign matrix is genuinely mixed (md5 first hex digit, p = 1/2)
