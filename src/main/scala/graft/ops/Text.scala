@@ -101,6 +101,56 @@ object Text {
   def urlDomain(url: Column): Column =
     regexp_replace(regexp_extract(lower(url), DomainRe, 1), "^www\\.", "")
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local fingerprinting algorithm): hash every char `k`-gram of
+    * the normalized text, slide a window of `w` consecutive gram hashes,
+    * select each window's MINIMUM (ties → rightmost position — the
+    * paper's rule), emit the distinct (fingerprint, pos) selections.
+    * The guarantee: any verbatim match of length ≥ w + k − 1 chars
+    * between two documents shares at least one fingerprint — which makes
+    * a fingerprint equi-join a copy-detection screen with bounded miss
+    * length, unlike fixed-stride sampling. Density ≈ 2/(w+1) of gram
+    * count, so the index is a fraction of the text size.
+    *
+    * Hashes are md5-prefix int64s — the cross-engine idiom every
+    * hash-keyed gate uses — so the SQL oracle replays gram hashing,
+    * window argmin (`ORDER BY h, i DESC`) and the distinct, decision for
+    * decision. Per-row work is O(grams · w) inside pure expressions; the
+    * only exchange is whatever the caller joins the fingerprints on.
+    * Texts shorter than `k` chars yield one whole-text gram (every doc
+    * fingerprints); fewer grams than `w` yield one window over them all.
+    */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w must be >= 1")
+    // each stage materializes its column so the next stage's lambdas
+    // slice an attribute instead of re-running the whole chain per
+    // element (the tokens-materialization trap, same as wordShingles)
+    val norm = df.select(col(idCol), normalize(col(textCol)).as("__s"))
+    norm.select(col(idCol),
+      transform(
+        sequence(lit(1), greatest(length(col("__s")) - lit(k - 1), lit(1))),
+        i => struct(
+          conv(substring(md5(col("__s").substr(i, lit(k))), 1, 15), 16, 10)
+            .cast(LongType).as("h"),
+          i.cast(IntegerType).as("pos"))).as("__grams"))
+      .select(col(idCol),
+        transform(
+          sequence(lit(1), greatest(size(col("__grams")) - lit(w - 1), lit(1))),
+          widx => aggregate(
+            slice(col("__grams"), widx, lit(w)),
+            struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+            (acc, g) => when(
+              g.getField("h") < acc.getField("h") ||
+                (g.getField("h") === acc.getField("h") &&
+                  g.getField("pos") > acc.getField("pos")),
+              g).otherwise(acc))).as("__sel"))
+      .select(col(idCol), explode(array_distinct(col("__sel"))).as("__fp"))
+      .select(col(idCol),
+        col("__fp.pos").as("pos"), col("__fp.h").as("fingerprint"))
+  }
+
   /** Tracking query parameters stripped by [[canonicalUrl]] — the
     * click-attribution noise (utm_*, gclid, fbclid, ref) that makes one
     * page look like thousands of distinct URLs to a crawl frontier.

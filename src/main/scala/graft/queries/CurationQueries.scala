@@ -1611,6 +1611,43 @@ object CurationQueries {
             WHERE domain NOT IN ('spam.example.com', 'ads.example.net')
             ORDER BY doc_id"""))
 
+  /** Winnowing fingerprints (k=5 char grams, w=4 windows) over the whole
+    * corpus — the oracle replays gram hashing, the per-window argmin
+    * with the paper's rightmost-tie rule (`ORDER BY h, i DESC`), and the
+    * distinct selection.
+    */
+  val textWinnow = Q("q_text_winnow",
+    (s, dir) =>
+      Text.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, w = 4)
+        .orderBy("doc_id", "pos", "fingerprint"),
+    Some("""WITH n AS (
+              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS i,
+                     ('0x' || SUBSTR(MD5(SUBSTR(s, CAST(i AS INTEGER), 5)), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id, s,
+                           UNNEST(RANGE(1, GREATEST(LEN(s) - 4, 1) + 1)) AS i
+                    FROM n)),
+            ng AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
+            wins AS (
+              SELECT doc_id, CAST(widx AS INTEGER) AS widx
+              FROM (SELECT doc_id,
+                           UNNEST(RANGE(1, GREATEST(cnt - 3, 1) + 1)) AS widx
+                    FROM ng)),
+            sel AS (
+              SELECT doc_id, h, i FROM (
+                SELECT w.doc_id, w.widx, g.h, g.i,
+                       ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.widx
+                                          ORDER BY g.h ASC, g.i DESC) AS rk
+                FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                  AND g.i BETWEEN w.widx AND w.widx + 3)
+              WHERE rk = 1)
+            SELECT DISTINCT doc_id, i AS pos, h AS fingerprint
+            FROM sel
+            ORDER BY doc_id, pos, fingerprint"""))
+
   /** URL canonicalization + URL-keyed keep-first dedup: planted aliases
     * (uppercase scheme/host, default ports, www., fragments, tracking
     * params in all three query positions, trailing slashes, a non-URL
@@ -3767,7 +3804,7 @@ object CurationQueries {
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
-    curateUrlCanon, curateScrub,
+    curateUrlCanon, textWinnow, curateScrub,
     curateRepetition, curateChunk,
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,

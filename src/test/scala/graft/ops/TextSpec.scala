@@ -201,4 +201,54 @@ class TextSpec extends SparkTestBase {
       .select(Text.canonicalUrl(col("u"))).collect()
     assert(nu.forall(_.isNullAt(0)))
   }
+
+  // local mirror of the winnowing definition, for exact-parity checks
+  private def md5long15(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+  private def winnowLocal(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val ng = math.max(s.length - (k - 1), 1)
+    val grams = (1 to ng).map(i =>
+      (i, md5long15(s.substring(i - 1, math.min(i - 1 + k, s.length)))))
+    val nw = math.max(ng - (w - 1), 1)
+    (1 to nw).map { widx =>
+      grams.slice(widx - 1, widx - 1 + w)
+        .minBy { case (pos, h) => (h, -pos) } // min hash, rightmost tie
+    }.toSet
+  }
+
+  test("winnowingFingerprints matches the local definition exactly") {
+    val texts = Seq(
+      (0L, "A do run run run, a do run run"), // the paper's example text
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaa"), // all-equal hashes exercise the tie rule
+      (3L, "hi"), // shorter than k: one whole-text gram, one window
+      (4L, ""))
+    val got = Text.winnowingFingerprints(
+      texts.toDF("doc_id", "text"), "doc_id", "text", k = 5, w = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    texts.foreach { case (id, t) =>
+      assert(got(id) == winnowLocal(t, 5, 4), s"doc $id")
+    }
+    // density sanity: selections ≈ 2/(w+1) of grams, never more than windows
+    val dense = got(1L)
+    assert(dense.size >= 5 && dense.size <= 40 - 4 + 1)
+  }
+
+  test("winnowing guarantee: shared substrings >= w+k-1 chars share a fingerprint") {
+    val shared = "xqzvkwpmdjrtbn yfhcg" // 20 chars > w+k-1 = 8
+    val docs = Seq(
+      (0L, s"left padding words $shared and then a different tail"),
+      (1L, s"completely other prefix text $shared trailing junk here"))
+    val fps = Text.winnowingFingerprints(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 5, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "documents sharing a 20-char substring must share a fingerprint")
+  }
 }
