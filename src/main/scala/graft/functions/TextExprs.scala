@@ -5,6 +5,7 @@ import java.text.Normalizer
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,4 +53,100 @@ object TextExprs {
 
   def nfcNormalize(c: Column): Column =
     GraftShim.column(NfcNormalize(GraftShim.expression(c)))
+
+  /** Runtime kernel for [[Winnow]]: winnowing fingerprint selection over
+    * an already-normalized string, bit-identical to the HOF/oracle
+    * definition (md5-prefix int64 gram hashes over code-point k-grams,
+    * per-window min with rightmost tie, distinct (pos, h) selections in
+    * window order) but O(grams) instead of O(grams · w): one reused
+    * MessageDigest, and the window minimum via a monotonic deque — the
+    * `>=` pop implements the rightmost-tie rule (an equal-hash later
+    * gram evicts the earlier one). The HOF twin allocated a struct per
+    * (window, gram) comparison inside interpreted lambdas — measured
+    * 16.1 s → this kernel at ~1 s for the same sf0.1 gate.
+    */
+  def winnowEval(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val nChars = str.length
+    // code-point start offsets (surrogate-safe — zh text is BMP but the
+    // contract is code points, matching Spark substr and DuckDB SUBSTR)
+    var cpCount = 0
+    var ci = 0
+    while (ci < nChars) { ci += Character.charCount(str.codePointAt(ci)); cpCount += 1 }
+    val cpOff = new Array[Int](cpCount + 1)
+    ci = 0; var cj = 0
+    while (ci < nChars) {
+      cpOff(cj) = ci; ci += Character.charCount(str.codePointAt(ci)); cj += 1
+    }
+    cpOff(cpCount) = nChars
+    val ng = math.max(cpCount - (k - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      val a = cpOff(i)
+      val b = cpOff(math.min(i + k, cpCount))
+      md.reset()
+      val d = md.digest(str.substring(a, b)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      h(i) = v >>> 4 // first 15 hex digits = top 60 bits
+      i += 1
+    }
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    val outPos = new scala.collection.mutable.ArrayBuffer[Int]
+    val outH = new scala.collection.mutable.ArrayBuffer[Long]
+    var lastSel = -1
+    var g = 0
+    while (g < ng) {
+      while (tail > head && h(deque(tail - 1)) >= h(g)) tail -= 1
+      deque(tail) = g; tail += 1
+      while (deque(head) < g - w + 1) head += 1
+      // a window ends at every g >= w-1; shorter-than-w gram lists get
+      // their single whole-list window at the last gram
+      if (g >= w - 1 || g == ng - 1) {
+        val p = deque(head)
+        if (p != lastSel) { outPos += p + 1; outH += h(p); lastSel = p }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](outPos.length)(x =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](outPos(x), outH(x)))))
+  }
+
+  /** Winnowing fingerprint selection as one fused per-row kernel — see
+    * [[winnowEval]] and `Text.winnowingFingerprints` for semantics.
+    */
+  case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+    require(k >= 1 && w >= 1, s"k=$k w=$w must be >= 1")
+
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "winnow"
+
+    override def nullSafeEval(s: Any): Any =
+      winnowEval(s.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.winnowEval($c, $k, $w)")
+
+    override protected def withNewChildInternal(newChild: Expression): Winnow =
+      copy(child = newChild)
+  }
+
+  def winnow(c: Column, k: Int, w: Int): Column =
+    GraftShim.column(Winnow(GraftShim.expression(c), k, w))
 }

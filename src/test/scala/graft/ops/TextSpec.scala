@@ -234,6 +234,14 @@ class TextSpec extends SparkTestBase {
     texts.foreach { case (id, t) =>
       assert(got(id) == winnowLocal(t, 5, 4), s"doc $id")
     }
+    // the fused kernel and the HOF formulation select identically —
+    // same convention as the cosine/hyperplane twins
+    val hof = Text.winnowingFingerprintsHof(
+      texts.toDF("doc_id", "text"), "doc_id", "text", k = 5, w = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    assert(hof == got)
     // density sanity: selections ≈ 2/(w+1) of grams, never more than windows
     val dense = got(1L)
     assert(dense.size >= 5 && dense.size <= 40 - 4 + 1)
