@@ -165,8 +165,8 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_CALIB_BASELINE", "0.42").toDouble
 
   /** Queries between mid-pass calibration points. 16 → ~8 extra
-    * calibration runs per ~95-query pass, ≈2–3 s of a ~10-minute pass —
-    * sample-granular contention evidence for ~0.5% overhead.
+    * calibration runs per ~135-query pass, ≈2–3 s of a ~4-minute pass —
+    * sample-granular contention evidence for ~1% overhead.
     */
   private def calibEvery: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "16").toInt)
