@@ -1762,4 +1762,48 @@ object Dedup {
     val nCells = planSemdedupCells(df.count(), targetCellSize, nAssign, iters)
     semdedupPairs(df, vecCol, idCol, threshold, nCells, nAssign, iters)
   }
+
+  /** Copy-detection pair screen over winnowing fingerprints
+    * ([[Text.winnowingFingerprints]]): document pairs sharing at least
+    * `minShared` distinct fingerprints, with the winnowing guarantee that
+    * any verbatim overlap of ≥ w+k−1 chars contributes at least one — the
+    * plagiarism/citation-overlap shape MinHash (whole-document
+    * similarity) and ExactSubstr (fixed k-token granularity) both miss.
+    *
+    * Scale shape: the inverted index carries (fingerprint, id) longs
+    * only; `maxFpDocFreq` drops boilerplate fingerprints (a fingerprint
+    * in >maxFpDocFreq docs is chrome, not copying — and it is the
+    * candidate-blowup term, Σ df² — so the cap is both precision and the
+    * quadratic guard); the self-join inherits the counted
+    * adaptive-broadcast ceilings and the AQE-exempt fan-out pinning every
+    * other candidate join uses. Emits (id_a, id_b, shared_fps), id_a <
+    * id_b.
+    */
+  def winnowCopyPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5, w: Int = 4, minShared: Int = 2,
+                      maxFpDocFreq: Long = 64L): DataFrame = {
+    require(minShared >= 1 && maxFpDocFreq >= 2,
+      s"minShared=$minShared maxFpDocFreq=$maxFpDocFreq out of range")
+    // positions dropped: the pair screen keys on WHICH fingerprints are
+    // shared, not where. Checkpoint: the index feeds the doc-freq count
+    // and both self-join sides — unmaterialized, the whole winnowing
+    // kernel would run three times.
+    val index0 = Text.winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fingerprint").as("__fp"))
+      .distinct()
+      .localCheckpoint(true)
+    val hot = index0.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxFpDocFreq).select("__fp")
+    val index = index0.join(broadcast(hot), Seq("__fp"), "left_anti")
+    val small = index0.count() <= shingleCeiling(df)
+    val h = adaptivePin(small)
+    val (a, b) = fanoutSides(index, Seq("__fp"),
+      Seq(col("__fp"), col("__id").as("id_a")),
+      Seq(col("__fp"), col("__id").as("id_b")),
+      pin = !small)
+    a.join(h(b), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(coalesce(col("shared_fps") >= minShared, lit(false)))
+  }
 }

@@ -1648,6 +1648,51 @@ object CurationQueries {
             FROM sel
             ORDER BY doc_id, pos, fingerprint"""))
 
+  /** Winnowing copy-pair screen: pairs sharing ≥ 2 distinct fingerprints
+    * after the df ≤ 64 boilerplate cap. The oracle replays the winnowing
+    * CTEs, the distinct (doc, fp) index, the cap, and the pair join.
+    */
+  val dedupWinnowPairs = Q("q_dedup_winnow_pairs",
+    (s, dir) =>
+      Dedup.winnowCopyPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 5, w = 4, minShared = 2, maxFpDocFreq = 64L)
+        .orderBy("id_a", "id_b"),
+    Some("""WITH n AS (
+              SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS i,
+                     ('0x' || SUBSTR(MD5(SUBSTR(s, CAST(i AS INTEGER), 5)), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id, s,
+                           UNNEST(RANGE(1, GREATEST(LEN(s) - 4, 1) + 1)) AS i
+                    FROM n)),
+            ng AS (SELECT doc_id, COUNT(*) AS cnt FROM g GROUP BY doc_id),
+            wins AS (
+              SELECT doc_id, CAST(widx AS INTEGER) AS widx
+              FROM (SELECT doc_id,
+                           UNNEST(RANGE(1, GREATEST(cnt - 3, 1) + 1)) AS widx
+                    FROM ng)),
+            sel AS (
+              SELECT doc_id, h FROM (
+                SELECT w.doc_id, w.widx, g.h,
+                       ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.widx
+                                          ORDER BY g.h ASC, g.i DESC) AS rk
+                FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                  AND g.i BETWEEN w.widx AND w.widx + 3)
+              WHERE rk = 1),
+            fpd AS (SELECT DISTINCT doc_id, h FROM sel),
+            idx AS (
+              SELECT f.doc_id, f.h
+              FROM fpd f
+              JOIN (SELECT h FROM fpd GROUP BY h HAVING COUNT(*) <= 64) d
+                USING (h))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_fps
+            FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+            ORDER BY id_a, id_b"""))
+
   /** URL canonicalization + URL-keyed keep-first dedup: planted aliases
     * (uppercase scheme/host, default ports, www., fragments, tracking
     * params in all three query positions, trailing slashes, a non-URL
@@ -3804,7 +3849,7 @@ object CurationQueries {
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
-    curateUrlCanon, textWinnow, curateScrub,
+    curateUrlCanon, textWinnow, dedupWinnowPairs, curateScrub,
     curateRepetition, curateChunk,
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,

@@ -982,4 +982,40 @@ class DedupSpec extends SparkTestBase {
           s"diff ${(native diff joined).take(3)} / ${(joined diff native).take(3)}")
     }
   }
+
+  test("winnowCopyPairs: planted copies pair, boilerplate-only overlap does not") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val footer = "copyright footer text appended to every single document here"
+    val docs = Seq(
+      (0L, s"unique alpha opening words $shared closing section one $footer"),
+      (1L, s"different beta preamble here $shared another ending entirely $footer"),
+      (2L, s"nothing in common with the others at all whatsoever $footer"),
+      (3L, s"fourth document also completely unrelated content stream $footer"))
+      .toDF("doc_id", "text")
+    // cap=3 < 4 docs: footer-wide fingerprints (df=4) are dropped, so
+    // docs 2/3 (footer-only overlap) must NOT pair; 0/1 share the long
+    // substring and must pair on >= 2 surviving fingerprints
+    val pairs = Dedup.winnowCopyPairs(docs, "text", "doc_id",
+      k = 5, w = 4, minShared = 2, maxFpDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted copy pair missing: $pairs")
+    assert(!pairs.contains((2L, 3L)), s"boilerplate-only pair leaked: $pairs")
+  }
+
+  test("winnowCopyPairs above the ceiling pins fan-out and shuffles the index") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    spark.conf.set(Dedup.ShingleCeilingKey, "0")
+    try {
+      val plan = Dedup.winnowCopyPairs(corpus, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        "candidate self-join lost its pinned fan-out repartition")
+      // the only broadcast is the hot-fingerprint anti-join side (bounded
+      // by occurrences/cap — the ngramJaccard convention); the index
+      // self-join itself must be a shuffle join
+      assert(plan.contains("ShuffledHashJoin"),
+        "index self-join must be shuffled above the ceiling")
+    } finally spark.conf.unset(Dedup.ShingleCeilingKey)
+  }
 }
