@@ -250,7 +250,12 @@ object Bench {
     // BPE trainer: rounds run over the word-TYPE table, so cost tracks
     // Heaps'-law vocabulary growth (~sqrt of corpus), not corpus size —
     // the flattest scaling curve in the suite, included as evidence
-    "q_bpe_train")
+    "q_bpe_train",
+    // winnowing family: the O(grams) native selection kernel (near-flat)
+    // and the capped fingerprint pair join (df-cap-bounded Σdf² — grows
+    // as the capped-df distribution fills in, measured 2.7/6.9/43.5 s at
+    // 1×/10×/30×)
+    "q_text_winnow", "q_dedup_winnow_pairs")
 
   /** The sf30 smoke set: 8 representatives, one per operator family that
     * scales interestingly — NOT the 24-query sf1 pick. At 30× the data
@@ -267,7 +272,8 @@ object Bench {
     "q_dedup_substring",              // largest shuffle by row count
     "q_dedup_line_strip",             // line-level keep-first
     "q_curate_e2e_scale",             // the composed pipeline
-    "q_bpe_train")                    // word-type-table rounds: ~flat at 30×
+    "q_bpe_train",                    // word-type-table rounds: ~flat at 30×
+    "q_dedup_winnow_pairs")           // capped fingerprint pair join
 
   /** Daemon timer backing the per-sample watchdog ([[runOnce]]). */
   private lazy val watchdogTimer =
