@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash"),
       (es: Seq[Expression]) => HashExprs.SimHash64(es(0))))
+    e.injectFunction((FunctionIdentifier("winnow"),
+      info("winnow", "winnow(s, k, w) - winnowing fingerprint selections " +
+        "(array of (pos, h)) over a normalized string"),
+      (es: Seq[Expression]) => TextExprs.Winnow(es(0),
+        GraftFunctions.intLit(es(1)), GraftFunctions.intLit(es(2)))))
     e.injectFunction((FunctionIdentifier("locscaleb"),
       info("locscaleb", "locscaleb(x, k, logt) - LocScaleB robust outlier bounds"),
       (es: Seq[Expression]) => Bounds.LocScaleBAgg(Cast(es(0), DoubleType),

@@ -63,6 +63,23 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql == Seq(composed, composed, "plain ascii"))
   }
 
+  test("winnow: SQL surface matches the Column API and the ops wrapper") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "A do run run run, a do run run"),
+      (2L, "the quick brown fox")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("win_t")
+    val viaSql = spark.sql(
+      """SELECT doc_id, f.pos, f.h
+        |FROM win_t LATERAL VIEW explode(
+        |  winnow(trim(regexp_replace(lower(text), '\\s+', ' ')), 5, 4)) t AS f
+        |ORDER BY doc_id, f.pos""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val viaOps = graft.ops.Text.winnowingFingerprints(df, "doc_id", "text", 5, 4)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(viaSql == viaOps && viaSql.nonEmpty)
+  }
+
   test("preprocessed stage round-trips through the typed Dataset model") {
     val raw = graft.ops.Restructure.conformTo(
       spark.read.json(Seq(
