@@ -184,6 +184,25 @@ object Bench {
   private def isHot(c: Double, runBest: Double): Boolean =
     c > math.min(2.0 * runBest, 1.5 * calibBaseline)
 
+  /** A 1-minute loadavg read immediately BEFORE a sample counts as high
+    * when it exceeds a third of the host's cores. This is the second,
+    * independent arm of the suspect rule (ORed with the hot-calibration
+    * brackets): the r10 run shipped `contended:[]` and an 82 s median for
+    * a query whose uncontended cost is ~11 s, because a sustained
+    * contention window sat BETWEEN calibration points — the bracketing
+    * points ran cool while three samples ran at loads 8.5–19.4 on a
+    * 32-core host. The load is read BEFORE the sample starts (the
+    * post-sample read includes the query's own just-finished threads);
+    * the pre-sample read still carries the previous query's decayed tail,
+    * which is why the threshold is cores/3 and not something tighter —
+    * measured self-load between clean sf0.1 samples is 1.5–4 on this
+    * 32-thread host, well under 32/3 ≈ 10.7, while the r10 contention
+    * window read 8.5–19.4. loadavg is -1 on platforms that can't report
+    * it, which never trips the rule.
+    */
+  private def highLoad(l: Double): Boolean =
+    l > Runtime.getRuntime.availableProcessors() / 3.0
+
   /** Wall-clock deadline for the WHOLE bench (seconds from main() entry).
     * Default 3000 leaves ~10 min of headroom inside the driver's hard
     * 3600 s kill for the sample in flight plus session teardown.
@@ -256,6 +275,95 @@ object Bench {
     // as the capped-df distribution fills in, measured 2.7/6.9/43.5 s at
     // 1×/10×/30×)
     "q_text_winnow", "q_dedup_winnow_pairs")
+
+  /** Headline medians for the DIGEST line ([[digestLine]]): one
+    * representative per operator family, chosen so a reader of the ~1 KB
+    * digest alone can see the flagship join, the validation pipeline, the
+    * composed curation path, each dedup family, the ANN probe path, the
+    * tokenizer, the multimodal decode path and a sketch — without opening
+    * bench_out.json. Kept to ~14 names: the digest must stay under the
+    * driver's 2000-char tail window with margin (BenchDigestSpec pins it).
+    */
+  val DigestQueries: Seq[String] = Seq(
+    "q_j8_match_1to1",            // flagship 1:1 trip↔landing match
+    "q_v7_validate_fused",        // fused validation pipeline
+    "q_curate_e2e_scale",         // composed curation on the raw corpus
+    "q_dedup_exact",              // exact digest-shuffle dedup
+    "q_dedup_minhash_lsh_auto",   // planner-driven text LSH
+    "q_dedup_semdedup",           // IVF-cell semantic dedup
+    "q_dedup_substring",          // largest shuffle by row count
+    "q_dedup_winnow_pairs",       // capped fingerprint pair join
+    "q_text_winnow",              // native winnow selection kernel
+    "q_knn_cosine_ivfpq",         // composed ANN path
+    "q_bpe_train",                // distributed BPE trainer
+    "q_mm_jpeg_pixels",           // pure-JVM codec representative
+    "q_corpus_hll_distinct",      // sketch representative
+    "q_a1_tumbling_10min")        // reference-surface aggregation
+
+  /** Scale-section picks for the digest: the sf1 bloom-vs-plain pair is
+    * the judge-demanded headline (history≫batch regime evidence); the
+    * rest are the scaling-interesting families flagged in VERDICT r10.
+    */
+  val ScaleDigestPicks: Map[String, Seq[String]] = Map(
+    "sf1" -> Seq(
+      "q_dedup_incremental_reuse_bloom", "q_dedup_incremental_reuse_plain",
+      "q_dedup_minhash_lsh_auto", "q_curate_e2e_scale", "q_bpe_train"),
+    "sf30" -> Seq(
+      "q_dedup_minhash_lsh_auto", "q_dedup_semdedup",
+      "q_dedup_winnow_pairs", "q_curate_e2e_scale"))
+
+  /** Structured residue of a scale section, kept alongside its JSON
+    * fragment so [[digestLine]] can summarize without re-parsing strings.
+    */
+  final case class ScaleSummary(
+      label: String,
+      results: Seq[(String, Option[Double])],
+      contended: Boolean)
+
+  /** The FINAL printed line — the one the driver actually parses.
+    *
+    * Six of seven rounds shipped `parsed:null` because the driver keeps
+    * only the LAST 2000 CHARACTERS of stdout (every BENCH_r*.json `tail`
+    * is exactly 2000 chars) and greps the last `{`-prefixed line inside
+    * that window. The cumulative compact line grew to ~7 KB by round 10
+    * (136 medians + calibration arrays + scale fragments), so the window
+    * began mid-line and contained no `{`-line at all; BENCH_r04 — the
+    * only round that ever parsed — printed 1783 chars. This digest is the
+    * fix: printed AFTER the full compact line on every [[emit]], it
+    * carries the same driver-facing keys (`metric`/`value`/`unit`/
+    * `queries`/`sf`) plus the integrity flags (truncated / contended /
+    * suspect / no_clean / error + skip counts), the [[DigestQueries]]
+    * headline medians, a per-section scale summary ([[ScaleDigestPicks]]
+    * — the sf1 bloom-vs-plain pair above all), and a pointer to
+    * bench_out.json for everything else. BenchDigestSpec pins the
+    * worst-case length under 1900 chars so a future key can't silently
+    * push it back out of the window.
+    */
+  def digestLine(total: Double, reps: Int, repsCompleted: Int,
+                 truncated: Boolean, contended: Seq[Int], suspect: Int,
+                 noClean: Int, errors: Int, skipped: Int,
+                 medians: Map[String, Double], scales: Seq[ScaleSummary],
+                 sfDir: String): String = {
+    val qs = DigestQueries
+      .flatMap(n => medians.get(n).map(v => "\"" + n + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val scaleJson = scales.map { s =>
+      val picks = ScaleDigestPicks.getOrElse(s.label, s.results.map(_._1).take(4))
+      val entries = picks.flatMap { n =>
+        s.results.collectFirst {
+          case (`n`, r) => "\"" + n + "\":" + r.map(fmt).getOrElse("null")
+        }
+      }
+      s""","${s.label}":${entries.mkString("{", ",", "}")}""" +
+        s""","${s.label}_contended":${s.contended}"""
+    }.mkString
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""reps":$reps,"reps_completed":$repsCompleted,"truncated":$truncated,""" +
+      s""""contended":${contended.mkString("[", ",", "]")},"suspect":$suspect,""" +
+      s""""no_clean":$noClean,"errors_n":$errors,"skipped_n":$skipped,""" +
+      s""""clean_medians":true,"digest":true$scaleJson,""" +
+      s""""detail":"bench_out.json","sf":"$sfDir"}"""
+  }
 
   /** The sf30 smoke set: 8 representatives, one per operator family that
     * scales interestingly — NOT the 24-query sf1 pick. At 30× the data
@@ -391,7 +499,7 @@ object Bench {
     * `<label>_manifest` so the artifact records which corpus it measured.
     */
   private def scaleSection(label: String, dir: String, cpus: String,
-                           picked: Seq[Q], timeLeft: () => Boolean): String = {
+                           picked: Seq[Q], timeLeft: () => Boolean): (String, ScaleSummary) = {
     val spark = newSession(cpus)
     try {
       // Pre-validate the generated dir: every table readable and
@@ -416,30 +524,40 @@ object Bench {
       // brackets clean. Per-query points cost ~0.3 s each against
       // minute-scale samples and pin the heat to the sample it bit.
       val calibs = scala.collection.mutable.ArrayBuffer[Double](calibrate(spark))
+      case class ScaleRun(name: String, res: Either[String, Double],
+                          loadBefore: Double, loadAfter: Double, calibIdx: Int)
       val (ran, skipped) = {
-        val done = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double], Double, Int)]
+        val done = scala.collection.mutable.ArrayBuffer.empty[ScaleRun]
         val skip = scala.collection.mutable.ArrayBuffer.empty[String]
         picked.foreach { q =>
           if (timeLeft()) {
             val before = calibs.length - 1
+            val lb = loadAvg
             val r = runOnce(spark, q, dir, scaleQueryCap)._1
             calibs += calibrate(spark)
-            done += ((q.name, r, loadAvg, before))
+            done += ScaleRun(q.name, r, lb, loadAvg, before)
           } else skip += q.name
         }
         (done.toSeq, skip.toSeq)
       }
       val runBest = calibs.min
-      val hot = calibs.count(isHot(_, runBest)) >= 2
+      // section contended = sustained-hot calibration OR sustained-high
+      // pre-sample load (two arms, same rationale as the main passes:
+      // r10's sf30 contention was calibration-visible, but a window that
+      // sits between points would only show in the load-before reads)
+      val hot = calibs.count(isHot(_, runBest)) >= 2 ||
+        ran.count(r => highLoad(r.loadBefore)) >= 2
       val suspects = ran.collect {
-        case (n, _, _, i) if isHot(calibs(i), runBest) || isHot(calibs(i + 1), runBest) => n
+        case r if isHot(calibs(r.calibIdx), runBest) ||
+          isHot(calibs(r.calibIdx + 1), runBest) || highLoad(r.loadBefore) => r.name
       }
-      val entries = ran.map { case (n, r, _, _) =>
-        "\"" + n + "\":" + r.toOption.map(fmt).getOrElse("null")
+      val entries = ran.map { r =>
+        "\"" + r.name + "\":" + r.res.toOption.map(fmt).getOrElse("null")
       }
-      val loads = ran.map { case (n, _, ld, _) => "\"" + n + "\":" + fmt(ld) }
+      val loads = ran.map(r => "\"" + r.name + "\":" + fmt(r.loadAfter))
+      val loadsBefore = ran.map(r => "\"" + r.name + "\":" + fmt(r.loadBefore))
       val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
-        ran.collect { case (n, Left(m), _, _) => s""""$n":"${jesc(m)}"""" }
+        ran.collect { case ScaleRun(n, Left(m), _, _, _) => s""""$n":"${jesc(m)}"""" }
       val errJson =
         if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
       val skipJson =
@@ -456,14 +574,17 @@ object Bench {
             s""","${label}_manifest":$s""" else ""
         } else ""
       }
-      s""","$label":${entries.mkString("{", ",", "}")}$errJson$skipJson,""" +
-        s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
-        s""""${label}_contended":$hot,""" +
-        s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""${label}_load":${fmt(load)},""" +
-        s""""${label}_sample_load":${loads.mkString("{", ",", "}")}""" +
-        manifestJson +
-        s""","${label}_dir":"$dir""""
+      val frag =
+        s""","$label":${entries.mkString("{", ",", "}")}$errJson$skipJson,""" +
+          s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
+          s""""${label}_contended":$hot,""" +
+          s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""${label}_load":${fmt(load)},""" +
+          s""""${label}_sample_load":${loads.mkString("{", ",", "}")},""" +
+          s""""${label}_sample_load_before":${loadsBefore.mkString("{", ",", "}")}""" +
+          manifestJson +
+          s""","${label}_dir":"$dir""""
+      (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot))
     } finally spark.stop()
   }
 
@@ -497,14 +618,16 @@ object Bench {
     // Each sample carries the index of the calibration point immediately
     // before it; its trailing bracket is calibIdx + 1 (the next mid-pass
     // point, or the pass-end point).
-    case class Sample(name: String, ts: Long, load: Double,
+    case class Sample(name: String, ts: Long, loadBefore: Double, load: Double,
                       res: Either[String, Double], leaked: Boolean,
                       calibIdx: Int)
     case class Pass(calibs: Seq[Double], passLoad: Double, samples: Seq[Sample])
-    case class Judged(secs: Double, ts: Long, load: Double, suspect: Boolean)
+    case class Judged(secs: Double, ts: Long, loadBefore: Double, load: Double,
+                      suspect: Boolean)
 
     val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
     val scaleJsons = scala.collection.mutable.ArrayBuffer.empty[String]
+    val scaleSummaries = scala.collection.mutable.ArrayBuffer.empty[ScaleSummary]
     val skippedWork = scala.collection.mutable.ArrayBuffer.empty[String]
     var truncated = false
 
@@ -523,19 +646,26 @@ object Bench {
       // single outlier point only marks its adjacent SAMPLES suspect
       // (strictly de-noising) without branding the whole pass. So "drop
       // flagged passes" stays safe advice and an idle-host run with one
-      // jittery point reports contended:[].
+      // jittery point reports contended:[]. Second arm (round 11): TWO OR
+      // MORE samples whose PRE-sample loadavg ran high ([[highLoad]]) —
+      // r10's pass 2/4 ran at load 15.5–16.0 with every calibration point
+      // bracketing cool, because the contention window sat between points.
       val contended: Seq[Int] =
         ps.zipWithIndex.collect {
-          case (p, i) if p.calibs.count(isHot(_, runBest)) >= 2 => i + 1 }
+          case (p, i) if p.calibs.count(isHot(_, runBest)) >= 2 ||
+            p.samples.count(s => highLoad(s.loadBefore)) >= 2 => i + 1 }
       // A sample is SUSPECT when either surrounding calibration point ran
-      // hot; only successful reps are judged, so every per-query array
-      // below (samples / ts / load / suspect) is index-aligned.
+      // hot OR its pre-sample loadavg was high ([[highLoad]] — the arm
+      // that catches contention the brackets straddle); only successful
+      // reps are judged, so every per-query array below (samples / ts /
+      // load / suspect) is index-aligned.
       val judged: Seq[(String, Judged)] = ps.flatMap { p =>
         p.samples.flatMap { s =>
           s.res.toOption.map { secs =>
-            s.name -> Judged(secs, s.ts, s.load,
+            s.name -> Judged(secs, s.ts, s.loadBefore, s.load,
               isHot(p.calibs(s.calibIdx), runBest) ||
-                isHot(p.calibs(s.calibIdx + 1), runBest))
+                isHot(p.calibs(s.calibIdx + 1), runBest) ||
+                highLoad(s.loadBefore))
           }
         }
       }
@@ -574,6 +704,7 @@ object Bench {
       val samples = jmap(good)(s => s.map(j => fmt(j.secs)).mkString("[", ",", "]"))
       val sampleTs = jmap(good)(s => s.map(_.ts).mkString("[", ",", "]"))
       val sampleLoad = jmap(good)(s => s.map(j => fmt(j.load)).mkString("[", ",", "]"))
+      val sampleLoadBefore = jmap(good)(s => s.map(j => fmt(j.loadBefore)).mkString("[", ",", "]"))
       val sampleSuspect = jmap(good)(s => s.map(_.suspect).mkString("[", ",", "]"))
       val total = good.map(r => median(cleanOf(r._2).map(_.secs))).sum
 
@@ -621,6 +752,7 @@ object Bench {
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$qs,"queries_min":$mins,"samples":$samples,""" +
         s""""sample_ts":$sampleTs,"sample_load":$sampleLoad,""" +
+        s""""sample_load_before":$sampleLoadBefore,""" +
         s""""sample_suspect":$sampleSuspect,""" +
         s""""calibration":$calibJson,"calib_baseline":${fmt(calibBaseline)},""" +
         s""""calib_every":$calibEvery,"contended":$contJson,""" +
@@ -642,6 +774,13 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
       println(line)
+      // The digest is printed LAST so it is the `{`-line the driver's
+      // 2000-char tail grep actually finds — see [[digestLine]].
+      val medsMap = good.map(r => r._1 -> median(cleanOf(r._2).map(_.secs))).toMap
+      println(digestLine(total, reps, ps.length, truncated, contended,
+        nSuspect, noClean.length, failed.length,
+        skippedWork.length + neverRan.length, medsMap, scaleSummaries.toSeq,
+        sfDir))
     }
 
     (1 to reps).foreach { p =>
@@ -662,10 +801,13 @@ object Bench {
             } else {
               if (qi > 0 && qi % calibEvery == 0) calibs += calibrate(spark)
               val ts = System.currentTimeMillis() / 1000L
+              // load read BEFORE the run feeds the suspect rule — the
+              // post-run read includes the sample's own threads (the r10
+              // detector judged on it and passed three load-19 samples as
+              // clean); the AFTER read still rides along for the record
+              val lb = loadAvg
               val (r, leaked) = runOnce(spark, q, sfDir, queryCap)
-              // load read AFTER the run: the 1-minute average then covers
-              // the sample's own window rather than the prior query's
-              samples += Sample(q.name, ts, loadAvg, r, leaked, calibs.length - 1)
+              samples += Sample(q.name, ts, lb, loadAvg, r, leaked, calibs.length - 1)
             }
           }
           calibs += calibrate(spark) // closing bracket
@@ -695,9 +837,11 @@ object Bench {
       .foreach { case (label, d, names) =>
         if (!timeLeft()) { truncated = true; skippedWork += label }
         else {
-          scaleJsons +=
+          val (frag, summary) =
             scaleSection(label, d, cpus, catalog.filter(q => names.contains(q.name)),
               () => timeLeft())
+          scaleJsons += frag
+          scaleSummaries += summary
           emit()
         }
       }

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pins the bench's driver-facing digest line ([[Bench.digestLine]]) and
+  * the catalog cross-references it depends on. No SparkSession needed —
+  * everything under test is pure.
+  *
+  * Why the length pin exists: the driver captures only the LAST 2000
+  * characters of bench stdout and greps the last `{`-prefixed line inside
+  * that window. Six of seven rounds shipped `parsed:null` because the
+  * cumulative compact line outgrew the window (~7 KB by round 10 vs the
+  * 1783-char round-4 line that parsed). The digest is the line that must
+  * fit — with margin for sbt's trailing "[success] Total time: …" output
+  * inside the same window — so its WORST-CASE length is asserted here,
+  * not its typical length: every headline median present at a 5-digit
+  * value, every scale pick present, every counter at 3 digits, all
+  * passes contended.
+  */
+class BenchDigestSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def worstCaseDigest: String = {
+    val meds = Bench.DigestQueries.map(_ -> 99999.999).toMap
+    val scales = Seq("sf1", "sf30").map { label =>
+      Bench.ScaleSummary(label,
+        Bench.ScaleDigestPicks(label).map(_ -> Option(99999.999)),
+        contended = true)
+    }
+    Bench.digestLine(
+      total = 99999.999, reps = 99, repsCompleted = 99, truncated = true,
+      contended = 1 to 99 by 11, suspect = 999, noClean = 999, errors = 999,
+      skipped = 999, medians = meds, scales = scales,
+      sfDir = "/tmp/graft-scale-sections/some-long-sf-dir-name/sf0.1")
+  }
+
+  test("worst-case digest line stays far inside the driver's 2000-char tail window") {
+    val line = worstCaseDigest
+    assert(!line.contains("\n"))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // 1900, not 2000: sbt prints ~100–200 chars of [success]/timing after
+    // the last line, and those land inside the same tail window.
+    assert(line.length < 1900, s"digest is ${line.length} chars:\n$line")
+  }
+
+  test("digest line is valid JSON carrying the driver-facing keys") {
+    val node = mapper.readTree(worstCaseDigest)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("value").isNumber)
+    assert(node.get("queries").isObject)
+    assert(node.get("queries").size() == Bench.DigestQueries.length)
+    assert(node.get("sf").isTextual)
+    assert(node.get("truncated").isBoolean)
+    assert(node.get("contended").isArray)
+    assert(node.get("sf1").size() == Bench.ScaleDigestPicks("sf1").length)
+    assert(node.get("sf30").size() == Bench.ScaleDigestPicks("sf30").length)
+    assert(node.get("detail").asText() == "bench_out.json")
+  }
+
+  test("digest with no completed work is still valid minimal JSON") {
+    val line = Bench.digestLine(0.0, 5, 0, truncated = false, contended = Nil,
+      suspect = 0, noClean = 0, errors = 0, skipped = 0,
+      medians = Map.empty, scales = Nil, sfDir = "/root/testdata/sf0.1")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() == 0)
+    assert(node.get("reps_completed").asInt() == 0)
+  }
+
+  // --- catalog cross-references -------------------------------------------
+  // All four name lists below are matched by STRING against the catalog
+  // (`catalog.filter(q => names.contains(q.name))`), so a typo'd or stale
+  // name silently matches nothing — these tests make that loud.
+
+  private val catalogNames = SparkEntry.catalog.map(_.name).toSet
+
+  test("every correctness gate is in the bench catalog (inclusion invariant)") {
+    // The driver's correctness gates are SparkEntry.queries (+oracleSql);
+    // the bench runs SparkEntry.catalog. Both derive from the same list
+    // today — this pins the contract so a future query can't join one
+    // surface and silently skip the other.
+    val gates = SparkEntry.oracleSql.keySet
+    val missing = gates -- catalogNames
+    assert(missing.isEmpty, s"oracled gates absent from bench catalog: $missing")
+    assert(SparkEntry.queries.keySet.subsetOf(catalogNames))
+  }
+
+  test("sf1 heavy set, sf30 smoke set and digest picks all resolve against the catalog") {
+    assert((Bench.HeavyQueries.toSet -- catalogNames).isEmpty)
+    assert((Bench.Sf30Queries.toSet -- catalogNames).isEmpty)
+    assert((Bench.DigestQueries.toSet -- catalogNames).isEmpty)
+    // scale digest picks must be names the section actually RUNS, or the
+    // digest would show nulls for queries that were never attempted
+    assert((Bench.ScaleDigestPicks("sf1").toSet -- Bench.HeavyQueries.toSet).isEmpty)
+    assert((Bench.ScaleDigestPicks("sf30").toSet -- Bench.Sf30Queries.toSet).isEmpty)
+  }
+
+  test("digest headline and scale picks contain no duplicates") {
+    assert(Bench.DigestQueries.distinct == Bench.DigestQueries)
+    Bench.ScaleDigestPicks.values.foreach(p => assert(p.distinct == p))
+  }
+}
