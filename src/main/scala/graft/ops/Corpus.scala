@@ -859,6 +859,18 @@ object Corpus {
     val priors = train.agg(
       sum(when(col(posCol).cast(BooleanType), 1L).otherwise(0L)).as("__dp"),
       sum(when(!col(posCol).cast(BooleanType), 1L).otherwise(0L)).as("__dn"))
+    // Precondition: BOTH classes present in the training set — the doc
+    // prior log(dp/dn) is undefined otherwise and a silent ±Infinity
+    // would poison every log_odds downstream. One tiny eager agg over
+    // the (small, labeled) training frame, same require-style contract
+    // as winnowCopyPairs/randomProject.
+    locally {
+      val pr = priors.head()
+      val dp = if (pr.isNullAt(0)) 0L else pr.getLong(0)
+      val dn = if (pr.isNullAt(1)) 0L else pr.getLong(1)
+      require(dp > 0 && dn > 0,
+        s"nbQualityScore needs both classes in train: pos=$dp neg=$dn")
+    }
     val consts = broadcast(totals.crossJoin(priors))
     // probe: corpus token stream joined LEFT to the term table (OOV terms
     // keep null counts → coalesce to 0 = the smoothing floor), constants

@@ -966,17 +966,27 @@ object Dedup {
       .select(col("__id"), col("__size"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
       .localCheckpoint(true)
+    // adaptive broadcast (see the ceiling scaladoc): index0 is checkpointed
+    // so the occurrence count is metadata-cheap; a small corpus gets the
+    // broadcast plan, a big one keeps the pinned shape below
+    val small = index0.count() <= shingleCeiling(df)
     val index =
       if (maxShingleDocFreq <= 0) index0
       else {
         val hot = index0.groupBy("__s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDocFreq).select("__s")
-        index0.join(broadcast(hot), Seq("__s"), "left_anti")
+        // The stop-shingle exclusion side holds ≤ Σdf/maxShingleDocFreq
+        // rows — small on curated corpora, but corpus-dependent: on a
+        // 100 TB crawl it can outgrow a driver broadcast. So it follows
+        // the same ceiling as every other index-derived side: planner's
+        // choice below, shuffle_hash pin above. The above-ceiling
+        // checkpoint keeps the fan-out REPARTITION_BY_NUM from being
+        // pruned as redundant against the anti-join's output
+        // partitioning (see winnowCopyPairs) and runs the doc-frequency
+        // aggregate once, not once per self-join side.
+        val capped = index0.join(adaptivePin(small)(hot), Seq("__s"), "left_anti")
+        if (small) capped else capped.localCheckpoint(true)
       }
-    // adaptive broadcast (see the ceiling scaladoc): index0 is checkpointed
-    // so the occurrence count is metadata-cheap; a small corpus gets the
-    // broadcast plan, a big one keeps the pinned shape below
-    val small = index0.count() <= shingleCeiling(df)
     val h = adaptivePin(small)
     val (a, b) = fanoutSides(index, Seq("__s"),
       Seq(col("__s"), col("__id").as("id_a"), col("__size").as("__na")),
@@ -1792,10 +1802,25 @@ object Dedup {
       .select(col(idCol).as("__id"), col("fingerprint").as("__fp"))
       .distinct()
       .localCheckpoint(true)
+    val small = index0.count() <= shingleCeiling(df)
     val hot = index0.groupBy("__fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxFpDocFreq).select("__fp")
-    val index = index0.join(broadcast(hot), Seq("__fp"), "left_anti")
-    val small = index0.count() <= shingleCeiling(df)
+    // The hot-fingerprint exclusion side holds ≤ Σdf/maxFpDocFreq rows —
+    // bounded, but corpus-dependent: on a 100 TB crawl the capped-df tail
+    // can outgrow a driver broadcast. No forced broadcast hint; below the
+    // shingle ceiling the planner is free to broadcast it, above it the
+    // side stays shuffle_hash-pinned like every other index-derived side.
+    val index1 = index0.join(adaptivePin(small)(hot), Seq("__fp"), "left_anti")
+    // Above the ceiling the shuffled anti-join's output arrives
+    // partitioned on __fp, which EnsureRequirements treats as already
+    // satisfying the fan-out pin and PRUNES the REPARTITION_BY_NUM —
+    // feeding the pair self-join from AQE-coalescible
+    // ENSURE_REQUIREMENTS exchanges, the exact serialization hazard the
+    // pin exists to prevent (coalescing is blind to join fan-out).
+    // Checkpointing the capped index resets the advertised partitioning
+    // so the pin survives — and runs the doc-frequency aggregate once
+    // instead of once per self-join side.
+    val index = if (small) index1 else index1.localCheckpoint(true)
     val h = adaptivePin(small)
     val (a, b) = fanoutSides(index, Seq("__fp"),
       Seq(col("__fp"), col("__id").as("id_a")),

@@ -556,6 +556,12 @@ object Similarity {
     * zip_with — the corpus itself never shuffles. Long-sum headroom ends
     * past ~10¹² unit-scale rows per dimension (the [[CentroidQuantScale]]
     * contract); shard and average hierarchically beyond that.
+    *
+    * Dimension contract (mirrors [[randomProject]]): the corpus is
+    * expected fixed-dimension; a vector whose length differs from the
+    * mean array's (= the corpus max dimension — per-dimension means only
+    * see the vectors long enough to have that dimension) centers to
+    * NULL rather than silently acquiring null padding components.
     */
   def centerVectors(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
     val means = df
@@ -570,7 +576,10 @@ object Similarity {
       .localCheckpoint(true)
     df.crossJoin(broadcast(means))
       .withColumn(outCol,
-        zip_with(col(vecCol).cast("array<double>"), col("__meanArr"), (x, m) => x - m))
+        when(size(col(vecCol)) === size(col("__meanArr")),
+          zip_with(col(vecCol).cast("array<double>"), col("__meanArr"),
+            (x, m) => x - m))
+          .otherwise(lit(null).cast("array<double>")))
       .drop("__meanArr")
   }
 

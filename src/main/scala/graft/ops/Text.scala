@@ -181,10 +181,14 @@ object Text {
     * corpus applies BEFORE content dedup, collapsing the same page's
     * aliases to one key: scheme and host lowercase, leading `www.` and
     * scheme-default port dropped, fragment dropped, tracking params
-    * ([[TrackingParamRe]]) removed, one trailing slash stripped from a
-    * non-root query-less path, empty path normalized to `/`. Query parameter ORDER
-    * is preserved (sorting needs a split+re-join; callers that want
-    * order-insensitive keys should hash the sorted param list instead).
+    * ([[TrackingParamRe]]) removed from the QUERY STRING only, one
+    * trailing slash stripped from a non-root query-less path, empty path
+    * normalized to `/`. Query parameter ORDER is preserved (sorting
+    * needs a split+re-join; callers that want order-insensitive keys
+    * should hash the sorted param list instead). Tracking-param matching
+    * is LOWERCASE-only, deliberately: scheme and host are case-folded
+    * per RFC 3986, but query parameter names are case-sensitive — an
+    * `UTM_SOURCE=x` param is a different (rare) key and is kept.
     * Non-URLs (no `scheme://`) canonicalize to null so they drop out of
     * URL-keyed groupings. RE2-compatible regex chain, pure codegen'd
     * expressions — scan speed, zero shuffle, and the identical patterns
@@ -199,15 +203,23 @@ object Text {
     val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
+    // split BEFORE stripping: the tracking-param patterns must only ever
+    // see the query string — a literal '&ref=…' is legal inside a PATH
+    // segment (RFC 3986 pchar includes '&' and '='), and a strip running
+    // over path+query would cut it out of the path and mangle the URL
+    val pathPart = regexp_extract(rest, "^([^?]*)", 1)
+    val queryPart = regexp_extract(rest, "(\\?.*)$", 1)
     // tracking params in three positions: mid-query (&p=v), leading with
     // a successor (?p=v& → ?), leading at end (?p=v → gone)
-    val q1 = regexp_replace(rest, s"&$TrackingParamRe=[^&]*", "")
-    val q2 = regexp_replace(q1, s"\\?$TrackingParamRe=[^&]*&", "?")
-    val q3 = regexp_replace(q2, s"\\?$TrackingParamRe=[^&]*$$", "")
-    // one trailing slash off a non-root path — only when no query is
-    // present ("[^?]+" both keeps bare "/" and refuses to touch a query
-    // string, whose values may legitimately end in "/")
-    val q4 = regexp_replace(q3, "^([^?]+)/$", "$1")
+    val s1 = regexp_replace(queryPart, s"&$TrackingParamRe=[^&]*", "")
+    val s2 = regexp_replace(s1, s"\\?$TrackingParamRe=[^&]*&", "?")
+    val s3 = regexp_replace(s2, s"\\?$TrackingParamRe=[^&]*$$", "")
+    // one trailing slash off a non-root path — only when no query
+    // SURVIVES the strip ("(.+)" keeps bare "/"; a query's values may
+    // legitimately end in "/", so a surviving query blocks the strip)
+    val p1 = when(length(s3) === 0, regexp_replace(pathPart, "^(.+)/$", "$1"))
+      .otherwise(pathPart)
+    val q4 = concat(p1, s3)
     val path = when(length(q4) === 0, lit("/")).otherwise(q4)
     when(scheme === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, path))

@@ -1696,13 +1696,14 @@ object CurationQueries {
   /** URL canonicalization + URL-keyed keep-first dedup: planted aliases
     * (uppercase scheme/host, default ports, www., fragments, tracking
     * params in all three query positions, trailing slashes, a non-URL
-    * shape) collapse to canonical keys; `is_url_dup` marks every row
+    * shape, and a literal `&ref=` inside a PATH segment that must
+    * survive) collapse to canonical keys; `is_url_dup` marks every row
     * whose canonical key was already claimed by a lower doc_id. The
     * oracle replays the identical RE2 regex chain step by step.
     */
   val curateUrlCanon = Q("q_curate_url_canon",
     (s, dir) => {
-      val m = pmod(col("doc_id"), lit(6))
+      val m = pmod(col("doc_id"), lit(7))
       val withUrl = Tables.documents(s, dir).select(col("doc_id"),
         when(m === 0, concat(lit("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id="),
             col("doc_id").cast(StringType)))
@@ -1712,7 +1713,10 @@ object CurationQueries {
           .when(m === 3, concat(lit("http://news.example.org/article?id="),
             col("doc_id").cast(StringType), lit("&utm_campaign=z&x=1")))
           .when(m === 4, concat(lit("not a url "), col("doc_id").cast(StringType)))
-          .otherwise(lit("https://shop.example.net/?gclid=123")).as("url"))
+          .when(m === 5, lit("https://shop.example.net/?gclid=123"))
+          // '&ref=' inside a PATH segment (legal per RFC 3986) — must
+          // survive canonicalization untouched; the r10 chain stripped it
+          .otherwise(lit("https://example.com/a&ref=x/b?id=1")).as("url"))
       withUrl
         .select(col("doc_id"), Text.canonicalUrl(col("url")).as("canon"))
         .withColumn("is_url_dup",
@@ -1724,13 +1728,14 @@ object CurationQueries {
     },
     Some("""WITH u AS (
               SELECT doc_id,
-                CASE doc_id % 6
+                CASE doc_id % 7
                   WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=' || doc_id
                   WHEN 1 THEN 'http://example.com:80/a/b/?ref=abc'
                   WHEN 2 THEN 'https://example.com/p/' || doc_id || '/#frag'
                   WHEN 3 THEN 'http://news.example.org/article?id=' || doc_id || '&utm_campaign=z&x=1'
                   WHEN 4 THEN 'not a url ' || doc_id
-                  ELSE 'https://shop.example.net/?gclid=123' END AS url
+                  WHEN 5 THEN 'https://shop.example.net/?gclid=123'
+                  ELSE 'https://example.com/a&ref=x/b?id=1' END AS url
               FROM documents),
             ext AS (
               SELECT doc_id,
@@ -1743,12 +1748,13 @@ object CurationQueries {
                 CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(h1, ':80$', '')
                      WHEN scheme = 'https' THEN REGEXP_REPLACE(h1, ':443$', '')
                      ELSE h1 END AS host,
+                REGEXP_EXTRACT(rest, '^([^?]*)', 1) AS pathpart,
                 REGEXP_REPLACE(
                   REGEXP_REPLACE(
-                    REGEXP_REPLACE(rest,
+                    REGEXP_REPLACE(REGEXP_EXTRACT(rest, '(\?.*)$', 1),
                       '&(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*', '', 'g'),
                     '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*&', '?', 'g'),
-                  '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*$', '', 'g') AS q3
+                  '\?(?:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*$', '', 'g') AS s3
               FROM (SELECT doc_id, scheme, rest,
                       REGEXP_REPLACE(hostport, '^www\.', '') AS h1 FROM ext)),
             canon AS (
@@ -1757,7 +1763,9 @@ object CurationQueries {
                      ELSE scheme || '://' || host ||
                           (CASE WHEN LEN(q4) = 0 THEN '/' ELSE q4 END) END AS canon
               FROM (SELECT doc_id, scheme, host,
-                      REGEXP_REPLACE(q3, '^([^?]+)/$', '\1') AS q4 FROM hp))
+                      (CASE WHEN LEN(s3) = 0
+                            THEN REGEXP_REPLACE(pathpart, '^(.+)/$', '\1')
+                            ELSE pathpart END) || s3 AS q4 FROM hp))
             SELECT doc_id, canon,
               CASE WHEN canon IS NULL THEN FALSE
                    ELSE MIN(doc_id) OVER (PARTITION BY canon) < doc_id END AS is_url_dup

@@ -453,6 +453,23 @@ class CorpusSpec extends SparkTestBase {
     assert(nt == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
   }
 
+  test("nbQualityScore rejects a single-class (or empty) training set") {
+    import spark.implicits._
+    val score = Seq((0L, "anything")).toDF("doc_id", "text")
+    // all-positive: the prior log(dp/dn) would be +Infinity
+    val allPos = Seq((0L, "good", true), (1L, "fine", true))
+      .toDF("doc_id", "text", "is_ref")
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.nbQualityScore(allPos, "is_ref", score, "text", "doc_id")
+    }
+    assert(e1.getMessage.contains("both classes"))
+    // empty training frame: both counts zero
+    intercept[IllegalArgumentException] {
+      Corpus.nbQualityScore(allPos.limit(0), "is_ref",
+        score, "text", "doc_id")
+    }
+  }
+
   test("nbQualityScore separates the classes it trained on") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

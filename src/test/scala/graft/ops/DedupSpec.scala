@@ -1011,9 +1011,13 @@ class DedupSpec extends SparkTestBase {
         .queryExecution.executedPlan.toString
       assert(plan.contains("REPARTITION_BY_NUM"),
         "candidate self-join lost its pinned fan-out repartition")
-      // the only broadcast is the hot-fingerprint anti-join side (bounded
-      // by occurrences/cap — the ngramJaccard convention); the index
-      // self-join itself must be a shuffle join
+      // nothing broadcasts above the ceiling — including the
+      // hot-fingerprint anti-join side, whose row count
+      // (≤ Σdf/maxFpDocFreq) is corpus-dependent and can outgrow a
+      // driver broadcast on a crawl-scale corpus; the index self-join
+      // itself must be a shuffle join
+      assert(!plan.contains("BroadcastExchange"),
+        s"above the ceiling nothing may broadcast:\n$plan")
       assert(plan.contains("ShuffledHashJoin"),
         "index self-join must be shuffled above the ceiling")
     } finally spark.conf.unset(Dedup.ShingleCeilingKey)

@@ -324,6 +324,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean2 < 2.0 / 1048576.0, s"re-centered mean $mean2 not near zero")
   }
 
+  test("centerVectors: ragged vectors center to null (randomProject contract)") {
+    val ragged = Seq(
+      (0L, Seq(1.0, 2.0)),            // shorter than corpus dim
+      (1L, Seq(4.0, 6.0, 8.0)),
+      (2L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.centerVectors(ragged, "embedding", "centered")
+      .orderBy("vec_id").select("centered").collect()
+    assert(got(0).isNullAt(0), "short vector must center to null, not null-pad")
+    assert(!got(1).isNullAt(0) && !got(2).isNullAt(0))
+    // per-dimension means still average only the vectors that HAVE the
+    // dimension: dim 0 mean = (1+4+0)/3, dim 2 mean = (8+0)/2
+    assert(got(1).getSeq[Double](0).head == 4.0 - (1.0 + 4.0 + 0.0) / 3.0)
+    assert(got(1).getSeq[Double](0)(2) == 8.0 - (8.0 + 0.0) / 2.0)
+  }
+
   test("randomProject matches a local computation of the md5 sign matrix") {
     val signs = Similarity.rpSigns(4, 16, "")
     // the sign matrix is genuinely mixed (md5 first hex digit, p = 1/2)

@@ -190,6 +190,15 @@ class TextSpec extends SparkTestBase {
       "https://a.com/p?href=rss" -> "https://a.com/p?href=rss",
       // query values may end in "/" — no trailing-slash strip with a query
       "https://a.com/p/?x=/" -> "https://a.com/p/?x=/",
+      // a literal '&ref=…' inside a PATH segment (legal per RFC 3986) is
+      // NOT a tracking param — the strip only sees the query string
+      "https://a.com/a&ref=x/b?id=1" -> "https://a.com/a&ref=x/b?id=1",
+      // …while the same bytes after '?' still strip
+      "https://a.com/p?id=1&ref=x/b" -> "https://a.com/p?id=1",
+      // tracking-param names are case-sensitive: UTM_SOURCE is kept
+      "https://a.com/p?UTM_SOURCE=x" -> "https://a.com/p?UTM_SOURCE=x",
+      // a query that strips to nothing re-enables the trailing-slash rule
+      "https://a.com/dir/?utm_medium=m" -> "https://a.com/dir",
       // path case preserved; param order preserved
       "https://a.com/CaseS?b=2&a=1" -> "https://a.com/CaseS?b=2&a=1")
     val got = cases.map(_._1).toDF("u")
