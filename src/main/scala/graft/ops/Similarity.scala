@@ -88,6 +88,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact baseline
+    * — the ANN family's self-evaluation operator. Both inputs are
+    * `(query_id, neighbor_id, rank, …)` frames as produced by
+    * [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]] / [[pqTopK]] /
+    * [[ivfPqTopK]] / [[rpTopK]] / [[sq8TopK]]; rows beyond rank `k` are
+    * ignored on both sides. Emits one row per exact-side query:
+    * `(query_id, n_hit, recall)` with `n_hit` = |approx∩exact| within
+    * rank ≤ k and `recall` = n_hit/k — a query the approximate method
+    * returned nothing for (empty LSH bucket, all-null projections)
+    * scores 0, it does not drop out of the report.
+    *
+    * Scale shape: every frame here is QUERY-SET-sized (|Q|·k rows), not
+    * corpus-sized — recall evaluation is run on a sampled query set, so
+    * the semi-join and the per-query count are trivially small at any
+    * corpus scale; the planner is free to broadcast either side. The
+    * expensive part is producing the inputs, which the *TopK operators
+    * already bound (broadcast queries × streamed corpus).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val a = approx.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k, 9).as("recall"))
+  }
+
   /** Quantization scale for [[ivfCentroids]]' per-cell means: components
     * round to the nearest 2⁻²⁰ (≈1e-6 — far below any embedding's signal)
     * and accumulate as EXACT 64-bit integer sums, so the mean is

@@ -1285,6 +1285,79 @@ object CurationQueries {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** ANN recall@k self-evaluation ([[graft.ops.Similarity.recallAtK]]):
+    * every approximate family — lsh / ivf / pq / ivfpq / rp / sq8, each
+    * at its own gate's exact parameters — scored against the brute-force
+    * baseline on the same 16-query sample, one row per (method, query).
+    * This is the measurement the family's planners promise but nothing
+    * else verifies: recall is what the LSH probe count / nprobe /
+    * shortlist knobs trade against scan bytes. The oracle composes the
+    * six methods' own full replay SQL as subqueries (DuckDB permits a
+    * WITH inside a derived table), so the report is oracled END TO END —
+    * not against Spark's idea of each method, but against six
+    * independent relational reconstructions of them. sq8 re-ranks its
+    * full-corpus shortlist by exact cosine, so its recall is 1 by
+    * construction — kept as the sanity row.
+    */
+  val knnRecallReport = Q("q_knn_recall_report",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 16)
+      val exact = Similarity.bruteForceTopK(
+        q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      def rep(name: String, approx: org.apache.spark.sql.DataFrame) =
+        Similarity.recallAtK(approx, exact, 5).withColumn("method", lit(name))
+      rep("ivf", Similarity.ivfTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4))
+        .unionByName(rep("ivfpq", Similarity.ivfPqTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4, m = 8, dsub = 8, ksub = 16,
+          iters = 3, shortlist = 32)))
+        .unionByName(rep("lsh", Similarity.lshTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, bits = 8, probeHamming = 1, planeHash = "md5")))
+        .unionByName(rep("pq", Similarity.pqTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, m = 8, dsub = 8, ksub = 16, iters = 3, shortlist = 50)))
+        .unionByName(rep("rp", Similarity.rpTopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, inDim = 64, outDim = 16, shortlist = 50)))
+        .unionByName(rep("sq8", Similarity.sq8TopK(q, emb,
+          "vec_id", "embedding", "vec_id", "embedding", 5)))
+        .select("method", "query_id", "n_hit", "recall")
+        .orderBy("method", "query_id")
+    },
+    Some(s"""WITH exact AS (
+              SELECT query_id, neighbor_id FROM (${knnBrute.oracle.get}) t),
+            am AS (
+              SELECT 'lsh' AS method, query_id, neighbor_id FROM (${knnLsh.oracle.get}) t
+              UNION ALL
+              SELECT 'ivf' AS method, query_id, neighbor_id FROM (${knnIvf.oracle.get}) t
+              UNION ALL
+              SELECT 'pq' AS method, query_id, neighbor_id FROM (${knnPq.oracle.get}) t
+              UNION ALL
+              SELECT 'ivfpq' AS method, query_id, neighbor_id FROM (${knnIvfPq.oracle.get}) t
+              UNION ALL
+              SELECT 'rp' AS method, query_id, neighbor_id FROM (${knnRp.oracle.get}) t
+              UNION ALL
+              SELECT 'sq8' AS method, query_id, neighbor_id FROM (${knnSq8.oracle.get}) t),
+            methods AS (SELECT DISTINCT method FROM am),
+            qs AS (SELECT DISTINCT query_id FROM exact),
+            hits AS (
+              SELECT a.method, a.query_id, COUNT(*) AS n_hit
+              FROM exact e
+              JOIN am a ON a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+              GROUP BY 1, 2)
+            SELECT m.method, qs.query_id,
+                   CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   ROUND(COALESCE(h.n_hit, 0) / 5.0, 9) AS recall
+            FROM methods m
+            CROSS JOIN qs
+            LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.query_id
+            ORDER BY 1, 2"""))
+
   /** Feature-hashing TF buckets (long format — the scale representation:
     * shuffle rows = tokens, bucket space fixed regardless of vocab).
     */
@@ -3852,7 +3925,7 @@ object CurationQueries {
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,
-    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp, embedCenter,
+    knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp, knnRecallReport, embedCenter,
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap,

@@ -339,6 +339,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(1).getSeq[Double](0)(2) == 8.0 - (8.0 + 0.0) / 2.0)
   }
 
+  test("recallAtK: intersection within rank k, zero-hit queries stay in the report") {
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      // query 1: two of three right; the rank-4 row is beyond k and ignored
+      (1L, 11L, 1), (1L, 99L, 2), (1L, 12L, 3), (1L, 10L, 4))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.recallAtK(approx, exact, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 0.666666667))) // round(2/3, 9)
+    // query 2 got NO approximate results — it must report 0, not vanish
+    assert(got(2L) == ((0L, 0.0)))
+    assert(got.size == 2)
+    // self-recall is exactly 1 on a real top-k frame
+    val base = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 4), df, "vec_id", "embedding", "vec_id", "embedding", 5)
+    val self = Similarity.recallAtK(base, base, 5).collect()
+    assert(self.length == 4 && self.forall(_.getDouble(2) == 1.0))
+  }
+
   test("randomProject matches a local computation of the md5 sign matrix") {
     val signs = Similarity.rpSigns(4, 16, "")
     // the sign matrix is genuinely mixed (md5 first hex digit, p = 1/2)
