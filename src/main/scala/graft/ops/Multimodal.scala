@@ -8,18 +8,25 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed batch-wise with mapPartitions.
   *
-  * Decode is REAL where no native codec is needed: PNG pixels end to
-  * end (zlib is JDK-bundled — encoder and full de-filtering decoder
-  * below, plus javax.imageio for JPEG/GIF/BMP pixels), image geometry
-  * via javax.imageio header reads, audio geometry via a pure-JVM
-  * RIFF/WAVE chunk parse, MP4 sample schedules via the ISO-BMFF stbl
-  * walk. Compressed audio/video FRAME decode (mp3/flac/h264) would
-  * need native libs absent from this container, so those payloads
-  * take a clearly-marked deterministic stub — everything around it is
-  * real and load-bearing: the schema contract, per-partition batching,
-  * encoder round-trip, and partition sizing are exactly what a
-  * production decode (ffmpeg via JNI, or mapInPandas on PySpark)
-  * plugs into.
+  * Decode is REAL end to end for PNG, baseline JPEG, GIF, BMP
+  * ([[graft.ops.Jpeg]]/[[graft.ops.Gif]]/[[graft.ops.Bmp]] and the PNG
+  * codec below — hand-rolled pure JVM, both directions, imageio only
+  * for profiles outside their scope), FLAC and 16-bit WAV PCM
+  * ([[graft.ops.Flac]], `parseWavPcm`); image geometry additionally
+  * via javax.imageio header reads, audio geometry via pure-JVM
+  * RIFF/WAVE + MPEG-header + STREAMINFO parses, MP4 sample schedules
+  * via the ISO-BMFF stbl walk. MP3 (Layer III) and H.264 FRAME decode
+  * are explicit NON-GOALS (COVERAGE.md "Explicit non-goals": lossy
+  * transform codecs are not relationally oracle-able here, and their
+  * normative constant tables can't be verified without the spec) —
+  * those payloads yield null rows through `decodeAudioPcm`/
+  * `audioFeatures`, the same degrade-don't-throw contract corrupt
+  * payloads get, while header parses stay real. Unrecognized payloads
+  * in the METADATA ops fall back to a clearly-marked deterministic
+  * stub so a messy corpus flows through reproducibly. The schema
+  * contract, per-partition batching, encoder round-trip, and partition
+  * sizing are exactly what a production decode (ffmpeg via JNI, or
+  * mapInPandas on PySpark) plugs into.
   *
   * Scale: payloads never shuffle through these ops — mapPartitions is
   * narrow; keep `spark.sql.files.maxPartitionBytes` at 128-256 MB so a
