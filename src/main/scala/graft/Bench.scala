@@ -199,6 +199,13 @@ object Bench {
     * 32-thread host, well under 32/3 ≈ 10.7, while the r10 contention
     * window read 8.5–19.4. loadavg is -1 on platforms that can't report
     * it, which never trips the rule.
+    *
+    * MAIN SUITE ONLY: scale sections don't use this arm — their samples
+    * are minute-scale 32-thread jobs back-to-back, so the pre-sample
+    * loadavg is dominated by the previous sample's own just-finished
+    * threads (measured 3.8 → 15.0 self-ramp on an idle host); they rely
+    * on their per-query calibration brackets instead, which are already
+    * sample-granular there.
     */
   private def highLoad(l: Double): Boolean =
     l > Runtime.getRuntime.availableProcessors() / 3.0
@@ -541,15 +548,20 @@ object Bench {
         (done.toSeq, skip.toSeq)
       }
       val runBest = calibs.min
-      // section contended = sustained-hot calibration OR sustained-high
-      // pre-sample load (two arms, same rationale as the main passes:
-      // r10's sf30 contention was calibration-visible, but a window that
-      // sits between points would only show in the load-before reads)
-      val hot = calibs.count(isHot(_, runBest)) >= 2 ||
-        ran.count(r => highLoad(r.loadBefore)) >= 2
+      // Scale sections rely on the PER-QUERY calibration brackets alone
+      // (already sample-granular here — unlike the main suite's
+      // every-16-queries points, so the blind spot the load-before arm
+      // closes there doesn't exist). The load arm would false-positive
+      // in this section: samples are minute-scale 32-thread jobs running
+      // back-to-back, so the 1-minute loadavg before query N is
+      // dominated by query N-1's own just-finished threads (measured
+      // 3.8 → 15.0 self-ramp across an otherwise-idle section). The
+      // load-before reads still ride in `<label>_sample_load_before`
+      // for the record.
+      val hot = calibs.count(isHot(_, runBest)) >= 2
       val suspects = ran.collect {
         case r if isHot(calibs(r.calibIdx), runBest) ||
-          isHot(calibs(r.calibIdx + 1), runBest) || highLoad(r.loadBefore) => r.name
+          isHot(calibs(r.calibIdx + 1), runBest) => r.name
       }
       val entries = ran.map { r =>
         "\"" + r.name + "\":" + r.res.toOption.map(fmt).getOrElse("null")
