@@ -268,6 +268,39 @@ object Corpus {
         round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-document
+    * unigram-LM score ([[unigramNegLogProb]]), then PER-LANGUAGE exact
+    * tertile cuts label each document `head` (lowest third by neg_logp —
+    * most fluent under the LM), `middle`, or `tail` — the split CCNet
+    * uses to stage training-data quality. Zero-token documents, which
+    * the LM cannot score, bucket to null instead of polluting a tertile.
+    *
+    * Scale shape: the score is the unigram chain (vocab-keyed hash
+    * aggregates, shuffle_hash-pinned corpus-side probe); the lang attach
+    * is one corpus-sized equi-join (shuffle_hash-pinned, same rationale);
+    * the cuts reuse [[exactQuantiles]]' deterministic integer-rank pick
+    * PER LANGUAGE — the CCNet design, which also keeps the rank window a
+    * per-group sort instead of a global one — and the cut table is
+    * |langs| rows, broadcast. Bucket decisions compare two 6-decimal
+    * doubles produced by identical arithmetic on both engines, so the
+    * labels are engine-reproducible (ties inside a rank pick don't
+    * matter: the value AT a rank is multiset-determined).
+    */
+  def pplBuckets(df: DataFrame, textCol: String, idCol: String,
+                 langCol: String): DataFrame = {
+    val scored = unigramNegLogProb(df, textCol, idCol)
+      .join(df.select(col(idCol), col(langCol)).hint("shuffle_hash"), Seq(idCol))
+    val cuts = exactQuantiles(
+      scored.filter(col("n_tokens") > 0), langCol, "neg_logp",
+      Seq(1.0 / 3, 2.0 / 3))
+    scored.join(broadcast(cuts), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("n_tokens"), col("neg_logp"),
+        when(col("n_tokens") === 0, lit(null).cast(StringType))
+          .when(col("neg_logp") <= col("p33"), lit("head"))
+          .when(col("neg_logp") <= col("p67"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Corpus-wide top-`k` word n-grams by occurrence count — boilerplate
     * mining: the n-grams that dominate a crawl (navigation chrome,
     * license blocks, templated headers) surface here first, and their

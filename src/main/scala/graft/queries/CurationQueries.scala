@@ -3837,6 +3837,53 @@ object CurationQueries {
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id"""))
 
+  /** CCNet head/middle/tail perplexity bucketing: the unigram-LM score
+    * plus per-language exact tertile cuts. The oracle replays the LM
+    * chain, ranks per language (value-at-rank is multiset-determined, so
+    * ties are safe), picks the ceil(n/3)/ceil(2n/3) cut values, and
+    * re-derives every label; zero-token docs bucket to NULL on both
+    * sides.
+    */
+  val textPplBuckets = Q("q_text_ppl_buckets",
+    (s, dir) =>
+      Corpus.pplBuckets(Tables.documents(s, dir), "text", "doc_id", "lang")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS term
+              FROM documents),
+            cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     AVG(-LN(CAST(c AS DOUBLE) / n)) AS m
+              FROM toks JOIN cnt USING (term) CROSS JOIN tot
+              GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                ROUND(COALESCE(per.m, 0.0), 6) AS neg_logp
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+            ranked AS (
+              SELECT lang, neg_logp,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY neg_logp) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM scored WHERE n_tokens > 0),
+            cuts AS (
+              SELECT lang,
+                     MAX(CASE WHEN rn = CEIL(n * (1.0/3)) THEN neg_logp END) AS p33,
+                     MAX(CASE WHEN rn = CEIL(n * (2.0/3)) THEN neg_logp END) AS p67
+              FROM ranked GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.n_tokens, s.neg_logp,
+              CASE WHEN s.n_tokens = 0 THEN NULL
+                   WHEN s.neg_logp <= c.p33 THEN 'head'
+                   WHEN s.neg_logp <= c.p67 THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+            FROM scored s LEFT JOIN cuts c USING (lang)
+            ORDER BY s.doc_id"""))
+
   /** Multinomial Naive Bayes quality log-odds — the CCNet/GPT-3
     * Wikipedia-vs-crawl filter shape. Train labels: sources src0–src3
     * are the "reference-quality" class, everything else is crawl; every
@@ -3935,7 +3982,7 @@ object CurationQueries {
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    textBigramPpl, textNbQuality,
+    textBigramPpl, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,

@@ -453,6 +453,30 @@ class CorpusSpec extends SparkTestBase {
     assert(nt == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
   }
 
+  test("pplBuckets: per-language tertile labels ordered by score, zero-token → null") {
+    import spark.implicits._
+    // lang a: six scoreable docs with strictly increasing rare-word
+    // fraction (the common word 'w' scores low under the corpus LM,
+    // singletons score high) → neg_logp strictly increasing with doc_id,
+    // so the tertiles must split 2/2/2 in id order; lang b gets its OWN
+    // cuts (1/1/1 over three docs), independent of lang a's distribution.
+    val docs = Seq(
+      (0L, "w w w w w w", "a"), (1L, "w w w w w r1", "a"),
+      (2L, "w w w w r2 r3", "a"), (3L, "w w w r4 r5 r6", "a"),
+      (4L, "w w r7 r8 r9 r10", "a"), (5L, "w r11 r12 r13 r14 r15", "a"),
+      (6L, "", "a"),
+      (7L, "w w w", "b"), (8L, "w r16 r17", "b"), (9L, "r18 r19 r20", "b"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.pplBuckets(docs, "text", "doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(got(6L).isEmpty, "zero-token doc must bucket to null")
+    assert(Seq(0L, 1L).forall(got(_).contains("head")))
+    assert(Seq(2L, 3L).forall(got(_).contains("middle")))
+    assert(Seq(4L, 5L).forall(got(_).contains("tail")))
+    assert(got(7L).contains("head") && got(8L).contains("middle") &&
+      got(9L).contains("tail"))
+  }
+
   test("nbQualityScore rejects a single-class (or empty) training set") {
     import spark.implicits._
     val score = Seq((0L, "anything")).toDF("doc_id", "text")
