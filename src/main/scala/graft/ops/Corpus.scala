@@ -268,6 +268,77 @@ object Corpus {
         round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
   }
 
+  /** DSIR scores — Data Selection via Importance Resampling (Xie et
+    * al., NeurIPS 2023): every corpus document scored by the
+    * hashed-feature importance log-ratio
+    * `log p̂_target(x) − log p̂_source(x)`, where both distributions are
+    * Laplace-smoothed unigram models over `dim` hash buckets (the
+    * hashing trick caps the feature space at a constant regardless of
+    * vocabulary — the paper's hashed n-gram construction at n=1; the
+    * source model is fit on the corpus being scored itself, per the
+    * paper). Positive log-ratio = looks more like the target (e.g. a
+    * curated reference set) than like the raw crawl.
+    *
+    * Scale shape: per-doc bucket counts are [[graft.ops.Text
+    * .hashingTfBuckets]] (shuffle rows = tokens, bucket space fixed);
+    * the weight table is ≤ `dim` rows — a training-time constant like
+    * `encodeTokens`' vocab — and BROADCASTS legitimately; totals ride
+    * 1-row broadcasts; the per-doc re-attach is shuffle_hash-pinned like
+    * every corpus-sized aggregate side. Zero-token documents score 0
+    * (the empty-product convention every per-doc LM op here uses).
+    * `log_ratio` rounds to 6 decimals — same cross-engine discipline as
+    * the NB/LM gates — so downstream rank cuts are engine-reproducible.
+    */
+  def dsirScores(corpus: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, dim: Int = 1024): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    // checkpoint: the per-doc bucket frame feeds the source distribution
+    // AND the per-doc probe — unmaterialized, the whole tokenize+hash
+    // pipeline would run twice
+    val docBuckets = Text.hashingTfBuckets(corpus, idCol, textCol, dim)
+      .localCheckpoint(true)
+    val srcBuckets = docBuckets.groupBy("bucket").agg(sum("cnt").as("__sc"))
+    val srcTotal = srcBuckets.agg(coalesce(sum("__sc"), lit(0L)).as("__st"))
+    val tgtBuckets = Text.hashingTfBuckets(target, idCol, textCol, dim)
+      .groupBy("bucket").agg(sum("cnt").as("__tc"))
+    val tgtTotal = tgtBuckets.agg(coalesce(sum("__tc"), lit(0L)).as("__tt"))
+    // a bucket in the target but absent from the source cannot appear in
+    // any corpus document, so the source-side bucket list is complete
+    // for scoring and a left join suffices
+    val weights = srcBuckets
+      .join(tgtBuckets, Seq("bucket"), "left")
+      .crossJoin(broadcast(srcTotal)).crossJoin(broadcast(tgtTotal))
+      .select(col("bucket"),
+        (log((coalesce(col("__tc"), lit(0L)) + 1).cast(DoubleType) /
+             (col("__tt") + dim).cast(DoubleType)) -
+         log((col("__sc") + 1).cast(DoubleType) /
+             (col("__st") + dim).cast(DoubleType))).as("__w"))
+    val perDoc = docBuckets.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt") * col("__w")).as("__s"))
+    corpus.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__s"), lit(0.0)), 6).as("log_ratio"))
+  }
+
+  /** DSIR selection: the top `k` corpus documents by [[dsirScores]]
+    * log-ratio with a deterministic (score desc, id asc) tie-break on
+    * the ROUNDED score — the paper's Gumbel-noise resampling trades
+    * reproducibility for diversity; the noiseless top-k is the
+    * deterministic member of the family and the one an oracle can
+    * replay decision-for-decision. Compiles to TakeOrderedAndProject
+    * (per-partition heaps of k, k-row driver merge — no global sort).
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, k: Int, dim: Int = 1024): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    dsirScores(corpus, target, textCol, idCol, dim)
+      .orderBy(col("log_ratio").desc, col(idCol))
+      .limit(k)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-document
     * unigram-LM score ([[unigramNegLogProb]]), then PER-LANGUAGE exact
     * tertile cuts label each document `head` (lowest third by neg_logp —

@@ -2223,6 +2223,56 @@ object CurationQueries {
             FROM top JOIN est USING (token)
             ORDER BY token"""))
 
+  /** DSIR selection ([[graft.ops.Corpus.dsirSelect]]): top-200 corpus
+    * documents by hashed-unigram importance log-ratio against the
+    * reference-quality target (sources src0–src3 — the same target the
+    * NB gate trains on). The oracle refits BOTH bucket distributions,
+    * the Laplace smoothing, every per-doc weighted sum (bucket-level,
+    * mirroring Spark's cnt·w aggregation), and the (score desc, id)
+    * top-k cut — decision-for-decision, on the rounded score both
+    * engines sort by.
+    */
+  val selectDsir = Q("q_select_dsir",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.dsirSelect(
+        d, d.filter(col("source").isin("src0", "src1", "src2", "src3")),
+        "text", "doc_id", k = 200, dim = 256)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                     ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT % 256 AS b
+              FROM (SELECT doc_id, source, UNNEST(LIST_FILTER(
+                      STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                      x -> x <> '')) AS t
+                    FROM documents)),
+            db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+            sb AS (SELECT b, COUNT(*) AS sc FROM toks GROUP BY b),
+            st AS (SELECT COUNT(*) AS stot FROM toks),
+            tb AS (SELECT b, COUNT(*) AS tc FROM toks
+                   WHERE source IN ('src0','src1','src2','src3') GROUP BY b),
+            tt AS (SELECT COUNT(*) AS ttot FROM toks
+                   WHERE source IN ('src0','src1','src2','src3')),
+            w AS (
+              SELECT sb.b,
+                     LN(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / (ttot + 256)) -
+                     LN(CAST(sc + 1 AS DOUBLE) / (stot + 256)) AS wb
+              FROM sb LEFT JOIN tb ON tb.b = sb.b
+              CROSS JOIN st CROSS JOIN tt),
+            per AS (
+              SELECT doc_id, SUM(cnt) AS n_tokens, SUM(cnt * wb) AS s
+              FROM db JOIN w ON w.b = db.b GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id,
+                CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                ROUND(COALESCE(per.s, 0.0), 6) AS log_ratio
+              FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id)
+            SELECT * FROM (
+              SELECT doc_id, n_tokens, log_ratio FROM scored
+              ORDER BY log_ratio DESC, doc_id LIMIT 200)
+            ORDER BY doc_id"""))
+
   /** RefinedWeb-style per-domain cap: at most 10 docs per source, chosen
     * by deterministic md5 rank — the mixture-control selection primitive.
     * At sf0.01 every source holds ~25 docs, so the cap genuinely cuts;
@@ -3975,7 +4025,7 @@ object CurationQueries {
     knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp, knnRecallReport, embedCenter,
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
-    curateGopher, selectDomainCap,
+    curateGopher, selectDomainCap, selectDsir,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
     curateUrlCanon, textWinnow, dedupWinnowPairs, curateScrub,
     curateRepetition, curateChunk,

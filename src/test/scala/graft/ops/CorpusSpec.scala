@@ -453,6 +453,34 @@ class CorpusSpec extends SparkTestBase {
     assert(nt == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
   }
 
+  test("dsirScores/dsirSelect: target-like docs outrank crawl-like docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta alpha"), (1L, "beta alpha beta"), (2L, "alpha beta"),
+      (3L, "noiseqq noisevv"), (4L, "noiseww noisexx"), (5L, "noiseyy noisezz"),
+      (6L, "")).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta"),
+      (101L, "beta alpha")).toDF("doc_id", "text")
+    val scores = Corpus.dsirScores(corpus, target, "text", "doc_id", dim = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // DSIR guarantees the ORDERING, not the sign: the source model is
+    // fit on the whole corpus, so target-like mass is in both models and
+    // Laplace smoothing shifts absolute values — but every
+    // target-vocabulary doc must outrank every noise doc, and the
+    // zero-token doc scores exactly 0 (empty product)
+    val targetMin = Seq(0L, 1L, 2L).map(scores).min
+    val noiseMax = Seq(3L, 4L, 5L).map(scores).max
+    assert(targetMin > noiseMax, scores.toString)
+    assert(scores(6L) == 0.0)
+    // top-3: the empty doc's 0 ranks first here (all scores negative on
+    // this tiny corpus), then doc 2, then the 0-vs-1 exact tie (both
+    // texts are symmetric under the symmetric alpha/beta weights) broken
+    // to the smaller id
+    val picked = Corpus.dsirSelect(corpus, target, "text", "doc_id",
+      k = 3, dim = 256).collect().map(_.getLong(0)).toSet
+    assert(picked == Set(6L, 2L, 0L), picked.toString)
+  }
+
   test("pplBuckets: per-language tertile labels ordered by score, zero-token → null") {
     import spark.implicits._
     // lang a: six scoreable docs with strictly increasing rare-word
