@@ -540,6 +540,32 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("pplBuckets: corpus-sized joins are shuffle joins, only the cut table broadcasts") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.pplBuckets(d, "text", "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    // legitimate broadcasts: the 1-row unigram total and the |langs|-row
+    // cut table. The term-count probe, the per-doc re-attach, and the
+    // lang attach are all corpus/vocab-sized and must be shuffle joins.
+    assert(plan.linesIterator.count(_.contains("ShuffledHashJoin")) >= 3,
+      s"expected term-probe + per-doc + lang attach as shuffle joins:\n$plan")
+  }
+
+  test("dsirScores: only the dim-bounded weight table broadcasts") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.dsirScores(
+      d, d.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      "text", "doc_id", dim = 256)
+      .queryExecution.executedPlan.toString
+    // the weight attach broadcasts (≤ dim rows — legitimate, like
+    // encodeTokens' vocab); the per-doc score re-attach is corpus-sized
+    // and must be a shuffle join
+    assert(plan.contains("ShuffledHashJoin"),
+      s"per-doc re-attach must be a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim-bounded weight attach should broadcast:\n$plan")
+  }
+
   test("nbQualityScore never broadcasts the vocab-sized term table") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Corpus.nbQualityScore(
