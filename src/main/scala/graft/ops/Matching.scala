@@ -154,4 +154,40 @@ object Matching {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** Interval×interval OVERLAP join — [[rangeJoinBucketed]]'s rewrite
+    * extended to two interval sides (the time-overlap / stay-overlap
+    * shape; Spark plans the bare `sA <= eB AND sB <= eA` predicate as a
+    * nested loop). Both sides explode into the `bucketSeconds` buckets
+    * they cover and hash-join on (keys, bucket); because an overlapping
+    * pair shares every bucket in the overlap region, the join would
+    * duplicate it once per shared bucket — so a pair is kept ONLY in the
+    * bucket of `greatest(startA, startB)` (the first bucket both cover),
+    * which emits each pair exactly once with no distinct pass. The
+    * exact overlap predicate (closed intervals) filters after.
+    *
+    * Candidate work per row is the opposite side's intervals sharing a
+    * bucket, not all intervals of its key; pick `bucketSeconds` ≈ the
+    * typical interval length (smaller multiplies BOTH fan-outs here).
+    * Non-key column names must be distinct across the two inputs (same
+    * caller contract as [[rangeJoinBucketed]]'s output columns). Inner
+    * semantics: non-overlapping rows drop.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String],
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds=$bucketSeconds must be >= 1")
+    def secs(c: Column): Column = c.cast("timestamp").cast("long")
+    def bkt(c: Column): Column = floor(secs(c).cast("double") / bucketSeconds).cast("long")
+    val l = left.withColumn("__bkt",
+      explode(sequence(bkt(col(leftStart)), bkt(col(leftEnd)))))
+    val r = right.withColumn("__bkt",
+      explode(sequence(bkt(col(rightStart)), bkt(col(rightEnd)))))
+    l.join(r, keyCols :+ "__bkt")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bkt") === bkt(greatest(col(leftStart), col(rightStart))))
+      .drop("__bkt")
+  }
 }

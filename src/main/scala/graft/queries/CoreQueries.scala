@@ -416,6 +416,49 @@ object CoreQueries {
             GROUP BY 1, 2
             ORDER BY 1"""))
 
+  /** Interval×interval overlap join ([[graft.ops.Matching
+    * .intervalOverlapJoin]]): per-user purchase attribution windows
+    * [ts−30 min, ts] against click activity windows [ts−15 min, ts],
+    * emitting each overlapping pair once with its overlap length. The
+    * bucket-equi rewrite keeps the hash-join shape (spec-asserted); the
+    * oracle is the plain SQL overlap join — equivalence is the point.
+    */
+  val intervalOverlap = Q("q_interval_overlap",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val a = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("a_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 1800 SECONDS")).as("a_start"),
+          col("ts").as("a_end"))
+      val b = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("b_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 900 SECONDS")).as("b_start"),
+          col("ts").as("b_end"))
+      Matching.intervalOverlapJoin(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 900)
+        .select(col("a_id"), col("b_id"), col("user_id"),
+          // NTZ→LTZ hop before the long cast (value-preserving under the
+          // fixed UTC session timezone — the rangeJoinBucketed pattern)
+          (least(col("a_end"), col("b_end")).cast("timestamp").cast("long") -
+            greatest(col("a_start"), col("b_start")).cast("timestamp").cast("long"))
+            .as("overlap_secs"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS a_id, user_id,
+                         CAST(ts AS TIMESTAMP) - INTERVAL 1800 SECONDS AS a_start,
+                         CAST(ts AS TIMESTAMP) AS a_end
+                       FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS b_id, user_id,
+                      CAST(ts AS TIMESTAMP) - INTERVAL 900 SECONDS AS b_start,
+                      CAST(ts AS TIMESTAMP) AS b_end
+                    FROM events WHERE event_type = 'click')
+            SELECT p.a_id, c.b_id, p.user_id,
+              CAST(FLOOR(EPOCH(LEAST(a_end, b_end))) -
+                   FLOOR(EPOCH(GREATEST(a_start, b_start))) AS BIGINT) AS overlap_secs
+            FROM p JOIN c ON c.user_id = p.user_id
+                         AND a_start <= b_end AND b_start <= a_end
+            ORDER BY a_id, b_id"""))
+
   /** SO3: union-by-name with missing-column fill + origin tag (reference
     * bind_rows(.id="form_name"), R/ingestion.R:92).
     */
@@ -601,5 +644,5 @@ object CoreQueries {
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
-    rangeJoin, so3Union, so6Complete)
+    rangeJoin, intervalOverlap, so3Union, so6Complete)
 }

@@ -131,6 +131,35 @@ class OpsSpec extends SparkTestBase {
       s"range join fell back to a nested loop:\n$plan")
   }
 
+  test("intervalOverlapJoin equals the naive overlap join with no duplicate pairs") {
+    import java.sql.Timestamp
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // overlap regions spanning MANY shared buckets (the duplication
+    // hazard the first-shared-bucket rule exists for), edge-touching
+    // intervals (closed semantics), nested intervals, disjoint keys
+    val a = Seq((1L, "u1", ts(0), ts(2000)), (2L, "u1", ts(1500), ts(1600)),
+      (3L, "u2", ts(0), ts(100)), (4L, "u3", ts(0), ts(50)))
+      .toDF("a_id", "user", "a_s", "a_e")
+    val b = Seq((10L, "u1", ts(500), ts(3000)), (11L, "u1", ts(2000), ts(2500)),
+      (12L, "u2", ts(100), ts(200)), (13L, "u2", ts(101), ts(300)))
+      .toDF("b_id", "user", "b_s", "b_e")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = pairsOf(a.join(b, Seq("user"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e")))
+    val bucketed = Matching.intervalOverlapJoin(
+      a, b, Seq("user"), "a_s", "a_e", "b_s", "b_e", bucketSeconds = 300)
+    val got = pairsOf(bucketed)
+    // sequence equality (not set): a pair sharing 6 buckets must still
+    // emit exactly once
+    assert(got.sorted == naive.sorted, s"got $got want $naive")
+    assert(naive.toSet == Set((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L)))
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$plan")
+  }
+
   test("saltedJoin equals the plain join, deterministically") {
     val fact = Seq.tabulate(100)(i => (i % 3, i)).toDF("k", "v")
     val build = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "name")
