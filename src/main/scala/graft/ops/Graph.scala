@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Join-based iterative graph operators. The near-dup clustering path
+  * already has large-star/small-star connected components
+  * ([[graft.ops.Dedup]]); this file holds the rank-propagation side —
+  * the domain-authority signal web-corpus curation filters on (a page's
+  * crawl priority / quality prior is routinely gated on the rank of its
+  * domain in the link graph).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an edge list:
+    * `r₀ = 1/N`, `r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)/outdeg(u)`.
+    *
+    * Deterministic variant: a FIXED iteration count (no convergence
+    * test — a float-threshold test would make the iteration count
+    * data/engine-dependent) and NO dangling-mass redistribution (the
+    * Pregel-style simplification: rank flowing into a node with no
+    * out-edges leaves the system; normalize externally if a
+    * distribution is needed). Duplicate edges carry multiplicity —
+    * out-degree counts them and each contributes separately, so a
+    * weighted graph can be expressed by edge repetition.
+    *
+    * Scale shape: per iteration, ONE shuffle join of the edge list
+    * against the current rank frame (both Θ(edges)/Θ(nodes), pinned
+    * shuffle_hash — the planner's post-aggregate estimates would
+    * otherwise broadcast a corpus-sized frame) plus one hash aggregate
+    * of contributions; the rank frame is eagerly localCheckpoint-ed
+    * each step so step t+1 starts from materialized rows instead of
+    * replaying the whole chain (the [[graft.ops.Similarity
+    * .ivfCentroids]] discipline — without it the lineage, and the plan,
+    * doubles per iteration). Ranks round to 9 decimals at the END only;
+    * the per-iteration double sums are order-dependent at ~1e-16 per
+    * step, far below the rounding — the same cross-engine discipline
+    * every LM gate uses.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping must be in (0,1)")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val deg = edges.groupBy(col(srcCol).as("__src"))
+      .agg(count(lit(1)).as("__deg"))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(deg.hint("shuffle_hash"), Seq("__src"))
+      .localCheckpoint(true)
+    val base = lit((1.0 - damping) / n)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "__src").hint("shuffle_hash"),
+          Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") / col("__deg").cast(DoubleType)).as("__in"))
+      ranks = nodes
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (base + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Bpe, Corpus, Dedup, Layout, Multimodal, Similarity, Text}
+import graft.ops.{Bpe, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text}
 
 /** Correctness-gate queries for the training-data-curation operator set
   * (dedup / similarity search / text analysis / multimodal plumbing) over
@@ -2223,6 +2223,51 @@ object CurationQueries {
             FROM top JOIN est USING (token)
             ORDER BY token"""))
 
+  /** Fixed-iteration PageRank ([[graft.ops.Graph.pageRank]]) over a
+    * deterministic synthetic link graph (two modular out-edges per
+    * document — every node has out-degree ≥ 2, so no dangling leak in
+    * this gate). The oracle unrolls all 8 iterations as CTEs: degrees,
+    * per-iteration contribution sums, the (1−d)/N teleport — computed
+    * with the same literal arithmetic ((1.0 − 0.85), not a pre-folded
+    * 0.15, so both engines fold the identical IEEE constant).
+    */
+  val graphPagerank = Q("q_graph_pagerank",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val cnt = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(cnt)).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(cnt)).as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 8).orderBy("node")
+    },
+    Some {
+      val iterCte = (t: Int) =>
+        s"""r$t AS (
+              SELECT nodes.node,
+                     ((1.0 - 0.85) / nn.m) + 0.85 * COALESCE(s.inr, 0) AS rank
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN (SELECT ed.dst AS node, SUM(r${t - 1}.rank / ed.d) AS inr
+                         FROM ed JOIN r${t - 1} ON r${t - 1}.node = ed.src
+                         GROUP BY ed.dst) s
+                ON s.node = nodes.node)"""
+      s"""WITH c AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+                  FROM documents CROSS JOIN c
+                  UNION ALL
+                  SELECT doc_id AS src, (doc_id * 13 + 5) % n AS dst
+                  FROM documents CROSS JOIN c),
+            nodes AS (SELECT DISTINCT node FROM
+                        (SELECT src AS node FROM e
+                         UNION ALL SELECT dst AS node FROM e)),
+            nn AS (SELECT COUNT(*) AS m FROM nodes),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+            r0 AS (SELECT node, 1.0 / m AS rank FROM nodes CROSS JOIN nn),
+            ${(1 to 8).map(iterCte).mkString(",\n            ")}
+          SELECT node, ROUND(rank, 9) AS rank FROM r8 ORDER BY node"""
+    })
+
   /** DSIR selection ([[graft.ops.Corpus.dsirSelect]]): top-200 corpus
     * documents by hashed-unigram importance log-ratio against the
     * reference-quality target (sources src0–src3 — the same target the
@@ -4025,7 +4070,7 @@ object CurationQueries {
     knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp, knnRecallReport, embedCenter,
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
-    curateGopher, selectDomainCap, selectDsir,
+    curateGopher, selectDomainCap, selectDsir, graphPagerank,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
     curateUrlCanon, textWinnow, dedupWinnowPairs, curateScrub,
     curateRepetition, curateChunk,
