@@ -261,6 +261,39 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  property("intervalOverlapJoin equals the naive overlap join on random intervals") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 2000L), Gen.chooseNum(0L, 600L))),
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 2000L), Gen.chooseNum(0L, 600L))),
+      Gen.chooseNum(60L, 900L)) { (as, bs, bucket) =>
+      def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+      val a = as.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, "k", ts(s), ts(s + len)) }.toDF("a_id", "k", "a_s", "a_e")
+      val b = bs.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, "k", ts(s), ts(s + len)) }.toDF("b_id", "k", "b_s", "b_e")
+      val naive = as.zipWithIndex.flatMap { case ((s1, l1), i) =>
+        bs.zipWithIndex.collect {
+          case ((s2, l2), j) if s1 <= s2 + l2 && s2 <= s1 + l1 => (i.toLong, j.toLong)
+        }
+      }.sorted
+      val got = Matching.intervalOverlapJoin(
+        a, b, Seq("k"), "a_s", "a_e", "b_s", "b_e", bucket)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // sequence equality: multi-bucket overlaps must emit exactly once
+      got == naive
+    }
+
+  property("pageRank conserves mass exactly when no node dangles") =
+    forAll(Gen.chooseNum(2, 12), Gen.chooseNum(1L, 99L)) { (n, salt) =>
+      // every node gets an out-edge (a pseudo-random functional graph),
+      // so no dangling leak: Σ ranks = 1 up to fp rounding at any iters
+      val edges = (0 until n).map(i =>
+        (i.toLong, ((i * 7 + salt) % n).toLong)).toDF("src", "dst")
+      val total = Graph.pageRank(edges, "src", "dst", iters = 4)
+        .agg(sum(col("rank"))).collect().head.getDouble(0)
+      math.abs(total - 1.0) < 1e-6
+    }
+
   property("sq8TopK: rank is dense 1..k per query and cosines are non-increasing") =
     forAll(Gen.chooseNum(5, 20), Gen.chooseNum(2, 6), Gen.chooseNum(1L, 99L)) { (n, k, salt) =>
       val vecs = (0 until n).map(i =>
