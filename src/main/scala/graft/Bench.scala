@@ -278,10 +278,14 @@ object Bench {
     // the flattest scaling curve in the suite, included as evidence
     "q_bpe_train",
     // winnowing family: the O(grams) native selection kernel (near-flat)
-    // and the capped fingerprint pair join (df-cap-bounded Σdf² — grows
-    // as the capped-df distribution fills in, measured 2.7/6.9/43.5 s at
-    // 1×/10×/30×)
-    "q_text_winnow", "q_dedup_winnow_pairs")
+    // and the capped fingerprint pair join (df-cap-bounded Σdf²; the
+    // clean r11 artifact measures 2.2/4.9/6.1 s at 1×/10×/30× — the
+    // earlier 43.5 s single-rep sf30 sample was contention)
+    "q_text_winnow", "q_dedup_winnow_pairs",
+    // round-11 selection additions: DSIR's two token-hash passes are
+    // scan-shaped; PageRank is 8 edge×rank join rounds over a graph
+    // that grows with the corpus — both worth a 10× data point
+    "q_select_dsir", "q_graph_pagerank")
 
   /** Headline medians for the DIGEST line ([[digestLine]]): one
     * representative per operator family, chosen so a reader of the ~1 KB
