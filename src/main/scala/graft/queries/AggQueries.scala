@@ -211,6 +211,78 @@ object AggQueries {
     Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** ROLLUP subtotal lattice — the multi-level report shape (per
+    * (flag, status), per flag, grand total) in one pass. `grouping_id()`
+    * rides along both to disambiguate "null because subtotal" from a
+    * null key and to give the ORDER BY a null-free sort prefix (Spark
+    * sorts nulls first ascending, DuckDB last — sorting on gid+keys
+    * avoids the divergence entirely). Decimal-exact sums, A1 discipline.
+    */
+  val aggRollup = Q("q_agg_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        // grouping_id() must be computed inside the rollup's agg — it is
+        // an aggregate-context expression, not a post-hoc column
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus"),
+    Some("""SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+              l_returnflag, l_linestatus,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus"""))
+
+  /** Pivot (long → wide): per return flag, one column per line status.
+    * Spark's `pivot` with EXPLICIT values — leaving values to be
+    * discovered adds a distinct-scan job and makes the output schema
+    * data-dependent, which no downstream contract (or oracle) can pin.
+    * The oracle is the conditional-aggregation desugaring, which is
+    * also exactly what Catalyst rewrites pivot into.
+    */
+  val aggPivot = Q("q_agg_pivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              CAST(SUM(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+              CAST(SUM(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  /** Bounded sliding window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    * ROW) — the trailing-window smoothing shape A6's unbounded partition
+    * mean doesn't cover. The frame ORDER includes event_id so frame
+    * membership is total-ordered (ts ties would otherwise make the
+    * frame, and the sum, nondeterministic); values sum as decimals.
+    */
+  val windowSlidingSum = Q("q_w_sliding_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("trailing_sum"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS trailing_sum
+            FROM events ORDER BY event_id"""))
+
   def all: Seq[Q] = Seq(a1Tumbling, a2WindowFlag, a3GroupCount, a4TopSpecies,
-    a5Bounds, a6WindowMean, a8Distinct, sessionWindow)
+    a5Bounds, a6WindowMean, a8Distinct, sessionWindow, aggRollup, aggPivot,
+    windowSlidingSum)
 }

@@ -475,6 +475,30 @@ object CoreQueries {
             SELECT 'region' AS form_name, r_name AS name, CAST(NULL AS INTEGER) AS key FROM region
             ORDER BY form_name, name"""))
 
+  /** EXCEPT / INTERSECT set operations (distinct semantics on both
+    * engines), tagged and unioned into one deterministic result:
+    * nations with customers but no suppliers, and nations with both.
+    */
+  val soExceptIntersect = Q("q_so_except_intersect",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.except(sup).withColumn("op", lit("except"))
+        .unionByName(c.intersect(sup).withColumn("op", lit("intersect")))
+        .select("op", "nationkey")
+        .orderBy("op", "nationkey")
+    },
+    Some("""SELECT 'except' AS op, nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT s_nationkey AS nationkey FROM supplier)
+            UNION ALL
+            SELECT 'intersect' AS op, nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT s_nationkey AS nationkey FROM supplier)
+            ORDER BY op, nationkey"""))
+
   /** SO6+P9: cross-join scaffold of all key combinations, left-joined and
     * null-filled (reference tidyr::complete, qmd:69,124 + replace_na).
     */
@@ -644,5 +668,5 @@ object CoreQueries {
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
-    rangeJoin, intervalOverlap, so3Union, so6Complete)
+    rangeJoin, intervalOverlap, so3Union, soExceptIntersect, so6Complete)
 }
