@@ -11,7 +11,8 @@ import graft.ops.{Corpus, Dedup, Text}
   *
   *   [domain blocklist] → [NFC canonicalize] → exact dedup →
   *   near-dup keep-one → [benchmark decontaminate] → [substring strip] →
-  *   [line-level keep-first dedup] → quality filter → PII scrub →
+  *   [line-level keep-first dedup] → [perplexity-bucket screen] →
+  *   quality filter → PII scrub → [DSIR top-k selection] →
   *   content-hash split → context-window chunking
   *
   * (bracketed stages optional, default off — the e2e gates run the
@@ -57,7 +58,11 @@ object Curate {
             stripSpanK: Int = 0,
             stripLineDups: Boolean = false,
             urlCol: Option[String] = None,
-            blockedDomains: Seq[String] = Nil): DataFrame = {
+            blockedDomains: Seq[String] = Nil,
+            pplKeepBuckets: Seq[String] = Nil,
+            pplLangCol: Option[String] = None,
+            dsirTarget: Option[DataFrame] = None,
+            dsirK: Int = 0): DataFrame = {
     // Optional domain blocklist before everything — the cheapest screen
     // (one metadata predicate, no text touched) precedes any content
     // stage, and a blocked doc must never influence dedup's keep-one
@@ -150,14 +155,40 @@ object Curate {
             .hint("shuffle_hash"),
           Seq(idCol))
       else stripped
-    val kept = lineStripped
+    // Optional CCNet perplexity-bucket screen — the LM and its
+    // per-language tertile cuts are fit on the DEDUPED, DECONTAMINATED
+    // survivors (duplicates would weight the unigram model and drag the
+    // cuts toward the duplicated text), and the screen precedes the
+    // token-band filter so quality judges only documents that will ship.
+    val pplScreened = pplLangCol match {
+      case Some(lc) if pplKeepBuckets.nonEmpty =>
+        val keep = Corpus.pplBuckets(lineStripped, textCol, idCol, lc)
+          .filter(col("ppl_bucket").isin(pplKeepBuckets: _*))
+          .select(col(idCol))
+        lineStripped.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
+      case _ => lineStripped
+    }
+    val kept = pplScreened
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
         col("__q.mean_token_len").between(minMeanTokenLen, maxMeanTokenLen))
       .withColumn("__scrubbed", Text.scrubPii(col(textCol)))
       .withColumn("split",
         Text.hashSplit(Text.normalize(col("__scrubbed")), splitBoundaries, defaultSplit))
-    kept
+    // Optional DSIR top-k selection — LAST of the document-level stages:
+    // importance resampling picks from what survived every screen (its
+    // source model must describe the shippable corpus, not raw crawl),
+    // and the k-cut must not be diluted by documents a screen would
+    // have dropped anyway. The pick list is k rows — planner's choice
+    // (broadcast) is right for the semi join.
+    val selected = dsirTarget match {
+      case Some(t) if dsirK > 0 =>
+        val picks = Corpus.dsirSelect(kept, t, textCol, idCol, dsirK)
+          .select(col(idCol))
+        kept.join(picks, Seq(idCol), "left_semi")
+      case _ => kept
+    }
+    selected
       .select(col(idCol), col("split"),
         posexplode(Text.tokenChunks(Text.tokens(col("__scrubbed")), chunkSize, chunkStride))
           .as(Seq("__pos", "__c")))

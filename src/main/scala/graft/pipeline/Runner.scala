@@ -116,7 +116,11 @@ object Runner {
       stripSpanK = c.stripSpanK,
       stripLineDups = c.stripLineDups,
       urlCol = c.urlCol,
-      blockedDomains = c.blockedDomains), tables.curatedChunks)
+      blockedDomains = c.blockedDomains,
+      pplKeepBuckets = c.pplKeepBuckets,
+      pplLangCol = c.pplLangCol,
+      dsirTarget = c.dsirTargetPath.map(spark.read.parquet(_)),
+      dsirK = c.dsirK), tables.curatedChunks)
   }
 
   /** Full DAG in reference order. */

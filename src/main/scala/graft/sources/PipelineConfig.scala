@@ -30,7 +30,11 @@ object PipelineConfig {
                           benchmarkPath: Option[String] = None,
                           decontaminateN: Int = 8,
                           decontaminateMinShared: Long = 1L,
-                          stripLineDups: Boolean = false)
+                          stripLineDups: Boolean = false,
+                          pplKeepBuckets: Seq[String] = Nil,
+                          pplLangCol: Option[String] = None,
+                          dsirTargetPath: Option[String] = None,
+                          dsirK: Int = 0)
 
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
@@ -66,7 +70,11 @@ object PipelineConfig {
       getString("curation.benchmark_path"),
       getDouble("curation.decontaminate_n").map(_.toInt).getOrElse(8),
       getDouble("curation.decontaminate_min_shared").map(_.toLong).getOrElse(1L),
-      getBoolean("curation.strip_line_dups").getOrElse(false))
+      getBoolean("curation.strip_line_dups").getOrElse(false),
+      getStringList("curation.ppl_keep_buckets"),
+      getString("curation.ppl_lang_col"),
+      getString("curation.dsir_target_path"),
+      getDouble("curation.dsir_k").map(_.toInt).getOrElse(0))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r

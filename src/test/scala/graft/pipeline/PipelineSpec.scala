@@ -395,6 +395,33 @@ class PipelineSpec extends SparkTestBase {
     assert(open.map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("curate: optional perplexity screen and DSIR selection stages") {
+    // three en docs: d1/d2 share a frequent vocabulary (interleaved in
+    // d2 so they are NOT near-dups), d3 is all singleton tokens → the
+    // highest neg_logp of the language → 'tail' under the tertile cuts
+    val ws = (1 to 40).map(i => s"common$i")
+    val xs = (1 to 20).map(i => s"other$i")
+    val d1 = ws.mkString(" ")
+    val d2 = ws.take(20).zip(xs).map { case (w, x) => s"$x $w" }.mkString(" ")
+    val d3 = (1 to 40).map(i => s"rare$i").mkString(" ")
+    val docs = Seq((1L, d1, "en"), (2L, d2, "en"), (3L, d3, "en"))
+      .toDF("doc_id", "text", "lang")
+    // ppl screen keeps head+middle → the singleton-vocabulary doc drops
+    val screened = Curate(docs,
+      pplKeepBuckets = Seq("head", "middle"), pplLangCol = Some("lang"))
+      .collect().map(_.getLong(0)).toSet
+    assert(screened == Set(1L, 2L))
+    // stage off → all three survive (the screen is the only delta)
+    val unscreened = Curate(docs).collect().map(_.getLong(0)).toSet
+    assert(unscreened == Set(1L, 2L, 3L))
+    // DSIR top-1 against a common-vocabulary target picks the doc made
+    // entirely of target vocabulary
+    val target = Seq((900L, ws.mkString(" "))).toDF("doc_id", "text")
+    val dsir = Curate(docs, dsirTarget = Some(target), dsirK = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(dsir == Set(1L))
+  }
+
   test("export: matched tracks aggregate positions into 10-minute buckets") {
     val mergedTrips = Seq(("101", "101-1-1", "motorised boat", "Gillnet", "usipa", 24.5, 9001L))
       .toDF("submission_id", "survey_id", "vessel_type", "gear", "catch_taxon", "catch_kg", "Trip")

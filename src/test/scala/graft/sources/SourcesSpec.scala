@@ -233,6 +233,24 @@ class SourcesSpec extends SparkTestBase {
     assert(empty.curationConf.benchmarkPath.isEmpty &&
       empty.curationConf.decontaminateN == 8 &&
       empty.curationConf.decontaminateMinShared == 1L)
+    // selection knobs: perplexity-bucket screen + DSIR top-k
+    val sel = PipelineConfig.parse(
+      """default:
+        |  curation:
+        |    ppl_keep_buckets:
+        |      - head
+        |      - middle
+        |    ppl_lang_col: lang
+        |    dsir_target_path: /data/ref/wiki.parquet
+        |    dsir_k: 100000
+        |""".stripMargin).curationConf
+    assert(sel.pplKeepBuckets == Seq("head", "middle"))
+    assert(sel.pplLangCol.contains("lang"))
+    assert(sel.dsirTargetPath.contains("/data/ref/wiki.parquet"))
+    assert(sel.dsirK == 100000)
+    assert(empty.curationConf.pplKeepBuckets.isEmpty &&
+      empty.curationConf.pplLangCol.isEmpty &&
+      empty.curationConf.dsirK == 0)
     // line-level dedup knob
     val ln = PipelineConfig.parse(
       "default:\n  curation:\n    strip_line_dups: true\n").curationConf
