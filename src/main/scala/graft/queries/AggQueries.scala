@@ -259,6 +259,33 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag"""))
 
+  /** CUBE over (status, priority) — the full 2^k subtotal lattice the
+    * rollup gate's prefix hierarchy doesn't cover (a rollup never emits
+    * the (·, priority) margin; a cube does). Same gid discipline as
+    * `q_agg_rollup`: grouping_id disambiguates subtotal-null from a null
+    * key and gives the sort a null-free prefix, sidestepping the
+    * nulls-first/nulls-last divergence. Scale: one pass — Spark expands
+    * the lattice map-side (Expand), so the shuffle carries 4× the rows
+    * but there is still exactly ONE exchange, same as a plain groupBy.
+    */
+  val aggCube = Q("q_agg_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
+        .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+    Some("""SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+              o_orderstatus, o_orderpriority,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
   /** Bounded sliding window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
     * ROW) — the trailing-window smoothing shape A6's unbounded partition
     * mean doesn't cover. The frame ORDER includes event_id so frame
@@ -284,5 +311,5 @@ object AggQueries {
 
   def all: Seq[Q] = Seq(a1Tumbling, a2WindowFlag, a3GroupCount, a4TopSpecies,
     a5Bounds, a6WindowMean, a8Distinct, sessionWindow, aggRollup, aggPivot,
-    windowSlidingSum)
+    aggCube, windowSlidingSum)
 }

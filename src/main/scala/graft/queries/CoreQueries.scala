@@ -499,6 +499,34 @@ object CoreQueries {
               SELECT s_nationkey AS nationkey FROM supplier)
             ORDER BY op, nationkey"""))
 
+  /** Skew-salted join ([[graft.ops.Matching.saltedJoin]]): the explicit
+    * tool for pathological key skew AQE's runtime split can't always
+    * catch (one key holding >1/parallelism of the fact side serializes a
+    * reducer; salting spreads it across `saltFactor` reducers by
+    * replicating the BUILD side, which must stay the small one). The
+    * gate's contract is the whole point: salted ≡ plain join, so the
+    * oracle is the unsalted SQL join. Result aggregated per brand so the
+    * compare stays small; decimal-exact sums, A1 discipline.
+    */
+  val joinSalted = Q("q_join_salted",
+    (s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      Matching.saltedJoin(fact, dim, Seq("partkey"), saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand"""))
+
   /** SO6+P9: cross-join scaffold of all key combinations, left-joined and
     * null-filled (reference tidyr::complete, qmd:69,124 + replace_na).
     */
@@ -668,5 +696,6 @@ object CoreQueries {
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
-    rangeJoin, intervalOverlap, so3Union, soExceptIntersect, so6Complete)
+    rangeJoin, intervalOverlap, joinSalted, so3Union, soExceptIntersect,
+    so6Complete)
 }
