@@ -56,6 +56,8 @@ object GraftFunctions {
       es => HashExprs.SimHash64(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => TextExprs.NfcNormalize(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents",
+      es => TextExprs.StripAccents(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow",
       es => TextExprs.Winnow(es(0), intArg(es(1), "winnow k"),
         intArg(es(2), "winnow w")), "scala_udf")

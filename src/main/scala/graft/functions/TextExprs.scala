@@ -54,6 +54,61 @@ object TextExprs {
   def nfcNormalize(c: Column): Column =
     GraftShim.column(NfcNormalize(GraftShim.expression(c)))
 
+  /** Runtime helper for [[StripAccents]]: NFC(drop-Mn(NFD(s))) — the
+    * diacritic fold crawl pipelines key on ("café" joins "cafe"; a
+    * fuzzy-match candidate index shouldn't fragment on diacritics).
+    * Codepoint-for-codepoint what DuckDB's `strip_accents` computes
+    * (probed: é/ï/ü/ã/Å/ñ/ç/ē/ά/й strip; non-decomposable ø survives;
+    * Hangul/CJK round-trip unchanged — the trailing NFC recompose is
+    * load-bearing there: NFD splits syllables into Jamo, which carry no
+    * marks and must come back composed). Fast path: a string normalized
+    * under BOTH forms with no marks (ASCII, CJK — the overwhelming
+    * majority) is a fixpoint of the whole chain and returns the input
+    * UTF8String without allocating.
+    */
+  def stripAccentsEval(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    var hasMark = false
+    while (i < str.length && !hasMark) {
+      if (Character.getType(str.charAt(i)) == Character.NON_SPACING_MARK)
+        hasMark = true
+      i += 1
+    }
+    if (!hasMark && Normalizer.isNormalized(str, Normalizer.Form.NFD) &&
+        Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else {
+      val d = Normalizer.normalize(str, Normalizer.Form.NFD)
+      val b = new java.lang.StringBuilder(d.length)
+      var j = 0
+      while (j < d.length) {
+        val ch = d.charAt(j)
+        if (Character.getType(ch) != Character.NON_SPACING_MARK) b.append(ch)
+        j += 1
+      }
+      UTF8String.fromString(Normalizer.normalize(b.toString, Normalizer.Form.NFC))
+    }
+  }
+
+  /** Diacritic fold (NFD + drop combining marks); null-preserving. */
+  case class StripAccents(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "strip_accents"
+
+    override def nullSafeEval(s: Any): Any =
+      stripAccentsEval(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.stripAccentsEval($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): StripAccents =
+      copy(child = newChild)
+  }
+
+  def stripAccents(c: Column): Column =
+    GraftShim.column(StripAccents(GraftShim.expression(c)))
+
   /** Runtime kernel for [[Winnow]]: winnowing fingerprint selection over
     * an already-normalized string, bit-identical to the HOF/oracle
     * definition (md5-prefix int64 gram hashes over code-point k-grams,

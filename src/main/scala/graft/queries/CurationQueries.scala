@@ -3615,6 +3615,37 @@ object CurationQueries {
       "CAST(LENGTH(NFC_NORMALIZE(text || ' café légume')) AS BIGINT) AS n_chars " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Planted suffix for `q_text_strip_accents` — composed forms,
+    * \u-escaped so the source encoding can't silently decompose them:
+    * " caf\u00e9 M\u00fcller S\u00e3o \u00c5re \u00f1and\u00fa \u00d8rsted \ud55c\uad6d". One literal shared by the
+    * Spark column and the oracle SQL so both engines fold the same bytes.
+    */
+  private val StripSuffix: String =
+    " caf\u00e9 M\u00fcller S\u00e3o \u00c5re \u00f1and\u00fa \u00d8rsted \ud55c\uad6d"
+
+  /** Diacritic fold ([[graft.functions.TextExprs.stripAccents]] =
+    * NFC∘drop-Mn∘NFD, DuckDB `strip_accents` parity): the match-key
+    * normalization that keeps "café"/"cafe" in one dedup bucket. The
+    * planted suffix (composed forms, \u-escaped to pin the encoding)
+    * exercises the strip path (é/ü/ã/Å/ñ), the non-decomposable
+    * survivor (ø), and the NFC-recompose path (한 decomposes to
+    * markless Jamo and must come back composed); the corpus text
+    * exercises the no-alloc ASCII/zh fast path.
+    */
+  val textStripAccents = Q("q_text_strip_accents",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextExprs.stripAccents(
+            concat(col("text"), lit(StripSuffix))).as("folded"))
+        .select(col("doc_id"), col("folded"),
+          length(col("folded")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, STRIP_ACCENTS(text || '" + StripSuffix + "') AS folded, " +
+      "CAST(LENGTH(STRIP_ACCENTS(text || '" + StripSuffix + "')) AS BIGINT) AS n_chars " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Corpus-wide top-50 bigrams by occurrence — boilerplate mining.
     * Oracle recomputes the identical count + deterministic tie-break.
     */
@@ -4078,7 +4109,8 @@ object CurationQueries {
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
     textBigramPpl, textPplBuckets, textNbQuality,
-    selectBudget, selectBudgetPerLang, textNfc, textHtmlStrip, curateTokenIds,
+    selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
+    textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusCms, corpusQuantiles, corpusProfile,

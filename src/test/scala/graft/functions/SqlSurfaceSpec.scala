@@ -63,6 +63,31 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql == Seq(composed, composed, "plain ascii"))
   }
 
+  test("strip_accents: folds marks, survivors, recompose path, SQL parity") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "café Müller São"),   // composed accents strip
+      (2L, "café"),                        // decomposed accent strips too
+      (3L, "Ørsted ø"),                // ø is not decomposable: survives
+      (4L, "한국 ascii"),                // Hangul: NFD→Jamo→NFC round-trip
+      (5L, "plain ascii"))
+      .toDF("id", "s")
+    val out = df.select(col("id"), TextExprs.stripAccents(col("s")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "cafe Muller Sao")
+    assert(out(2L) == "cafe")
+    assert(out(3L) == "Ørsted ø")
+    assert(out(4L) == "한국 ascii")   // composed syllables, unchanged
+    assert(out(5L) == "plain ascii")
+    val n = df.select(TextExprs.stripAccents(lit(null).cast("string"))).collect()
+    assert(n.head.isNullAt(0))
+    df.createOrReplaceTempView("sa_t")
+    val viaSql = spark.sql("SELECT strip_accents(s) FROM sa_t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == Seq("cafe Muller Sao", "cafe", "Ørsted ø",
+      "한국 ascii", "plain ascii"))
+  }
+
   test("winnow: SQL surface matches the Column API and the ops wrapper") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "A do run run run, a do run run"),
