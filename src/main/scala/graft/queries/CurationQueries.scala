@@ -510,6 +510,58 @@ object CurationQueries {
             HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.2
             ORDER BY id_a, id_b"""))
 
+  /** Bounded edit-distance pairs ([[graft.ops.Dedup.editDistancePairs]]):
+    * every unordered pair within Levenshtein distance 2, via the
+    * positional-q-gram count filter for long strings and the
+    * distinct-value route for micro-strings. The planted column drives
+    * every branch: per-group md5 bodies keep grams group-local (the
+    * cross-group false candidates die at the count filter), suffix
+    * variants x/xy/xyz sit at distances 1/2/3 so the threshold cuts
+    * between xy and xyz, the length band (|Δlen| ≤ 2) excludes v0–v3
+    * before any DP runs, and the 'idN' micro-strings (distance 0 within
+    * a value, 1 across values) exercise the value-level join and its
+    * output-sized id expansion. The oracle computes the all-pairs
+    * DEFINITION over distinct values — deliberately not the operator's
+    * candidate route, so the count-filter completeness claim is what the
+    * gate actually tests.
+    */
+  val dedupEditDist = Q("q_dedup_editdist_pairs",
+    (s, dir) => {
+      val g = pmod(col("doc_id"), lit(50))
+      val v = pmod(floor(col("doc_id") / lit(50)).cast(LongType), lit(5))
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(v === 4, concat(lit("id"), pmod(g, lit(10)).cast(StringType)))
+          .otherwise(concat(lit("doc "), md5(g.cast(StringType)),
+            when(v === 1, lit("x")).when(v === 2, lit("xy"))
+              .when(v === 3, lit("xyz")).otherwise(lit("")))).as("s"))
+      Dedup.editDistancePairs(planted, "s", "doc_id", maxDist = 2, q = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast(LongType))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH strs AS (
+              SELECT doc_id,
+                CASE WHEN CAST(FLOOR(doc_id / 50) AS BIGINT) % 5 = 4
+                     THEN 'id' || CAST((doc_id % 50) % 10 AS VARCHAR)
+                     ELSE 'doc ' || MD5(CAST(doc_id % 50 AS VARCHAR)) ||
+                          CASE CAST(FLOOR(doc_id / 50) AS BIGINT) % 5
+                            WHEN 1 THEN 'x' WHEN 2 THEN 'xy'
+                            WHEN 3 THEN 'xyz' ELSE '' END
+                END AS s
+              FROM documents),
+            vals AS (SELECT DISTINCT s FROM strs),
+            vp AS (
+              SELECT a.s AS sa, b.s AS sb, LEVENSHTEIN(a.s, b.s) AS dist
+              FROM vals a JOIN vals b
+                ON a.s <= b.s AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 2
+              WHERE LEVENSHTEIN(a.s, b.s) <= 2)
+            SELECT LEAST(x.doc_id, y.doc_id) AS id_a,
+                   GREATEST(x.doc_id, y.doc_id) AS id_b, vp.dist
+            FROM vp JOIN strs x ON x.s = vp.sa
+                    JOIN strs y ON y.s = vp.sb
+            WHERE x.doc_id <> y.doc_id
+              AND (vp.sa <> vp.sb OR x.doc_id < y.doc_id)
+            ORDER BY id_a, id_b"""))
+
   /** MinHash(128) + LSH(64 bands × 2 rows) candidate pairs over word-3
     * shingles, verified with exact Jaccard ≥ 0.5. Banding chosen for
     * near-certain recall at the threshold (miss prob (1-j²)⁶⁴ ≈ 1e-8 at
@@ -4094,7 +4146,7 @@ object CurationQueries {
     dedupIncrementalNear,
     dedupDecontaminate, dedupDecontaminateEmbed,
     dedupContainment, dedupSubstring, dedupSubstringStrip,
-    dedupLineStats, dedupLineStrip, dedupJaccard,
+    dedupLineStats, dedupLineStrip, dedupJaccard, dedupEditDist,
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,

@@ -1003,6 +1003,92 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((2L, 3L)), s"boilerplate-only pair leaked: $pairs")
   }
 
+  test("editDistancePairs: long route, short route, boundary crossings, bands") {
+    // lmin = q*(maxDist+1) = 9: strings under 9 chars take the
+    // distinct-value route, 9+ the positional-gram route
+    val rows = Seq(
+      (1L, "abcdefghijkl"),     // long base (12)
+      (2L, "abcdefghijkl"),     // identical long → dist 0
+      (3L, "abcdefghijkX"),     // 1 substitution → dist 1
+      (4L, "abcdefghijklxy"),   // +2 chars → dist 2
+      (5L, "abcdefghijklxyz"),  // +3 chars → len band excludes vs 1, dist 1 vs 4
+      (6L, "zyxwvutsrqpo"),     // long, unrelated (reversed alphabet)
+      (7L, "cat"),              // short
+      (8L, "cat"),              // identical short → dist 0
+      (9L, "cap"),              // short, dist 1 from cat
+      (10L, "dog"),             // short, dist 3 from cat → out
+      (11L, "abcdefgh"),        // 8 chars: short side of the boundary
+      (12L, "abcdefghij"))      // 10 chars: long, dist 2 from 11 → boundary pair
+      .toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "s", "id", maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Set(
+      (1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1),  // identical + 1-sub longs
+      (1L, 4L, 2), (2L, 4L, 2),               // 2-append longs (3 vs 4 is 3 edits)
+      (4L, 5L, 1),                            // xy vs xyz
+      (1L, 12L, 2), (2L, 12L, 2), (3L, 12L, 2), // 2-char truncations, both long
+      (7L, 8L, 0), (7L, 9L, 1), (8L, 9L, 1),  // short values (dog is 3 away)
+      (11L, 12L, 2))                          // short×long boundary pair
+    assert(got == expected, s"got ${got.toSeq.sorted}")
+  }
+
+  test("editDistancePairs equals the naive all-pairs definition on mixed strings") {
+    // brute-force oracle over a corpus that straddles the length split,
+    // includes duplicate values on both sides, and has pairs at every
+    // distance 0..4
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vals = Seq("pack", "pick", "pock", "packs", "spark catalyst rules",
+      "spark catalyst rule", "spark catalyst ruled", "spark analyst rules",
+      "ab", "abc", "abcd", "wholly unrelated body of text here",
+      "spark catalyst rules ok")
+    val rows = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v), (i * 2L + 1, v)) } // every value twice
+    val df = rows.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "s", "id", maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib
+      d = lev(va, vb)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == naive,
+      s"missing=${(naive -- got).toSeq.sorted} extra=${(got -- naive).toSeq.sorted}")
+  }
+
+  test("editDistancePairs above the ceilings: pinned fan-out, no corpus broadcast") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+    spark.conf.set(Dedup.ShingleCeilingKey, "0")
+    spark.conf.set(Dedup.PairCeilingKey, "0")
+    try {
+      val plan = Dedup.editDistancePairs(corpus, "s", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        "gram self-join lost its pinned fan-out repartition")
+      assert(plan.contains("ShuffledHashJoin"),
+        "corpus-sized sides must stay shuffle_hash above the ceiling")
+      // the only tolerated broadcast is the short-route VALUE-level
+      // nested-loop join (distinct micro-string values — vocabulary-sized
+      // by construction, never Θ(corpus)); the gram index and the verify
+      // text-attaches must not broadcast
+      val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(broadcasts <= bnlj + 1,
+        s"corpus-sized side broadcast above the ceiling:\n$plan")
+    } finally {
+      spark.conf.unset(Dedup.ShingleCeilingKey)
+      spark.conf.unset(Dedup.PairCeilingKey)
+    }
+  }
+
   test("winnowCopyPairs above the ceiling pins fan-out and shuffles the index") {
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     spark.conf.set(Dedup.ShingleCeilingKey, "0")
