@@ -68,4 +68,62 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 9).as("rank"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg): `a_t(v) = Σ_{u→v} h_{t−1}(u)`,
+    * `h_t(u) = Σ_{u→v} a_t(v)` — the hub/authority split [[pageRank]]'s
+    * single score can't express (a link-farm page can have high hub and
+    * zero authority; a cited-everywhere page the reverse).
+    *
+    * Deterministic variant: fixed iterations, and UNNORMALIZED — h₀ = 1,
+    * so every intermediate value is an exact INTEGER carried in doubles
+    * (integer-valued double sums are order-independent: every partial
+    * sum is itself an integer below 2⁵³, no rounding ever occurs), which
+    * makes the result bit-reproducible across engines and partitionings
+    * with no rounding discipline at all. The price: values grow like
+    * (mean degree)^{2·iters}, so iters stays small (default 4 → degree⁸;
+    * rankings are scale-invariant, normalize post-hoc if a distribution
+    * is needed — dividing at the END is one deterministic op, while
+    * per-iteration normalization would feed order-dependent non-integer
+    * doubles back into the sums). Duplicate edges carry multiplicity,
+    * as in [[pageRank]].
+    *
+    * Scale shape per half-iteration: ONE shuffle join of the edge list
+    * against the current score frame (shuffle_hash-pinned — both sides
+    * Θ(edges)/Θ(nodes)) plus one hash aggregate; score frames are
+    * eagerly localCheckpoint-ed per step (the ivfCentroids lineage
+    * discipline). Nodes with no in-edges hold authority 0, no
+    * out-edges hub 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(true)
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth = nodes.withColumn("auth", lit(0.0))
+    for (_ <- 1 to iters) {
+      val aIn = e
+        .join(hub.withColumnRenamed("node", "__src").hint("shuffle_hash"),
+          Seq("__src"))
+        .groupBy(col("__dst").as("node")).agg(sum(col("hub")).as("__a"))
+      auth = nodes.join(aIn.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      val hOut = e
+        .join(auth.withColumnRenamed("node", "__dst").hint("shuffle_hash"),
+          Seq("__dst"))
+        .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("__h"))
+      hub = nodes.join(hOut.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+    }
+    nodes
+      .join(hub.hint("shuffle_hash"), Seq("node"))
+      .join(auth.hint("shuffle_hash"), Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
 }

@@ -2320,6 +2320,88 @@ object CurationQueries {
           SELECT node, ROUND(rank, 9) AS rank FROM r8 ORDER BY node"""
     })
 
+  /** Standalone connected-components gate ([[graft.ops.Dedup
+    * .connectedComponents]] — the large-star/small-star engine the
+    * near-dup keep-one path runs, surfaced as its own operator with a
+    * full oracle). Planted edge set with bounded diameter so the
+    * recursive-CTE oracle terminates fast: doc_id blocks of 9 chained
+    * (d ↔ d−1 except at block starts) plus a shortcut (d ↔ d−3 at
+    * d ≡ 5) that puts a cycle in every block — components are exactly
+    * the 9-blocks, labels their minima. The oracle computes min
+    * reachable label by transitive closure, NOT star contraction — an
+    * independent definition of the same fixpoint.
+    */
+  val graphCC = Q("q_graph_cc",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val edges = d.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(9)) === 5)
+          .select(col("doc_id").as("id_a"), (col("doc_id") - 3).as("id_b")))
+      Dedup.connectedComponents(edges).orderBy("id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 9 <> 0
+              UNION ALL
+              SELECT doc_id AS a, doc_id - 3 AS b FROM documents WHERE doc_id % 9 = 5),
+            ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            nodes AS (SELECT DISTINCT a AS n FROM ed),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, ed.b FROM reach r JOIN ed ON ed.a = r.m)
+            SELECT n AS id, MIN(m) AS label FROM reach GROUP BY n ORDER BY id"""))
+
+  /** Fixed-iteration HITS ([[graft.ops.Graph.hits]]) over the same
+    * synthetic link graph as the PageRank gate. Unnormalized by design:
+    * h₀ = 1 keeps every intermediate an exact integer carried in
+    * doubles, so both engines' sums are order-independent and the
+    * compare needs NO rounding discipline — the oracle unrolls all four
+    * hub/authority half-steps as CTEs.
+    */
+  val graphHits = Q("q_graph_hits",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val cnt = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(cnt)).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(cnt)).as("dst")))
+      Graph.hits(edges, "src", "dst", iters = 4).orderBy("node")
+    },
+    Some {
+      val authCte = (t: Int) =>
+        s"""a$t AS (
+              SELECT nodes.node, COALESCE(s.v, CAST(0 AS DOUBLE)) AS auth
+              FROM nodes LEFT JOIN
+                (SELECT e.dst AS node, SUM(h${t - 1}.hub) AS v
+                 FROM e JOIN h${t - 1} ON h${t - 1}.node = e.src
+                 GROUP BY e.dst) s ON s.node = nodes.node)"""
+      val hubCte = (t: Int) =>
+        s"""h$t AS (
+              SELECT nodes.node, COALESCE(s.v, CAST(0 AS DOUBLE)) AS hub
+              FROM nodes LEFT JOIN
+                (SELECT e.src AS node, SUM(a$t.auth) AS v
+                 FROM e JOIN a$t ON a$t.node = e.dst
+                 GROUP BY e.src) s ON s.node = nodes.node)"""
+      s"""WITH c AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+                  FROM documents CROSS JOIN c
+                  UNION ALL
+                  SELECT doc_id AS src, (doc_id * 13 + 5) % n AS dst
+                  FROM documents CROSS JOIN c),
+            nodes AS (SELECT DISTINCT node FROM
+                        (SELECT src AS node FROM e
+                         UNION ALL SELECT dst AS node FROM e)),
+            h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+            ${(1 to 4).map(t => authCte(t) + ",\n            " + hubCte(t))
+              .mkString(",\n            ")}
+          SELECT nodes.node, h4.hub, a4.auth
+          FROM nodes JOIN h4 ON h4.node = nodes.node
+                     JOIN a4 ON a4.node = nodes.node
+          ORDER BY nodes.node"""
+    })
+
   /** DSIR selection ([[graft.ops.Corpus.dsirSelect]]): top-200 corpus
     * documents by hashed-unigram importance log-ratio against the
     * reference-quality target (sources src0–src3 — the same target the
@@ -4153,7 +4235,8 @@ object CurationQueries {
     knnBrute, knnLsh, knnIvf, knnSq8, knnPq, knnIvfPq, knnRp, knnRecallReport, embedCenter,
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
-    curateGopher, selectDomainCap, selectDsir, graphPagerank,
+    curateGopher, selectDomainCap, selectDsir, graphPagerank, graphCC,
+    graphHits,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
     curateUrlCanon, textWinnow, dedupWinnowPairs, curateScrub,
     curateRepetition, curateChunk,

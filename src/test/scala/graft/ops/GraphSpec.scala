@@ -37,4 +37,29 @@ class GraphSpec extends SparkTestBase {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got(2L) > got(3L) && got(3L) > got(1L))
   }
+
+  private def hitsOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Double, Double)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+  test("HITS: hand-computed hub/authority on a 3-node DAG, exact integers") {
+    // 1→2, 2→3, 1→3. h0 = 1 everywhere.
+    //   a1 = (0, 1, 2); h1 = (a1(2)+a1(3), a1(3), 0) = (3, 2, 0)
+    //   a2 = (0, h1(1), h1(1)+h1(2)) = (0, 3, 5); h2 = (3+5, 5, 0) = (8, 5, 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = hitsOf(Graph.hits(edges, "src", "dst", iters = 2))
+    assert(got == Map(
+      1L -> ((8.0, 0.0)), 2L -> ((5.0, 3.0)), 3L -> ((0.0, 5.0))))
+  }
+
+  test("HITS: duplicate edges carry multiplicity; cycle stays symmetric") {
+    // 1→2 twice: a1(2) = 2, h1(1) = 2·a1(2) = 4
+    val dup = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val gotDup = hitsOf(Graph.hits(dup, "src", "dst", iters = 1))
+    assert(gotDup == Map(1L -> ((4.0, 0.0)), 2L -> ((0.0, 2.0))))
+    // 2-cycle: hubs and auths stay equal across nodes every iteration
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val gotCyc = hitsOf(Graph.hits(cyc, "src", "dst", iters = 4))
+    assert(gotCyc(1L) == gotCyc(2L))
+    assert(gotCyc(1L)._1 == gotCyc(1L)._2) // hub = auth by symmetry
+  }
 }
