@@ -844,6 +844,64 @@ object Corpus {
     * both engines render identically for the integral/string types the
     * gates exercise.
     */
+  /** KMV distinct sketch per group — k smallest distinct md5-60-bit
+    * hashes via the [[graft.functions.SketchExprs.KmvAgg]] single-pass
+    * aggregate (map-side partial buffers already capped at k, so the
+    * shuffle carries ≤ k longs per group per input partition — duplicate
+    * keys never travel). One frame row per group: (groupCol, kmv).
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchExprs.kmvSketch(col(keyCol), k).as("kmv"))
+
+  /** Distinct estimate from a KMV sketch: exact when the group yielded
+    * fewer than k hashes (the sketch IS its distinct set), else the
+    * standard (k−1)/u_k with u_k the k-th smallest hash normalized to
+    * [0,1) by the exact power 2⁶⁰ — one division chain, deterministic
+    * cross-engine (h/2⁶⁰ is exact: division by a power of two).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame =
+    kmvSketch(df, groupCol, keyCol, k).select(
+      col(groupCol),
+      size(col("kmv")).cast(LongType).as("n_sketch"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(col("kmv"), k).cast(DoubleType) / pow(lit(2.0), lit(60))))
+        .as("est_distinct"))
+
+  /** Cross-group overlap report from KMV sketches — the composition HLL
+    * registers cannot do: for every group pair, the k smallest hashes of
+    * the sketch UNION are an unbiased sample of the union's key space,
+    * so ρ = |{union-sketch hashes present in BOTH sketches}| / |union
+    * sketch| estimates Jaccard directly (Beyer et al., SIGMOD'07), and
+    * est_intersection = ρ · est_union. All set arithmetic on ≤ k-long
+    * arrays; the pair join carries one sketch row per group — at crawl
+    * scale this is a |sources|² join of k·8-byte arrays, trivially
+    * broadcastable, after ONE corpus pass built the sketches. Pairs with
+    * |union sketch| < k are exact (both sketches are exact sets there).
+    */
+  def kmvOverlapReport(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    val sk = kmvSketch(df, groupCol, keyCol, k)
+    val a = sk.select(col(groupCol).as("group_a"), col("kmv").as("__ka"))
+    val b = sk.select(col(groupCol).as("group_b"), col("kmv").as("__kb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("__u", slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .withColumn("__nu", size(col("__u")))
+      .withColumn("__rho",
+        size(array_intersect(col("__u"), array_intersect(col("__ka"), col("__kb")))))
+      .withColumn("est_union",
+        when(col("__nu") < k, col("__nu").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("__u"), k).cast(DoubleType) / pow(lit(2.0), lit(60)))))
+      .withColumn("est_jaccard",
+        col("__rho").cast(DoubleType) / col("__nu").cast(DoubleType))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+      .select(col("group_a"), col("group_b"), col("__nu").cast(LongType).as("n_union_sketch"),
+        col("__rho").cast(LongType).as("n_shared"), col("est_union"),
+        col("est_jaccard"), col("est_intersection"))
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     val long = df.select(explode(array(cols.map(c =>

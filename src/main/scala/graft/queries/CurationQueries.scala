@@ -2103,6 +2103,84 @@ object CurationQueries {
     * 100 TB property) is spec-tested: sharded register frames max-merge
     * to the exact whole-corpus sketch.
     */
+  /** KMV distinct sketch ([[graft.ops.Corpus.kmvDistinct]], k=16 so the
+    * estimator branch engages at gate scale — ~40+ distinct texts per
+    * source): estimate beside the exact count. Deterministic end to end
+    * (integer hashes, one division chain), so the oracle rebuilds the
+    * SAME sketch hash-for-hash and the compare is exact equality — no
+    * tolerance bands.
+    */
+  val corpusKmv = Q("q_corpus_kmv_distinct",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.kmvDistinct(d, "source", "text", k = 16)
+        .join(d.groupBy("source")
+          .agg(countDistinct(col("text")).as("exact_distinct")), Seq("source"))
+        .orderBy("source")
+    },
+    Some("""WITH h AS (SELECT DISTINCT source AS g,
+                   ('0x' || SUBSTR(MD5(text), 1, 15))::BIGINT AS h
+              FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM h),
+            sk AS (SELECT g, h, rn FROM r WHERE rn <= 16),
+            ex AS (SELECT source AS g, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+                   FROM documents GROUP BY source)
+            SELECT sk.g AS source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+              CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE CAST(15 AS DOUBLE) /
+                        (MAX(CASE WHEN rn = 16 THEN h END) / POWER(2, 60)) END
+                AS est_distinct,
+              ANY_VALUE(ex.exact_distinct) AS exact_distinct
+            FROM sk JOIN ex ON ex.g = sk.g
+            GROUP BY sk.g
+            ORDER BY source"""))
+
+  /** KMV cross-source overlap report ([[graft.ops.Corpus
+    * .kmvOverlapReport]]): union/Jaccard/intersection estimates for every
+    * source pair from one corpus pass — the sketch composition HLL
+    * registers can't do. Same exact-equality compare: the oracle replays
+    * the union sketch, the ρ membership counts, and the division chain.
+    */
+  val corpusKmvOverlap = Q("q_corpus_kmv_overlap",
+    (s, dir) =>
+      Corpus.kmvOverlapReport(Tables.documents(s, dir), "source", "text", k = 16)
+        .orderBy("group_a", "group_b"),
+    Some("""WITH h AS (SELECT DISTINCT source AS g,
+                   ('0x' || SUBSTR(MD5(text), 1, 15))::BIGINT AS h
+              FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM h),
+            sk AS (SELECT g, h FROM r WHERE rn <= 16),
+            gs AS (SELECT DISTINCT g FROM sk),
+            gp AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+            uh AS (SELECT gp.ga, gp.gb, s.h FROM gp JOIN sk s ON s.g = gp.ga
+                   UNION
+                   SELECT gp.ga, gp.gb, s.h FROM gp JOIN sk s ON s.g = gp.gb),
+            ur AS (SELECT ga, gb, h,
+                     ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+                   FROM uh),
+            uk AS (SELECT * FROM ur WHERE rn <= 16),
+            st AS (SELECT u.ga, u.gb, COUNT(*) AS nu,
+                     MAX(CASE WHEN u.rn = 16 THEN u.h END) AS hk,
+                     SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                              THEN 1 ELSE 0 END) AS rho
+                   FROM uk u
+                   LEFT JOIN sk sa ON sa.g = u.ga AND sa.h = u.h
+                   LEFT JOIN sk sb ON sb.g = u.gb AND sb.h = u.h
+                   GROUP BY u.ga, u.gb)
+            SELECT ga AS group_a, gb AS group_b,
+              CAST(nu AS BIGINT) AS n_union_sketch,
+              CAST(rho AS BIGINT) AS n_shared,
+              CASE WHEN nu < 16 THEN CAST(nu AS DOUBLE)
+                   ELSE CAST(15 AS DOUBLE) / (hk / POWER(2, 60)) END AS est_union,
+              CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE) AS est_jaccard,
+              (CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE)) *
+                (CASE WHEN nu < 16 THEN CAST(nu AS DOUBLE)
+                      ELSE CAST(15 AS DOUBLE) / (hk / POWER(2, 60)) END)
+                AS est_intersection
+            FROM st ORDER BY group_a, group_b"""))
+
   val corpusHll = Q("q_corpus_hll_distinct",
     (s, dir) => {
       val d = Tables.documents(s, dir)
@@ -4248,7 +4326,8 @@ object CurationQueries {
     textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
-    corpusVocab, corpusHll, corpusCms, corpusQuantiles, corpusProfile,
+    corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,
+    corpusQuantiles, corpusProfile,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

@@ -319,6 +319,47 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("kmv: capped sorted sketch, exact branch, estimate band, dup/partition invariance") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val sk = Corpus.kmvSketch(big, "grp", "k", k = 32).collect().head.getSeq[Long](1)
+    assert(sk.length == 32 && sk == sk.sorted && sk.distinct.length == 32)
+    // estimator band on 1000 distinct at k=32 (std err ~ 1/sqrt(k-2) ≈ 18%)
+    val est = Corpus.kmvDistinct(big, "grp", "k", k = 32)
+      .collect().head.getDouble(2)
+    info(s"KMV k=32 estimate for 1000 distinct = $est")
+    assert(math.abs(est - 1000) / 1000.0 < 0.6, s"estimate off: $est")
+    // exact branch: fewer distinct keys than k → the count itself
+    val small = (1 to 7).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val row = Corpus.kmvDistinct(small, "grp", "k", k = 32).collect().head
+    assert(row.getLong(1) == 7 && row.getDouble(2) == 7.0)
+    // duplicates and partitioning cannot move a k-min-distinct sketch —
+    // the map-side-capped merge is order/shard independent (100 TB property)
+    val dup = Corpus.kmvSketch(big.union(big).repartition(17), "grp", "k", k = 32)
+      .collect().head.getSeq[Long](1)
+    assert(dup == sk)
+  }
+
+  test("kmvOverlapReport: identical groups jaccard 1, disjoint 0, half-overlap sane") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => ("a", s"key$i"))
+    val sameAsA = (1 to 400).map(i => ("b", s"key$i"))
+    val disjoint = (1 to 400).map(i => ("c", s"other$i"))
+    val half = (201 to 600).map(i => ("d", s"key$i"))
+    val df = (a ++ sameAsA ++ disjoint ++ half).toDF("grp", "k")
+    val rep = Corpus.kmvOverlapReport(df, "grp", "k", k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(5), r.getDouble(6)))).toMap
+    val (jAb, _) = rep(("a", "b"))
+    assert(jAb == 1.0, s"identical groups must estimate jaccard 1, got $jAb")
+    val (jAc, iAc) = rep(("a", "c"))
+    assert(jAc == 0.0 && iAc == 0.0)
+    // a vs d: true jaccard 200/600 = 1/3; the ρ/k estimator at k=32 is
+    // coarse — accept a generous band, the oracle pins exact values
+    val (jAd, _) = rep(("a", "d"))
+    assert(jAd > 0.05 && jAd < 0.7, s"half-overlap estimate off: $jAd")
+  }
+
   test("cms: never under-counts, exact on light load, shard counters sum to whole") {
     import spark.implicits._
     import org.apache.spark.sql.functions.sum
