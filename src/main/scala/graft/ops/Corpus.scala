@@ -565,6 +565,76 @@ object Corpus {
         round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
   }
 
+  /** Interpolated Kneser-Ney bigram score (mean −ln P_KN(cur|prev) per
+    * doc) — the standard LM smoothing Laplace ([[bigramNegLogProb]])
+    * only approximates: instead of flattening every context equally, KN
+    * discounts observed bigrams by an absolute `discount` D and backs
+    * the freed mass off to the CONTINUATION probability — how many
+    * distinct contexts a word follows, not how often it occurs ("San
+    * Francisco" makes "Francisco" frequent but nearly single-context,
+    * so KN correctly scores bare "Francisco" low where raw-frequency
+    * backoff overrates it).
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + (D·N1+(v·)/c(v)) · Pc(w)
+    *   Pc(w)  = (N1+(·w) + 1) / (B + V)      (with B = bigram types,
+    *            V = unigram vocab — the +1/(B+V) floor keeps rare
+    *            continuations finite-scored, vanishing as B grows)
+    *
+    * Self-scoring like [[bigramNegLogProb]]: the model trains on the
+    * same corpus it scores, so every probed bigram is observed and the
+    * c(v)=0 backoff-to-Pc branch never arises (the probe join is inner
+    * by construction, not by accident).
+    *
+    * D defaults to 0.75 (the textbook value — and exactly representable
+    * in binary, so both engines' arithmetic agrees bit-for-bit before
+    * the one transcendental ln, which rounds at 6 decimals like every
+    * LM gate).
+    *
+    * Scale shape: count tables are corpus-derived and probe via
+    * shuffle_hash-pinned joins (never broadcast — same contract as the
+    * other LM operators); only the 1-row (B, V) totals broadcast. The
+    * bigram frame materializes once and feeds all four consumers.
+    */
+  def kneserNeyNegLogProb(df: DataFrame, textCol: String, idCol: String,
+                          discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount must be in (0,1)")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("prev"),
+          element_at(col("__toks"), i + 2).as("cur")))).as("__b"))
+      .select(col(idCol), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+      .localCheckpoint(true)
+    // bigram types feed four consumers (context totals, left-context
+    // counts, the B total, the probe join) — materialize once
+    val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
+    val cp = cb.groupBy("prev")
+      .agg(sum(col("__cb")).as("__cp"), count(lit(1)).as("__n1r"))
+    val nl = cb.groupBy("cur").agg(count(lit(1)).as("__n1l"))
+    val totals = cb.agg(count(lit(1)).as("__bt")).crossJoin(
+      toks.select(explode(col("__toks")).as("t"))
+        .agg(countDistinct(col("t")).as("__v")))
+    val pCont = (col("__n1l") + 1).cast(DoubleType) /
+      (col("__bt") + col("__v")).cast(DoubleType)
+    val p = greatest(col("__cb").cast(DoubleType) - lit(discount), lit(0.0)) /
+      col("__cp").cast(DoubleType) +
+      (lit(discount) * col("__n1r").cast(DoubleType) / col("__cp").cast(DoubleType)) *
+        pCont
+    val perDoc = bi
+      .join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(cp.hint("shuffle_hash"), Seq("prev"))
+      .join(nl.hint("shuffle_hash"), Seq("cur"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(p)).as("__m"))
+    df.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
+  }
+
   /** Deterministic mixture reweighting: replicate each row `floor(w)`
     * times plus one extra copy iff its md5 bucket falls below the
     * fractional part of `w`, where `w` is the row's stratum weight — the

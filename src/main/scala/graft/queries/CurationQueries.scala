@@ -4175,6 +4175,49 @@ object CurationQueries {
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Interpolated Kneser-Ney bigram score ([[graft.ops.Corpus
+    * .kneserNeyNegLogProb]], D = 0.75 — exactly representable, so both
+    * engines agree bit-for-bit up to the final ln). The oracle replays
+    * all four count tables (bigram types, context totals + distinct
+    * right-continuations, distinct left-contexts, B/V totals) and the
+    * identical discount/backoff arithmetic.
+    */
+  val textKneserNey = Q("q_text_kneser_ney",
+    (s, dir) =>
+      Corpus.kneserNeyNegLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            bi AS (
+              SELECT doc_id, t[i + 1] AS prev, t[i + 2] AS cur
+              FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t) - 1)) AS i
+                    FROM toks WHERE LEN(t) >= 2)),
+            cb AS (SELECT prev, cur, COUNT(*) AS c FROM bi GROUP BY prev, cur),
+            cp AS (SELECT prev, SUM(c) AS p, COUNT(*) AS n1r FROM cb GROUP BY prev),
+            nl AS (SELECT cur, COUNT(*) AS n1l FROM cb GROUP BY cur),
+            tot AS (SELECT (SELECT COUNT(*) FROM cb) AS bt,
+                           (SELECT COUNT(DISTINCT term) FROM
+                              (SELECT UNNEST(t) AS term FROM toks)) AS v),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     AVG(-LN(
+                       GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(p AS DOUBLE)
+                       + (0.75 * CAST(n1r AS DOUBLE) / CAST(p AS DOUBLE))
+                         * (CAST(n1l + 1 AS DOUBLE) / CAST(bt + v AS DOUBLE))
+                     )) AS m
+              FROM bi JOIN cb USING (prev, cur) JOIN cp USING (prev)
+                      JOIN nl USING (cur) CROSS JOIN tot
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              ROUND(COALESCE(per.m, 0.0), 6) AS neg_logp
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id"""))
+
   /** CCNet head/middle/tail perplexity bucketing: the unigram-LM score
     * plus per-language exact tertile cuts. The oracle replays the LM
     * chain, ranks per language (value-at-rank is multiset-determined, so
@@ -4321,7 +4364,7 @@ object CurationQueries {
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
-    textBigramPpl, textPplBuckets, textNbQuality,
+    textBigramPpl, textKneserNey, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
     textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,

@@ -319,6 +319,43 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("kneserNeyNegLogProb: hand-computed discount/backoff, continuation semantics") {
+    import spark.implicits._
+    // corpus: "a b", "c b", "a d" → cb all 1; cp(a)=2 n1r(a)=2, cp(c)=1;
+    // nl(b)=2, nl(d)=1; B=3 bigram types, V=4 → Pc(b)=3/7, Pc(d)=2/7
+    val df = Seq((1L, "a b"), (2L, "c b"), (3L, "a d")).toDF("doc_id", "text")
+    val got = Corpus.kneserNeyNegLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pBA = 0.25 / 2.0 + (0.75 * 2.0 / 2.0) * (3.0 / 7)  // P(b|a)
+    val pBC = 0.25 / 1.0 + (0.75 * 1.0 / 1.0) * (3.0 / 7)  // P(b|c)
+    val pDA = 0.25 / 2.0 + (0.75 * 2.0 / 2.0) * (2.0 / 7)  // P(d|a)
+    assert(got(1L) == ((1L, r6(-math.log(pBA)))))
+    assert(got(2L) == ((1L, r6(-math.log(pBC)))))
+    assert(got(3L) == ((1L, r6(-math.log(pDA)))))
+    // continuation semantics: "francisco" is FREQUENT but single-context,
+    // "cat" rarer per-bigram but multi-context — KN's backoff mass makes
+    // the multi-context continuation cheaper than raw frequency suggests:
+    // within the shared context "the", P(cat|the) > P(francisco|the)
+    // would need both; instead assert on the backoff-visible effect that
+    // a single-context word scores WORSE than a multi-context word of
+    // equal bigram count in a fresh context pairing
+    val corpus = ((1 to 5).map(i => (10L + i, "san francisco")) ++
+      Seq((20L, "the cat"), (21L, "a cat"), (22L, "my cat"), (23L, "big cat"),
+        (30L, "san cat"))).toSeq.toDF("doc_id", "text")
+    val scores = Corpus.kneserNeyNegLogProb(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // counts: B = 6 bigram types, V = 7 unigrams; cp(san) = 6, n1r(san) = 2;
+    // nl(cat) = 5 (five distinct left contexts), nl(francisco) = 1.
+    // (san,francisco) c=5 vs (san,cat) c=1 share the context — the c=5
+    // bigram must outscore, and the c=1 bigram's exact value carries the
+    // continuation mass: 0.75·(2/6)·Pc(cat) with Pc(cat) = (5+1)/(6+7)
+    assert(scores(11L) < scores(30L), "c=5 bigram must outscore c=1")
+    val pSanCat = (1 - 0.75) / 6.0 + (0.75 * 2.0 / 6.0) * ((5.0 + 1) / (6.0 + 7.0))
+    assert(scores(30L) == r6(-math.log(pSanCat)))
+  }
+
   test("kmv: capped sorted sketch, exact branch, estimate band, dup/partition invariance") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("g", s"key$i")).toDF("grp", "k")
