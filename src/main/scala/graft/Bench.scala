@@ -285,7 +285,11 @@ object Bench {
     // round-11 selection additions: DSIR's two token-hash passes are
     // scan-shaped; PageRank is 8 edge×rank join rounds over a graph
     // that grows with the corpus — both worth a 10× data point
-    "q_select_dsir", "q_graph_pagerank")
+    "q_select_dsir", "q_graph_pagerank",
+    // edit-distance pairs: the rarity-prefix candidate join's volume
+    // tracks Σ df_full·df_prefix — the sf1 point evidences that the
+    // prefix kept it near-linear where a plain gram index went df²
+    "q_dedup_editdist_pairs")
 
   /** Headline medians for the DIGEST line ([[digestLine]]): one
     * representative per operator family, chosen so a reader of the ~1 KB

@@ -56,6 +56,45 @@ object TrackStream {
         col("w.end").as("session_end"), col("n_points"), col("lat"), col("lon"))
   }
 
+  /** Stream-stream time-bounded equi-join — the enrichment shape where
+    * BOTH sides arrive continuously (e.g. a landings stream matched to a
+    * tracker-event stream per device, or a crawl stream matched to a
+    * fetch-log stream per URL): rows join when keys match and the right
+    * event time falls within [left − lookback, left + lookahead].
+    *
+    * The time bound is what makes unbounded-state streaming joins
+    * possible at all: with both sides watermarked AND the join condition
+    * constraining the two event times, Spark derives a state watermark
+    * per side and EVICTS buffered rows that can no longer match — state
+    * is (input rate × (watermark + bound)) rather than the whole stream.
+    * An unconstrained stream-stream inner join would buffer both streams
+    * forever; this operator makes the constraint impossible to forget by
+    * taking the bound as parameters and building the condition itself.
+    *
+    * Same transform batch and streaming (the batch twin is the identical
+    * join expression, oracle-able as a plain range join); columns from
+    * the right side are prefixed `r_` to keep the output schema
+    * collision-free.
+    */
+  def intervalJoinStreamStream(left: DataFrame, right: DataFrame,
+                               key: String, timeCol: String,
+                               lookback: String = "10 minutes",
+                               lookahead: String = "10 minutes",
+                               watermark: String = "1 hour"): DataFrame = {
+    val l =
+      if (left.isStreaming) left.withWatermark(timeCol, watermark) else left
+    val rRenamed = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }
+    val r =
+      if (rRenamed.isStreaming) rRenamed.withWatermark(s"r_$timeCol", watermark)
+      else rRenamed
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$timeCol") >= col(timeCol) - expr(s"interval $lookback") &&
+        col(s"r_$timeCol") <= col(timeCol) + expr(s"interval $lookahead"))
+  }
+
   /** Streaming exact dedup — the crawl-ingestion screen as a continuous
     * query: keep the first arrival per normalized-content digest, drop
     * every later duplicate. State is the digest set, bounded by the

@@ -43,6 +43,45 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: in-bound pairs match, out-of-bound drop, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val landings = Seq(
+      (9001L, ts("2024-03-11 06:10:00"), "siteA"),
+      (9002L, ts("2024-03-11 07:00:00"), "siteB"),
+      (9003L, ts("2024-03-11 08:00:00"), "siteC")) // no event within bound
+    val events = Seq(
+      (9001L, ts("2024-03-11 06:05:00"), "gps"),   // 5 min before → in
+      (9001L, ts("2024-03-11 06:19:00"), "gps"),   // 9 min after → in
+      (9001L, ts("2024-03-11 06:35:00"), "gps"),   // 25 min after → out
+      (9002L, ts("2024-03-11 06:55:00"), "gps"),   // in
+      (9004L, ts("2024-03-11 08:00:00"), "gps"))   // key never matches
+    val ls = MemoryStream[(Long, Timestamp, String)]
+    val es = MemoryStream[(Long, Timestamp, String)]
+    val lDf = ls.toDF.toDF("trip", "t", "site")
+    val eDf = es.toDF.toDF("trip", "t", "kind")
+    val query = TrackStream.intervalJoinStreamStream(lDf, eDf, "trip", "t")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      ls.addData(landings)
+      es.addData(events)
+      query.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("trip", "t", "site", "r_t", "r_kind")
+        .orderBy("trip", "t", "r_t").collect().map(_.toSeq)
+      val batch = TrackStream.intervalJoinStreamStream(
+          landings.toDF("trip", "t", "site"), events.toDF("trip", "t", "kind"),
+          "trip", "t")
+        .select("trip", "t", "site", "r_t", "r_kind")
+        .orderBy("trip", "t", "r_t").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      // exactly the three in-bound pairs; the 25-min gap, the unmatched
+      // key, and the eventless landing all drop
+      assert(streamed.length == 3)
+      assert(streamed.map(_.head).toSeq == Seq(9001L, 9001L, 9002L))
+    } finally query.stop()
+  }
+
   test("dedupStream: first arrival survives, cross-batch dups drop, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String)]
