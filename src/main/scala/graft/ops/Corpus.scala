@@ -223,6 +223,43 @@ object Corpus {
       Seq(md5(col(keyCol)).asc, col(idCol).asc), k)
   }
 
+  /** Weighted sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis exponential-key scheme made DETERMINISTIC: each
+    * row draws u ∈ (0,1] from its md5 ((h+1)/2⁶⁰ — exact: +1 dodges
+    * ln(0), the power-of-two division is lossless) keyed on (seed, id),
+    * and the k rows with smallest −ln(u)/w win. That ordering samples
+    * exactly proportional-to-weight-without-replacement (ES'06), which
+    * uniform-hash threshold sampling ([[stratifiedSample]]) and plain
+    * md5-rank k-min ([[sampleExactKPerStratum]]) cannot do — the
+    * quality-weighted eval-set draw ("pick 1000 docs per language,
+    * favoring high quality score") with full reproducibility: same seed
+    * → same sample across runs, engines, partitionings; new seed →
+    * fresh draw.
+    *
+    * Cross-engine discipline: −ln(u)/w rounds to 6 decimals BEFORE the
+    * rank (libm ln differs in the last ulp between engines — ~1e-15
+    * against a 5e-7 rounding grain — and the id tiebreak resolves the
+    * collisions rounding creates, so the selected set is
+    * engine-identical). Rows with weight ≤ 0 are excluded (a zero
+    * weight cannot be drawn). Scale shape: pure expressions + one
+    * window, map-side-pruned by WindowGroupLimit like every top-k here.
+    * Output: input columns + `sample_rank` (1..k within stratum).
+    */
+  def weightedSampleK(df: DataFrame, stratumCol: String, idCol: String,
+                      weightCol: String, k: Int,
+                      seed: String = "es1"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val h = conv(substring(md5(
+      concat_ws(":", lit(seed), col(idCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType)
+    val u = (h + 1).cast(DoubleType) / pow(lit(2.0), lit(60))
+    val skey = round(-log(u) / col(weightCol).cast(DoubleType), 6)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(skey.asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Unigram language-model score per document (the CCNet quality-filter
     * shape reduced to its unigram case): train p(term) = count / total on
     * the corpus ITSELF, then score each doc by the mean negative

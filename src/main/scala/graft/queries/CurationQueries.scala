@@ -4114,6 +4114,30 @@ object CurationQueries {
               FROM documents)
             WHERE rn <= 25 ORDER BY doc_id"""))
 
+  /** Weighted sampling without replacement ([[graft.ops.Corpus
+    * .weightedSampleK]], Efraimidis–Spirakis exponential keys, weight =
+    * n_chars so longer docs draw proportionally more): 10 per language.
+    * The oracle replays the exact (seed, id)-keyed u, the rounded
+    * −ln(u)/w rank key, and the (skey, id) cut.
+    */
+  val sampleWeighted = Q("q_sample_weighted",
+    (s, dir) =>
+      Corpus.weightedSampleK(Tables.documents(s, dir), "lang", "doc_id",
+        "n_chars", k = 10)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars"), col("sample_rank").cast(LongType).as("sample_rank"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS sample_rank
+            FROM (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                       ROUND(-LN(
+                         (('0x' || SUBSTR(MD5('es1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                         / POWER(2, 60)) / CAST(n_chars AS DOUBLE), 6),
+                       doc_id) AS rn
+              FROM documents WHERE n_chars > 0)
+            WHERE rn <= 10 ORDER BY doc_id"""))
+
   /** Unigram-LM quality score: p(term) trained on the corpus itself,
     * docs scored by mean -ln p. Oracle recomputes the identical two-agg
     * + vocab-join definition; both engines round to 6 decimals (ln and
@@ -4363,7 +4387,8 @@ object CurationQueries {
     curateRepetition, curateChunk,
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,
-    sampleStratified, sampleExactK, sampleMixture, textUnigramPpl,
+    sampleStratified, sampleExactK, sampleWeighted, sampleMixture,
+    textUnigramPpl,
     textBigramPpl, textKneserNey, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
     textHtmlStrip, curateTokenIds,

@@ -319,6 +319,31 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("weightedSampleK: determinism, seed redraw, zero-weight exclusion, weight bias") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, "g", if (i <= 20) 50.0 else 1.0)).toDF("id", "grp", "w")
+    def pick(seed: String) = Corpus.weightedSampleK(df, "grp", "id", "w", 10, seed)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val a = pick("s1")
+    assert(a == pick("s1"), "same seed must redraw the identical sample")
+    assert(a != pick("s2"), "a fresh seed must redraw")
+    assert(a.size == 10)
+    // partition invariance
+    val ar = Corpus.weightedSampleK(df.repartition(13), "grp", "id", "w", 10, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ar == a)
+    // zero/negative weights can never be drawn
+    val z = (1 to 5).map(i => (i.toLong, "g", 0.0)) ++ Seq((6L, "g", -1.0), (7L, "g", 2.0))
+    assert(Corpus.weightedSampleK(z.toDF("id", "grp", "w"), "grp", "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // bias: ids 1-20 hold weight 1000 of 1180 (~85%); over 8 seeds × k=10
+    // picks, the heavy block must clearly dominate (binomial tail makes
+    // < 48/80 astronomically unlikely)
+    val heavy = (1 to 8).map(s => pick(s"seed$s").count(_ <= 20)).sum
+    assert(heavy >= 48, s"weight bias too weak: $heavy/80 heavy picks")
+  }
+
   test("kneserNeyNegLogProb: hand-computed discount/backoff, continuation semantics") {
     import spark.implicits._
     // corpus: "a b", "c b", "a d" → cb all 1; cp(a)=2 n1r(a)=2, cp(c)=1;
