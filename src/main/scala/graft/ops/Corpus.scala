@@ -815,6 +815,82 @@ object Corpus {
     ranked.groupBy(groupCol).agg(picks.head, picks.tail: _*)
   }
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson–Spärck Jones idf, k1/b tf–length normalization) — the
+    * retrieval-scoring primitive a curation pipeline uses to SELECT
+    * topically-relevant training data ("rank the crawl against these
+    * domain seed terms") where TF-IDF top-terms only DESCRIBES documents:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * Scale shape: the token explode filters to the query-term set
+    * IMMEDIATELY (narrow — only query-term occurrences survive into the
+    * (doc, term) aggregate), the df table is ≤ |terms| rows and the
+    * (N, avgdl) totals 1 row — both broadcast; one hash agg per side.
+    * avgdl is an exact-integer sum/count division, deterministic; the
+    * per-doc Σ over ≤ |terms| products rounds at 6 decimals (the ln +
+    * sum-order discipline every LM gate uses). Docs matching no query
+    * term score 0.0 rather than dropping out.
+    */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val terms = queryTerms.distinct
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+      .localCheckpoint(true) // feeds totals + the tf stream
+    val nd = toks.agg(count(lit(1)).as("__n"),
+      avg(col("__dl").cast(DoubleType)).as("__avgdl"))
+    val tf = toks.select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dft = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val norm = col("__tf").cast(DoubleType) * (lit(k1) + lit(1.0)) /
+      (col("__tf").cast(DoubleType) +
+        lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__dl").cast(DoubleType) / col("__avgdl")))
+    val perDoc = tf
+      .join(broadcast(dft), Seq("__t"))
+      .crossJoin(broadcast(nd))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * norm), 6).as("bm25"))
+    df.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
+
+  /** Per-group winsorization: clamp `valueCol` into its group's
+    * [pLo, pHi] exact-quantile band — the robust-preprocessing twin of
+    * the validators' LocScaleB bounds (those NULL outliers; this CLIPS
+    * them, the right semantics for downstream aggregates that must keep
+    * every row — mean token counts, length-normalized scores — without a
+    * single pathological document dragging them). Quantile picks are
+    * [[exactQuantiles]]' deterministic integer-rank values (actual data
+    * values, never interpolated), so the clamp decisions are
+    * engine-reproducible with zero float discipline.
+    *
+    * Scale shape: one [[exactQuantiles]] pass (partition-parallel window
+    * sorts) produces a |groups|-row cut table, joined back broadcast —
+    * the input never shuffles. Output: input columns +
+    * `<valueCol>_clipped`.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"pLo=$pLo must be < pHi=$pHi")
+    val loName = s"p${(pLo * 100).round}"
+    val hiName = s"p${(pHi * 100).round}"
+    val cuts = exactQuantiles(df, groupCol, valueCol, Seq(pLo, pHi))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col(loName)), col(hiName)))
+      .drop(loName, hiName)
+  }
+
   /** HyperLogLog register count (m = 2^4) and its bias constant α₁₆
     * (Flajolet et al. 2007, Fig. 3 — the published small-m constant).
     * m=16 keeps the relative error ≈ 1.04/√16 ≈ 26%: a smoke-scale

@@ -2313,6 +2313,33 @@ object CurationQueries {
                    MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_tok END) AS p99
             FROM r GROUP BY source ORDER BY source"""))
 
+  /** Per-source winsorization ([[graft.ops.Corpus.winsorize]]): n_chars
+    * clamped into the source's exact [p05, p95] band — the clip-not-drop
+    * robust-preprocessing twin of the validators' bound checks. Oracle
+    * replays the integer-rank picks and the LEAST/GREATEST clamp.
+    */
+  val corpusWinsorize = Q("q_corpus_winsorize",
+    (s, dir) =>
+      Corpus.winsorize(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", pLo = 0.05, pHi = 0.95)
+        .select("doc_id", "source", "n_chars", "n_chars_clipped")
+        .orderBy("doc_id"),
+    Some("""WITH r AS (
+              SELECT source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents),
+            cuts AS (
+              SELECT source,
+                     MAX(CASE WHEN rn = CEIL(0.05 * n) THEN n_chars END) AS lo,
+                     MAX(CASE WHEN rn = CEIL(0.95 * n) THEN n_chars END) AS hi
+              FROM r GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   LEAST(GREATEST(d.n_chars, c.lo), c.hi) AS n_chars_clipped
+            FROM documents d JOIN cuts c USING (source)
+            ORDER BY d.doc_id"""))
+
   /** Count-min heavy hitters: the 4×1024 counter sketch over every
     * corpus token, point-estimated for the top-20 true tokens beside
     * their exact counts — est ≥ exact always, bounded by ε·N. Everything
@@ -4114,6 +4141,46 @@ object CurationQueries {
               FROM documents)
             WHERE rn <= 25 ORDER BY doc_id"""))
 
+  /** BM25 retrieval scoring ([[graft.ops.Corpus.bm25Scores]]) against a
+    * four-term seed query over corpus vocabulary — the topical-selection
+    * primitive. The oracle refits df/N/avgdl and replays the
+    * idf·tf-normalization chain term for term; k1=1.2 is written
+    * CAST(1.2 AS DOUBLE) so DuckDB's decimal literal converts to the
+    * identical binary double Scala parses.
+    */
+  val textBm25 = Q("q_text_bm25",
+    (s, dir) =>
+      Corpus.bm25Scores(Tables.documents(s, dir), "text", "doc_id",
+        Seq("spark", "join", "data", "query"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            dl AS (SELECT doc_id, LEN(t) AS dl FROM toks),
+            nd AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+                   WHERE term IN ('spark', 'join', 'data', 'query')
+                   GROUP BY doc_id, term),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            per AS (
+              SELECT tf.doc_id,
+                ROUND(SUM(
+                  LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+                     / (CAST(tf AS DOUBLE)
+                        + CAST(1.2 AS DOUBLE)
+                          * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)))
+                ), 6) AS bm25
+              FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd
+              GROUP BY tf.doc_id)
+            SELECT d.doc_id, COALESCE(per.bm25, 0.0) AS bm25
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   /** Weighted sampling without replacement ([[graft.ops.Corpus
     * .weightedSampleK]], Efraimidis–Spirakis exponential keys, weight =
     * n_chars so longer docs draw proportionally more): 10 per language.
@@ -4389,13 +4456,13 @@ object CurationQueries {
     curateAnnotate,
     sampleStratified, sampleExactK, sampleWeighted, sampleMixture,
     textUnigramPpl,
-    textBigramPpl, textKneserNey, textPplBuckets, textNbQuality,
+    textBigramPpl, textKneserNey, textBm25, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
     textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,
-    corpusQuantiles, corpusProfile,
+    corpusQuantiles, corpusWinsorize, corpusProfile,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

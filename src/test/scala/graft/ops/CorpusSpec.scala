@@ -319,6 +319,49 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("winsorize: exact-rank band, clamp both tails, pass-through interior") {
+    import spark.implicits._
+    // one group, values 1..20: lo = value at ceil(0.05·20)=rank 1 → 1,
+    // hi = value at ceil(0.95·20)=rank 19 → 19; only 20 clips (→19)
+    val df = (1 to 20).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val got = Corpus.winsorize(df, "grp", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(20L) == 19L)
+    assert(got(1L) == 1L && got(10L) == 10L && got(19L) == 19L)
+    // second group with a low outlier: lo clamps upward
+    val df2 = (Seq(("h", -100L)) ++ (1 to 19).map(i => ("h", i.toLong))).toDF("grp", "v")
+    val got2 = Corpus.winsorize(df2, "grp", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got2(-100L) == -100L || got2(-100L) == 1L) // rank-1 value IS -100 at n=20
+    // with pLo at 0.1 the cut moves above the outlier
+    val got3 = Corpus.winsorize(df2, "grp", "v", 0.1, 0.95)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got3(-100L) == 1L, s"low outlier must clamp to p10=1, got ${got3(-100L)}")
+  }
+
+  test("bm25Scores: hand-computed score, rare-term idf dominance, no-match zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark"),   // tf(spark)=3, dl=3
+      (2L, "spark query"),         // both terms, dl=2
+      (3L, "other words only"))    // no query terms → 0
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25Scores(df, "text", "doc_id", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=(3+2+3)/3; df(spark)=2, df(query)=1
+    val n = 3.0; val avgdl = 8.0 / 3
+    def idf(dfT: Double) = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+    def norm(tf: Double, dl: Double) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == 0.0)
+    assert(got(1L) == r6(idf(2) * norm(3, 3)))
+    assert(got(2L) == r6(idf(2) * norm(1, 2) + idf(1) * norm(1, 2)))
+    // the rarer term (query, df=1) must out-idf the common one
+    assert(idf(1) > idf(2))
+  }
+
   test("weightedSampleK: determinism, seed redraw, zero-weight exclusion, weight bias") {
     import spark.implicits._
     val df = (1 to 200).map(i =>
