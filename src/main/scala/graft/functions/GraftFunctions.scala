@@ -58,6 +58,8 @@ object GraftFunctions {
       es => TextExprs.NfcNormalize(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("strip_accents",
       es => TextExprs.StripAccents(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      es => TextExprs.JaroWinkler(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow",
       es => TextExprs.Winnow(es(0), intArg(es(1), "winnow k"),
         intArg(es(2), "winnow w")), "scala_udf")

@@ -3,10 +3,10 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.{Column, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** String-normalization Catalyst expressions for text-pipeline hygiene.
@@ -108,6 +108,86 @@ object TextExprs {
 
   def stripAccents(c: Column): Column =
     GraftShim.column(StripAccents(GraftShim.expression(c)))
+
+  /** Runtime kernel for [[JaroWinkler]] — the textbook algorithm
+    * (Winkler '90 over Jaro '89), bit-compatible with DuckDB's
+    * `jaro_winkler_similarity` at the 9-decimal gate rounding (probed:
+    * MARTHA/MARHTA 0.96111, DIXON/DICKSONX 0.81333, the 0.7 boost
+    * threshold — a sub-0.7 jaro gets NO prefix boost even with a common
+    * prefix — and empty-string → 0.0, not 1.0): match window
+    * ⌊max(len)/2⌋ − 1, greedy left-to-right matching, transpositions =
+    * half the differing matched positions, prefix scale p = 0.1 capped
+    * at ℓ = 4. Char-level (UTF-16 code units) — identical to byte-level
+    * engines on the ASCII record-linkage keys this targets.
+    */
+  def jaroWinklerEval(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var mism = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) mism += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - mism / 2.0) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var p = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  /** Jaro-Winkler similarity of two strings in [0,1]; null-preserving. */
+  case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerEval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (l, r) => s"graft.functions.TextExprs.jaroWinklerEval($l, $r)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def jaroWinkler(l: Column, r: Column): Column =
+    GraftShim.column(JaroWinkler(GraftShim.expression(l), GraftShim.expression(r)))
 
   /** Runtime kernel for [[Winnow]]: winnowing fingerprint selection over
     * an already-normalized string, bit-identical to the HOF/oracle

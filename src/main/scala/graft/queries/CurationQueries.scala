@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -3885,6 +3885,44 @@ object CurationQueries {
       "CAST(LENGTH(STRIP_ACCENTS(text || '" + StripSuffix + "')) AS BIGINT) AS n_chars " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Jaro-Winkler similarity ([[graft.functions.TextExprs.jaroWinkler]]
+    * vs DuckDB's built-in `jaro_winkler_similarity`) — the fuzzy
+    * record-linkage score [[graft.ops.Dedup.editDistancePairs]]'
+    * unit-cost counting can't express (JW weights early-prefix agreement,
+    * the name/title-matching prior). The planted pair matrix covers the
+    * textbook cases: transpositions (martha/marhta), prefix boost
+    * (dixon/dicksonx), sub-0.7-jaro no-boost, identical → 1, and
+    * disjoint → 0; 9-decimal rounding absorbs last-ulp division-order
+    * differences between engines.
+    */
+  val textJaroWinkler = Q("q_text_jaro_winkler",
+    (s, dir) => {
+      val names = Seq("martha", "marhta", "dwayne", "duane",
+        "dixon", "dicksonx", "jellyfish", "smellyfish")
+      def pick(e: Column): Column =
+        names.zipWithIndex.foldLeft(lit(names.head)) { case (acc, (n, i)) =>
+          when(e === i, lit(n)).otherwise(acc)
+        }
+      val s1 = pick(pmod(col("doc_id"), lit(8)))
+      val s2 = pick(pmod(floor(col("doc_id") / lit(3)).cast(LongType), lit(8)))
+      Tables.documents(s, dir).select(col("doc_id"),
+        s1.as("s1"), s2.as("s2"),
+        round(graft.functions.TextExprs.jaroWinkler(s1, s2), 9).as("jw"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val names = Seq("martha", "marhta", "dwayne", "duane",
+        "dixon", "dicksonx", "jellyfish", "smellyfish")
+      def pick(e: String): String =
+        "CASE " + names.zipWithIndex.map { case (n, i) =>
+          s"WHEN $e = $i THEN '$n'" }.mkString(" ") + s" ELSE '${names.head}' END"
+      val s1 = pick("doc_id % 8")
+      val s2 = pick("CAST(FLOOR(doc_id / 3) AS BIGINT) % 8")
+      s"""SELECT doc_id, $s1 AS s1, $s2 AS s2,
+            ROUND(JARO_WINKLER_SIMILARITY($s1, $s2), 9) AS jw
+          FROM documents ORDER BY doc_id"""
+    })
+
   /** Corpus-wide top-50 bigrams by occurrence — boilerplate mining.
     * Oracle recomputes the identical count + deterministic tie-break.
     */
@@ -4458,7 +4496,7 @@ object CurationQueries {
     textUnigramPpl,
     textBigramPpl, textKneserNey, textBm25, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
-    textHtmlStrip, curateTokenIds,
+    textJaroWinkler, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,

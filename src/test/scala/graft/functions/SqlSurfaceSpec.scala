@@ -88,6 +88,35 @@ class SqlSurfaceSpec extends SparkTestBase {
       "한국 ascii", "plain ascii"))
   }
 
+  test("jaro_winkler: textbook values, boost threshold, empties, SQL parity") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "martha", "marhta"),   // transpositions + prefix boost
+      (2L, "dixon", "dicksonx"),  // textbook 0.8133...
+      (3L, "aaxxxx", "aayyyy"),   // jaro 0.5556 <= 0.7 → NO boost
+      (4L, "crate", "trace"),     // jaro > 0.7 but prefix 0 → unchanged
+      (5L, "same", "same"),
+      (6L, "x", "y"),
+      (7L, "", "abc"))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), TextExprs.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(close(got(1L), 0.9611111111111111))
+    assert(close(got(2L), 0.8133333333333332))
+    assert(close(got(3L), 0.5555555555555555))  // unboosted despite "aa" prefix
+    assert(close(got(4L), 0.7333333333333334))
+    assert(got(5L) == 1.0 && got(6L) == 0.0 && got(7L) == 0.0)
+    val n = df.select(TextExprs.jaroWinkler(lit(null).cast("string"), col("a"))).collect()
+    assert(n.head.isNullAt(0))
+    df.createOrReplaceTempView("jw_t")
+    val viaSql = spark.sql("SELECT jaro_winkler(a, b) FROM jw_t ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaSql.zip(Seq(0.9611111111111111, 0.8133333333333332,
+      0.5555555555555555, 0.7333333333333334, 1.0, 0.0, 0.0))
+      .forall { case (x, y) => close(x, y) })
+  }
+
   test("winnow: SQL surface matches the Column API and the ops wrapper") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "A do run run run, a do run run"),
