@@ -126,4 +126,60 @@ object Graph {
       .join(auth.hint("shuffle_hash"), Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
   }
+
+  /** Per-node triangle count over the UNDIRECTED simple graph (direction,
+    * multiplicity and self-loops dropped) — the local clustering signal
+    * (spam link-farms are triangle-dense; organic link neighborhoods are
+    * sparse) and the classic skew-prone graph kernel done right:
+    *
+    * DEGREE ORIENTATION is the scale move. Every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher; each
+    * triangle then has exactly ONE apex with out-edges to both others,
+    * counted by joining the apex's out-wedges against the oriented edge
+    * set. Wedge volume is Σ outdeg(v)² with outdeg ≤ O(√m) under this
+    * orientation (Chiba–Nishizeki) — a celebrity node with 10⁷ followers
+    * generates ~10¹⁴ naive wedges but only ~m√m oriented ones, because
+    * every low-degree fan points AT the celebrity, never out of it.
+    * Deterministic (degree, id) tiebreak; all joins shuffle_hash-pinned
+    * (Θ(edges) frames). Isolated-in-no-edge nodes don't appear (the node
+    * set is edge-derived, as [[pageRank]]).
+    *
+    * Output: (node, n_triangles), one row per node in the edge set.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")).hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")).hint("shuffle_hash"), Seq("v"))
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+      .localCheckpoint(true)
+    val w1 = oriented.select(col("a"), col("b"), col("__bd"))
+    val w2 = oriented.select(col("a"), col("b").as("c"), col("__bd").as("__cd"))
+    val wedges = w1.join(w2.hint("shuffle_hash"), Seq("a"))
+      .filter(col("__bd") < col("__cd") ||
+        (col("__bd") === col("__cd") && col("b") < col("c")))
+    val tri = wedges
+      .join(oriented.select(col("a").as("b"), col("b").as("c")).hint("shuffle_hash"),
+        Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select("node")
+      .join(counts.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

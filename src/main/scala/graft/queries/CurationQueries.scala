@@ -2507,6 +2507,54 @@ object CurationQueries {
           ORDER BY nodes.node"""
     })
 
+  /** Per-node triangle counts ([[graft.ops.Graph.triangleCount]]) over a
+    * ring + chords graph (edges i→i+1 and i→i+2 mod n put every node in
+    * exactly 3 triangles; the ×7 chord adds irregular ones). The oracle
+    * replays the whole degree-orientation pipeline — canonical edges,
+    * (deg, id) orientation, apex wedges, the closing-edge join — NOT
+    * just the counts, so the dedup/orientation semantics are what's
+    * being compared.
+    */
+  val graphTriangles = Q("q_graph_triangles",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val cnt = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, lit(cnt)).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 2, lit(cnt)).as("dst")))
+        .unionByName(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(cnt)).as("dst")))
+      Graph.triangleCount(edges, "src", "dst").orderBy("node")
+    },
+    Some("""WITH c AS (SELECT COUNT(*) AS n FROM documents),
+            raw AS (
+              SELECT doc_id AS s, (doc_id + 1) % n AS d FROM documents CROSS JOIN c
+              UNION ALL
+              SELECT doc_id AS s, (doc_id + 2) % n AS d FROM documents CROSS JOIN c
+              UNION ALL
+              SELECT doc_id AS s, (doc_id * 7 + 3) % n AS d FROM documents CROSS JOIN c),
+            und AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v
+                    FROM raw WHERE s <> d),
+            deg AS (SELECT node, COUNT(*) AS deg FROM
+                      (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                    GROUP BY node),
+            o AS (SELECT
+                    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                         THEN u ELSE v END AS a,
+                    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                         THEN v ELSE u END AS b
+                  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+            ob AS (SELECT o.a, o.b, deg.deg AS bd FROM o JOIN deg ON deg.node = o.b),
+            w AS (SELECT x.a, x.b, y.b AS c2 FROM ob x JOIN ob y ON x.a = y.a
+                    AND (x.bd < y.bd OR (x.bd = y.bd AND x.b < y.b))),
+            t AS (SELECT w.a, w.b, w.c2 FROM w JOIN o ON o.a = w.b AND o.b = w.c2),
+            pm AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+                   UNION ALL SELECT c2 FROM t),
+            tc AS (SELECT node, COUNT(*) AS nt FROM pm GROUP BY node)
+            SELECT deg.node, CAST(COALESCE(tc.nt, 0) AS BIGINT) AS n_triangles
+            FROM deg LEFT JOIN tc USING (node) ORDER BY node"""))
+
   /** DSIR selection ([[graft.ops.Corpus.dsirSelect]]): top-200 corpus
     * documents by hashed-unigram importance log-ratio against the
     * reference-quality target (sources src0–src3 — the same target the
@@ -4486,7 +4534,7 @@ object CurationQueries {
     textQuality, textLangid, textFingerprint, textTfidf, textHashingTf,
     knnTextHashTf, curateFilter,
     curateGopher, selectDomainCap, selectDsir, graphPagerank, graphCC,
-    graphHits,
+    graphHits, graphTriangles,
     curateSplit, curateShuffle, layoutZorder, curateDomainFilter,
     curateUrlCanon, textWinnow, dedupWinnowPairs, curateScrub,
     curateRepetition, curateChunk,

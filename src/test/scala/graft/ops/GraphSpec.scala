@@ -62,4 +62,28 @@ class GraphSpec extends SparkTestBase {
     assert(gotCyc(1L) == gotCyc(2L))
     assert(gotCyc(1L)._1 == gotCyc(1L)._2) // hub = auth by symmetry
   }
+
+  private def trisOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCount: K4, direction/multiplicity/self-loop insensitivity") {
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("src", "dst")
+    assert(trisOf(Graph.triangleCount(k4, "src", "dst")) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // reversed duplicates, self-loops and multi-edges change nothing
+    val noisy = k4.unionByName(
+      Seq((2L, 1L), (3L, 1L), (1L, 1L), (1L, 2L), (4L, 3L)).toDF("src", "dst"))
+    assert(trisOf(Graph.triangleCount(noisy, "src", "dst")) ==
+      trisOf(Graph.triangleCount(k4, "src", "dst")))
+  }
+
+  test("triangleCount: triangle + pendant + triangle-free square") {
+    // triangle 1-2-3 with pendant 4 on node 3; square 5-6-7-8 (no diagonal)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L)).toDF("src", "dst")
+    val got = trisOf(Graph.triangleCount(edges, "src", "dst"))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
+  }
 }
