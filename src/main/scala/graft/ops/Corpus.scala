@@ -815,6 +815,56 @@ object Corpus {
     ranked.groupBy(groupCol).agg(picks.head, picks.tail: _*)
   }
 
+  /** Global consecutive row numbering (1..N in (orderCol, idCol) order)
+    * WITHOUT a global sort — the exhibit for "what looks like it needs
+    * one reducer doesn't": a bare `row_number() OVER (ORDER BY …)`
+    * funnels 100 TB through a single partition. Two-phase instead:
+    *
+    *   1. RANGE-BUCKET by value: `buckets−1` exact-quantile cuts of
+    *      `orderCol` ([[exactQuantiles]] — partition-parallel) split the
+    *      value domain into ordered ranges; the |cuts|-row table
+    *      broadcasts and a CASE chain assigns each row its bucket. Ties
+    *      at a cut land in one bucket by the ≤ rule, so bucket ranges
+    *      respect the global order.
+    *   2. RANK-AND-OFFSET: row_number within each bucket (parallel
+    *      window sorts over (orderCol, idCol)) plus the cumulative count
+    *      of all lower buckets (a buckets-row frame, windowed on itself
+    *      and broadcast back).
+    *
+    * The result is EXACTLY `row_number() OVER (ORDER BY orderCol, id)` —
+    * which is what the oracle computes — at the cost of two small
+    * broadcasts and per-bucket sorts. Skewed value domains degrade
+    * gracefully: a constant column puts everything in one bucket (the
+    * sort you asked for), anything else splits ~evenly because the cuts
+    * are exact quantiles of the actual data.
+    */
+  def globalRowNumber(df: DataFrame, orderCol: String, idCol: String,
+                      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"buckets=$buckets must be in [2,100] (quantile labels are integer percents)")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = exactQuantiles(df.withColumn("__g", lit(1)), "__g", orderCol, qs)
+      .drop("__g")
+    val cutCols = qs.map(q => s"p${(q * 100).round}")
+    val bucket = cutCols.zipWithIndex.foldRight(lit(buckets - 1)) {
+      case ((c, i), rest) => when(col(orderCol) <= col(c), lit(i)).otherwise(rest)
+    }
+    val wb = Window.partitionBy("__bucket").orderBy(col(orderCol), col(idCol))
+    val ranked = df.crossJoin(broadcast(cuts))
+      .withColumn("__bucket", bucket)
+      .drop(cutCols: _*)
+      .withColumn("__rn", row_number().over(wb))
+    val offsets = ranked.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bucket", "__offset")
+    ranked.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("global_row", col("__offset") + col("__rn"))
+      .drop("__bucket", "__rn", "__offset")
+  }
+
   /** BM25 relevance of every document against a fixed query-term set
     * (Robertson–Spärck Jones idf, k1/b tf–length normalization) — the
     * retrieval-scoring primitive a curation pipeline uses to SELECT

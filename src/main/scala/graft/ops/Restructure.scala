@@ -141,4 +141,29 @@ object Restructure {
     }
     if (keepSrc) out else out.drop(src)
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) validity intervals from a
+    * change log: per key, each change row becomes a version valid from
+    * its own timestamp until the NEXT change (`valid_to` null on the
+    * current version, `is_current` flagging it) — the standard
+    * temporal-dimension build that turns an append-only event/change
+    * stream into an as-of-joinable history ([[graft.ops.Matching
+    * .asOfJoinBackward]] consumes exactly this shape).
+    *
+    * `seqCol` totalizes the order within equal timestamps (two changes
+    * in one tick would otherwise make `valid_to` partition-order-
+    * dependent — the determinism contract every operator here carries).
+    * Scale shape: ONE shuffle on the key, one window pass — `lead` is a
+    * frame-free offset function, so no buffering beyond the sort.
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(seqCol))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

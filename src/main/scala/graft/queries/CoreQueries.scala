@@ -527,6 +527,49 @@ object CoreQueries {
             GROUP BY p_brand
             ORDER BY p_brand"""))
 
+  /** Global consecutive row numbering ([[graft.ops.Corpus
+    * .globalRowNumber]]): 1..N in (n_chars, doc_id) order WITHOUT a
+    * global sort — exact-quantile range buckets + per-bucket parallel
+    * window ranks + a broadcast offset frame. The oracle is the bare
+    * single-reducer definition (`ROW_NUMBER() OVER (ORDER BY …)`), so
+    * the gate proves the two-phase plan computes the identical
+    * numbering.
+    */
+  val soGlobalRowNumber = Q("q_so_global_row_number",
+    (s, dir) =>
+      graft.ops.Corpus.globalRowNumber(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "doc_id", buckets = 16)
+        .select("doc_id", "n_chars", "global_row")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars,
+              ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_row
+            FROM documents ORDER BY doc_id"""))
+
+  /** SCD2 validity intervals ([[graft.ops.Restructure.scd2]]): each
+    * user's event stream becomes versioned rows valid until the next
+    * event, the current one open-ended — the temporal-dimension build
+    * the as-of join consumes. event_id totalizes equal-timestamp order.
+    */
+  val scd2Intervals = Q("q_scd2_intervals",
+    (s, dir) =>
+      Restructure.scd2(
+        Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type,
+              STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+              STRFTIME(LEAD(CAST(ts AS TIMESTAMP)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+              LEAD(CAST(ts AS TIMESTAMP)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events ORDER BY event_id"""))
+
   /** SO6+P9: cross-join scaffold of all key combinations, left-joined and
     * null-filled (reference tidyr::complete, qmd:69,124 + replace_na).
     */
@@ -697,5 +740,5 @@ object CoreQueries {
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
     rangeJoin, intervalOverlap, joinSalted, so3Union, soExceptIntersect,
-    so6Complete)
+    soGlobalRowNumber, scd2Intervals, so6Complete)
 }

@@ -319,6 +319,27 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("globalRowNumber: equals the single-reducer definition, ties, skew, repartition") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // values with heavy ties and skew: 40% of rows share value 7
+    val rows = (1 to 500).map(i => (i.toLong, if (i % 5 < 2) 7L else (i % 83).toLong))
+    val df = rows.toDF("id", "v").repartition(11)
+    val got = Corpus.globalRowNumber(df, "v", "id", buckets = 16)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.withColumn("global_row",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "global_row").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == naive)
+    // constant column: degenerates to one bucket but stays correct
+    val const = (1 to 50).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val gotC = Corpus.globalRowNumber(const, "v", "id", buckets = 8)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotC == (1 to 50).map(i => i.toLong -> i.toLong).toMap)
+  }
+
   test("winsorize: exact-rank band, clamp both tails, pass-through interior") {
     import spark.implicits._
     // one group, values 1..20: lo = value at ceil(0.05·20)=rank 1 → 1,

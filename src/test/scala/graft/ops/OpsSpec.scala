@@ -107,6 +107,22 @@ class OpsSpec extends SparkTestBase {
       (4, None)))        // no right rows for k2
   }
 
+  test("scd2: versions chain per key, equal-ts order totalized, current open-ended") {
+    val log = Seq(
+      (1L, "k1", 10, "a"), (2L, "k1", 20, "b"), (3L, "k1", 20, "c"), // ts tie: 2 then 3
+      (4L, "k2", 5, "x"))
+      .toDF("id", "k", "t", "v")
+    val out = Restructure.scd2(log, Seq("k"), "t", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("valid_from"),
+        Option(r.getAs[Any]("valid_to")), r.getAs[Boolean]("is_current")))
+    assert(out.toSeq == Seq(
+      (1L, 10, Some(20), false),  // closed by the next change
+      (2L, 20, Some(20), false),  // tie: id 2 precedes id 3, zero-width version
+      (3L, 20, None, true),       // latest for k1
+      (4L, 5, None, true)))       // only version for k2
+  }
+
   test("rangeJoinBucketed equals the naive range join, as a hash join") {
     import java.sql.Timestamp
     def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
