@@ -602,6 +602,53 @@ object Corpus {
         round(coalesce(col("__m"), lit(0.0)), 6).as("neg_logp"))
   }
 
+  /** Top-k PMI collocations: adjacent word pairs whose co-occurrence
+    * beats the independence baseline — the standard collocation miner
+    * ("new york", "machine learning") whose output seeds phrase-aware
+    * tokenization and boilerplate phrase lists. PMI(w₁,w₂) =
+    * ln((c₁₂/B) / ((c₁/T)·(c₂/T))) over adjacent bigrams; `minCount`
+    * floors the bigram count (hapax pairs otherwise dominate — two
+    * singletons co-occurring once get the maximal score, a pure
+    * noise artifact).
+    *
+    * Scale shape: two hash aggregations (bigram + unigram counts), the
+    * probability attach joins on term (vocab-sized, shuffle_hash-pinned
+    * like every LM table here), totals broadcast as 1 row, and the
+    * top-k compiles to TakeOrderedAndProject (per-partition heaps — no
+    * vocab²-sized sort). Rank key is the 6-decimal-rounded PMI with a
+    * (w₁, w₂) tiebreak, the cross-engine cut discipline.
+    */
+  def topPmiBigrams(df: DataFrame, textCol: String, idCol: String,
+                    minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad params minCount=$minCount k=$k")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(true)
+    val uni = toks.select(explode(col("__toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__cu"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .filter(col("__cb") >= minCount)
+      .localCheckpoint(true)
+    val totals = uni.agg(sum(col("__cu")).as("__t"))
+      .crossJoin(bi.agg(count(lit(1)).as("__bt")))
+    val pmi = round(log(
+      (col("__cb").cast(DoubleType) / col("__bt").cast(DoubleType)) /
+        ((col("__c1").cast(DoubleType) / col("__t").cast(DoubleType)) *
+          (col("__c2").cast(DoubleType) / col("__t").cast(DoubleType)))), 6)
+    cb
+      .join(uni.select(col("t").as("w1"), col("__cu").as("__c1")).hint("shuffle_hash"), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("__cu").as("__c2")).hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("__cb").as("pair_count"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Interpolated Kneser-Ney bigram score (mean −ln P_KN(cur|prev) per
     * doc) — the standard LM smoothing Laplace ([[bigramNegLogProb]])
     * only approximates: instead of flattening every context equally, KN

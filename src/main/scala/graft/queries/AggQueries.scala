@@ -286,6 +286,31 @@ object AggQueries {
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY gid, o_orderstatus, o_orderpriority"""))
 
+  /** GROUPING SETS — the selective margins neither rollup's prefix
+    * hierarchy nor cube's full lattice express: ONLY the per-status and
+    * per-priority totals, no (status, priority) cells, no grand total.
+    * Exercised through the SQL surface (`spark.sql` over a temp view —
+    * the DataFrame API has no grouping-sets builder pre-3.4 style here)
+    * with the same gid sort-prefix discipline as the rollup/cube gates.
+    */
+  val aggGroupingSets = Q("q_agg_grouping_sets",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT grouping_id() AS gid, o_orderstatus, o_orderpriority,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               ORDER BY gid, o_orderstatus, o_orderpriority""")
+    },
+    Some("""SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+              o_orderstatus, o_orderpriority,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
   /** Bounded sliding window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
     * ROW) — the trailing-window smoothing shape A6's unbounded partition
     * mean doesn't cover. The frame ORDER includes event_id so frame
@@ -311,5 +336,5 @@ object AggQueries {
 
   def all: Seq[Q] = Seq(a1Tumbling, a2WindowFlag, a3GroupCount, a4TopSpecies,
     a5Bounds, a6WindowMean, a8Distinct, sessionWindow, aggRollup, aggPivot,
-    aggCube, windowSlidingSum)
+    aggCube, aggGroupingSets, windowSlidingSum)
 }

@@ -3991,6 +3991,41 @@ object CurationQueries {
             ORDER BY occurrences DESC, ngram
             LIMIT 50"""))
 
+  /** Top-40 PMI collocations ([[graft.ops.Corpus.topPmiBigrams]],
+    * minCount=5): adjacent pairs beating independence. Oracle refits
+    * both count tables, the totals, the rounded PMI and the
+    * (pmi desc, w1, w2) cut.
+    */
+  val corpusPmi = Q("q_corpus_pmi_collocations",
+    (s, dir) =>
+      Corpus.topPmiBigrams(Tables.documents(s, dir), "text", "doc_id",
+        minCount = 5, k = 40)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            uni AS (SELECT term, COUNT(*) AS cu FROM
+                      (SELECT UNNEST(t) AS term FROM toks) GROUP BY term),
+            bi AS (SELECT t[i + 1] AS w1, t[i + 2] AS w2
+                   FROM (SELECT t, UNNEST(RANGE(0, LEN(t) - 1)) AS i
+                         FROM toks WHERE LEN(t) >= 2)),
+            cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+                   HAVING COUNT(*) >= 5),
+            tot AS (SELECT (SELECT SUM(cu) FROM uni) AS t,
+                           (SELECT COUNT(*) FROM bi) AS bt)
+            SELECT w1, w2, c12 AS pair_count,
+              ROUND(LN((CAST(c12 AS DOUBLE) / CAST(bt AS DOUBLE)) /
+                ((CAST(u1.cu AS DOUBLE) / CAST(t AS DOUBLE)) *
+                 (CAST(u2.cu AS DOUBLE) / CAST(t AS DOUBLE)))), 6) AS pmi
+            FROM cb JOIN uni u1 ON u1.term = w1
+                    JOIN uni u2 ON u2.term = w2
+                    CROSS JOIN tot
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 40"""))
+
   /** Per-source mixture report with language-distribution entropy.
     * Entropy via the algebraic form ln N - Σ n ln n / N so both engines
     * evaluate the same expression tree; rounded to 6 decimals.
@@ -4546,7 +4581,7 @@ object CurationQueries {
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
     textJaroWinkler, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
-    corpusTopNgrams, corpusSourceReport, corpusLengthHist, corpusDupRate,
+    corpusTopNgrams, corpusPmi, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,
     corpusQuantiles, corpusWinsorize, corpusProfile,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,

@@ -319,6 +319,20 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("topPmiBigrams: hand-computed PMI, minCount floor, deterministic cut") {
+    import spark.implicits._
+    // tokens T=9, bigrams B=6; (new,york) c=2, cu(new)=2, cu(york)=2
+    // PMI = ln((2/6)/((2/9)·(2/9))) = ln(6.75)
+    val df = Seq((1L, "new york is big"), (2L, "new york city"), (3L, "big city"))
+      .toDF("doc_id", "text")
+    val got = Corpus.topPmiBigrams(df, "text", "doc_id", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("new", "york", 2L, r6(math.log(6.75)))),
+      s"got ${got.toSeq}")
+  }
+
   test("globalRowNumber: equals the single-reducer definition, ties, skew, repartition") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
