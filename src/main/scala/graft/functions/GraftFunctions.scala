@@ -60,6 +60,8 @@ object GraftFunctions {
       es => TextExprs.StripAccents(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",
       es => TextExprs.JaroWinkler(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("porter_stem",
+      es => TextExprs.PorterStem(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow",
       es => TextExprs.Winnow(es(0), intArg(es(1), "winnow k"),
         intArg(es(2), "winnow w")), "scala_udf")

@@ -189,6 +189,149 @@ object TextExprs {
   def jaroWinkler(l: Column, r: Column): Column =
     GraftShim.column(JaroWinkler(GraftShim.expression(l), GraftShim.expression(r)))
 
+  /** Runtime kernel for [[PorterStem]] — the original Porter algorithm
+    * (Porter, "An algorithm for suffix stripping", Program 14(3), 1980),
+    * implemented from the paper's rule tables: measure-conditioned
+    * suffix stripping in five steps (plurals/participles → y→i →
+    * long-suffix map → -ful/-ness class → -al/-ment class → final -e /
+    * double-l cleanup). ASCII lowercase in, stem out; words shorter
+    * than 3 chars and non-lowercase-ASCII input return unchanged (the
+    * tokenizer upstream already lowercases — anything else is not a
+    * word this stemmer has semantics for). Verified against the
+    * paper's own examples (caresses→caress, motoring→motor,
+    * generalizations→gener, …) in SqlSurfaceSpec.
+    */
+  def porterStem(s: UTF8String): UTF8String = {
+    val w0 = s.toString
+    if (w0.length < 3) return s
+    var i = 0
+    while (i < w0.length) {
+      val c = w0.charAt(i)
+      if (c < 'a' || c > 'z') return s
+      i += 1
+    }
+    var w = w0
+
+    def isVowelAt(str: String, idx: Int): Boolean = str.charAt(idx) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => true
+      case 'y' => idx > 0 && !isVowelAt(str, idx - 1)
+      case _ => false
+    }
+    // measure m of the stem: number of VC transitions in [C](VC)^m[V]
+    def measure(str: String): Int = {
+      var m = 0
+      var idx = 0
+      var prevV = false
+      while (idx < str.length) {
+        val v = isVowelAt(str, idx)
+        if (prevV && !v) m += 1
+        prevV = v
+        idx += 1
+      }
+      m
+    }
+    def containsVowel(str: String): Boolean =
+      (0 until str.length).exists(isVowelAt(str, _))
+    def endsDoubleC(str: String): Boolean =
+      str.length >= 2 && str.charAt(str.length - 1) == str.charAt(str.length - 2) &&
+        !isVowelAt(str, str.length - 1)
+    // *o: stem ends cvc where the final c is not w, x or y
+    def endsCvc(str: String): Boolean = {
+      val n = str.length
+      n >= 3 && !isVowelAt(str, n - 3) && isVowelAt(str, n - 2) &&
+        !isVowelAt(str, n - 1) && {
+          val c = str.charAt(n - 1); c != 'w' && c != 'x' && c != 'y'
+        }
+    }
+    def stemOf(suffix: String): String = w.substring(0, w.length - suffix.length)
+
+    // Step 1a
+    if (w.endsWith("sses")) w = stemOf("es")
+    else if (w.endsWith("ies")) w = stemOf("es")
+    else if (w.endsWith("ss")) ()
+    else if (w.endsWith("s")) w = stemOf("s")
+    // Step 1b
+    var fired1b = false
+    if (w.endsWith("eed")) { if (measure(stemOf("eed")) > 0) w = stemOf("d") }
+    else if (w.endsWith("ed") && containsVowel(stemOf("ed"))) {
+      w = stemOf("ed"); fired1b = true
+    } else if (w.endsWith("ing") && containsVowel(stemOf("ing"))) {
+      w = stemOf("ing"); fired1b = true
+    }
+    if (fired1b) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+      else if (endsDoubleC(w) && !"lsz".contains(w.charAt(w.length - 1)))
+        w = w.substring(0, w.length - 1)
+      else if (measure(w) == 1 && endsCvc(w)) w = w + "e"
+    }
+    // Step 1c
+    if (w.endsWith("y") && containsVowel(w.substring(0, w.length - 1)))
+      w = w.substring(0, w.length - 1) + "i"
+    // Step 2 (m > 0), longest-match order per the paper's table
+    val step2 = Seq(
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+      "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+      "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+      "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    step2.sortBy(-_._1.length)
+      .find { case (suf, _) => w.endsWith(suf) }
+      .foreach { case (suf, rep) =>
+        if (measure(stemOf(suf)) > 0) w = stemOf(suf) + rep
+      }
+    // Step 3 (m > 0)
+    val step3 = Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
+      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
+    step3.sortBy(-_._1.length)
+      .find { case (suf, _) => w.endsWith(suf) }
+      .foreach { case (suf, rep) =>
+        if (measure(stemOf(suf)) > 0) w = stemOf(suf) + rep
+      }
+    // Step 4 (m > 1; -ion additionally needs the stem to end s or t)
+    val step4 = Seq("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+      "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous",
+      "ive", "ize")
+    step4.sortBy(-_.length)
+      .find(w.endsWith(_))
+      .foreach { suf =>
+        val st = stemOf(suf)
+        val ok = measure(st) > 1 &&
+          (suf != "ion" || (st.nonEmpty &&
+            (st.charAt(st.length - 1) == 's' || st.charAt(st.length - 1) == 't')))
+        if (ok) w = st
+      }
+    // Step 5a
+    if (w.endsWith("e")) {
+      val st = stemOf("e")
+      val m = measure(st)
+      if (m > 1 || (m == 1 && !endsCvc(st))) w = st
+    }
+    // Step 5b
+    if (measure(w) > 1 && endsDoubleC(w) && w.endsWith("l"))
+      w = w.substring(0, w.length - 1)
+
+    if (w == w0) s else UTF8String.fromString(w)
+  }
+
+  /** Porter stem of a lowercase word; null-preserving. */
+  case class PorterStem(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "porter_stem"
+
+    override def nullSafeEval(s: Any): Any =
+      porterStem(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.porterStem($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): PorterStem =
+      copy(child = newChild)
+  }
+
+  def porterStemCol(c: Column): Column =
+    GraftShim.column(PorterStem(GraftShim.expression(c)))
+
   /** Runtime kernel for [[Winnow]]: winnowing fingerprint selection over
     * an already-normalized string, bit-identical to the HOF/oracle
     * definition (md5-prefix int64 gram hashes over code-point k-grams,

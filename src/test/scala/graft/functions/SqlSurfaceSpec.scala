@@ -117,6 +117,40 @@ class SqlSurfaceSpec extends SparkTestBase {
       .forall { case (x, y) => close(x, y) })
   }
 
+  test("porter_stem: paper vectors end-to-end, guards, SQL parity") {
+    GraftFunctions.register(spark)
+    // end-to-end expectations from the official Porter vocabulary output
+    // (per-step paper examples differ: e.g. step 1b alone maps agreed →
+    // agree, but the full run's 5a then drops the e → agre)
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+      "plastered" -> "plaster", "motoring" -> "motor", "sing" -> "sing",
+      "hopping" -> "hop", "falling" -> "fall", "hissing" -> "hiss",
+      "failing" -> "fail", "filing" -> "file", "happy" -> "happi",
+      "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "oscillators" -> "oscil",
+      "generalizations" -> "gener", "electricity" -> "electr",
+      "roll" -> "roll", "sized" -> "size", "troubled" -> "troubl",
+      "adjustable" -> "adjust", "replacement" -> "replac",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      // guards: short, non-ascii, non-lowercase pass through unchanged
+      "is" -> "is", "café" -> "café", "Cats" -> "Cats")
+    val df = vectors.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "w")
+    val got = df.select(col("id"), TextExprs.porterStemCol(col("w")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    vectors.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"stem($in) = ${got(i.toLong)}, want $want")
+    }
+    val n = df.select(TextExprs.porterStemCol(lit(null).cast("string"))).collect()
+    assert(n.head.isNullAt(0))
+    df.createOrReplaceTempView("stem_t")
+    val viaSql = spark.sql("SELECT porter_stem(w) FROM stem_t WHERE id = 20")
+      .collect().head.getString(0)
+    assert(viaSql == "gener")
+  }
+
   test("winnow: SQL surface matches the Column API and the ops wrapper") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "A do run run run, a do run run"),
