@@ -43,5 +43,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("locscaleb", "locscaleb(x, k, logt) - LocScaleB robust outlier bounds"),
       (es: Seq[Expression]) => Bounds.LocScaleBAgg(Cast(es(0), DoubleType),
         GraftFunctions.doubleLit(es(1)), GraftFunctions.boolLit(es(2)))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonicalization"),
+      (es: Seq[Expression]) => TextExprs.NfcNormalize(es(0))))
+    e.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(s) - diacritic fold (NFC∘drop-Mn∘NFD)"),
+      (es: Seq[Expression]) => TextExprs.StripAccents(es(0))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+      (es: Seq[Expression]) => TextExprs.JaroWinkler(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("porter_stem"),
+      info("porter_stem", "porter_stem(w) - Porter stem of a lowercase word"),
+      (es: Seq[Expression]) => TextExprs.PorterStem(es(0))))
   }
 }

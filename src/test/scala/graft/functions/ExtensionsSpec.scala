@@ -31,6 +31,15 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT locscaleb(v, 2.0, false) AS b FROM VALUES (1.0),(2.0),(3.0) AS t(v)")
         .select("b.median").collect().head.getDouble(0)
       assert(agg == 2.0)
+      val txt = spark.sql(
+        """SELECT strip_accents('café') AS a,
+                  jaro_winkler('martha', 'marhta') AS j,
+                  porter_stem('generalizations') AS p,
+                  nfc_normalize('cafe' || decode(unhex('CC81'), 'UTF-8')) AS n""").collect().head
+      assert(txt.getString(0) == "cafe")
+      assert(math.abs(txt.getDouble(1) - 0.9611111111111111) < 1e-12)
+      assert(txt.getString(2) == "gener")
+      assert(txt.getString(3).length == 4) // combining acute composed away
     } finally {
       // restore the shared session as default for the other suites
       SparkSession.setDefaultSession(base)

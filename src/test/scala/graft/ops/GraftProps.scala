@@ -311,4 +311,37 @@ object GraftProps extends Properties("graft") {
           }
       }
     }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // random strings over a 3-letter alphabet, lengths straddling the
+  // short/long route split (lmin = 9 at q=3, d=2) with heavy duplicates —
+  // the regime where both the rarity-prefix pigeonhole and the
+  // distinct-value expansion must stay complete
+  private val edWord: Gen[String] = for {
+    n <- Gen.chooseNum(1, 14)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  property("editDistancePairs equals the naive all-pairs definition") =
+    forAll(Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, edWord))) { words =>
+      val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "s", "id",
+          maxDist = 2, q = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib
+        d = levRef(va, vb)
+        if d <= 2
+      } yield (ia, ib, d)).toSet
+      got == want
+    }
 }
