@@ -136,6 +136,14 @@ object Bench {
     // fixed task count would multi-wave on smaller sessions and read as
     // phantom contention against the absolute baseline
     val slots = spark.sparkContext.defaultParallelism
+    // drain residual GC debt BEFORE the clock starts: a just-finished
+    // heavy query (sf30's 60k-vector scans above all) leaves the heap
+    // full, and the collector then runs DURING the constant-work probe —
+    // measured 2.0 s calibration points right after the sf30 embedding
+    // queries on an idle host, 5-8× the clean cost, flagging the
+    // section contended when the only "contention" was our own trailing
+    // GC. The collect is untimed, so it costs budget, never accuracy.
+    System.gc()
     val t0 = System.nanoTime()
     val sink = spark.sparkContext.parallelize(1 to slots, slots).map { seed =>
       var x = 0x9e3779b97f4a7c15L + seed
@@ -171,18 +179,24 @@ object Bench {
   private def calibEvery: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "16").toInt)
 
-  /** A calibration point ran hot when it exceeds the smaller of 2× the
-    * run's best point (the SPIKE arm — way above the run's own floor)
-    * and 1.5× the absolute idle baseline (the UNIFORM arm — see
-    * [[calibBaseline]]: a run where every point is slow self-compares
-    * clean on the spike arm alone). The spike arm is 2×, not 1.5×: the
-    * constant-work job's own clean jitter spans ~0.24–0.52 s within one
-    * run (measured r10 on an idle host), so 1.5× of a low best point
-    * flagged ordinary jitter as contention — 77 phantom suspects and
-    * every pass "contended" on an idle machine.
+  /** A calibration point ran hot when it exceeds the smaller of the
+    * SPIKE arm — 2× the run's best point, floored at [[calibBaseline]] —
+    * and the UNIFORM arm, 1.5× the absolute idle baseline (a run where
+    * every point is slow self-compares clean on the spike arm alone).
+    * The spike arm is 2×, not 1.5×: the constant-work job's own clean
+    * jitter spans ~0.24–0.52 s within one run (measured r10 on an idle
+    * host), so 1.5× of a low best point flagged ordinary jitter as
+    * contention — 77 phantom suspects and every pass "contended" on an
+    * idle machine. The FLOOR is the round-11 correction to the same
+    * failure on a fast host: a session whose floor ran 0.20 s put the
+    * spike threshold at 0.40, inside the jitter band again (an sf1
+    * section flagged contended on a 0.404 s point — 2× its own floor
+    * but under half the committed idle baseline). A point below the
+    * absolute idle cost cannot be contention evidence, whatever the
+    * run's floor was.
     */
   private def isHot(c: Double, runBest: Double): Boolean =
-    c > math.min(2.0 * runBest, 1.5 * calibBaseline)
+    c > math.min(math.max(2.0 * runBest, calibBaseline), 1.5 * calibBaseline)
 
   /** A 1-minute loadavg read immediately BEFORE a sample counts as high
     * when it exceeds a third of the host's cores. This is the second,

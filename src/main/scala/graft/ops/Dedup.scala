@@ -1405,6 +1405,23 @@ object Dedup {
     df.join(h(losers), Seq(idCol), "left_anti")
   }
 
+  /** Keep-one for the edit-distance family ([[editDistancePairs]] →
+    * connected components → drop non-minimum cluster members) — the
+    * [[nearDupSurvivors]] composition at character granularity: collapse
+    * typo/OCR/slug variant clusters to their minimum id. Same ceiling
+    * discipline for the loser anti-join.
+    */
+  def editDistanceSurvivors(df: DataFrame, strCol: String, idCol: String,
+                            maxDist: Int = 2, q: Int = 3): DataFrame = {
+    val pairs = editDistancePairs(df, strCol, idCol, maxDist, q)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val losers = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    val h = adaptivePin(pairs.count() <= pairCeiling(df))
+    df.join(h(losers), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff
     * the sum over tokens of sign(bit j of xxhash64(token)) is positive.
     * Pure expressions: per-bit vote via aggregate HOF.

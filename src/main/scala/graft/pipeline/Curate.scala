@@ -55,6 +55,7 @@ object Curate {
             decontaminateN: Int = 8,
             decontaminateMinShared: Long = 1L,
             nfcNormalize: Boolean = false,
+            foldAccents: Boolean = false,
             stripSpanK: Int = 0,
             stripLineDups: Boolean = false,
             urlCol: Option[String] = None,
@@ -79,10 +80,17 @@ object Curate {
     // Optional Unicode canonicalization FIRST: every downstream content
     // hash (exact-dedup digest, shingle hashes, split fingerprint) keys
     // on bytes, so byte-variant spellings of identical text must collapse
-    // before any of them run. Default off: the gates' corpora are ASCII
-    // and the stage must stay byte-identical to its oracles.
+    // before any of them run. `foldAccents` is the stronger fold
+    // (NFC∘drop-Mn∘NFD — café and cafe share one dedup bucket) and
+    // SUBSUMES nfcNormalize: its output is already NFC-composed, so when
+    // both flags are set only the fold runs. Default off: the gates'
+    // corpora are ASCII and the stage must stay byte-identical to its
+    // oracles.
     val canon =
-      if (nfcNormalize)
+      if (foldAccents)
+        sourceScreened.withColumn(textCol,
+          graft.functions.TextExprs.stripAccents(col(textCol)))
+      else if (nfcNormalize)
         sourceScreened.withColumn(textCol,
           graft.functions.TextExprs.nfcNormalize(col(textCol)))
       else sourceScreened

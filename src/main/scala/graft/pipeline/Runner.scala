@@ -113,6 +113,7 @@ object Runner {
       decontaminateN = c.decontaminateN,
       decontaminateMinShared = c.decontaminateMinShared,
       nfcNormalize = c.nfcNormalize,
+      foldAccents = c.foldAccents,
       stripSpanK = c.stripSpanK,
       stripLineDups = c.stripLineDups,
       urlCol = c.urlCol,

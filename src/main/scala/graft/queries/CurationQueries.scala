@@ -562,6 +562,64 @@ object CurationQueries {
               AND (vp.sa <> vp.sb OR x.doc_id < y.doc_id)
             ORDER BY id_a, id_b"""))
 
+  /** Edit-distance keep-one ([[graft.ops.Dedup.editDistanceSurvivors]]):
+    * variant clusters from the same planted column as
+    * `q_dedup_editdist_pairs` collapse to their minimum id — the long
+    * groups chain v0–v1–v2–v3 through ≤2-distance links, and the whole
+    * micro-string vocabulary ('id0'…'id9', all within one substitution)
+    * forms a single corpus-wide cluster. The oracle recomputes the pair
+    * DEFINITION, closes it transitively with a recursive CTE, and keeps
+    * non-losers.
+    */
+  val dedupEditDistKeep = Q("q_dedup_editdist_keep",
+    (s, dir) => {
+      val g = pmod(col("doc_id"), lit(50))
+      val v = pmod(floor(col("doc_id") / lit(50)).cast(LongType), lit(5))
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(v === 4, concat(lit("id"), pmod(g, lit(10)).cast(StringType)))
+          .otherwise(concat(lit("doc "), md5(g.cast(StringType)),
+            when(v === 1, lit("x")).when(v === 2, lit("xy"))
+              .when(v === 3, lit("xyz")).otherwise(lit("")))).as("s"))
+      Dedup.editDistanceSurvivors(planted, "s", "doc_id", maxDist = 2, q = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH strs AS (
+              SELECT doc_id,
+                CASE WHEN CAST(FLOOR(doc_id / 50) AS BIGINT) % 5 = 4
+                     THEN 'id' || CAST((doc_id % 50) % 10 AS VARCHAR)
+                     ELSE 'doc ' || MD5(CAST(doc_id % 50 AS VARCHAR)) ||
+                          CASE CAST(FLOOR(doc_id / 50) AS BIGINT) % 5
+                            WHEN 1 THEN 'x' WHEN 2 THEN 'xy'
+                            WHEN 3 THEN 'xyz' ELSE '' END
+                END AS s
+              FROM documents),
+            vals AS (SELECT DISTINCT s FROM strs),
+            vp AS (
+              SELECT a.s AS sa, b.s AS sb
+              FROM vals a JOIN vals b
+                ON a.s <= b.s AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 2
+              WHERE LEVENSHTEIN(a.s, b.s) <= 2),
+            pairs AS (
+              SELECT LEAST(x.doc_id, y.doc_id) AS id_a,
+                     GREATEST(x.doc_id, y.doc_id) AS id_b
+              FROM vp JOIN strs x ON x.s = vp.sa
+                      JOIN strs y ON y.s = vp.sb
+              WHERE x.doc_id <> y.doc_id
+                AND (vp.sa <> vp.sb OR x.doc_id < y.doc_id)),
+            ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM ed),
+            reach AS (
+              WITH RECURSIVE r(n, m) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.n, ed.b FROM r JOIN ed ON ed.a = r.m)
+              SELECT n, MIN(m) AS label FROM r GROUP BY n),
+            losers AS (SELECT n FROM reach WHERE label <> n)
+            SELECT doc_id, s FROM strs
+            WHERE doc_id NOT IN (SELECT n FROM losers)
+            ORDER BY doc_id"""))
+
   /** MinHash(128) + LSH(64 bands × 2 rows) candidate pairs over word-3
     * shingles, verified with exact Jaccard ≥ 0.5. Banding chosen for
     * near-certain recall at the threshold (miss prob (1-j²)⁶⁴ ≈ 1e-8 at
@@ -4562,6 +4620,7 @@ object CurationQueries {
     dedupDecontaminate, dedupDecontaminateEmbed,
     dedupContainment, dedupSubstring, dedupSubstringStrip,
     dedupLineStats, dedupLineStrip, dedupJaccard, dedupEditDist,
+    dedupEditDistKeep,
     dedupMinhash, dedupMinhashAuto, dedupSimhash,
     dedupClusters, dedupCosine, dedupCosineLsh, dedupCosineLshAuto,
     dedupSemdedup,

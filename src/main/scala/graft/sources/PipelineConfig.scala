@@ -24,6 +24,7 @@ object PipelineConfig {
     */
   case class CurationConf(jaccardThreshold: Double, minTokens: Long,
                           maxTokens: Long, nfcNormalize: Boolean,
+                          foldAccents: Boolean,
                           stripSpanK: Int, maxShingleDocFreq: Long,
                           urlCol: Option[String] = None,
                           blockedDomains: Seq[String] = Nil,
@@ -63,6 +64,7 @@ object PipelineConfig {
       getDouble("curation.min_tokens").map(_.toLong).getOrElse(30L),
       getDouble("curation.max_tokens").map(_.toLong).getOrElse(200L),
       getBoolean("curation.nfc_normalize").getOrElse(false),
+      getBoolean("curation.fold_accents").getOrElse(false),
       getDouble("curation.strip_span_k").map(_.toInt).getOrElse(0),
       getDouble("curation.max_shingle_doc_freq").map(_.toLong).getOrElse(0L),
       getString("curation.url_col"),

@@ -97,6 +97,43 @@ object StageIO {
     }
   }
 
+  /** Small-file compaction: rewrite a stage table into
+    * ⌈bytes / targetFileBytes⌉ parquet files — the operational cure for
+    * the incremental-append pattern ([[appendDedup]] adds a file set per
+    * batch; a year of daily batches is 365× the file count the scan
+    * planner, the NameNode-equivalent, and the footer-reading driver
+    * each pay for). Size comes from the FILESYSTEM (summed file
+    * lengths), not Catalyst's row estimate — compressed bytes are what
+    * file-count targeting is about.
+    *
+    * Write-ahead discipline: the compacted copy lands in a `.compact`
+    * sibling first and only then swaps into place (delete + rename) — a
+    * crash mid-write leaves the original table intact, never a
+    * half-written overwrite (the same tmp-then-rename contract the
+    * streaming sketch sinks use). NOT atomic for concurrent READERS
+    * during the swap window — run it when the table is quiet, like any
+    * compaction.
+    *
+    * `repartition(n)` (round-robin), not `coalesce(n)`: coalesce chains
+    * input files onto ≤ n tasks WITHOUT a shuffle, so one task can
+    * inherit most of the bytes (the skew this op exists to fix);
+    * round-robin pays one shuffle for even output files.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+  }
+
   /** S4: scan a stage table. */
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

@@ -1063,6 +1063,19 @@ class DedupSpec extends SparkTestBase {
       s"missing=${(naive -- got).toSeq.sorted} extra=${(got -- naive).toSeq.sorted}")
   }
 
+  test("editDistanceSurvivors: variant chains collapse to min id, isolates survive") {
+    val rows = Seq(
+      (1L, "abcdefghijkl"), (2L, "abcdefghijklx"), (3L, "abcdefghijklxyz"),
+      // 1-2 dist 1, 2-3 dist 2, 1-3 dist 3: one chain-connected cluster
+      (4L, "zyxwvutsrqpo"),                    // isolated long
+      (7L, "cat"), (8L, "cap"), (9L, "cup"),   // chain at distance 1 each
+      (10L, "unrelatedstring"))
+      .toDF("id", "s")
+    val ids = Dedup.editDistanceSurvivors(rows, "s", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L, 7L, 10L), s"got $ids")
+  }
+
   test("editDistancePairs above the ceilings: pinned fan-out, no corpus broadcast") {
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))

@@ -316,6 +316,19 @@ class PipelineSpec extends SparkTestBase {
     // different é-shingles -> both survive
     assert(Curate(nfcDocs, jaccardThreshold = 1.0).collect()
       .map(_.getLong(0)).toSet == Set(11L, 12L))
+    // accent fold: the STRONGER collapse — café (either spelling) and
+    // plain cafe share one digest; subsumes NFC, so all three variants
+    // dedup to the minimum id
+    val foldDocs = Seq(
+      (21L, s"$filler visit cafe corner"),
+      (22L, s"$filler visit $composed corner"),
+      (23L, s"$filler visit $decomposed corner"))
+      .toDF("doc_id", "text")
+    assert(Curate(foldDocs, jaccardThreshold = 1.0, foldAccents = true).collect()
+      .map(_.getLong(0)).toSet == Set(21L))
+    // NFC alone collapses the two é spellings but keeps cafe distinct
+    assert(Curate(foldDocs, jaccardThreshold = 1.0, nfcNormalize = true).collect()
+      .map(_.getLong(0)).toSet == Set(21L, 22L))
   }
 
   test("curate: optional line-dedup stage strips the shared footer line, keep-first") {

@@ -203,11 +203,15 @@ class SourcesSpec extends SparkTestBase {
         |""".stripMargin)
     val c = conf.curationConf
     assert(c.jaccardThreshold == 0.35 && c.stripSpanK == 8 && c.nfcNormalize)
+    assert(!c.foldAccents) // absent -> off
+    val fold = PipelineConfig.parse(
+      "default:\n  curation:\n    fold_accents: true\n").curationConf
+    assert(fold.foldAccents)
     assert(c.minTokens == 30L && c.maxTokens == 200L && c.maxShingleDocFreq == 0L)
     // no curation section at all -> exactly the Curate(docs) defaults
     val empty = PipelineConfig.parse("default:\n  other: 1\n")
     assert(empty.curationConf ==
-      PipelineConfig.CurationConf(0.2, 30L, 200L, false, 0, 0L))
+      PipelineConfig.CurationConf(0.2, 30L, 200L, false, false, 0, 0L))
     // domain-screen knobs: url column + a YAML list of blocked domains
     val dom = PipelineConfig.parse(
       """default:
@@ -255,6 +259,32 @@ class SourcesSpec extends SparkTestBase {
     val ln = PipelineConfig.parse(
       "default:\n  curation:\n    strip_line_dups: true\n").curationConf
     assert(ln.stripLineDups && !empty.curationConf.stripLineDups)
+  }
+
+  test("compact: fragmented table rewrites to the targeted file count, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 24 single-row appends -> 24+ tiny parquet files
+    (1 to 24).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .write.mode("append").parquet(dir)
+    }
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 24)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // ~4 KB per tiny file; an 8 KB target must land well under the input
+    // file count and the table must read back identical
+    StageIO.compact(spark, dir, targetFileBytes = 8L * 1024)
+    val after = files()
+    assert(after < before, s"compacted $before -> $after files")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == beforeRows)
+    assert(!new java.io.File(dir + ".compact").exists(), "tmp dir must be swapped away")
+    // idempotent on an already-compact table (big target -> 1 file)
+    StageIO.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(files() == 1)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == beforeRows)
   }
 
   test("S8: add_version stamps timestamp + short sha") {
