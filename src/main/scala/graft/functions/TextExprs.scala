@@ -4,9 +4,9 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** String-normalization Catalyst expressions for text-pipeline hygiene.
@@ -188,6 +188,95 @@ object TextExprs {
 
   def jaroWinkler(l: Column, r: Column): Column =
     GraftShim.column(JaroWinkler(GraftShim.expression(l), GraftShim.expression(r)))
+
+  /** Aho–Corasick automaton over a fixed pattern set — built ONCE on the
+    * driver, shipped to executors as a reference object inside the
+    * expression (torrent-broadcast with the task binary, like the bloom
+    * probe), matched in O(|text| + matches) per row. The blocklist/
+    * lexicon screen at scale: a thousand-term bad-word list as a regex
+    * alternation compiles into a backtracking monster and as a per-term
+    * `contains` loop costs O(|text|·terms); the automaton walks each
+    * character once whatever the dictionary size.
+    *
+    * Case-sensitive, overlapping matches counted once per pattern
+    * (the probe answers "which patterns occur", not "where").
+    */
+  final class AhoCorasick(patterns: Seq[String]) extends Serializable {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "AhoCorasick needs non-empty patterns")
+    private val pats = patterns.distinct.sorted.toArray
+    // goto/fail/output over a growable trie; child maps are per-node
+    // hash maps — dictionary-sized state, built once per JVM
+    private val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    private val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Set.empty[Int])
+    pats.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { ch =>
+        node = children(node).getOrElseUpdate(ch, {
+          children += scala.collection.mutable.Map.empty[Char, Int]
+          out += scala.collection.mutable.Set.empty[Int]
+          children.length - 1
+        })
+      }
+      out(node) += pi
+    }
+    private val fail = new Array[Int](children.length)
+    locally { // BFS failure links; merge output sets along them
+      val q = scala.collection.mutable.Queue.empty[Int]
+      children(0).values.foreach { c => fail(c) = 0; q += c }
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        children(u).foreach { case (ch, v) =>
+          var f = fail(u)
+          while (f != 0 && !children(f).contains(ch)) f = fail(f)
+          fail(v) = children(f).get(ch).filter(_ != v).getOrElse(0)
+          out(v) ++= out(fail(v))
+          q += v
+        }
+      }
+    }
+    /** Sorted distinct matched patterns in `text`. */
+    def matchedIn(text: String): Array[String] = {
+      val hits = scala.collection.mutable.SortedSet.empty[Int]
+      var node = 0
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        while (node != 0 && !children(node).contains(ch)) node = fail(node)
+        node = children(node).getOrElse(ch, 0)
+        if (out(node).nonEmpty) hits ++= out(node)
+        i += 1
+      }
+      hits.toArray.map(pats)
+    }
+  }
+
+  /** `multi_match(text)` for a FIXED pattern list: the sorted distinct
+    * patterns occurring as substrings. CodegenFallback like the bloom
+    * probe — the automaton walk is library code; one virtual call per
+    * row against an O(text)-time matcher beats codegen'd O(text·terms).
+    */
+  case class MultiMatch(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "multi_match"
+
+    @transient private lazy val ac = new AhoCorasick(patterns)
+
+    override def nullSafeEval(s: Any): Any =
+      new GenericArrayData(
+        ac.matchedIn(s.asInstanceOf[UTF8String].toString)
+          .map(UTF8String.fromString): Array[Any])
+
+    override protected def withNewChildInternal(newChild: Expression): MultiMatch =
+      copy(child = newChild)
+  }
+
+  def multiMatch(c: Column, patterns: Seq[String]): Column =
+    GraftShim.column(MultiMatch(GraftShim.expression(c), patterns))
 
   /** Runtime kernel for [[PorterStem]] — the original Porter algorithm
     * (Porter, "An algorithm for suffix stripping", Program 14(3), 1980),

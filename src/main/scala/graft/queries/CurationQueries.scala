@@ -4029,6 +4029,39 @@ object CurationQueries {
           FROM documents ORDER BY doc_id"""
     })
 
+  /** Aho–Corasick multi-pattern screen ([[graft.functions.TextExprs
+    * .multiMatch]]): which lexicon terms occur in each doc, one automaton
+    * walk per row — the thousand-term blocklist screen a regex
+    * alternation or per-term contains loop can't afford. The pattern
+    * set mixes single tokens, multi-word phrases, overlapping patterns
+    * (one a substring of another — both must report), and absent terms;
+    * the oracle is the semantic definition (substring containment per
+    * term), deliberately not an automaton.
+    */
+  val textMultiMatch = Q("q_text_multi_match",
+    (s, dir) => {
+      val terms = Seq("spark", "join", "merge batch", "window", "windowed",
+        "hash", "quantum", "zzz never present", "att", "batch")
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextExprs.multiMatch(col("text"), terms).as("__m"))
+        .select(col("doc_id"),
+          array_join(col("__m"), ",").as("matched"),
+          size(col("__m")).cast(LongType).as("n_matched"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              -- LIST_SORT([]) is NULL in DuckDB; matchless docs must
+              -- compare equal to Spark's empty string
+              COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+                ['spark', 'join', 'merge batch', 'window', 'windowed',
+                 'hash', 'quantum', 'zzz never present', 'att', 'batch'],
+                t -> CONTAINS(text, t))), ','), '') AS matched,
+              CAST(LEN(LIST_FILTER(
+                ['spark', 'join', 'merge batch', 'window', 'windowed',
+                 'hash', 'quantum', 'zzz never present', 'att', 'batch'],
+                t -> CONTAINS(text, t))) AS BIGINT) AS n_matched
+            FROM documents ORDER BY doc_id"""))
+
   /** Corpus-wide top-50 bigrams by occurrence — boilerplate mining.
     * Oracle recomputes the identical count + deterministic tie-break.
     */
@@ -4638,7 +4671,7 @@ object CurationQueries {
     textUnigramPpl,
     textBigramPpl, textKneserNey, textBm25, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
-    textJaroWinkler, textHtmlStrip, curateTokenIds,
+    textJaroWinkler, textMultiMatch, textHtmlStrip, curateTokenIds,
     bpeTrain, bpeEncode,
     corpusTopNgrams, corpusPmi, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,

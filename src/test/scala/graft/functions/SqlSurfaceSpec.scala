@@ -117,6 +117,29 @@ class SqlSurfaceSpec extends SparkTestBase {
       .forall { case (x, y) => close(x, y) })
   }
 
+  test("multi_match: Aho-Corasick failure links, overlaps, empties, naive parity") {
+    val pats = Seq("he", "she", "his", "hers", "ushe")
+    val texts = Seq(
+      (1L, "ushers"),     // the classic: she, he (inside ushers), hers, ushe
+      (2L, "this"),       // his via failure transition from t
+      (3L, ""),           // empty text
+      (4L, "xyz"),        // no matches
+      (5L, "shehehers"))
+    val df = texts.toDF("id", "t")
+    val got = df.select(col("id"),
+      TextExprs.multiMatch(col("t"), pats).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // naive reference: substring containment per pattern, sorted
+    val naive = texts.map { case (id, t) =>
+      id -> pats.filter(t.contains).sorted.toList }.toMap
+    assert(got == naive, s"got $got want $naive")
+    assert(got(1L) == List("he", "hers", "she", "ushe"))
+    assert(got(2L) == List("his"))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    val n = df.select(TextExprs.multiMatch(lit(null).cast("string"), pats)).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("porter_stem: paper vectors end-to-end, guards, SQL parity") {
     GraftFunctions.register(spark)
     // end-to-end expectations from the official Porter vocabulary output
