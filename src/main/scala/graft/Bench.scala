@@ -327,6 +327,8 @@ object Bench {
     "q_bpe_train",                // distributed BPE trainer
     "q_mm_jpeg_pixels",           // pure-JVM codec representative
     "q_corpus_hll_distinct",      // sketch representative
+    "q_dedup_editdist_pairs",     // fuzzy family (rarity-prefix join)
+    "q_graph_triangles",          // graph family (degree orientation)
     "q_a1_tumbling_10min")        // reference-surface aggregation
 
   /** Scale-section picks for the digest: the sf1 bloom-vs-plain pair is
@@ -410,7 +412,10 @@ object Bench {
     "q_dedup_line_strip",             // line-level keep-first
     "q_curate_e2e_scale",             // the composed pipeline
     "q_bpe_train",                    // word-type-table rounds: ~flat at 30×
-    "q_dedup_winnow_pairs")           // capped fingerprint pair join
+    "q_dedup_winnow_pairs",           // capped fingerprint pair join
+    // round-11: the rarity-prefix candidate join at 30× — evidences the
+    // Σ df_full·df_prefix bound where a plain gram index goes df²
+    "q_dedup_editdist_pairs")
 
   /** Daemon timer backing the per-sample watchdog ([[runOnce]]). */
   private lazy val watchdogTimer =

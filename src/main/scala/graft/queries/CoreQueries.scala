@@ -527,6 +527,37 @@ object CoreQueries {
             GROUP BY p_brand
             ORDER BY p_brand"""))
 
+  /** Batch twin of the stream-stream time-bounded join ([[graft
+    * .streaming.TrackStream.intervalJoinStreamStream]] — same transform
+    * both modes, TrackStreamSpec pins streaming ≡ batch; this gate pins
+    * the batch side to a DuckDB oracle, closing the loop): per sparse
+    * "landing" event, how many tracker events of the same user fall
+    * within ±10 minutes.
+    */
+  val joinStreamIntervalTwin = Q("q_join_stream_interval_twin",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val l = e.filter(pmod(col("event_id"), lit(10)) === 0)
+      val r = e.filter(pmod(col("event_id"), lit(10)) =!= 0)
+      val joined = graft.streaming.TrackStream
+        .intervalJoinStreamStream(l, r, "user_id", "ts")
+      val counts = joined.groupBy("event_id").agg(count(lit(1)).as("n_matches"))
+      l.select("event_id")
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events WHERE event_id % 10 = 0),
+                 r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events WHERE event_id % 10 <> 0)
+            SELECT l.event_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_matches
+            FROM l LEFT JOIN r ON l.user_id = r.user_id
+              AND r.ts >= l.ts - INTERVAL '10 minutes'
+              AND r.ts <= l.ts + INTERVAL '10 minutes'
+            GROUP BY l.event_id ORDER BY l.event_id"""))
+
   /** Global consecutive row numbering ([[graft.ops.Corpus
     * .globalRowNumber]]): 1..N in (n_chars, doc_id) order WITHOUT a
     * global sort — exact-quantile range buckets + per-bucket parallel
@@ -740,5 +771,5 @@ object CoreQueries {
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
     rangeJoin, intervalOverlap, joinSalted, so3Union, soExceptIntersect,
-    soGlobalRowNumber, scd2Intervals, so6Complete)
+    joinStreamIntervalTwin, soGlobalRowNumber, scd2Intervals, so6Complete)
 }
