@@ -867,12 +867,23 @@ object Corpus {
     * one reducer doesn't": a bare `row_number() OVER (ORDER BY …)`
     * funnels 100 TB through a single partition. Two-phase instead:
     *
-    *   1. RANGE-BUCKET by value: `buckets−1` exact-quantile cuts of
-    *      `orderCol` ([[exactQuantiles]] — partition-parallel) split the
-    *      value domain into ordered ranges; the |cuts|-row table
-    *      broadcasts and a CASE chain assigns each row its bucket. Ties
-    *      at a cut land in one bucket by the ≤ rule, so bucket ranges
-    *      respect the global order.
+    *   1. RANGE-BUCKET by value: `buckets−1` quantile cuts of `orderCol`
+    *      split the value domain into ordered ranges; the |cuts|-row
+    *      table broadcasts and a CASE chain assigns each row its bucket.
+    *      The cuts come from [[exactQuantiles]] over a DETERMINISTIC
+    *      md5-hash SAMPLE capped at ~200k rows — Spark's own
+    *      RangePartitioner move: quantiles of the full column would
+    *      themselves need a per-value global rank (a single-partition
+    *      window — the funnel this operator exists to avoid, and exactly
+    *      what the first cut of this code shipped before its own plan
+    *      audit caught it), while bucket boundaries only need to be
+    *      value-respecting and roughly balanced, which a sample gives.
+    *      The only single-partition pass left is the sample's own sort,
+    *      bounded by the cap whatever the corpus size. Ties at a cut
+    *      land in one bucket by the ≤ rule, so bucket ranges respect the
+    *      global order — and the OUTPUT is cut-independent: any
+    *      deterministic value-respecting split yields the identical
+    *      numbering, so sampling costs balance, never correctness.
     *   2. RANK-AND-OFFSET: row_number within each bucket (parallel
     *      window sorts over (orderCol, idCol)) plus the cumulative count
     *      of all lower buckets (a buckets-row frame, windowed on itself
@@ -886,11 +897,23 @@ object Corpus {
     * are exact quantiles of the actual data.
     */
   def globalRowNumber(df: DataFrame, orderCol: String, idCol: String,
-                      buckets: Int = 32): DataFrame = {
+                      buckets: Int = 32, sampleCap: Long = 200000L): DataFrame = {
     require(buckets >= 2 && buckets <= 100,
       s"buckets=$buckets must be in [2,100] (quantile labels are integer percents)")
+    require(sampleCap >= 100, s"sampleCap=$sampleCap too small to cut on")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = exactQuantiles(df.withColumn("__g", lit(1)), "__g", orderCol, qs)
+    // deterministic hash sample for the cut table (content-keyed on
+    // (orderCol, idCol) so it is stable across runs/partitionings); the
+    // count is one columnar pass — cheap next to the window phase
+    val n = df.count()
+    val cap = sampleCap.toDouble
+    val sampled =
+      if (n <= cap) df
+      else df.filter(
+        substring(md5(concat_ws(":",
+          col(orderCol).cast(StringType), col(idCol).cast(StringType))), 1, 4)
+          < lit(fractionBound(cap / n)))
+    val cuts = exactQuantiles(sampled.withColumn("__g", lit(1)), "__g", orderCol, qs)
       .drop("__g")
     val cutCols = qs.map(q => s"p${(q * 100).round}")
     val bucket = cutCols.zipWithIndex.foldRight(lit(buckets - 1)) {

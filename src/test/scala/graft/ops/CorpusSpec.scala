@@ -352,6 +352,11 @@ class CorpusSpec extends SparkTestBase {
     val gotC = Corpus.globalRowNumber(const, "v", "id", buckets = 8)
       .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotC == (1 to 50).map(i => i.toLong -> i.toLong).toMap)
+    // SAMPLED-cuts path (n > sampleCap): boundaries come from a hash
+    // sample, the numbering must stay exactly the definition anyway
+    val gotS = Corpus.globalRowNumber(df, "v", "id", buckets = 16, sampleCap = 100L)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotS == naive)
   }
 
   test("winsorize: exact-rank band, clamp both tails, pass-through interior") {
