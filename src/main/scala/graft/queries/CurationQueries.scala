@@ -525,29 +525,76 @@ object CurationQueries {
     * candidate route, so the count-filter completeness claim is what the
     * gate actually tests.
     */
-  val dedupEditDist = Q("q_dedup_editdist_pairs",
-    (s, dir) => {
-      val g = pmod(col("doc_id"), lit(50))
-      val v = pmod(floor(col("doc_id") / lit(50)).cast(LongType), lit(5))
-      val planted = Tables.documents(s, dir).select(col("doc_id"),
-        when(v === 4, concat(lit("id"), pmod(g, lit(10)).cast(StringType)))
-          .otherwise(concat(lit("doc "), md5(g.cast(StringType)),
-            when(v === 1, lit("x")).when(v === 2, lit("xy"))
-              .when(v === 3, lit("xyz")).otherwise(lit("")))).as("s"))
-      Dedup.editDistancePairs(planted, "s", "doc_id", maxDist = 2, q = 3)
-        .select(col("id_a"), col("id_b"), col("dist").cast(LongType))
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH strs AS (
+  /** Planted variant corpus for the edit-distance gates, built to scale
+    * LINEARLY so the bench's 10×/30× sections measure the operator, not
+    * the corpus shape. Three deliberate choices, each fixing a measured
+    * super-linearity:
+    *
+    *   - COUNT-DERIVED MODULI (G = max(50, n/10), V = max(10, n/50)):
+    *     docs-per-group stays constant as n grows. A fixed G=50 made the
+    *     corpus quadratic by construction — 1000 identical docs per
+    *     group at sf1, 241 s (28× on 10× data).
+    *   - BASE64 BODIES: group bodies draw from a 64-char alphabet
+    *     (base64 of the md5 BYTES), 260k possible 3-grams, so gram
+    *     document frequency stays ~flat as groups multiply. Hex bodies
+    *     saturate their 4096-gram space and df grows ∝ n — the
+    *     candidate join went Σ df² ≈ n²/4096 (396 s at sf30). The
+    *     constant '==' padding tail is corpus-frequent BY DESIGN: the
+    *     rarity prefix must keep it out of every prefix, same as a
+    *     crawl's boilerplate head.
+    *   - SPARSE MICRO-VOCAB past the first ten: values 'id0'…'id9'
+    *     keep the dense cross-value ed≤2 coverage at gate scale, but
+    *     additional values are 5-hex md5 prefixes — random pairs sit at
+    *     ed 3+ — because numeric suffixes put EVERY value pair within
+    *     two substitutions and the short route's output went quadratic
+    *     in V.
+    *
+    * At the sf0.01 gate size the moduli reduce to the fixed 50/10 and
+    * only the body spelling differs from the original plant; the oracle
+    * replays the identical expression chain.
+    */
+  private def editDistPlanted(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).count()
+    val bigG = math.max(50L, n / 10)
+    val vocab = math.max(10L, n / 50)
+    val g = pmod(col("doc_id"), lit(bigG))
+    val v = pmod(floor(col("doc_id") / lit(bigG)).cast(LongType), lit(5))
+    val gv = pmod(g, lit(vocab))
+    val short = when(gv < 10, concat(lit("id"), pmod(gv, lit(10)).cast(StringType)))
+      .otherwise(concat(lit("i"), substring(md5(gv.cast(StringType)), 1, 5)))
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(v === 4, short)
+        .otherwise(concat(lit("doc "), base64(unhex(md5(g.cast(StringType)))),
+          when(v === 1, lit("x")).when(v === 2, lit("xy"))
+            .when(v === 3, lit("xyz")).otherwise(lit("")))).as("s"))
+  }
+
+  /** The matching oracle CTE (`strs`): same count-derived moduli. */
+  private val editDistStrsSql: String =
+    """cnt AS (SELECT GREATEST(50, COUNT(*) // 10) AS g_mod,
+                      GREATEST(10, COUNT(*) // 50) AS v_mod
+               FROM documents),
+            strs AS (
               SELECT doc_id,
-                CASE WHEN CAST(FLOOR(doc_id / 50) AS BIGINT) % 5 = 4
-                     THEN 'id' || CAST((doc_id % 50) % 10 AS VARCHAR)
-                     ELSE 'doc ' || MD5(CAST(doc_id % 50 AS VARCHAR)) ||
-                          CASE CAST(FLOOR(doc_id / 50) AS BIGINT) % 5
+                CASE WHEN CAST(FLOOR(doc_id / g_mod) AS BIGINT) % 5 = 4
+                     THEN CASE WHEN (doc_id % g_mod) % v_mod < 10
+                          THEN 'id' || CAST(((doc_id % g_mod) % v_mod) % 10 AS VARCHAR)
+                          ELSE 'i' || SUBSTR(MD5(CAST((doc_id % g_mod) % v_mod AS VARCHAR)), 1, 5)
+                          END
+                     ELSE 'doc ' || BASE64(UNHEX(MD5(CAST(doc_id % g_mod AS VARCHAR)))) ||
+                          CASE CAST(FLOOR(doc_id / g_mod) AS BIGINT) % 5
                             WHEN 1 THEN 'x' WHEN 2 THEN 'xy'
                             WHEN 3 THEN 'xyz' ELSE '' END
                 END AS s
-              FROM documents),
+              FROM documents CROSS JOIN cnt)"""
+
+  val dedupEditDist = Q("q_dedup_editdist_pairs",
+    (s, dir) =>
+      Dedup.editDistancePairs(editDistPlanted(s, dir), "s", "doc_id",
+        maxDist = 2, q = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast(LongType))
+        .orderBy("id_a", "id_b"),
+    Some(s"""WITH $editDistStrsSql,
             vals AS (SELECT DISTINCT s FROM strs),
             vp AS (
               SELECT a.s AS sa, b.s AS sb, LEVENSHTEIN(a.s, b.s) AS dist
@@ -572,27 +619,11 @@ object CurationQueries {
     * non-losers.
     */
   val dedupEditDistKeep = Q("q_dedup_editdist_keep",
-    (s, dir) => {
-      val g = pmod(col("doc_id"), lit(50))
-      val v = pmod(floor(col("doc_id") / lit(50)).cast(LongType), lit(5))
-      val planted = Tables.documents(s, dir).select(col("doc_id"),
-        when(v === 4, concat(lit("id"), pmod(g, lit(10)).cast(StringType)))
-          .otherwise(concat(lit("doc "), md5(g.cast(StringType)),
-            when(v === 1, lit("x")).when(v === 2, lit("xy"))
-              .when(v === 3, lit("xyz")).otherwise(lit("")))).as("s"))
-      Dedup.editDistanceSurvivors(planted, "s", "doc_id", maxDist = 2, q = 3)
-        .orderBy("doc_id")
-    },
-    Some("""WITH strs AS (
-              SELECT doc_id,
-                CASE WHEN CAST(FLOOR(doc_id / 50) AS BIGINT) % 5 = 4
-                     THEN 'id' || CAST((doc_id % 50) % 10 AS VARCHAR)
-                     ELSE 'doc ' || MD5(CAST(doc_id % 50 AS VARCHAR)) ||
-                          CASE CAST(FLOOR(doc_id / 50) AS BIGINT) % 5
-                            WHEN 1 THEN 'x' WHEN 2 THEN 'xy'
-                            WHEN 3 THEN 'xyz' ELSE '' END
-                END AS s
-              FROM documents),
+    (s, dir) =>
+      Dedup.editDistanceSurvivors(editDistPlanted(s, dir), "s", "doc_id",
+        maxDist = 2, q = 3)
+        .orderBy("doc_id"),
+    Some(s"""WITH $editDistStrsSql,
             vals AS (SELECT DISTINCT s FROM strs),
             vp AS (
               SELECT a.s AS sa, b.s AS sb
