@@ -463,4 +463,43 @@ object TrackStream {
     commitState(hadoop, stateDir)
     sink(graft.ops.Corpus.hllEstimate(merged, groupCol))
   }
+
+  /** Streaming KMV sink: per-group k-minimum-values sketches as
+    * foreachBatch state — the composable distinct/overlap sketch
+    * maintained continuously (downstream, [[graft.ops.Corpus
+    * .kmvOverlapReport]]-style estimates come straight off the state
+    * table). State is ≤ groups × k longs forever; the cross-batch merge
+    * (union hashes, keep the k smallest per group) is IDEMPOTENT like
+    * the HLL sink's max — an at-least-once replay re-contributes hashes
+    * the sketch already holds and nothing moves, so no batch-id
+    * watermark is needed (contrast [[cmsCountersForeachBatch]], whose
+    * sum-merge is not idempotent and carries one). Same
+    * write-tmp-then-swap state discipline.
+    */
+  def kmvSketchForeachBatch(groupCol: String, keyCol: String, k: Int,
+                            stateDir: String,
+                            sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, explode, row_number}
+    val hadoop = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (group, hash) rows: batch sketch exploded so it unions with state
+    val batchHashes = graft.ops.Corpus.kmvSketch(batch, groupCol, keyCol, k)
+      .select(col(groupCol), explode(col("kmv")).as("__kh"))
+    val prev =
+      if (recoverState(hadoop, stateDir)) Some(spark.read.parquet(stateDir)) else None
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__kh"))
+    val merged = prev.fold(batchHashes)(_.union(batchHashes))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col("__kh"))
+      .localCheckpoint(true) // materialize BEFORE overwriting what it read
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    commitState(hadoop, stateDir)
+    sink(merged)
+  }
 }

@@ -420,6 +420,34 @@ class TrackStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("kmv sink: cross-batch min-merge equals the whole-stream sketch; replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvsink").toString + "/kmv"
+    val states = scala.collection.mutable.ArrayBuffer[Set[(String, Long)]]()
+    val fn = TrackStream.kmvSketchForeachBatch("src", "k", 16, dir,
+      sink = df => states += df.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+    val b1 = (1 to 300).map(i => ("a", s"k$i")).toDF("src", "k")
+    val b2 = ((301 to 600).map(i => ("a", s"k$i")) ++
+      (1 to 50).map(i => ("b", s"x$i"))).toDF("src", "k")
+    fn(b1, 0L)
+    fn(b2, 1L)
+    // after batch 2 the state equals the batch-computed sketch of b1 ∪ b2
+    val whole = graft.ops.Corpus.kmvSketch(b1.union(b2), "src", "k", 16)
+      .collect().flatMap(r => r.getSeq[Long](1).map(r.getString(0) -> _)).toSet
+    assert(states(1) == whole)
+    // an at-least-once replay re-contributes hashes the sketch already
+    // holds — min-merge is idempotent, no batch-id watermark needed
+    fn(b2, 1L)
+    assert(states(2) == states(1))
+    // state is ≤ groups × k rows forever
+    assert(spark.read.parquet(dir).count() <= 2L * 16)
+    // and the persisted state composes: overlap estimates come straight
+    // off it (group b is disjoint from a)
+    val est = graft.ops.Corpus.kmvOverlapReport(
+      b1.union(b2), "src", "k", 16).collect().head
+    assert(est.getDouble(5) == 0.0) // est_jaccard of disjoint groups
+  }
+
   test("hll sink: cross-batch max-merge equals the whole-stream sketch; replay idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("hllsink").toString + "/regs"
     val ests = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
