@@ -984,6 +984,41 @@ object Corpus {
       .select(col(idCol), coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09): combine
+    * N independent rankings of the same id space into one score,
+    * Σᵢ 1/(k + rankᵢ) — the standard hybrid-retrieval combiner (BM25 ⊕
+    * embedding similarity ⊕ quality prior) that needs no score
+    * calibration because only RANKS enter. Each input is (frame,
+    * scoreCol) with HIGHER-IS-BETTER scores; negate on the way in for
+    * ascending signals.
+    *
+    * Ranks come from [[globalRowNumber]] (score desc, id tiebreak), so
+    * the global ranking never funnels through one reducer — the
+    * composition is the point: a bare `row_number() OVER (ORDER BY
+    * score)` per ranking would be N single-partition sorts of the
+    * corpus. Ids absent from a ranking contribute 0 (full-outer
+    * fusion); the per-doc sum folds in FIXED input order, so the
+    * float result is engine-reproducible, rounded at 9.
+    */
+  def rrfFuse(rankings: Seq[(DataFrame, String)], idCol: String,
+              kRrf: Int = 60, buckets: Int = 32): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 1, s"kRrf=$kRrf must be >= 1")
+    val contribs = rankings.zipWithIndex.map { case ((df, sc), i) =>
+      globalRowNumber(
+        df.select(col(idCol), negate(col(sc).cast(DoubleType)).as("__negs")),
+        "__negs", idCol, buckets)
+        .select(col(idCol),
+          (lit(1.0) / (lit(kRrf.toDouble) + col("global_row").cast(DoubleType)))
+            .as(s"__c$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val fused = contribs.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), round(fused, 9).as("rrf"))
+  }
+
   /** Per-group winsorization: clamp `valueCol` into its group's
     * [pLo, pHi] exact-quantile band — the robust-preprocessing twin of
     * the validators' LocScaleB bounds (those NULL outliers; this CLIPS

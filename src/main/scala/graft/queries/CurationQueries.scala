@@ -4424,6 +4424,61 @@ object CurationQueries {
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Reciprocal-rank fusion ([[graft.ops.Corpus.rrfFuse]]): BM25
+    * seed-term relevance fused with a document-length prior — the
+    * calibration-free hybrid combiner. Ranks derive through
+    * [[graft.ops.Corpus.globalRowNumber]] (never a single-reducer
+    * sort); the oracle re-derives BM25, ranks both signals with the
+    * identical (-score, id) order, and sums the same 1/(60+rank)
+    * chain in the same term order.
+    */
+  val selectRrf = Q("q_select_rrf_fusion",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Corpus.rrfFuse(Seq(
+        (Corpus.bm25Scores(d, "text", "doc_id",
+          Seq("spark", "join", "data", "query")), "bm25"),
+        (d.select(col("doc_id"), col("n_chars").cast(DoubleType).as("len_score")),
+          "len_score")), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS t
+              FROM documents),
+            dl AS (SELECT doc_id, LEN(t) AS dl FROM toks),
+            nd AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+                   WHERE term IN ('spark', 'join', 'data', 'query')
+                   GROUP BY doc_id, term),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            per AS (
+              SELECT tf.doc_id,
+                ROUND(SUM(
+                  LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+                     / (CAST(tf AS DOUBLE)
+                        + CAST(1.2 AS DOUBLE)
+                          * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)))
+                ), 6) AS bm25
+              FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd
+              GROUP BY tf.doc_id),
+            s1 AS (SELECT d.doc_id, COALESCE(per.bm25, 0.0) AS sc
+                   FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id),
+            r1 AS (SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY -sc, doc_id) AS rk FROM s1),
+            r2 AS (SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY -CAST(n_chars AS DOUBLE), doc_id) AS rk
+                   FROM documents)
+            SELECT r1.doc_id,
+              ROUND(1.0 / CAST(60 + r1.rk AS DOUBLE)
+                    + 1.0 / CAST(60 + r2.rk AS DOUBLE), 9) AS rrf
+            FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
+            ORDER BY r1.doc_id"""))
+
   /** Weighted sampling without replacement ([[graft.ops.Corpus
     * .weightedSampleK]], Efraimidis–Spirakis exponential keys, weight =
     * n_chars so longer docs draw proportionally more): 10 per language.
@@ -4699,6 +4754,7 @@ object CurationQueries {
     curatePack, curatePackBucketed, curatePackFFD, curatePackEmit,
     curateAnnotate,
     sampleStratified, sampleExactK, sampleWeighted, sampleMixture,
+    selectRrf,
     textUnigramPpl,
     textBigramPpl, textKneserNey, textBm25, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,

@@ -319,6 +319,26 @@ class CorpusSpec extends SparkTestBase {
     assert(estM == est)
   }
 
+  test("rrfFuse: hand-computed fusion, absent ids contribute zero, tie order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ranking A: 1 > 2 > 3; ranking B: 3 > 2 (id 1 absent from B)
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "s")
+    val b = Seq((2L, 0.5), (3L, 2.0)).toDF("id", "s")
+    val got = Corpus.rrfFuse(Seq((a, "s"), (b, "s")), "id", kRrf = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r9(1.0 / 61))             // rank 1 in A, absent in B
+    assert(got(2L) == r9(1.0 / 62 + 1.0 / 62))  // rank 2 in both
+    assert(got(3L) == r9(1.0 / 63 + 1.0 / 61))  // rank 3 in A, rank 1 in B
+    // score ties order by id: two equal scores rank deterministically
+    val t = Seq((5L, 1.0), (4L, 1.0)).toDF("id", "s")
+    val gotT = Corpus.rrfFuse(Seq((t, "s")), "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotT(4L) == r9(1.0 / 61) && gotT(5L) == r9(1.0 / 62))
+  }
+
   test("topPmiBigrams: hand-computed PMI, minCount floor, deterministic cut") {
     import spark.implicits._
     // tokens T=9, bigrams B=6; (new,york) c=2, cu(new)=2, cu(york)=2
