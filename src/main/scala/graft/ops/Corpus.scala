@@ -889,9 +889,12 @@ object Corpus {
     *      of all lower buckets (a buckets-row frame, windowed on itself
     *      and broadcast back).
     *
-    * The result is EXACTLY `row_number() OVER (ORDER BY orderCol, id)` —
-    * which is what the oracle computes — at the cost of two small
-    * broadcasts and per-bucket sorts. Skewed value domains degrade
+    * The result is EXACTLY `row_number() OVER (ORDER BY orderCol, id)`
+    * under Spark's null ordering (nulls FIRST ascending — null orderCol
+    * rows get a dedicated bucket below every value bucket and number
+    * 1..|nulls| by idCol; a DuckDB/Postgres oracle must say NULLS FIRST
+    * to agree) — which is what the oracle computes — at the cost of two
+    * small broadcasts and per-bucket sorts. Skewed value domains degrade
     * gracefully: a constant column puts everything in one bucket (the
     * sort you asked for), anything else splits ~evenly because the cuts
     * are exact quantiles of the actual data.
@@ -904,24 +907,39 @@ object Corpus {
     val qs = (1 until buckets).map(_.toDouble / buckets)
     // deterministic hash sample for the cut table (content-keyed on
     // (orderCol, idCol) so it is stable across runs/partitionings); the
-    // count is one columnar pass — cheap next to the window phase
+    // count is one columnar pass — cheap next to the window phase.
+    // Null orderCol rows are EXCLUDED from the sample (their md5 key
+    // would silently drop the value through concat_ws anyway, and a
+    // null-heavy sample could make exactQuantiles emit null cuts) —
+    // they get their own dedicated bucket below instead.
     val n = df.count()
     val cap = sampleCap.toDouble
+    val nonNull = df.filter(col(orderCol).isNotNull)
     val sampled =
-      if (n <= cap) df
-      else df.filter(
+      if (n <= cap) nonNull
+      else nonNull.filter(
         substring(md5(concat_ws(":",
           col(orderCol).cast(StringType), col(idCol).cast(StringType))), 1, 4)
           < lit(fractionBound(cap / n)))
     val cuts = exactQuantiles(sampled.withColumn("__g", lit(1)), "__g", orderCol, qs)
       .drop("__g")
     val cutCols = qs.map(q => s"p${(q * 100).round}")
+    // Null orderCol → bucket -1, BELOW every value bucket: Spark sorts
+    // nulls FIRST ascending, so `row_number() OVER (ORDER BY orderCol,
+    // idCol)` numbers the null rows 1..|nulls| (by idCol) before any
+    // non-null row — the CASE chain must not let them fall through the
+    // `<= cut` tests (every comparison with null is null, i.e. false-ish)
+    // into the LAST bucket, which would place them at the top instead.
+    // NOTE the SQL-dialect caveat: DuckDB/Postgres default to NULLS LAST
+    // ascending, so an oracle replaying this on nullable order keys must
+    // spell ORDER BY orderCol NULLS FIRST to match.
     val bucket = cutCols.zipWithIndex.foldRight(lit(buckets - 1)) {
       case ((c, i), rest) => when(col(orderCol) <= col(c), lit(i)).otherwise(rest)
     }
+    val bucketWithNull = when(col(orderCol).isNull, lit(-1)).otherwise(bucket)
     val wb = Window.partitionBy("__bucket").orderBy(col(orderCol), col(idCol))
     val ranked = df.crossJoin(broadcast(cuts))
-      .withColumn("__bucket", bucket)
+      .withColumn("__bucket", bucketWithNull)
       .drop(cutCols: _*)
       .withColumn("__rn", row_number().over(wb))
     val offsets = ranked.groupBy("__bucket").agg(count(lit(1)).as("__n"))

@@ -181,9 +181,19 @@ object Matching {
     require(bucketSeconds >= 1, s"bucketSeconds=$bucketSeconds must be >= 1")
     def secs(c: Column): Column = c.cast("timestamp").cast("long")
     def bkt(c: Column): Column = floor(secs(c).cast("double") / bucketSeconds).cast("long")
-    val l = left.withColumn("__bkt",
+    // Closed-interval contract: start <= end on every row, checked at
+    // execution via assert_true (a require can't see data). An inverted
+    // interval would NOT just drop — Spark's sequence() auto-descends, so
+    // it would silently explode a reversed bucket range and could emit
+    // pairs with negative overlap; fail fast instead. Null endpoints keep
+    // their pre-existing behavior (sequence(null,…) is null → the explode
+    // drops the row), so the assert only fires on a GENUINE inversion.
+    def assertOrdered(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(assert_true(coalesce(secs(col(s)) <= secs(col(e)), lit(true)),
+        lit(s"intervalOverlapJoin: inverted interval ($s > $e)")).isNull)
+    val l = assertOrdered(left, leftStart, leftEnd).withColumn("__bkt",
       explode(sequence(bkt(col(leftStart)), bkt(col(leftEnd)))))
-    val r = right.withColumn("__bkt",
+    val r = assertOrdered(right, rightStart, rightEnd).withColumn("__bkt",
       explode(sequence(bkt(col(rightStart)), bkt(col(rightEnd)))))
     l.join(r, keyCols :+ "__bkt")
       .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))

@@ -95,9 +95,13 @@ object Similarity {
     * [[ivfPqTopK]] / [[rpTopK]] / [[sq8TopK]]; rows beyond rank `k` are
     * ignored on both sides. Emits one row per exact-side query:
     * `(query_id, n_hit, recall)` with `n_hit` = |approx∩exact| within
-    * rank ≤ k and `recall` = n_hit/k — a query the approximate method
-    * returned nothing for (empty LSH bucket, all-null projections)
-    * scores 0, it does not drop out of the report.
+    * rank ≤ k and `recall` = n_hit / |exact rows for the query| — the
+    * denominator is the query's OWN exact-neighbor count, not a flat k,
+    * so a query whose corpus holds fewer than k neighbors can still
+    * score a perfect 1.0 (a fixed-k denominator would cap it below 1
+    * forever). A query the approximate method returned nothing for
+    * (empty LSH bucket, all-null projections) scores 0, it does not
+    * drop out of the report.
     *
     * Scale shape: every frame here is QUERY-SET-sized (|Q|·k rows), not
     * corpus-sized — recall evaluation is run on a sampled query set, so
@@ -112,11 +116,12 @@ object Similarity {
     val e = exact.filter(col("rank") <= k).select(col("query_id"), col("neighbor_id"))
     val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    e.select("query_id").distinct()
+    e.groupBy("query_id").agg(count(lit(1)).as("__n_exact"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k, 9).as("recall"))
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("__n_exact"), 9)
+          .as("recall"))
   }
 
   /** Quantization scale for [[ivfCentroids]]' per-cell means: components

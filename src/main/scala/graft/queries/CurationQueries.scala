@@ -510,21 +510,6 @@ object CurationQueries {
             HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.2
             ORDER BY id_a, id_b"""))
 
-  /** Bounded edit-distance pairs ([[graft.ops.Dedup.editDistancePairs]]):
-    * every unordered pair within Levenshtein distance 2, via the
-    * positional-q-gram count filter for long strings and the
-    * distinct-value route for micro-strings. The planted column drives
-    * every branch: per-group md5 bodies keep grams group-local (the
-    * cross-group false candidates die at the count filter), suffix
-    * variants x/xy/xyz sit at distances 1/2/3 so the threshold cuts
-    * between xy and xyz, the length band (|Δlen| ≤ 2) excludes v0–v3
-    * before any DP runs, and the 'idN' micro-strings (distance 0 within
-    * a value, 1 across values) exercise the value-level join and its
-    * output-sized id expansion. The oracle computes the all-pairs
-    * DEFINITION over distinct values — deliberately not the operator's
-    * candidate route, so the count-filter completeness claim is what the
-    * gate actually tests.
-    */
   /** Planted variant corpus for the edit-distance gates, built to scale
     * LINEARLY so the bench's 10×/30× sections measure the operator, not
     * the corpus shape. Three deliberate choices, each fixing a measured
@@ -588,6 +573,21 @@ object CurationQueries {
                 END AS s
               FROM documents CROSS JOIN cnt)"""
 
+  /** Bounded edit-distance pairs ([[graft.ops.Dedup.editDistancePairs]]):
+    * every unordered pair within Levenshtein distance 2, via the
+    * positional-q-gram count filter for long strings and the
+    * distinct-value route for micro-strings. The planted column drives
+    * every branch: per-group md5 bodies keep grams group-local (the
+    * cross-group false candidates die at the count filter), suffix
+    * variants x/xy/xyz sit at distances 1/2/3 so the threshold cuts
+    * between xy and xyz, the length band (|Δlen| ≤ 2) excludes v0–v3
+    * before any DP runs, and the 'idN' micro-strings (distance 0 within
+    * a value, 1 across values) exercise the value-level join and its
+    * output-sized id expansion. The oracle computes the all-pairs
+    * DEFINITION over distinct values — deliberately not the operator's
+    * candidate route, so the count-filter completeness claim is what the
+    * gate actually tests.
+    */
   val dedupEditDist = Q("q_dedup_editdist_pairs",
     (s, dir) =>
       Dedup.editDistancePairs(editDistPlanted(s, dir), "s", "doc_id",
@@ -1484,7 +1484,7 @@ object CurationQueries {
               UNION ALL
               SELECT 'sq8' AS method, query_id, neighbor_id FROM (${knnSq8.oracle.get}) t),
             methods AS (SELECT DISTINCT method FROM am),
-            qs AS (SELECT DISTINCT query_id FROM exact),
+            qs AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
             hits AS (
               SELECT a.method, a.query_id, COUNT(*) AS n_hit
               FROM exact e
@@ -1493,7 +1493,7 @@ object CurationQueries {
               GROUP BY 1, 2)
             SELECT m.method, qs.query_id,
                    CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-                   ROUND(COALESCE(h.n_hit, 0) / 5.0, 9) AS recall
+                   ROUND(COALESCE(h.n_hit, 0) / CAST(qs.n_exact AS DOUBLE), 9) AS recall
             FROM methods m
             CROSS JOIN qs
             LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.query_id

@@ -107,10 +107,16 @@ object StageIO {
     * file-count targeting is about.
     *
     * Write-ahead discipline: the compacted copy lands in a `.compact`
-    * sibling first and only then swaps into place (delete + rename) — a
-    * crash mid-write leaves the original table intact, never a
-    * half-written overwrite (the same tmp-then-rename contract the
-    * streaming sketch sinks use). NOT atomic for concurrent READERS
+    * sibling first and only then swaps into place via the rename-aside
+    * protocol the streaming sketch sinks use (live → `.old`, `.compact`
+    * → live, drop `.old`) — renames are atomic per HDFS/posix semantics,
+    * so EVERY crash window leaves a recoverable table: before the first
+    * rename the live table is untouched; between the renames `.old`
+    * holds it (and [[recoverCompact]] — run automatically at the start
+    * of the next compact — rolls it back); after the second the new
+    * table is live. The naive delete-then-rename this replaces had a
+    * window (after the delete, before the rename) with NO live table at
+    * the path and no recovery route. NOT atomic for concurrent READERS
     * during the swap window — run it when the table is quiet, like any
     * compaction.
     *
@@ -124,14 +130,38 @@ object StageIO {
     require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(fs, dir)
     val bytes = fs.getContentSummary(path).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: rename $path -> $old failed")
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    fs.delete(old, true)
+  }
+
+  /** Repair whichever single rename a crashed [[compact]] left
+    * unfinished (read-side half of the rename-aside protocol, same
+    * contract as the streaming sinks' recoverState): live dir present →
+    * drop any leftover `.old` (the swap published, cleanup didn't run);
+    * live dir absent but `.old` present → roll the original table back
+    * into place (a stale `.compact` is simply overwritten by the next
+    * attempt). Runs automatically at the start of every [[compact]];
+    * callers reading a possibly-crashed table can invoke it directly.
+    */
+  def recoverCompact(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (fs.exists(path)) {
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, path))
+        throw new java.io.IOException(s"compact recovery: rename $old -> $path failed")
+    }
   }
 
   /** S4: scan a stage table. */

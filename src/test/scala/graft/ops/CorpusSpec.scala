@@ -377,6 +377,24 @@ class CorpusSpec extends SparkTestBase {
     val gotS = Corpus.globalRowNumber(df, "v", "id", buckets = 16, sampleCap = 100L)
       .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotS == naive)
+    // null order values: dedicated bucket BELOW every value bucket, so
+    // the numbering matches Spark's own nulls-first window exactly (they
+    // must not fall through the CASE chain into the last bucket)
+    val withNulls = (1 to 200).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i % 31).toLong)))
+      .toDF("id", "v").repartition(5)
+    val gotN = Corpus.globalRowNumber(withNulls, "v", "id", buckets = 8)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naiveN = withNulls.withColumn("global_row",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "global_row").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(gotN == naiveN)
+    // sampled-cuts path with nulls present (nulls are excluded from the
+    // cut sample, numbered via their own bucket all the same)
+    val gotNS = Corpus.globalRowNumber(withNulls, "v", "id", buckets = 8, sampleCap = 100L)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNS == naiveN)
   }
 
   test("winsorize: exact-rank band, clamp both tails, pass-through interior") {

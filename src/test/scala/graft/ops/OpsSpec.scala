@@ -174,6 +174,21 @@ class OpsSpec extends SparkTestBase {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"overlap join fell back to a nested loop:\n$plan")
+    // closed-interval contract: an INVERTED interval fails fast instead
+    // of silently exploding a descending bucket sequence into bogus pairs
+    val inverted = Seq((9L, "u1", ts(500), ts(100))).toDF("a_id", "user", "a_s", "a_e")
+    val ex = intercept[Exception] {
+      Matching.intervalOverlapJoin(
+        inverted, b, Seq("user"), "a_s", "a_e", "b_s", "b_e", 300).collect()
+    }
+    assert(ex.toString.contains("inverted interval") ||
+      Option(ex.getCause).exists(_.toString.contains("inverted interval")),
+      s"wrong failure: $ex")
+    // null endpoints keep dropping (pre-existing behavior), no assert fires
+    val nullEnd = Seq((8L, "u1", ts(0), null.asInstanceOf[Timestamp]))
+      .toDF("a_id", "user", "a_s", "a_e")
+    assert(Matching.intervalOverlapJoin(
+      nullEnd, b, Seq("user"), "a_s", "a_e", "b_s", "b_e", 300).count() == 0)
   }
 
   test("saltedJoin equals the plain join, deterministically") {

@@ -358,6 +358,13 @@ class SimilaritySpec extends SparkTestBase {
       df.filter(col("vec_id") < 4), df, "vec_id", "embedding", "vec_id", "embedding", 5)
     val self = Similarity.recallAtK(base, base, 5).collect()
     assert(self.length == 4 && self.forall(_.getDouble(2) == 1.0))
+    // denominator is the query's OWN exact count, not a flat k: a query
+    // whose corpus holds only 2 exact neighbors reaches 1.0 with both hit
+    val shortExact = Seq((3L, 30L, 1), (3L, 31L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val shortApprox = Seq((3L, 31L, 1), (3L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val shortGot = Similarity.recallAtK(shortApprox, shortExact, 3).collect()
+    assert(shortGot.length == 1 && shortGot.head.getLong(1) == 2L
+      && shortGot.head.getDouble(2) == 1.0)
   }
 
   test("randomProject matches a local computation of the md5 sign matrix") {

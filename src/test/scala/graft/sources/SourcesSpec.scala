@@ -285,6 +285,23 @@ class SourcesSpec extends SparkTestBase {
     StageIO.compact(spark, dir, targetFileBytes = 1L << 30)
     assert(files() == 1)
     assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == beforeRows)
+    assert(!new java.io.File(dir + ".old").exists(), ".old must be swept after publish")
+    // crash recovery: a compact that died between its two renames leaves
+    // live absent + `.old` holding the table; recoverCompact (and the
+    // next compact, which runs it first) must roll the table back
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    StageIO.recoverCompact(fs, dir)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == beforeRows)
+    assert(!new java.io.File(dir + ".old").exists(), "rollback must consume .old")
+    // crash after publish, before cleanup: live present + stale `.old` —
+    // the next compact sweeps it and still works
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".old"))
+    StageIO.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(!new java.io.File(dir + ".old").exists())
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == beforeRows)
   }
 
   test("S8: add_version stamps timestamp + short sha") {
