@@ -108,6 +108,88 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cumulative (host-busy, this-process) CPU jiffies from /proc, or
+    * (-1,-1) where /proc isn't available. Host busy = user+nice+system+
+    * irq+softirq+steal from the aggregate `cpu` line of /proc/stat
+    * (idle and iowait excluded); self = utime+stime from
+    * /proc/self/stat. The difference of two readings brackets a timed
+    * sample, and `(Δbusy − Δself) / Δwall` is the CPU other processes
+    * burned DURING the sample, in cores — the direct contention signal
+    * the 1-minute loadavg only lags at (see [[highExternal]]).
+    */
+  private def cpuJiffies: (Long, Long) = {
+    try {
+      val cpuLine = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next() finally src.close()
+      }
+      val selfLine = {
+        val src = scala.io.Source.fromFile("/proc/self/stat")
+        try src.getLines().next() finally src.close()
+      }
+      (parseHostBusyJiffies(cpuLine), parseSelfJiffies(selfLine))
+    } catch { case _: Throwable => (-1L, -1L) }
+  }
+
+  /** user+nice+system+irq+softirq+steal from a `/proc/stat` aggregate
+    * cpu line (`cpu  user nice system idle iowait irq softirq steal …`).
+    * Idle and iowait are excluded: iowait is idle time with IO pending,
+    * not CPU anyone is using. Package-private for the spec.
+    */
+  private[graft] def parseHostBusyJiffies(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+")
+    require(f.length >= 8 && f(0) == "cpu", s"unexpected /proc/stat line: $cpuLine")
+    // fields 1..8 = user nice system idle iowait irq softirq steal
+    f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong +
+      (if (f.length > 8) f(8).toLong else 0L)
+  }
+
+  /** utime+stime from a `/proc/self/stat` line. The comm field (2nd) is
+    * in parentheses and MAY CONTAIN SPACES, so fields are counted from
+    * after the LAST `)` — state is then index 0, utime index 11, stime
+    * index 12 (man proc: fields 3, 14, 15 1-based). Package-private for
+    * the spec.
+    */
+  private[graft] def parseSelfJiffies(statLine: String): Long = {
+    val after = statLine.substring(statLine.lastIndexOf(')') + 1).trim
+    val f = after.split("\\s+")
+    require(f.length >= 13, s"unexpected /proc/self/stat tail: $after")
+    f(11).toLong + f(12).toLong
+  }
+
+  /** External CPU burned during a sample, in cores: jiffie deltas of two
+    * [[cpuJiffies]] readings over `secs` of wall clock, at the
+    * standard USER_HZ=100 (Linux ABI constant for /proc/stat
+    * accounting). -1 when /proc was unavailable at either end — which
+    * never trips [[highExternal]], same contract as loadAvg's -1.
+    */
+  private def externalCores(before: (Long, Long), after: (Long, Long),
+                            secs: Double): Double =
+    if (before._1 < 0 || after._1 < 0 || secs <= 0) -1.0
+    else {
+      val ext = (after._1 - before._1) - (after._2 - before._2)
+      math.max(0.0, ext / 100.0 / secs)
+    }
+
+  /** A sample is externally contended when OTHER processes averaged more
+    * than max(1, cores/16) CPU cores over its wall-clock window —
+    * measured, not inferred: [[externalCores]] subtracts this process's
+    * own burn from the host's, so unlike the round-11 loadavg-before
+    * arm this can neither false-positive on a predecessor sample's
+    * just-finished threads (dead threads burn nothing; r11 flagged all
+    * 5 q_curate_e2e_scale samples "contended" off the previous query's
+    * loadavg wake on a truly idle host) nor false-negative on
+    * contention that sits entirely BETWEEN calibration brackets (r11's
+    * 38–87 s q_curate_e2e samples passed as clean: the brackets ran
+    * cool at the sample's edges while the contention lived in its
+    * minute-long middle — the longer the sample, the bigger that blind
+    * spot, and q_curate_e2e is the suite's longest). Idle-host floor
+    * measured at ~0.1–0.3 external cores (kernel threads, sbt parent
+    * JVM), far under the 2-core threshold at 32 cores.
+    */
+  private def highExternal(cores: Double): Boolean =
+    cores > math.max(1.0, Runtime.getRuntime.availableProcessors() / 16.0)
+
   /** Fixed CPU-bound calibration job: 32 tasks × 100M xorshift64 steps,
     * ~0.1–0.4 s on this idle 32-thread host. Its cost is constant-work by
     * construction — no data, no shuffle, no IO — so ANY movement between
@@ -198,31 +280,15 @@ object Bench {
   private def isHot(c: Double, runBest: Double): Boolean =
     c > math.min(math.max(2.0 * runBest, calibBaseline), 1.5 * calibBaseline)
 
-  /** A 1-minute loadavg read immediately BEFORE a sample counts as high
-    * when it exceeds a third of the host's cores. This is the second,
-    * independent arm of the suspect rule (ORed with the hot-calibration
-    * brackets): the r10 run shipped `contended:[]` and an 82 s median for
-    * a query whose uncontended cost is ~11 s, because a sustained
-    * contention window sat BETWEEN calibration points — the bracketing
-    * points ran cool while three samples ran at loads 8.5–19.4 on a
-    * 32-core host. The load is read BEFORE the sample starts (the
-    * post-sample read includes the query's own just-finished threads);
-    * the pre-sample read still carries the previous query's decayed tail,
-    * which is why the threshold is cores/3 and not something tighter —
-    * measured self-load between clean sf0.1 samples is 1.5–4 on this
-    * 32-thread host, well under 32/3 ≈ 10.7, while the r10 contention
-    * window read 8.5–19.4. loadavg is -1 on platforms that can't report
-    * it, which never trips the rule.
-    *
-    * MAIN SUITE ONLY: scale sections don't use this arm — their samples
-    * are minute-scale 32-thread jobs back-to-back, so the pre-sample
-    * loadavg is dominated by the previous sample's own just-finished
-    * threads (measured 3.8 → 15.0 self-ramp on an idle host); they rely
-    * on their per-query calibration brackets instead, which are already
-    * sample-granular there.
-    */
-  private def highLoad(l: Double): Boolean =
-    l > Runtime.getRuntime.availableProcessors() / 3.0
+  // (Round-12 note: the round-11 loadavg-before suspect arm that lived
+  // here is gone, replaced by the measured external-CPU arm
+  // ([[cpuJiffies]]/[[highExternal]] above). The loadavg rule had both
+  // failure modes at once: it false-positived on the PREVIOUS sample's
+  // just-finished threads — r11 lost all 5 q_curate_e2e_scale samples
+  // to its predecessor's loadavg wake on a truly idle host — and it
+  // still false-negatived on contention starting AFTER the pre-sample
+  // read, which is most of a minute-long sample's window. loadavg
+  // readings still ride in the artifact as diagnostics.)
 
   /** Wall-clock deadline for the WHOLE bench (seconds from main() entry).
     * Default 3000 leaves ~10 min of headroom inside the driver's hard
@@ -479,13 +545,14 @@ object Bench {
     * sample ends can never cancel a later sample's work.
     */
   private def runOnce(spark: SparkSession, q: Q, dir: String,
-                      capSecs: Double): (Either[String, Double], Boolean) = {
+                      capSecs: Double): (Either[String, Double], Boolean, Double) = {
     val group = s"bench-${q.name}-${System.nanoTime()}"
     spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val canceller = watchdogTimer.scheduleAtFixedRate(
       () => { fired.set(true); spark.sparkContext.cancelJobGroup(group) },
       (capSecs * 1000).toLong, 5000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val jiffies0 = cpuJiffies
     val t0 = System.nanoTime()
     val res =
       try { q.fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -498,10 +565,13 @@ object Bench {
         Left(why)
       }
       finally { canceller.cancel(false); spark.sparkContext.clearJobGroup() }
+    // external CPU measured over EXACTLY the sample's wall window (the
+    // scrub below, like calibration, stays outside it)
+    val ext = externalCores(jiffies0, cpuJiffies, (System.nanoTime() - t0) / 1e9)
     val leaked = spark.sparkContext.getPersistentRDDs.nonEmpty
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    (res, leaked)
+    (res, leaked, ext)
   }
 
   /** Minimal JSON string escaping for error messages. */
@@ -559,7 +629,8 @@ object Bench {
       // minute-scale samples and pin the heat to the sample it bit.
       val calibs = scala.collection.mutable.ArrayBuffer[Double](calibrate(spark))
       case class ScaleRun(name: String, res: Either[String, Double],
-                          loadBefore: Double, loadAfter: Double, calibIdx: Int)
+                          loadBefore: Double, loadAfter: Double,
+                          extCores: Double, calibIdx: Int)
       val (ran, skipped) = {
         val done = scala.collection.mutable.ArrayBuffer.empty[ScaleRun]
         val skip = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -567,36 +638,41 @@ object Bench {
           if (timeLeft()) {
             val before = calibs.length - 1
             val lb = loadAvg
-            val r = runOnce(spark, q, dir, scaleQueryCap)._1
+            val (r, _, ext) = runOnce(spark, q, dir, scaleQueryCap)
             calibs += calibrate(spark)
-            done += ScaleRun(q.name, r, lb, loadAvg, before)
+            done += ScaleRun(q.name, r, lb, loadAvg, ext, before)
           } else skip += q.name
         }
         (done.toSeq, skip.toSeq)
       }
       val runBest = calibs.min
-      // Scale sections rely on the PER-QUERY calibration brackets alone
-      // (already sample-granular here — unlike the main suite's
-      // every-16-queries points, so the blind spot the load-before arm
-      // closes there doesn't exist). The load arm would false-positive
-      // in this section: samples are minute-scale 32-thread jobs running
+      // Suspect arms here: the PER-QUERY calibration brackets (already
+      // sample-granular in this section, unlike the main suite's
+      // every-16-queries points) OR the measured external-CPU burn
+      // DURING the sample ([[highExternal]]). A loadavg arm would
+      // false-positive here — samples are minute-scale 32-thread jobs
       // back-to-back, so the 1-minute loadavg before query N is
       // dominated by query N-1's own just-finished threads (measured
-      // 3.8 → 15.0 self-ramp across an otherwise-idle section). The
-      // load-before reads still ride in `<label>_sample_load_before`
-      // for the record.
+      // 3.8 → 15.0 self-ramp across an otherwise-idle section) — but
+      // the jiffie measurement subtracts our own burn, so it has no
+      // self-ramp to false-positive on, and unlike the brackets it SEES
+      // contention living entirely inside a minute-long sample. The
+      // load reads still ride in `<label>_sample_load_before` for the
+      // record.
       val hot = calibs.count(isHot(_, runBest)) >= 2
       val suspects = ran.collect {
         case r if isHot(calibs(r.calibIdx), runBest) ||
-          isHot(calibs(r.calibIdx + 1), runBest) => r.name
+          isHot(calibs(r.calibIdx + 1), runBest) ||
+          highExternal(r.extCores) => r.name
       }
       val entries = ran.map { r =>
         "\"" + r.name + "\":" + r.res.toOption.map(fmt).getOrElse("null")
       }
       val loads = ran.map(r => "\"" + r.name + "\":" + fmt(r.loadAfter))
       val loadsBefore = ran.map(r => "\"" + r.name + "\":" + fmt(r.loadBefore))
+      val exts = ran.map(r => "\"" + r.name + "\":" + fmt(r.extCores))
       val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
-        ran.collect { case ScaleRun(n, Left(m), _, _, _) => s""""$n":"${jesc(m)}"""" }
+        ran.collect { case ScaleRun(n, Left(m), _, _, _, _) => s""""$n":"${jesc(m)}"""" }
       val errJson =
         if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
       val skipJson =
@@ -620,7 +696,8 @@ object Bench {
           s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""${label}_load":${fmt(load)},""" +
           s""""${label}_sample_load":${loads.mkString("{", ",", "}")},""" +
-          s""""${label}_sample_load_before":${loadsBefore.mkString("{", ",", "}")}""" +
+          s""""${label}_sample_load_before":${loadsBefore.mkString("{", ",", "}")},""" +
+          s""""${label}_sample_ext_cores":${exts.mkString("{", ",", "}")}""" +
           manifestJson +
           s""","${label}_dir":"$dir""""
       (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot))
@@ -658,11 +735,11 @@ object Bench {
     // before it; its trailing bracket is calibIdx + 1 (the next mid-pass
     // point, or the pass-end point).
     case class Sample(name: String, ts: Long, loadBefore: Double, load: Double,
-                      res: Either[String, Double], leaked: Boolean,
-                      calibIdx: Int)
+                      extCores: Double, res: Either[String, Double],
+                      leaked: Boolean, calibIdx: Int)
     case class Pass(calibs: Seq[Double], passLoad: Double, samples: Seq[Sample])
     case class Judged(secs: Double, ts: Long, loadBefore: Double, load: Double,
-                      suspect: Boolean)
+                      extCores: Double, suspect: Boolean)
 
     val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
     val scaleJsons = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -685,26 +762,33 @@ object Bench {
       // single outlier point only marks its adjacent SAMPLES suspect
       // (strictly de-noising) without branding the whole pass. So "drop
       // flagged passes" stays safe advice and an idle-host run with one
-      // jittery point reports contended:[]. Second arm (round 11): TWO OR
-      // MORE samples whose PRE-sample loadavg ran high ([[highLoad]]) —
-      // r10's pass 2/4 ran at load 15.5–16.0 with every calibration point
-      // bracketing cool, because the contention window sat between points.
+      // jittery point reports contended:[]. Second arm (round 12,
+      // replacing round 11's loadavg-before rule): TWO OR MORE samples
+      // whose measured DURING-sample external CPU ran high
+      // ([[highExternal]]) — r10's pass 2/4 contention sat between
+      // bracket points, which loadavg-before caught but only at the cost
+      // of false-positives on predecessor wake (r11 lost all 5
+      // q_curate_e2e_scale samples to it on an idle host); the jiffie
+      // measurement has neither failure mode.
       val contended: Seq[Int] =
         ps.zipWithIndex.collect {
           case (p, i) if p.calibs.count(isHot(_, runBest)) >= 2 ||
-            p.samples.count(s => highLoad(s.loadBefore)) >= 2 => i + 1 }
+            p.samples.count(s => highExternal(s.extCores)) >= 2 => i + 1 }
       // A sample is SUSPECT when either surrounding calibration point ran
-      // hot OR its pre-sample loadavg was high ([[highLoad]] — the arm
-      // that catches contention the brackets straddle); only successful
-      // reps are judged, so every per-query array below (samples / ts /
-      // load / suspect) is index-aligned.
+      // hot OR other processes measurably burned CPU during its wall
+      // window ([[highExternal]] — the arm that catches contention the
+      // brackets straddle, including contention living entirely INSIDE a
+      // long sample, which the r11 loadavg-before rule missed for the
+      // 38–87 s q_curate_e2e samples); only successful reps are judged,
+      // so every per-query array below (samples / ts / load / ext /
+      // suspect) is index-aligned.
       val judged: Seq[(String, Judged)] = ps.flatMap { p =>
         p.samples.flatMap { s =>
           s.res.toOption.map { secs =>
-            s.name -> Judged(secs, s.ts, s.loadBefore, s.load,
+            s.name -> Judged(secs, s.ts, s.loadBefore, s.load, s.extCores,
               isHot(p.calibs(s.calibIdx), runBest) ||
                 isHot(p.calibs(s.calibIdx + 1), runBest) ||
-                highLoad(s.loadBefore))
+                highExternal(s.extCores))
           }
         }
       }
@@ -744,6 +828,7 @@ object Bench {
       val sampleTs = jmap(good)(s => s.map(_.ts).mkString("[", ",", "]"))
       val sampleLoad = jmap(good)(s => s.map(j => fmt(j.load)).mkString("[", ",", "]"))
       val sampleLoadBefore = jmap(good)(s => s.map(j => fmt(j.loadBefore)).mkString("[", ",", "]"))
+      val sampleExt = jmap(good)(s => s.map(j => fmt(j.extCores)).mkString("[", ",", "]"))
       val sampleSuspect = jmap(good)(s => s.map(_.suspect).mkString("[", ",", "]"))
       val total = good.map(r => median(cleanOf(r._2).map(_.secs))).sum
 
@@ -792,6 +877,7 @@ object Bench {
         s""""queries":$qs,"queries_min":$mins,"samples":$samples,""" +
         s""""sample_ts":$sampleTs,"sample_load":$sampleLoad,""" +
         s""""sample_load_before":$sampleLoadBefore,""" +
+        s""""sample_ext_cores":$sampleExt,""" +
         s""""sample_suspect":$sampleSuspect,""" +
         s""""calibration":$calibJson,"calib_baseline":${fmt(calibBaseline)},""" +
         s""""calib_every":$calibEvery,"contended":$contJson,""" +
@@ -840,13 +926,13 @@ object Bench {
             } else {
               if (qi > 0 && qi % calibEvery == 0) calibs += calibrate(spark)
               val ts = System.currentTimeMillis() / 1000L
-              // load read BEFORE the run feeds the suspect rule — the
-              // post-run read includes the sample's own threads (the r10
-              // detector judged on it and passed three load-19 samples as
-              // clean); the AFTER read still rides along for the record
+              // loadavg before/after ride along as DIAGNOSTICS only —
+              // since round 12 the suspect rule judges on the measured
+              // external-CPU burn inside runOnce, not on either read
               val lb = loadAvg
-              val (r, leaked) = runOnce(spark, q, sfDir, queryCap)
-              samples += Sample(q.name, ts, lb, loadAvg, r, leaked, calibs.length - 1)
+              val (r, leaked, ext) = runOnce(spark, q, sfDir, queryCap)
+              samples += Sample(q.name, ts, lb, loadAvg, ext, r, leaked,
+                calibs.length - 1)
             }
           }
           calibs += calibrate(spark) // closing bracket

@@ -102,4 +102,30 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(Bench.DigestQueries.distinct == Bench.DigestQueries)
     Bench.ScaleDigestPicks.values.foreach(p => assert(p.distinct == p))
   }
+
+  test("/proc/stat host-busy parser: busy excludes idle+iowait, includes steal") {
+    // man proc: cpu  user nice system idle iowait irq softirq steal ...
+    val line = "cpu  100 20 30 100000 500 3 7 40 0 0"
+    assert(Bench.parseHostBusyJiffies(line) == 100L + 20 + 30 + 3 + 7 + 40)
+    // short pre-2.6.11 line without a steal field still parses
+    assert(Bench.parseHostBusyJiffies("cpu 1 2 3 4 5 6 7") == 1L + 2 + 3 + 6 + 7)
+    intercept[IllegalArgumentException] {
+      Bench.parseHostBusyJiffies("cpu0 1 2 3 4 5 6 7 8") // per-cpu line, not aggregate
+    }
+  }
+
+  test("/proc/self/stat parser: utime+stime counted from after the LAST ')'") {
+    // comm may contain spaces AND parentheses — fields count from the
+    // final ')'; utime/stime are 1-based fields 14/15 (11/12 after state)
+    val tail = "S 1 2 3 4 5 6 7 8 9 10 1234 567 0 0 20 0 32 0 99"
+    val line = s"4242 (java (weird) name) $tail"
+    assert(Bench.parseSelfJiffies(line) == 1234L + 567)
+    // the live file must parse on this platform (the bench runs here)
+    val self = scala.io.Source.fromFile("/proc/self/stat")
+    val actual = try self.getLines().next() finally self.close()
+    assert(Bench.parseSelfJiffies(actual) >= 0L)
+    val stat = scala.io.Source.fromFile("/proc/stat")
+    val cpuLine = try stat.getLines().next() finally stat.close()
+    assert(Bench.parseHostBusyJiffies(cpuLine) > 0L)
+  }
 }
