@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Bpe, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text}
+import graft.ops.{Bpe, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text, Unigram}
 
 /** Correctness-gate queries for the training-data-curation operator set
   * (dedup / similarity search / text analysis / multimodal plumbing) over
@@ -4282,6 +4282,45 @@ object CurationQueries {
     },
     Some(Bpe.encodeOracle(8)))
 
+  /** Unigram-LM tokenizer trainer (`ops/Unigram.scala`) — the
+    * SentencePiece-family sibling of `q_bpe_train`: substring seeding,
+    * two Viterbi hard-EM rounds, a prune to vocabSize (characters
+    * always survive), one post-prune round. The DuckDB oracle REPLAYS
+    * the whole run — seed top-k, each round's integer micro-nat weight
+    * quantization, the Viterbi DP unrolled as per-position CTEs with
+    * the pinned (score desc, pieces asc, last-piece-len desc) tie rule,
+    * the keep/floor rule, the prune cut — so a tie slip or count drift
+    * in ANY phase changes the final vocabulary and the gate hash.
+    * vocabSize 40 against 24 corpus characters leaves 16 multi-char
+    * slots, so the prune genuinely cuts (seed keeps 60 multi-char
+    * pieces); maxWordLen 12 covers the corpus max of 8 with margin.
+    */
+  val unigramTrain = Q("q_unigram_train",
+    (s, dir) =>
+      Unigram.trainTable(Tables.documents(s, dir), "text", vocabSize = 40,
+        maxPieceLen = 4, seedSize = 60, emIters = 2, postIters = 1)
+        .orderBy("piece"),
+    Some(Unigram.trainOracle(40, maxPieceLen = 4, seedSize = 60,
+      emIters = 2, postIters = 1)))
+
+  /** Unigram Viterbi encoder under the trained vocabulary: one row per
+    * word position with its best segmentation, scored in exact integer
+    * micro-nats by the native codegen'd expression. The oracle
+    * re-derives the vocabulary through the same phases and runs one
+    * more unrolled DP under the final weights — encoder and trainer
+    * share one definition of "best segmentation" across both engines.
+    */
+  val unigramEncode = Q("q_unigram_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = Unigram.train(docs, "text", vocabSize = 40,
+        maxPieceLen = 4, seedSize = 60, emIters = 2, postIters = 1)
+      Unigram.encode(docs, "text", "doc_id", vocab)
+        .orderBy("doc_id", "pos")
+    },
+    Some(Unigram.encodeOracle(40, maxPieceLen = 4, seedSize = 60,
+      emIters = 2, postIters = 1)))
+
   /** HTML → text extraction: each document rides inside a synthetic
     * page with a style block, a comment, a script whose body contains a
     * bare '<' (so block removal MUST precede tag-stripping), and
@@ -4759,7 +4798,7 @@ object CurationQueries {
     textBigramPpl, textKneserNey, textBm25, textPplBuckets, textNbQuality,
     selectBudget, selectBudgetPerLang, textNfc, textStripAccents,
     textJaroWinkler, textMultiMatch, textHtmlStrip, curateTokenIds,
-    bpeTrain, bpeEncode,
+    bpeTrain, bpeEncode, unigramTrain, unigramEncode,
     corpusTopNgrams, corpusPmi, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,
     corpusQuantiles, corpusWinsorize, corpusProfile,
