@@ -1258,6 +1258,75 @@ object Corpus {
         col("est_jaccard"), col("est_intersection"))
   }
 
+  /** Log-bucket mergeable quantile-sketch frame — the percentile
+    * summary the HLL/CMS/KMV family was missing: each non-negative long
+    * value keeps only its top `subBits`+1 significant bits (its low
+    * bits zeroed), so the bucket id IS the bucket's lower bound and
+    * consecutive buckets have relative width 2^−subBits; the sketch is
+    * the per-(group, bucket) COUNT frame. This is the HdrHistogram /
+    * DDSketch bucket idea in integer-exact form — and the deliberate
+    * alternative to a KLL sketch, whose compaction output depends on
+    * insertion/merge ORDER: Spark's partial aggregation merges buffers
+    * in nondeterministic partition order and a cross-engine oracle
+    * cannot replay a schedule, while this frame is a pure function of
+    * the multiset (merge = SUM by bucket — commutative, associative),
+    * so shards/days/engines all land on identical state. Values below
+    * 2^(subBits+1) are represented EXACTLY.
+    *
+    * Bucketing is pure integer/string arithmetic both engines share
+    * bit-for-bit — bit length via LENGTH(BIN(v)) and two shifts — no
+    * log() whose last-ulp could disagree across libm implementations.
+    *
+    * Scale shape: the shuffle carries ≤ (64−subBits)·2^subBits + 2^subBits
+    * bucket rows per group whatever the corpus size (subBits=7 → ≤ ~7.5k,
+    * realistic value ranges far fewer), with map-side partial counting;
+    * value payloads never shuffle. Frames from independent partitions
+    * of a 100 TB corpus, or from days of a stream, merge by one
+    * bucket-sized SUM.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+                     subBits: Int = 7): DataFrame = {
+    require(subBits >= 1 && subBits <= 20, s"subBits=$subBits out of [1,20]")
+    // negative values would bucket nonsensically (BIN of a negative long
+    // is its two's-complement, 64 chars) — fail fast at execution, same
+    // discipline as intervalOverlapJoin's inversion assert
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+      .filter(assert_true(col("__v") >= 0,
+        lit(s"quantileSketch($valueCol): negative value — the sketch domain is [0, 2^63)")).isNull)
+      .withColumn("__s",
+        greatest(lit(0), length(bin(col("__v"))) - lit(subBits + 1)))
+      .withColumn("bucket", expr("shiftleft(shiftright(__v, __s), __s)"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates off a [[quantileSketch]] frame: for each q the
+    * LOWEST bucket whose cumulative count reaches the exact integer
+    * rank ⌈q·n⌉ — the same rank definition as [[exactQuantiles]], so
+    * the two are twin-comparable. The reported value is the containing
+    * bucket's lower bound: est ≤ true q-quantile < est·(1 + 2^−subBits)
+    * (exactly the true value below 2^(subBits+1)). All arithmetic is
+    * integer + one ⌈q·n⌉, deterministic cross-engine. The frame is
+    * bucket-bounded, so the window sorts are trivial however large the
+    * corpus that produced it.
+    */
+  def quantileSketchEstimate(counters: DataFrame, groupCol: String,
+                             qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles: $qs")
+    require(qs.map(q => (q * 100).round).distinct.length == qs.length,
+      s"quantile labels collide after integer-percent rounding: $qs")
+    val cum = counters
+      .withColumn("__cum", sum(col("c")).over(
+        Window.partitionBy(groupCol).orderBy(col("bucket"))))
+      .withColumn("__n", sum(col("c")).over(Window.partitionBy(groupCol)))
+    val picks = qs.map { q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("bucket")))
+        .as(s"p${(q * 100).round}")
+    }
+    cum.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     val long = df.select(explode(array(cols.map(c =>

@@ -2402,6 +2402,49 @@ object CurationQueries {
                    MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_tok END) AS p99
             FROM r GROUP BY source ORDER BY source"""))
 
+  /** Mergeable log-bucket quantile sketch
+    * ([[graft.ops.Corpus.quantileSketch]]) on the SAME per-source
+    * token-count distribution as `q_corpus_length_quantiles`, so the
+    * exact/sketch twins are directly comparable: each count keeps its
+    * top 8 significant bits (subBits 7 → relative error < 1/128; exact
+    * below 256), buckets computed in pure integer/string arithmetic
+    * (LENGTH(BIN(v)) + two shifts — no cross-libm log), estimates are
+    * the lowest bucket reaching the exact ⌈q·n⌉ rank. The oracle
+    * replays the bucket map, the SUM-merge and the rank pick.
+    */
+  val corpusQuantileSketch = Q("q_corpus_quantile_sketch",
+    (s, dir) => {
+      val lens = Tables.documents(s, dir)
+        .select(col("source"), Text.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      Corpus.quantileSketchEstimate(
+        Corpus.quantileSketch(lens, "source", "n_tok", subBits = 7),
+        "source", Seq(0.5, 0.9, 0.99))
+        .orderBy("source")
+    },
+    Some("""WITH lens AS (
+              SELECT source,
+                CAST(LEN(LIST_FILTER(
+                  STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            b AS (
+              SELECT source,
+                     CASE WHEN LENGTH(BIN(n_tok)) <= 8 THEN n_tok
+                          ELSE (n_tok >> (LENGTH(BIN(n_tok)) - 8)) << (LENGTH(BIN(n_tok)) - 8)
+                     END AS bucket
+              FROM lens),
+            c AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (
+              SELECT source, bucket, c,
+                     SUM(c) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM c)
+            SELECT source,
+                   MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bucket END) AS p50,
+                   MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN bucket END) AS p90,
+                   MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bucket END) AS p99
+            FROM cum GROUP BY source ORDER BY source"""))
+
   /** Per-source winsorization ([[graft.ops.Corpus.winsorize]]): n_chars
     * clamped into the source's exact [p05, p95] band — the clip-not-drop
     * robust-preprocessing twin of the validators' bound checks. Oracle
@@ -4801,7 +4844,7 @@ object CurationQueries {
     bpeTrain, bpeEncode, unigramTrain, unigramEncode,
     corpusTopNgrams, corpusPmi, corpusSourceReport, corpusLengthHist, corpusDupRate,
     corpusVocab, corpusHll, corpusKmv, corpusKmvOverlap, corpusCms,
-    corpusQuantiles, corpusWinsorize, corpusProfile,
+    corpusQuantiles, corpusQuantileSketch, corpusWinsorize, corpusProfile,
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,

@@ -502,4 +502,62 @@ object TrackStream {
     commitState(hadoop, stateDir)
     sink(merged)
   }
+
+  /** Streaming quantile-sketch sink: per-group log-bucket counter
+    * frames ([[graft.ops.Corpus.quantileSketch]]) as foreachBatch state
+    * — percentiles over an unbounded stream, the one summary the
+    * HLL/CMS/KMV sinks couldn't maintain. State is bucket-bounded
+    * forever (≲ 7.5k rows per group at subBits=7, independent of how
+    * much data has streamed); the cross-batch merge is a SUM by
+    * (group, bucket), which — like the CMS sink and unlike the
+    * idempotent HLL max / KMV union — would double-count a replayed
+    * batch, so it carries the same `_batchid` watermark inside the
+    * state dir: marker and counters commit atomically via the
+    * tmp-write + rename-aside swap, and a batch id ≤ the marker just
+    * re-emits current state. Estimates come straight off the state
+    * table via [[graft.ops.Corpus.quantileSketchEstimate]].
+    */
+  def quantileSketchForeachBatch(groupCol: String, valueCol: String,
+                                 subBits: Int, stateDir: String,
+                                 sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.sum
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = recoverState(fs, stateDir)
+    val marker = new org.apache.hadoop.fs.Path(stateDir + "/_batchid")
+    val applied: Long =
+      if (!hasState || !fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](64)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        } finally in.close()
+      }
+    if (batchId <= applied) {
+      sink(spark.read.parquet(stateDir)) // replay: already applied
+    } else {
+      val batchCounters =
+        graft.ops.Corpus.quantileSketch(batch, groupCol, valueCol, subBits)
+      // no catch: state exists, so a read failure is corruption or an FS
+      // outage — advancing the watermark past silently-dropped history
+      // would make the loss permanent and undetectable
+      val prev = if (hasState) Some(spark.read.parquet(stateDir)) else None
+      val merged = prev.fold(batchCounters)(p =>
+        p.union(batchCounters).groupBy(groupCol, "bucket").agg(sum("c").as("c")))
+        .localCheckpoint(true)
+      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)
+      try out.write(s"$batchId\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      commitState(fs, stateDir)
+      sink(spark.read.parquet(stateDir))
+    }
+  }
 }

@@ -587,6 +587,55 @@ class CorpusSpec extends SparkTestBase {
       "per-group quantiles must hash-partition by group, not range-sort globally")
   }
 
+  test("quantileSketch: exact below 2^(subBits+1), bucket lower bounds, error band vs exact") {
+    import spark.implicits._
+    // group a: values 1..200 at subBits 2 — values < 8 exact, larger
+    // ones keep their top 3 bits: 200 = 0b11001000 → bucket 0b11000000=192
+    val df = (1 to 200).map(i => ("a", i.toLong)).toDF("g", "v")
+    val sk = Corpus.quantileSketch(df, "g", "v", subBits = 2)
+    val buckets = sk.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(buckets(1L) == 1L && buckets(7L) == 1L)      // exact region
+    assert(buckets(192L) == 9L)                          // 192..200
+    // every bucket id is its own lower bound: only the top 3 bits set
+    assert(buckets.keys.filter(_ >= 8).forall { b =>
+      val s = 64 - java.lang.Long.numberOfLeadingZeros(b) - 3
+      (b >> s) << s == b
+    })
+    assert(sk.agg(org.apache.spark.sql.functions.sum("c")).head.getLong(0) == 200L)
+    // estimates bracket the exact quantiles from below within 2^-subBits
+    val est = Corpus.quantileSketchEstimate(sk, "g", Seq(0.5, 0.9, 0.99)).head
+    val exact = Corpus.exactQuantiles(df, "g", "v", Seq(0.5, 0.9, 0.99)).head
+    Seq(1, 2, 3).foreach { i =>
+      val e = est.getLong(i).toDouble; val t = exact.getLong(i).toDouble
+      assert(e <= t && t < e * (1 + 1.0 / 4) + 1, s"col $i: est $e vs true $t")
+    }
+  }
+
+  test("quantileSketch: merge of shard frames equals the whole-corpus frame") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => ("g", (i * 37 % 1000).toLong)).toDF("g", "v")
+    val b = (1 to 300).map(i => ("g", (i * 91 % 5000).toLong)).toDF("g", "v")
+    val whole = Corpus.quantileSketch(a.union(b), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Corpus.quantileSketch(a, "g", "v")
+      .union(Corpus.quantileSketch(b, "g", "v"))
+      .groupBy("g", "bucket").agg(org.apache.spark.sql.functions.sum("c").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("quantileSketch: negative values fail fast, nulls drop") {
+    import spark.implicits._
+    val bad = Seq(("g", 5L), ("g", -1L)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Corpus.quantileSketch(bad, "g", "v").collect()
+    }
+    assert(ex.getMessage != null)
+    val withNull = Seq(("g", Some(5L)), ("g", None)).toDF("g", "v")
+    assert(Corpus.quantileSketch(withNull, "g", "v")
+      .agg(org.apache.spark.sql.functions.sum("c")).head.getLong(0) == 1L)
+  }
+
   test("zvalue: hand-computed Morton codes on a 4x4 grid, locality property") {
     import spark.implicits._
     // x, y in {0, 1, 2, 3} with bits = 2 → the textbook 16-cell Z curve:

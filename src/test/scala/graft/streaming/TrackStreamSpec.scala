@@ -515,4 +515,29 @@ class TrackStreamSpec extends SparkTestBase {
     fn(Seq.fill(25)("hot").toDF("k"), 2L)
     assert(ests(3)("hot") >= 175 && ests(3)("hot") <= 185)
   }
+
+  test("quantile sink: stream percentiles match the batch sketch, replay-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("qsink").toString + "/sketch"
+    val ests = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    val fn = TrackStream.quantileSketchForeachBatch("src", "v", 7, dir,
+      sink = df => ests += graft.ops.Corpus
+        .quantileSketchEstimate(df, "src", Seq(0.5)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val b1 = (1 to 100).map(i => ("s", i.toLong)).toDF("src", "v")
+    val b2 = (101 to 300).map(i => ("s", i.toLong)).toDF("src", "v")
+    fn(b1, 0L)
+    fn(b2, 1L)
+    // state now equals the one-shot batch sketch of the whole stream
+    val batchEst = graft.ops.Corpus.quantileSketchEstimate(
+      graft.ops.Corpus.quantileSketch(b1.union(b2), "src", "v", 7),
+      "src", Seq(0.5)).head.getLong(1)
+    assert(ests(1)("s") == batchEst)
+    // at-least-once replay of batch 2: the watermark skips the re-sum —
+    // a naive merge would double every 101..300 bucket and move p50
+    fn(b2, 1L)
+    assert(ests(2) == ests(1))
+    // next new batch shifts the median upward
+    fn((301 to 1000).map(i => ("s", i.toLong)).toDF("src", "v"), 2L)
+    assert(ests(3)("s") > ests(1)("s"))
+  }
 }
