@@ -407,7 +407,10 @@ object Bench {
       "q_dedup_minhash_lsh_auto", "q_curate_e2e_scale", "q_bpe_train"),
     "sf30" -> Seq(
       "q_dedup_minhash_lsh_auto", "q_dedup_semdedup",
-      "q_dedup_winnow_pairs", "q_curate_e2e_scale"))
+      "q_dedup_winnow_pairs", "q_curate_e2e_scale"),
+    "sf100" -> Seq(
+      "q_dedup_minhash_lsh_auto", "q_dedup_winnow_pairs",
+      "q_curate_e2e_scale"))
 
   /** Structured residue of a scale section, kept alongside its JSON
     * fragment so [[digestLine]] can summarize without re-parsing strings.
@@ -482,6 +485,16 @@ object Bench {
     // round-11: the rarity-prefix candidate join at 30× — evidences the
     // Σ df_full·df_prefix bound where a plain gram index goes df²
     "q_dedup_editdist_pairs")
+
+  /** The sf100 memory-headroom set (round-11 stretch #7): ONLY the three
+    * heaviest families at sf30 — the question at 100× is "does each
+    * still complete inside the 128 GiB sandbox and scale sub-linearly",
+    * not a census (the sf30 section is the census).
+    */
+  val Sf100Queries: Seq[String] = Seq(
+    "q_dedup_minhash_lsh_auto",
+    "q_dedup_winnow_pairs",
+    "q_curate_e2e_scale")
 
   /** Daemon timer backing the per-sample watchdog ([[runOnce]]). */
   private lazy val watchdogTimer =
@@ -955,9 +968,11 @@ object Bench {
         .getOrElse(fallback)
     val sf1Names = picked("SPARK_GRAFT_SF1_QUERIES", HeavyQueries)
     val sf30Names = picked("SPARK_GRAFT_SF30_QUERIES", Sf30Queries)
+    val sf100Names = picked("SPARK_GRAFT_SF100_QUERIES", Sf100Queries)
     Seq(
       ("sf1", sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1"), sf1Names),
-      ("sf30", sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "/tmp/graft-sf30"), sf30Names))
+      ("sf30", sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "/tmp/graft-sf30"), sf30Names),
+      ("sf100", sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/graft-sf100"), sf100Names))
       .filter { case (_, d, _) => new java.io.File(d).isDirectory }
       .foreach { case (label, d, names) =>
         if (!timeLeft()) { truncated = true; skippedWork += label }

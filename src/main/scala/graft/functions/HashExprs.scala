@@ -181,8 +181,64 @@ object HashExprs {
     c.toDouble / (m + n - c)
   }
 
+  /** [[JaccardSorted]] over SORTED long arrays — the verify kernel when
+    * the shingle sets are carried as xxhash64 hashes instead of strings
+    * (8 B/element vs ~40-80 B: the verify joins' shuffle AND their
+    * non-spilling shuffled-hash builds shrink ~7×, which is what keeps
+    * the per-task build bounded at corpus scale — see the minhash verify
+    * scaladoc in Dedup). Same value as the string kernel on the hashed
+    * sets: intersection/union counts are preserved exactly unless two
+    * DISTINCT shingles of the same compared pair collide in 64 bits
+    * (~|d|²/2⁶⁴ — the identical argument the candidate index already
+    * rests on). Contract mirrors [[JaccardSorted]]: ascending, distinct,
+    * null-free; both-empty yields NaN.
+    */
+  case class JaccardSortedLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted_long"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      java.lang.Double.valueOf(HashExprs.jaccardSortedLongEval(a, b))
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.HashExprs.jaccardSortedLongEval($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSortedLong =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Runtime helper for [[JaccardSortedLong]], shared by eval and codegen. */
+  def jaccardSortedLongEval(a: ArrayData, b: ArrayData): Double = {
+    val m = a.numElements()
+    val n = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < m && j < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c.toDouble / (m + n - c)
+  }
+
   def jaccardSorted(a: Column, b: Column): Column =
     GraftShim.column(JaccardSorted(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    GraftShim.column(JaccardSortedLong(GraftShim.expression(a), GraftShim.expression(b)))
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingles), numHashes))

@@ -153,22 +153,70 @@ object Dedup {
     * pre-checkpoint shape = 3 shuffles with the fan-out unpinned,
     * post-checkpoint shape = 2 shuffles, pinned).
     */
-  private def pinFanout(df: DataFrame, keys: Column*): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(parts, keys: _*)
+  private def pinFanout(df: DataFrame, keys: Column*): DataFrame =
+    pinFanoutN(df, -1, keys: _*)
+
+  /** [[pinFanout]] with an explicit partition count (`parts <= 0` falls
+    * back to the session shuffle-partition conf). Callers that know the
+    * row mass of the frame pass [[scaledParts]] here so per-partition
+    * build memory stays bounded as the corpus grows.
+    */
+  private def pinFanoutN(df: DataFrame, parts: Int, keys: Column*): DataFrame = {
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(p, keys: _*)
   }
+
+  /** Partition count for an above-ceiling shuffle_hash join over a frame
+    * of known row mass. The session shuffle-partition conf is a FIXED
+    * number tuned for the typical stage, but a shuffled-hash build side
+    * does NOT spill: each task materializes `rows/parts` build rows on
+    * the heap, so a fixed `parts` turns corpus growth directly into
+    * per-task heap growth until the build OOMs (observed: the sf100
+    * memory smoke killed the MinHash verify join at 500k docs × 32
+    * partitions with `SparkOutOfMemoryError: not enough memory to build
+    * hash map` in a heap that handles sf30 with 4× headroom). Scaling
+    * the partition count with the row mass bounds the per-task build at
+    * `rowsPerPartition` rows no matter the corpus size — on a real
+    * cluster this is the difference between "works at the SF it was
+    * tuned at" and "works at any SF". Never shrinks below the session
+    * conf (parallelism floor); capped at 65536 (Spark's shuffle
+    * partition sanity bound — ~33 billion rows at the default budget,
+    * past which a bigger budget beats more files).
+    */
+  private def scaledParts(df: DataFrame, rows: Long,
+                          rowsPerPartition: Long): Int = {
+    val base = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong
+    val budget = df.sparkSession.conf
+      .get(BuildRowsPerPartitionKey, rowsPerPartition.toString).toLong
+    val want = (rows + budget - 1) / math.max(1L, budget)
+    math.min(math.max(base, want), 65536L).toInt
+  }
+
+  /** Override for [[scaledParts]]' per-partition build-row budget. The
+    * call-site defaults (250k fixed-width rows / 500k hashed shingle
+    * occurrences ≈ 10-15 MB of build per task) are sized so 32 concurrent
+    * builds coexist with multi-GB checkpoint storage in an 8 GiB local
+    * heap — the sf100 smoke's envelope; a real cluster with fatter
+    * executors can raise it to trade shuffle files for build locality.
+    */
+  private[ops] val BuildRowsPerPartitionKey =
+    "spark.graft.dedup.buildRowsPerPartition"
 
   /** Both sides of a fan-out self-join over a NON-checkpointed frame,
     * each side [[pinFanout]]-partitioned on the join keys. The shuffle is
     * work the join's own exchange would have done anyway — this just
-    * makes it AQE-coalescing-exempt.
+    * makes it AQE-coalescing-exempt. `parts > 0` overrides the session
+    * partition count (see [[scaledParts]]).
     */
   private def fanoutSides(df: DataFrame, keys: Seq[String],
                           aCols: Seq[Column], bCols: Seq[Column],
-                          pin: Boolean = true): (DataFrame, DataFrame) =
+                          pin: Boolean = true,
+                          parts: Int = -1): (DataFrame, DataFrame) =
     if (pin)
-      (pinFanout(df.select(aCols: _*), keys.map(col): _*),
-       pinFanout(df.select(bCols: _*), keys.map(col): _*))
+      (pinFanoutN(df.select(aCols: _*), parts, keys.map(col): _*),
+       pinFanoutN(df.select(bCols: _*), parts, keys.map(col): _*))
     else
       (df.select(aCols: _*), df.select(bCols: _*))
 
@@ -969,7 +1017,8 @@ object Dedup {
     // adaptive broadcast (see the ceiling scaladoc): index0 is checkpointed
     // so the occurrence count is metadata-cheap; a small corpus gets the
     // broadcast plan, a big one keeps the pinned shape below
-    val small = index0.count() <= shingleCeiling(df)
+    val indexRows = index0.count()
+    val small = indexRows <= shingleCeiling(df)
     val index =
       if (maxShingleDocFreq <= 0) index0
       else {
@@ -988,10 +1037,13 @@ object Dedup {
         if (small) capped else capped.localCheckpoint(true)
       }
     val h = adaptivePin(small)
+    // fixed-width index rows; scaledParts bounds the per-task shuffled-hash
+    // build as the corpus grows (see the scaledParts scaladoc)
     val (a, b) = fanoutSides(index, Seq("__s"),
       Seq(col("__s"), col("__id").as("id_a"), col("__size").as("__na")),
       Seq(col("__s"), col("__id").as("id_b"), col("__size").as("__nb")),
-      pin = !small)
+      pin = !small,
+      parts = if (small) -1 else scaledParts(df, indexRows, 250000L))
     // Above the ceiling: shuffle_hash, NOT broadcast — Catalyst's static
     // size estimate of a Generate-exploded frame is far below its real
     // size, so the planner would broadcast the entire index — a
@@ -1116,20 +1168,25 @@ object Dedup {
       .distinct()
     // shuffle_hash above the ceiling: same anti-broadcast reasoning as
     // minhashLshPairs' verify joins — never ship the whole corpus'
-    // shingle arrays. Verification runs the sorted-merge Jaccard
-    // expression over once-per-document-sorted arrays (see
-    // minhashLshPairs for why the builtin hash-set pair was replaced).
-    val withA = candidates.join(
-      h(shingled.select(col("__id").as("id_a"),
-        array_sort(col("__sh")).as("__sha"))),
-      Seq("id_a"))
-    val withB = withA.join(
-      h(shingled.select(col("__id").as("id_b"),
-        array_sort(col("__sh")).as("__shb"))),
-      Seq("id_b"))
+    // shingle arrays. Verification runs the sorted-merge Jaccard kernel
+    // over once-per-document-sorted xxhash64 arrays — same two scale
+    // bounds as the minhash verify (hashed 8 B elements + occurrence-
+    // scaled partitioning keep the non-spilling shuffled-hash build flat
+    // in corpus size; value-identical up to within-pair 64-bit
+    // collisions, the odds this path's candidate index already accepts).
+    val vParts =
+      if (small) -1
+      else scaledParts(df, totalShingles(shingled), 500000L)
+    def verifySide(renamedId: String, renamedSh: String): DataFrame = {
+      val s = shingled.select(col("__id").as(renamedId),
+        array_sort(transform(col("__sh"), x => xxhash64(x))).as(renamedSh))
+      if (small) s else pinFanoutN(s, vParts, col(renamedId))
+    }
+    val withA = candidates.join(h(verifySide("id_a", "__sha")), Seq("id_a"))
+    val withB = withA.join(h(verifySide("id_b", "__shb")), Seq("id_b"))
     withB
       .withColumn("jaccard",
-        graft.functions.HashExprs.jaccardSorted(col("__sha"), col("__shb")))
+        graft.functions.HashExprs.jaccardSortedLong(col("__sha"), col("__shb")))
       .filter(atLeast(col("jaccard"), threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -1178,7 +1235,8 @@ object Dedup {
       .localCheckpoint(true)
     // adaptive broadcast (see the ceiling scaladoc): checkpointed frame →
     // cheap occurrence count; small corpora broadcast, big ones stay pinned
-    val small = totalShingles(shingled) <= shingleCeiling(df)
+    val occ = totalShingles(shingled)
+    val small = occ <= shingleCeiling(df)
     val h = adaptivePin(small)
     val sig = shingled.withColumn("__sig",
       minhashSignature(col("__sh"), bands * rowsPerBand))
@@ -1192,10 +1250,14 @@ object Dedup {
           slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b)))
         .as(Seq("__band", "__bucket")))
       .localCheckpoint(true)
+    // band-join build mass = docs × bands fixed-width rows; checkpointed,
+    // so the count is metadata-cheap. scaledParts bounds the per-task
+    // shuffled-hash build no matter the corpus size.
+    val bandParts = if (small) -1 else scaledParts(df, banded.count(), 250000L)
     val (l, r) = fanoutSides(banded, Seq("__band", "__bucket"),
       Seq(col("__band"), col("__bucket"), col("__id").as("id_a")),
       Seq(col("__band"), col("__bucket"), col("__id").as("id_b")),
-      pin = !small)
+      pin = !small, parts = bandParts)
     // shuffle_hash above the ceiling, for the same reason as
     // ngramJaccardPairs: the static estimate of an exploded frame
     // undersizes it and the planner would build a driver-side broadcast
@@ -1218,13 +1280,29 @@ object Dedup {
     // whose throughput proved JIT-profile-hostage at sf30 (7 s vs 120 s
     // across identical runs; see VectorExprs.TopCells for the same
     // disease in the centroid assign)
-    val sortedShingles = shingled.withColumn("__sh", array_sort(col("__sh")))
-    val withA = candidates.join(h(sortedShingles.withColumnRenamed("__id", "id_a")
-      .withColumnRenamed("__sh", "__sha")), Seq("id_a"))
-    val withB = withA.join(h(sortedShingles.withColumnRenamed("__id", "id_b")
-      .withColumnRenamed("__sh", "__shb")), Seq("id_b"))
+    // The verify build sides are the heaviest rows in the query — and a
+    // shuffled-hash build does not spill, so at corpus scale their
+    // per-task footprint is the first thing to OOM (the sf100 memory
+    // smoke killed exactly this join at the session-fixed partition
+    // count). Two bounds keep it flat in corpus size: (1) verify on
+    // xxhash64 SHINGLE HASHES, not strings — 8 B/element, ~7× less
+    // shuffle and build mass, value-identical up to 64-bit collisions
+    // WITHIN a compared pair (the same odds the candidate index already
+    // accepts); (2) above the ceiling, repartition each side to a count
+    // scaled by total occurrences, bounding the per-task build at ~500k
+    // elements whatever the corpus size (see scaledParts).
+    val sortedShingles = shingled.select(col("__id"),
+      array_sort(transform(col("__sh"), s => xxhash64(s))).as("__sh"))
+    val vParts = if (small) -1 else scaledParts(df, occ, 500000L)
+    def verifySide(renamedId: String, renamedSh: String): DataFrame = {
+      val s = sortedShingles.withColumnRenamed("__id", renamedId)
+        .withColumnRenamed("__sh", renamedSh)
+      if (small) s else pinFanoutN(s, vParts, col(renamedId))
+    }
+    val withA = candidates.join(h(verifySide("id_a", "__sha")), Seq("id_a"))
+    val withB = withA.join(h(verifySide("id_b", "__shb")), Seq("id_b"))
     withB.withColumn("jaccard",
-        graft.functions.HashExprs.jaccardSorted(col("__sha"), col("__shb")))
+        graft.functions.HashExprs.jaccardSortedLong(col("__sha"), col("__shb")))
       .filter(atLeast(col("jaccard"), threshold))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

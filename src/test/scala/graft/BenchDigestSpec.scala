@@ -96,6 +96,8 @@ class BenchDigestSpec extends AnyFunSuite {
     // digest would show nulls for queries that were never attempted
     assert((Bench.ScaleDigestPicks("sf1").toSet -- Bench.HeavyQueries.toSet).isEmpty)
     assert((Bench.ScaleDigestPicks("sf30").toSet -- Bench.Sf30Queries.toSet).isEmpty)
+    assert((Bench.Sf100Queries.toSet -- catalogNames).isEmpty)
+    assert((Bench.ScaleDigestPicks("sf100").toSet -- Bench.Sf100Queries.toSet).isEmpty)
   }
 
   test("digest headline and scale picks contain no duplicates") {

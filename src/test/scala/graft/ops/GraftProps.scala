@@ -35,6 +35,24 @@ object GraftProps extends Properties("graft") {
       (j.isNaN && ref.isNaN) || j == ref
     }
 
+  property("jaccardSortedLong equals the set definition AND the string kernel on hashes") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd d", "e", "ff", "g hh")),
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd d", "e", "ff", "g hh", "zz"))) { (xs, ys) =>
+      val a = xs.distinct
+      val b = ys.distinct
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.size + b.size - inter
+      val ref = inter.toDouble / union // 0/0 → NaN, the documented contract
+      // the minhash/ngram verify shape: xxhash64 per shingle, sorted longs
+      val df = Seq((a, b)).toDF("a", "b").select(
+        array_sort(transform(col("a"), x => xxhash64(x))).as("a"),
+        array_sort(transform(col("b"), x => xxhash64(x))).as("b"))
+      val j = df.select(
+        graft.functions.HashExprs.jaccardSortedLong(col("a"), col("b")).as("j"))
+        .collect()(0).getDouble(0)
+      (j.isNaN && ref.isNaN) || j == ref
+    }
+
   property("locscaleb bounds widen monotonically in k") =
     forAll(values, Gen.chooseNum(0.5, 3.0), Gen.chooseNum(0.5, 3.0)) { (xs, k1, k2) =>
       val (lo, hi) = if (k1 < k2) (k1, k2) else (k2, k1)
