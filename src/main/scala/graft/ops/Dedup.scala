@@ -1621,11 +1621,13 @@ object Dedup {
       .localCheckpoint(true)
     // adaptive broadcast (see the ceiling scaladoc): chunked rows are
     // fixed-width (4 numeric cols), so the pair ceiling applies
-    val small = chunked.count() <= pairCeiling(sigs)
+    val chunkRows = chunked.count()
+    val small = chunkRows <= pairCeiling(sigs)
     val (l, r) = fanoutSides(chunked, Seq("__chunk", "__ckey"),
       Seq(col("__chunk"), col("__ckey"), col("__id").as("id_a"), col("__h").as("__ha")),
       Seq(col("__chunk"), col("__ckey"), col("__id").as("id_b"), col("__h").as("__hb")),
-      pin = !small)
+      pin = !small,
+      parts = if (small) -1 else scaledParts(sigs, chunkRows, 250000L))
     l.join(adaptivePin(small)(r), Seq("__chunk", "__ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -1685,10 +1687,15 @@ object Dedup {
         .localCheckpoint(true)
       // fanoutSides: this join explodes ~1000× (200M candidates from a
       // 170 MB input at 20k vectors); without the pinned repartition AQE
-      // coalesced it to 4 tasks — 57 s on 4 threads while 28 cores idled
+      // coalesced it to 4 tasks — 57 s on 4 threads while 28 cores idled.
+      // Rows CARRY the embedding (the heaviest row class in the module),
+      // so the per-task shuffled-hash build budget is 25k rows (~25 MB
+      // at 128 double dims) — see scaledParts for why a fixed count OOMs
+      // at corpus scale.
       val (a, b) = fanoutSides(bucketed, Seq("__table", "__bkt"),
         Seq(col("__table"), col("__bkt"), col("__id").as("id_a"), col("__v").as("__va")),
-        Seq(col("__table"), col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb")))
+        Seq(col("__table"), col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb")),
+        parts = scaledParts(vecs, bucketed.count(), 25000L))
       verified(
         a.join(b.hint("shuffle_hash"), Seq("__table", "__bkt"))
           .filter(col("id_a") < col("id_b")))
@@ -1806,9 +1813,12 @@ object Dedup {
       explode(graft.functions.VectorExprs.topCells(col("__v"), ids, mat, effAssign))
         .as("centroid_id"),
       col("__v")).localCheckpoint(true)
+    // vector-carrying rows: 25k-row per-task build budget, same as the
+    // LSH fan-out above (see scaledParts)
     val (a, b) = fanoutSides(cells, Seq("centroid_id"),
       Seq(col("centroid_id"), col("__id").as("id_a"), col("__v").as("__va")),
-      Seq(col("centroid_id"), col("__id").as("id_b"), col("__v").as("__vb")))
+      Seq(col("centroid_id"), col("__id").as("id_b"), col("__v").as("__vb")),
+      parts = scaledParts(vecs, cells.count(), 25000L))
     a.join(b.hint("shuffle_hash"), Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
@@ -1917,10 +1927,13 @@ object Dedup {
     // instead of once per self-join side.
     val index = if (small) index1 else index1.localCheckpoint(true)
     val h = adaptivePin(small)
+    // fixed-width (fp, id) rows; the checkpointed count is metadata-cheap
+    // and bounds the per-task shuffled-hash build (see scaledParts)
     val (a, b) = fanoutSides(index, Seq("__fp"),
       Seq(col("__fp"), col("__id").as("id_a")),
       Seq(col("__fp"), col("__id").as("id_b")),
-      pin = !small)
+      pin = !small,
+      parts = if (small) -1 else scaledParts(df, index.count(), 250000L))
     a.join(h(b), Seq("__fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
@@ -1986,8 +1999,17 @@ object Dedup {
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__len"))
       .localCheckpoint(true)
-    val smallCorpus = base.count() <= pairCeiling(df)
+    val baseRows = base.count()
+    val smallCorpus = baseRows <= pairCeiling(df)
     val hc = adaptivePin(smallCorpus)
+    // string-carrying verify attaches: above the ceiling, bound the
+    // per-task shuffled-hash build by repartitioning the build side to a
+    // row-mass-scaled count (see scaledParts)
+    def attachSide(renamedId: String, renamedS: String): DataFrame = {
+      val s = base.select(col("__id").as(renamedId), col("__s").as(renamedS))
+      if (smallCorpus) s
+      else pinFanoutN(s, scaledParts(df, baseRows, 250000L), col(renamedId))
+    }
 
     // ---- long route: rarity-prefix index → full×prefix join → verify
     val longs = base.filter(col("__len") >= lmin)
@@ -1997,7 +2019,8 @@ object Dedup {
       explode(array_distinct(transform(sequence(lit(0), col("__len") - q),
         i => xxhash64(col("__s").substr(i + lit(1), lit(q)))))).as("__g"))
       .localCheckpoint(true)
-    val small = gset.count() <= shingleCeiling(df)
+    val gsetRows = gset.count()
+    val small = gsetRows <= shingleCeiling(df)
     val h = adaptivePin(small)
     // global gram rarity attach (Θ(index) ⋈ Θ(gram vocab), pinned above
     // the ceiling), then the dq+1 rarest per doc — row_number under a
@@ -2012,7 +2035,11 @@ object Dedup {
       .select(col("__g"), col("__id").as("id_a"), col("__len").as("__la"))
     val (fa, pb) =
       if (small) (fullIdx, prefix)
-      else (pinFanout(fullIdx, col("__g")), pinFanout(prefix, col("__g")))
+      else {
+        // fixed-width gram rows; bound the per-task build (see scaledParts)
+        val p = scaledParts(df, gsetRows, 250000L)
+        (pinFanoutN(fullIdx, p, col("__g")), pinFanoutN(prefix, p, col("__g")))
+      }
     val candLong = fa.join(h(pb), Seq("__g"))
       .filter(col("id_a") =!= col("id_b") &&
         abs(col("__la") - col("__lb")) <= maxDist)
@@ -2020,8 +2047,8 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
     val longPairs = candLong
-      .join(hc(base.select(col("__id").as("id_a"), col("__s").as("__sa"))), Seq("id_a"))
-      .join(hc(base.select(col("__id").as("id_b"), col("__s").as("__sb"))), Seq("id_b"))
+      .join(hc(attachSide("id_a", "__sa")), Seq("id_a"))
+      .join(hc(attachSide("id_b", "__sb")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType))
