@@ -1121,4 +1121,45 @@ class DedupSpec extends SparkTestBase {
         "index self-join must be shuffled above the ceiling")
     } finally spark.conf.unset(Dedup.ShingleCeilingKey)
   }
+
+  test("above the ceiling, fan-out partition counts scale with row mass " +
+       "(bounded per-task shuffled-hash builds) without changing results") {
+    // The sf100 OOM contract: a shuffled-hash build does NOT spill, so
+    // the per-task build row count must stay bounded as the corpus grows.
+    // Force the ceilings to 0 (at-scale plan) and the per-partition build
+    // budget to 10 rows — every fan-out/verify repartition must then
+    // exceed the session shuffle-partition conf, proving the count is
+    // derived from the measured row mass, not the fixed conf.
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def maxHashParts(df: org.apache.spark.sql.DataFrame): Int =
+      "hashpartitioning\\([^()]*?(\\d+)\\)".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).max
+    spark.conf.set(Dedup.ShingleCeilingKey, "0")
+    spark.conf.set(Dedup.PairCeilingKey, "0")
+    val baseline = pairs(Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5))
+    spark.conf.set(Dedup.BuildRowsPerPartitionKey, "10")
+    try {
+      for ((name, df) <- Seq(
+        "minhash" -> Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5),
+        "ngram-plain" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2),
+        "ngram-prefix" -> Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.2,
+          prefixFilter = true),
+        "simhash" -> Dedup.simhashPairs(corpus, "text", "doc_id", 3),
+        "editdist" -> Dedup.editDistancePairs(corpus.limit(200), "text", "doc_id", 2)))
+        assert(maxHashParts(df) > conf,
+          s"$name fan-out partition count must scale past the session conf ($conf)")
+      // partitioning is a plan-only change: the pair list is unaffected
+      assert(pairs(Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 8, 4, 0.5))
+        == baseline)
+      assert(baseline.nonEmpty)
+    } finally {
+      spark.conf.unset(Dedup.ShingleCeilingKey)
+      spark.conf.unset(Dedup.PairCeilingKey)
+      spark.conf.unset(Dedup.BuildRowsPerPartitionKey)
+    }
+  }
 }
