@@ -3599,6 +3599,16 @@ object CurationQueries {
     * dedup → near-dup closure → LM fit + tertile cuts + keep → token
     * band → hashed-unigram importance weights + top-k cut → scrub →
     * split → chunk. Any stage reordering moves the final chunk set.
+    *
+    * COST NOTE: this is, by construction, the suite's most expensive
+    * gate (~23 s vs curateE2E's ~12.5 s clean at sf0.1) — it pushes a
+    * DOUBLED copy of the planted-tail corpus through the near-dup
+    * candidate stage, whose true pair count is corpus²-shaped on this
+    * corpus (see curateE2EScale's scaladoc); 2× docs ≈ 4× pairs in the
+    * stage that already dominates curateE2E's wall (60%, see
+    * docs/CURATE_E2E_ATTRIBUTION.md). Like curateE2E it is excluded
+    * from every scale set for exactly that reason — the composition
+    * coverage needs the planted structure; scaling claims don't.
     */
   val curateE2EScreens = Q("q_curate_e2e_screens",
     (s, dir) => {
