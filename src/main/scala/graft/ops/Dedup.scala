@@ -724,6 +724,130 @@ object Dedup {
     batchSurvivors.join(hits.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
+  /** Persistable MinHash BAND index: one fixed-width (idCol, band,
+    * bucket) row per band — `bands` × ~24 B/doc on disk, 50-200× smaller
+    * than [[shingleIndex]]'s one-row-per-shingle-occurrence layout. The
+    * bucket derivation is byte-identical to [[minhashLshPairs]]' banding
+    * (same signature expression, same per-band xxhash64 fold), so an
+    * index built here collides exactly like the in-memory path. Persist
+    * it bucketed on (band, bucket) (StageIO's bucketed sink) and each
+    * batch's candidate probe lands on co-located buckets instead of
+    * reshuffling the history.
+    */
+  def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    wordShingled(df, textCol, idCol, n)
+      .withColumn("__sig", minhashSignature(col("__sh"), bands * rowsPerBand))
+      .select(col("__id").as(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+              .cast("array<string>")), b)))
+          .as(Seq("band", "bucket")))
+
+  /** Persistable per-doc SORTED xxhash64 shingle sets — the exact-verify
+    * side of the banded incremental screen. Same total bytes as
+    * [[shingleIndex]] but ONE row per document, so verification fetches
+    * the arrays of CANDIDATE history docs by id instead of joining every
+    * batch shingle occurrence against the whole inverted index. Persist
+    * bucketed on idCol for a shuffle-free candidate attach.
+    */
+  def shingleHashSets(df: DataFrame, textCol: String, idCol: String,
+                      n: Int): DataFrame =
+    wordShingled(df, textCol, idCol, n)
+      .select(col("__id").as(idCol),
+        array_sort(transform(col("__sh"), s => xxhash64(s)))
+          .as("shingle_hashes"))
+
+  /** MinHash keep-one: [[nearDupSurvivors]]' banding-family sibling —
+    * cluster [[minhashLshPairs]] pairs with connected components and
+    * keep each cluster's minimum id. Candidate recall follows the
+    * banding curve 1-(1-j^r)^b (size with [[planMinhashLsh]]); the
+    * verify is exact, so false candidates never cost a keep decision.
+    */
+  def minhashSurvivors(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, bands: Int, rowsPerBand: Int,
+                       threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(df, textCol, idCol, n, bands, rowsPerBand,
+      threshold).select("id_a", "id_b").localCheckpoint(true)
+    val losers = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    val h = adaptivePin(pairs.count() <= pairCeiling(df))
+    df.join(h(losers), Seq(idCol), "left_anti")
+  }
+
+  /** Incremental MinHash-banded near-dup screen — the design that holds
+    * when the HISTORY is the 100 TB object: [[nearDupIncremental]]'s
+    * bipartite probe joins every batch shingle occurrence against the
+    * full inverted index (the whole index shuffles per batch); here the
+    * history contributes (a) a band index of `bands` fixed-width rows
+    * per doc whose candidate join touches only the buckets the batch
+    * occupies, and (b) per-doc hash sets fetched by id for candidate
+    * docs only. Both persist as stage tables (bucketed on their join
+    * keys → batches probe co-located buckets, history never reshuffles)
+    * and grow by appending the kept batch's own index rows.
+    *
+    * Semantics mirror [[nearDupIncrementalAgainstIndex]]: keep incoming
+    * rows that survive within-batch keep-one AND verify below
+    * `threshold` against every banding candidate in the history. Exact
+    * verify on the hashed shingle sets ([[graft.functions.HashExprs.JaccardSortedLong]];
+    * collision odds as documented there); candidate completeness is the
+    * banding curve — size (bands, rowsPerBand) for the target recall
+    * with [[planMinhashLsh]]. Idempotence: re-ingesting a loaded batch
+    * emits zero rows (every doc's own copy collides in all bands and
+    * verifies at jaccard 1.0).
+    */
+  def minhashIncrementalAgainstIndex(incoming: DataFrame,
+                                     bandIndex: DataFrame,
+                                     hashSets: DataFrame,
+                                     textCol: String, idCol: String,
+                                     n: Int, bands: Int, rowsPerBand: Int,
+                                     threshold: Double): DataFrame = {
+    // checkpoint: within-batch keep-one feeds the band probe, the set
+    // attach AND the final anti-join — unmaterialized it would run the
+    // whole LSH clustering three times per batch
+    val batchSurvivors = minhashSurvivors(incoming, textCol, idCol,
+      n, bands, rowsPerBand, threshold).localCheckpoint(true)
+    // candidate probe: batch side built (Θ(batch × bands) fixed-width
+    // rows), history side streams — and arrives shuffle-free when the
+    // persisted index is bucketed on the join key
+    val bBands = minhashBandIndex(batchSurvivors, textCol, idCol,
+      n, bands, rowsPerBand)
+      .select(col(idCol).as("inc_id"), col("band"), col("bucket"))
+    val cand = bandIndex
+      .select(col("band"), col("bucket"), col(idCol).as("ex_id"))
+      .join(bBands.hint("shuffle_hash"), Seq("band", "bucket"))
+      .select("inc_id", "ex_id").distinct()
+    val bSets = shingleHashSets(batchSurvivors, textCol, idCol, n)
+      .select(col(idCol).as("inc_id"), col("shingle_hashes").as("__ha"))
+    // both verify attaches build the candidate-derived side (bounded by
+    // batch × banding collisions), never the history
+    val withInc = cand.join(bSets.hint("shuffle_hash"), Seq("inc_id"))
+    val hits = hashSets
+      .select(col(idCol).as("ex_id"), col("shingle_hashes").as("__hb"))
+      .join(withInc.hint("shuffle_hash"), Seq("ex_id"))
+      .withColumn("__j",
+        graft.functions.HashExprs.jaccardSortedLong(col("__ha"), col("__hb")))
+      .filter(atLeast(col("__j"), threshold))
+      .select(col("inc_id").as(idCol)).distinct()
+    batchSurvivors.join(hits.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashIncrementalAgainstIndex]] with both history frames derived
+    * in-query — the convenience overload for one-shot use; production
+    * ingestion persists [[minhashBandIndex]] and [[shingleHashSets]]
+    * once and appends per batch.
+    */
+  def minhashIncremental(incoming: DataFrame, existing: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int, bands: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame =
+    minhashIncrementalAgainstIndex(incoming,
+      minhashBandIndex(existing, textCol, idCol, n, bands, rowsPerBand),
+      shingleHashSets(existing, textCol, idCol, n),
+      textCol, idCol, n, bands, rowsPerBand, threshold)
+
   /** Duplicated-substring REMOVAL at k-token granularity — the transform
     * half of [[duplicatedSpanStats]] (Lee et al.'s ExactSubstr dedup):
     * every k-token span occurring ≥2 times corpus-wide keeps only its

@@ -315,6 +315,69 @@ object CurationQueries {
               AND doc_id NOT IN (SELECT doc_id FROM crosshit)
             ORDER BY doc_id"""))
 
+  /** Incremental MINHASH-BANDED near-dup screen — the same split and
+    * semantics as [[dedupIncrementalNear]] (odd ids = batch, even =
+    * corpus) but candidates come from the persisted band index instead
+    * of the shingle inverted index, and the verify runs on per-doc
+    * hashed shingle sets. Threshold 0.5 with 64×2 banding: the oracle is
+    * the EXACT all-pairs definition, valid because a true pair at
+    * j ≥ 0.5 escapes all 64 bands with p = (1-0.25)^64 ≈ 1e-8 (the same
+    * argument as [[dedupMinhash]]; equality verified empirically at
+    * every gate SF, deterministic while the corpus generator is fixed).
+    */
+  val dedupIncrementalMinhash = Q("q_dedup_incremental_minhash",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.minhashIncremental(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", n = 3, bands = 64, rowsPerBand = 2,
+        threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+            toks AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN LEN(t) <= 3 THEN [ARRAY_TO_STRING(t, ' ')]
+                     ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                            i -> ARRAY_TO_STRING(t[i:i+2], ' '))) END AS shingles
+              FROM toks),
+            idx AS (SELECT doc_id, LEN(shingles) AS ns, UNNEST(shingles) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+              GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+            losers AS (SELECT id FROM labels WHERE label <> id),
+            surv AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers)),
+            crosshit AS (
+              SELECT a.doc_id
+              FROM idx a JOIN idx b ON a.g = b.g
+              WHERE a.doc_id IN (SELECT doc_id FROM surv) AND b.doc_id % 2 = 0
+              GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.5)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM surv)
+              AND doc_id NOT IN (SELECT doc_id FROM crosshit)
+            ORDER BY doc_id"""))
+
   /** Exact duplicated-substring screen at 8-token granularity: per doc,
     * how many sliding 8-token spans occur ≥2 times corpus-wide. The
     * oracle recomputes the identical definition relationally (span text
@@ -5013,7 +5076,7 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalBloom,
     dedupIncrementalReuseBloom, dedupIncrementalReusePlain,
-    dedupIncrementalNear,
+    dedupIncrementalNear, dedupIncrementalMinhash,
     dedupDecontaminate, dedupDecontaminateEmbed,
     dedupContainment, dedupSubstring, dedupSubstringStrip,
     dedupLineStats, dedupLineStrip, dedupJaccard, dedupEditDist,

@@ -892,6 +892,46 @@ class DedupSpec extends SparkTestBase {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("minhashIncremental: equals the inverted-index screen, survives the " +
+       "persisted-index round trip, and is idempotent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    // family equality: with 64×2 banding a true pair at j >= 0.5 escapes
+    // every band with p ≈ 1e-8, so the banded screen must keep exactly
+    // the same docs as the exhaustive inverted-index screen
+    val viaNgram = Dedup.nearDupIncremental(batch, existing,
+      "text", "doc_id", 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaMinhash = Dedup.minhashIncremental(batch, existing,
+      "text", "doc_id", 3, 64, 2, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMinhash == viaNgram && viaMinhash.nonEmpty)
+    // production shape: both history frames persisted once, loaded per batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.minhashBandIndex(existing, "text", "doc_id", 3, 64, 2)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    Dedup.shingleHashSets(existing, "text", "doc_id", 3)
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    val viaIndex = Dedup.minhashIncrementalAgainstIndex(batch,
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+      "text", "doc_id", 3, 64, 2, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == viaMinhash)
+    // idempotence: every re-ingested doc collides with its own copy in
+    // all 64 bands and verifies at jaccard 1.0
+    assert(Dedup.minhashIncremental(existing, existing,
+      "text", "doc_id", 3, 64, 2, 0.5).count() == 0L)
+    // empty history reduces to within-batch keep-one
+    val empty = existing.filter(col("doc_id") < 0)
+    assert(Dedup.minhashIncremental(batch, empty,
+      "text", "doc_id", 3, 64, 2, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      == Dedup.minhashSurvivors(batch, "text", "doc_id", 3, 64, 2, 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("planSemdedupCells: balanced default grows cells ~ sqrt(n); override pins population") {
     val small = Dedup.planSemdedupCells(10000)
     val big = Dedup.planSemdedupCells(1000000)
