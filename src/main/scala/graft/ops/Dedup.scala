@@ -725,13 +725,17 @@ object Dedup {
   }
 
   /** Persistable MinHash BAND index: one fixed-width (idCol, band,
-    * bucket) row per band — `bands` × ~24 B/doc on disk, 50-200× smaller
-    * than [[shingleIndex]]'s one-row-per-shingle-occurrence layout. The
-    * bucket derivation is byte-identical to [[minhashLshPairs]]' banding
-    * (same signature expression, same per-band xxhash64 fold), so an
-    * index built here collides exactly like the in-memory path. Persist
-    * it bucketed on (band, bucket) (StageIO's bucketed sink) and each
-    * batch's candidate probe lands on co-located buckets instead of
+    * bucket) row per band. SIZE IS CORPUS-SHAPE-DEPENDENT: `bands`
+    * rows/doc vs [[shingleIndex]]'s one row per shingle OCCURRENCE — on
+    * long-document corpora (web pages: hundreds-to-thousands of shingles
+    * vs 64 bands) this is 10-80× smaller; on the short-doc synthetic
+    * gate corpus (~51 shingles/doc) it is actually slightly LARGER
+    * (measured by IncrementalProbeBench at sf100: 132 MB vs 104 MB).
+    * The bucket derivation is byte-identical to [[minhashLshPairs]]'
+    * banding (same signature expression, same per-band xxhash64 fold),
+    * so an index built here collides exactly like the in-memory path.
+    * Persist it bucketed on (band, bucket) (StageIO's bucketed sink) and
+    * each batch's candidate probe lands on co-located buckets instead of
     * reshuffling the history.
     */
   def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
@@ -777,16 +781,28 @@ object Dedup {
     df.join(h(losers), Seq(idCol), "left_anti")
   }
 
-  /** Incremental MinHash-banded near-dup screen — the design that holds
-    * when the HISTORY is the 100 TB object: [[nearDupIncremental]]'s
-    * bipartite probe joins every batch shingle occurrence against the
-    * full inverted index (the whole index shuffles per batch); here the
-    * history contributes (a) a band index of `bands` fixed-width rows
-    * per doc whose candidate join touches only the buckets the batch
-    * occupies, and (b) per-doc hash sets fetched by id for candidate
-    * docs only. Both persist as stage tables (bucketed on their join
-    * keys → batches probe co-located buckets, history never reshuffles)
-    * and grow by appending the kept batch's own index rows.
+  /** Incremental MinHash-banded near-dup screen — the alternative
+    * ingestion design for when the HISTORY is the 100 TB object:
+    * [[nearDupIncremental]]'s bipartite probe joins every batch shingle
+    * occurrence against the full inverted index (the whole index
+    * shuffles per batch); here the history contributes (a) a band index
+    * whose candidate join touches only the buckets the batch occupies,
+    * and (b) per-doc hash sets fetched by id for candidate docs only.
+    * Both persist as stage tables (bucketed on their join keys →
+    * batches probe co-located buckets, history never reshuffles) and
+    * grow by appending the kept batch's own index rows.
+    *
+    * WHEN TO USE — measured, not assumed (IncrementalProbeBench, sf100,
+    * pre-persisted indexes): on the SHORT-doc synthetic corpus the
+    * inverted-index probe is FASTER (13-18 s vs 22-24 s) and its index
+    * no bigger — the batch-side signature (128 hashes/shingle) dominates
+    * when docs are short and the history index is small enough to
+    * reshuffle cheaply. This screen pays that fixed per-batch signature
+    * cost to make the history-side work bucket-local, so it wins when
+    * (a) documents are long (shingles/doc ≫ bands → index 10-80×
+    * smaller) and (b) the history is large enough that reshuffling its
+    * inverted index per batch dominates — i.e. exactly the
+    * 100-TB-history regime, and not the gate-scale one.
     *
     * Semantics mirror [[nearDupIncrementalAgainstIndex]]: keep incoming
     * rows that survive within-batch keep-one AND verify below
