@@ -323,6 +323,77 @@ object TrackStream {
       .write.mode("overwrite").parquet(indexDir)
   }
 
+  /** [[nearDupForeachBatch]]'s MINHASH-BANDED sibling: the
+    * [[graft.ops.Dedup.minhashIncrementalAgainstIndex]] screen as a
+    * `foreachBatch` sink. Cross-batch state is the appended corpus plus
+    * TWO persisted tables — the band index (`bandDir`, bucket by
+    * (band, bucket) at ingestion scale) and the per-doc hashed shingle
+    * sets (`setsDir`, bucket by idCol) — each growing by appending the
+    * kept batch's own rows, so the history is never re-tokenized OR
+    * re-signed. When to prefer this over the n-gram sink is measured
+    * and documented on the batch operator (long-doc corpora + large
+    * history); the streaming contract is identical.
+    *
+    * RECOVERY CONTRACT: three non-atomic appends, corpus DELIBERATELY
+    * first (same reasoning as [[nearDupForeachBatch]] — any
+    * index-behind-corpus window is repaired by rebuilding both index
+    * tables from the corpus via [[minhashIndexFromCorpus]] before the
+    * query resumes; an index AHEAD of the corpus would be silent data
+    * loss). A replayed batch after full success emits zero rows: every
+    * doc collides with its own ingested copy in all bands and verifies
+    * at jaccard 1.0.
+    */
+  def minhashNearDupForeachBatch(textCol: String, idCol: String,
+                                 corpusDir: String, bandDir: String,
+                                 setsDir: String,
+                                 n: Int = 3, bands: Int = 64,
+                                 rowsPerBand: Int = 2,
+                                 threshold: Double = 0.5,
+                                 sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    val bandIdx =
+      try spark.read.parquet(bandDir)
+      catch { case _: Throwable => // first batch: no index yet
+        graft.ops.Dedup.minhashBandIndex(batch.limit(0), textCol, idCol,
+          n, bands, rowsPerBand)
+      }
+    val hashSets =
+      try spark.read.parquet(setsDir)
+      catch { case _: Throwable =>
+        graft.ops.Dedup.shingleHashSets(batch.limit(0), textCol, idCol, n)
+      }
+    val kept = graft.ops.Dedup.minhashIncrementalAgainstIndex(
+      batch, bandIdx, hashSets, textCol, idCol, n, bands, rowsPerBand,
+      threshold).localCheckpoint(true)
+    kept.write.mode("append").parquet(corpusDir)
+    graft.ops.Dedup.shingleHashSets(kept, textCol, idCol, n)
+      .write.mode("append").parquet(setsDir)
+    graft.ops.Dedup.minhashBandIndex(kept, textCol, idCol, n, bands, rowsPerBand)
+      .write.mode("append").parquet(bandDir)
+    sink(kept)
+  }
+
+  /** Rebuild [[minhashNearDupForeachBatch]]'s BOTH state tables from the
+    * persisted corpus — the restart step after an unclean shutdown,
+    * mirroring [[shingleIndexFromCorpus]]. No-op if the corpus is
+    * absent.
+    */
+  def minhashIndexFromCorpus(spark: org.apache.spark.sql.SparkSession,
+                             corpusDir: String, bandDir: String,
+                             setsDir: String,
+                             textCol: String, idCol: String,
+                             n: Int = 3, bands: Int = 64,
+                             rowsPerBand: Int = 2): Unit = {
+    val corpus =
+      try spark.read.parquet(corpusDir)
+      catch { case _: Throwable => return }
+    graft.ops.Dedup.minhashBandIndex(corpus, textCol, idCol, n, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(bandDir)
+    graft.ops.Dedup.shingleHashSets(corpus, textCol, idCol, n)
+      .write.mode("overwrite").parquet(setsDir)
+  }
+
   /** Read-side half of the crash-safe state-dir protocol shared by the
     * sketch sinks: repair whichever single rename a crashed
     * [[commitState]] left unfinished — live dir present → drop any

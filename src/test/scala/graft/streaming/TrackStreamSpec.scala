@@ -184,6 +184,58 @@ class TrackStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch minhash-banded screen: two-table cross-batch state; replay emits zero; crash recovery rebuilds both") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("mhneardup").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val filler = (1 to 30).map(i => s"word$i").mkString(" ")
+    val q = stream.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(TrackStream.minhashNearDupForeachBatch("text", "doc_id",
+        s"$base/corpus", s"$base/bands", s"$base/sets",
+        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5,
+        sink = df => emitted.synchronized {
+          emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet
+        }))
+      .start()
+    try {
+      stream.addData(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here")))
+      q.processAllAvailable()
+      // doc 3 is a near-dup of ingested doc 1; doc 4 is novel
+      stream.addData(Seq((3L, s"$filler alpha gamma"), (4L, "another novel document entirely")))
+      q.processAllAvailable()
+      // exact replay of batch 0 (at-least-once retry)
+      stream.addData(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here")))
+      q.processAllAvailable()
+      assert(emitted.toSeq == Seq(Set(1L, 2L), Set(4L), Set.empty[Long]),
+        s"per-batch novel sets: $emitted")
+      val corpus = spark.read.parquet(s"$base/corpus").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 2L, 4L))
+      // both state tables hold exactly the survivors
+      assert(spark.read.parquet(s"$base/bands").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+      assert(spark.read.parquet(s"$base/sets").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+    // crash window: corpus append landed, neither index append did —
+    // the restart step rebuilds both tables and the replay is idempotent
+    val base2 = java.nio.file.Files.createTempDirectory("mhcrash").toString
+    val batch1 = Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here"))
+      .toDF("doc_id", "text")
+    batch1.write.mode("append").parquet(s"$base2/corpus")
+    TrackStream.minhashIndexFromCorpus(spark, s"$base2/corpus",
+      s"$base2/bands", s"$base2/sets", "text", "doc_id", 3, 64, 2)
+    val emitted2 = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    TrackStream.minhashNearDupForeachBatch("text", "doc_id",
+      s"$base2/corpus", s"$base2/bands", s"$base2/sets",
+      n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5,
+      sink = df => emitted2 += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+      .apply(batch1, 0L)
+    assert(emitted2.toSeq == Seq(Set.empty[Long]), s"post-recovery replay: $emitted2")
+    assert(spark.read.parquet(s"$base2/corpus").count() == 2)
+  }
+
   test("foreachBatch semantic screen: a paraphrased-contaminated batch emits zero rows; novel rows pass") {
     implicit val sqlCtx = spark.sqlContext
     def vec(seed: Int): Array[Double] = {
