@@ -98,6 +98,67 @@ object Matching {
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Per-key skew report for an upcoming shuffle or join on `keys`: the
+    * `topK` heaviest keys with row count, share of the table, and the
+    * [[saltedJoin]] factor that would hold that key's heaviest reducer
+    * at `targetRowsPerTask` rows (`ceil(n_rows / target)`). This is the
+    * decision input for the explicit salting tool — run it on the fact
+    * side BEFORE a big join and salt when the top share approaches
+    * 1/parallelism. The diagnostic is itself scale-safe: one
+    * partial-aggregatable groupBy, a 1-row total broadcast, and a
+    * `limit` that compiles to TakeOrderedAndProject — no windows, no
+    * global sort. Ties in row count break by key ascending
+    * (deterministic output, the repo-wide ORDER BY discipline).
+    */
+  def keySkewReport(df: DataFrame, keys: Seq[String], topK: Int = 20,
+                    targetRowsPerTask: Long = 1000000L): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    require(targetRowsPerTask >= 1,
+      s"targetRowsPerTask=$targetRowsPerTask must be >= 1")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(coalesce(sum("n_rows"), lit(0L)).as("__total"))
+    val cols = keys.map(col) ++ Seq(
+      col("n_rows"),
+      round(col("n_rows").cast("double") / col("__total"), 9).as("share"),
+      floor((col("n_rows").cast("double") + lit(targetRowsPerTask - 1.0)) /
+        lit(targetRowsPerTask.toDouble)).cast("long").as("salt_factor"))
+    counts.crossJoin(broadcast(total))
+      .select(cols: _*)
+      .orderBy(col("n_rows").desc +: keys.map(col): _*)
+      .limit(topK)
+  }
+
+  /** Driver-side salt factor for [[saltedJoin]], derived from the fact
+    * side's MEASURED heaviest key: `ceil(max key rows /
+    * targetRowsPerTask)`, floor 1 (no skew → factor 1 ≡ the plain
+    * join's economics). One aggregation job per call — plan once per
+    * batch like [[graft.ops.Dedup.planMinhashLsh]], not per row; capped
+    * at 4096 (past that the build-side replication outweighs any
+    * reducer relief). */
+  def planSaltFactor(fact: DataFrame, keys: Seq[String],
+                     targetRowsPerTask: Long = 1000000L): Int = {
+    require(targetRowsPerTask >= 1,
+      s"targetRowsPerTask=$targetRowsPerTask must be >= 1")
+    val row = fact.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    if (row.isNullAt(0)) 1
+    else {
+      val m = row.getLong(0)
+      math.min(4096L,
+        math.max(1L, (m + targetRowsPerTask - 1) / targetRowsPerTask)).toInt
+    }
+  }
+
+  /** [[saltedJoin]] with the factor measured by [[planSaltFactor]] —
+    * the entry point when the skew is data-dependent (a crawl's domain
+    * distribution shifts per snapshot; yesterday's factor is stale).
+    */
+  def saltedJoinAuto(fact: DataFrame, build: DataFrame, keys: Seq[String],
+                     targetRowsPerTask: Long = 1000000L,
+                     how: String = "inner"): DataFrame =
+    saltedJoin(fact, build, keys,
+      planSaltFactor(fact, keys, targetRowsPerTask), how)
+
   /** J10/A7/V6 core: suffix-match lookup against a small registry.
     * `probe` rows match a `registry` value when the registry string ends
     * with the probe string (reference regex `paste0(imei, "$")`,

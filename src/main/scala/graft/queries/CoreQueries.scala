@@ -527,6 +527,52 @@ object CoreQueries {
             GROUP BY p_brand
             ORDER BY p_brand"""))
 
+  /** Skew diagnostic ([[graft.ops.Matching.keySkewReport]]): the top-25
+    * heaviest suppliers in lineitem with row count, share, and the salt
+    * factor that would hold each at 10 rows/reducer (tiny target so the
+    * gate exercises factors > 1). The oracle recomputes count/share/
+    * ceil-division and the (n_rows desc, key asc) tie-broken top-k.
+    */
+  val joinSkewReport = Q("q_join_skew_report",
+    (s, dir) =>
+      Matching.keySkewReport(
+        Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey")),
+        Seq("suppkey"), topK = 25, targetRowsPerTask = 10L)
+        .orderBy(col("n_rows").desc, col("suppkey")),
+    Some("""SELECT l_suppkey AS suppkey, COUNT(*) AS n_rows,
+              ROUND(CAST(COUNT(*) AS DOUBLE) /
+                (SELECT COUNT(*) FROM lineitem), 9) AS share,
+              CAST(FLOOR((COUNT(*) + 9.0) / 10.0) AS BIGINT) AS salt_factor
+            FROM lineitem
+            GROUP BY l_suppkey
+            ORDER BY n_rows DESC, suppkey
+            LIMIT 25"""))
+
+  /** Measured-salt twin of [[joinSalted]]: the factor comes from
+    * [[graft.ops.Matching.planSaltFactor]] on the actual fact side
+    * (target 1000 rows/reducer forces a factor well above 1 at every
+    * gate SF) — same contract, salted ≡ plain, same unsalted oracle.
+    */
+  val joinSaltedAuto = Q("q_join_salted_auto",
+    (s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      Matching.saltedJoinAuto(fact, dim, Seq("partkey"),
+        targetRowsPerTask = 1000L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand"""))
+
   /** Batch twin of the stream-stream time-bounded join ([[graft
     * .streaming.TrackStream.intervalJoinStreamStream]] — same transform
     * both modes, TrackStreamSpec pins streaming ≡ batch; this gate pins
@@ -770,6 +816,7 @@ object CoreQueries {
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
     p2DropColumns, p4Recode, p5TryCast, p6Derived, r3ListStandardize,
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
-    rangeJoin, intervalOverlap, joinSalted, so3Union, soExceptIntersect,
+    rangeJoin, intervalOverlap, joinSalted, joinSaltedAuto, joinSkewReport,
+    so3Union, soExceptIntersect,
     joinStreamIntervalTwin, soGlobalRowNumber, scd2Intervals, so6Complete)
 }
