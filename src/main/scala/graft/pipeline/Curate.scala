@@ -63,7 +63,12 @@ object Curate {
             pplKeepBuckets: Seq[String] = Nil,
             pplLangCol: Option[String] = None,
             dsirTarget: Option[DataFrame] = None,
-            dsirK: Int = 0): DataFrame = {
+            dsirK: Int = 0,
+            nearDupFamily: String = "ngram",
+            minhashBands: Int = 64,
+            minhashRowsPerBand: Int = 2): DataFrame = {
+    require(nearDupFamily == "ngram" || nearDupFamily == "minhash",
+      s"nearDupFamily='$nearDupFamily' (ngram | minhash)")
     // Optional domain blocklist before everything — the cheapest screen
     // (one metadata predicate, no text touched) precedes any content
     // stage, and a blocked doc must never influence dedup's keep-one
@@ -111,9 +116,18 @@ object Curate {
     // restores linearity at the cost of missing pairs connected only
     // through boilerplate (usually exactly the pairs one does NOT want
     // clustered — see ngramJaccardPairsPrefix's cutoff contract).
-    val survivors = Dedup.nearDupSurvivors(deduped, textCol, idCol,
-      shingleN, jaccardThreshold, prefixFilter = prefixFilter,
-      maxShingleDocFreq = maxShingleDocFreq)
+    // `nearDupFamily = "minhash"` swaps the candidate strategy for the
+    // banding family (same exact verify, same keep-one closure — the
+    // per-op gates pin value equality at matched thresholds); pick it
+    // when the corpus is too large for even the prefix-filtered index
+    // and a planMinhashLsh-sized banding recall is acceptable.
+    val survivors =
+      if (nearDupFamily == "minhash")
+        Dedup.minhashSurvivors(deduped, textCol, idCol,
+          shingleN, minhashBands, minhashRowsPerBand, jaccardThreshold)
+      else Dedup.nearDupSurvivors(deduped, textCol, idCol,
+        shingleN, jaccardThreshold, prefixFilter = prefixFilter,
+        maxShingleDocFreq = maxShingleDocFreq)
     // Optional benchmark decontamination — AFTER dedup (clustering must
     // see the whole corpus; the keep-one choice is independent of the
     // benchmark) and BEFORE the quality/scrub/split tail (a contaminated

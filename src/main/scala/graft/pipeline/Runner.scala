@@ -121,7 +121,8 @@ object Runner {
       pplKeepBuckets = c.pplKeepBuckets,
       pplLangCol = c.pplLangCol,
       dsirTarget = c.dsirTargetPath.map(spark.read.parquet(_)),
-      dsirK = c.dsirK), tables.curatedChunks)
+      dsirK = c.dsirK,
+      nearDupFamily = c.nearDupFamily), tables.curatedChunks)
   }
 
   /** Full DAG in reference order. */

@@ -3694,6 +3694,32 @@ object CurationQueries {
     },
     Some(curateScreensOracle))
 
+  /** MinHash-family twin of [[curateE2E]]: the identical composed
+    * pipeline with `nearDupFamily = "minhash"` — the keep-one stage's
+    * candidates come from 64×2 banding instead of the shingle inverted
+    * index. Threshold 0.5 (the banding config's oracled operating point:
+    * a true pair at j ≥ 0.5 escapes all bands with p ≈ 1e-8, so the
+    * exact-definition oracle applies — same argument as [[dedupMinhash]];
+    * at the planted corpus's 0.2 the banding would need planner-sized
+    * re-tuning and the pair list is corpus²-shaped anyway). What this
+    * gate pins is the COMPOSITION: the family swap must change only
+    * which pairs fn runs — exact dedup before it, and every stage after
+    * the keep-one (quality, scrub, split, chunk), must hash identically
+    * against the shared oracle body at the matching threshold.
+    */
+  val curateE2EMinhash = Q("q_curate_e2e_minhash",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567"))
+          .as("text"))
+      graft.pipeline.Curate(planted, jaccardThreshold = 0.5,
+        nearDupFamily = "minhash")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(curateOracle(plantTail = true, jaccardThreshold = 0.5)))
+
   /** Scale twin of [[curateE2E]]: the identical composed pipeline over
     * the RAW corpus — no planted contact tail. The planted gate's corpus
     * is quadratic BY CONSTRUCTION at scale: every document shares the
@@ -3712,7 +3738,8 @@ object CurationQueries {
   /** One oracle body for both curate e2e gates: identical pipeline SQL,
     * with or without the planted PII tail on the input corpus.
     */
-  private def curateOracle(plantTail: Boolean): String = {
+  private def curateOracle(plantTail: Boolean,
+                           jaccardThreshold: Double = 0.2): String = {
     val base =
       if (plantTail)
         """base AS (
@@ -3732,7 +3759,7 @@ object CurationQueries {
               SELECT doc_id, text, ntext FROM norm
               WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY ntext)),
             -- near-dup keep-one over the exact survivors (word-3-shingles,
-            -- jaccard >= 0.2, transitive closure, keep cluster min)
+            -- jaccard >= threshold, transitive closure, keep cluster min)
             toks AS (SELECT doc_id, text, STRING_SPLIT(ntext, ' ') AS t FROM exact),
             sh AS (
               SELECT doc_id,
@@ -3745,7 +3772,8 @@ object CurationQueries {
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
-              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= 0.2),
+              HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= """ +
+      jaccardThreshold.toString + """),
             edges AS (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
@@ -5107,5 +5135,5 @@ object CurationQueries {
     mmBinary, mmWav, mmMp3, mmMp4, mmMp4Samples, mmFlac, mmWebp,
     mmPngPixels, mmJpegPixels, mmGifPixels, mmBmpPixels, mmPngResize, mmJpegResize,
     mmFlacPcm, mmWavPcm, mmAudioResample, mmAudioFeatures, mmImageDhash, mmImageNearDup,
-    curateE2E, curateE2EScale, curateE2EScreens)
+    curateE2E, curateE2EScale, curateE2EScreens, curateE2EMinhash)
 }

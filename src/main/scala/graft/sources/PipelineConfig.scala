@@ -35,7 +35,8 @@ object PipelineConfig {
                           pplKeepBuckets: Seq[String] = Nil,
                           pplLangCol: Option[String] = None,
                           dsirTargetPath: Option[String] = None,
-                          dsirK: Int = 0)
+                          dsirK: Int = 0,
+                          nearDupFamily: String = "ngram")
 
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
@@ -76,7 +77,8 @@ object PipelineConfig {
       getStringList("curation.ppl_keep_buckets"),
       getString("curation.ppl_lang_col"),
       getString("curation.dsir_target_path"),
-      getDouble("curation.dsir_k").map(_.toInt).getOrElse(0))
+      getDouble("curation.dsir_k").map(_.toInt).getOrElse(0),
+      getString("curation.near_dup_family").getOrElse("ngram"))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r
