@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalProbeBench {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IncrementalProbeBench <sfDir> <workDir>")
     val Array(sfDir, work) = args.take(2)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -40,8 +40,19 @@ object UnigramExprs {
               pieces: java.util.HashMap[String, java.lang.Long],
               maxPieceLen: Int): UTF8String = {
     val w = word.toString
-    val n = w.length
-    if (n == 0) return UTF8String.EMPTY_UTF8
+    if (w.isEmpty) return UTF8String.EMPTY_UTF8
+    // The DP runs over CODE POINTS, not UTF-16 units: the trainer's seed
+    // phase (Spark substr) and the oracle's CTEs are code-point-indexed,
+    // and a unit-indexed DP would split astral characters into lone
+    // surrogates (invalid UTF-8 out of fromString) and desynchronize
+    // piece lengths against maxPieceLen. offs(i) = UTF-16 offset of code
+    // point i; one O(len) boundary scan, free for ASCII words.
+    val n = w.codePointCount(0, w.length)
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var off = 0
+    while (ci < n) { offs(ci) = off; off = w.offsetByCodePoints(off, 1); ci += 1 }
+    offs(n) = w.length
     val NEG = java.lang.Long.MIN_VALUE
     val score = new Array[Long](n + 1)
     val np = new Array[Int](n + 1)
@@ -58,7 +69,7 @@ object UnigramExprs {
       while (l <= lMax) {
         val i = j - l
         if (score(i) != NEG) {
-          val piece = w.substring(i, j)
+          val piece = w.substring(offs(i), offs(j))
           val boxed = pieces.get(piece)
           val wgt: Long =
             if (boxed != null) boxed.longValue()
@@ -83,7 +94,7 @@ object UnigramExprs {
     var pos = n
     var k = np(n) - 1
     while (k >= 0) {
-      parts(k) = w.substring(pos - lastLen(pos), pos)
+      parts(k) = w.substring(offs(pos - lastLen(pos)), offs(pos))
       pos -= lastLen(pos)
       k -= 1
     }

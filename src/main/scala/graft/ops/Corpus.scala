@@ -912,18 +912,26 @@ object Corpus {
     // would silently drop the value through concat_ws anyway, and a
     // null-heavy sample could make exactQuantiles emit null cuts) —
     // they get their own dedicated bucket below instead.
-    val n = df.count()
     val cap = sampleCap.toDouble
     val nonNull = df.filter(col(orderCol).isNotNull)
+    // the sample fraction must come from the NON-NULL count: computing it
+    // from the total row count would under-sample (to emptiness, on a
+    // mostly-null column at scale) the only rows the cut table can use
+    val nn = nonNull.count()
     val sampled =
-      if (n <= cap) nonNull
+      if (nn <= cap) nonNull
       else nonNull.filter(
         substring(md5(concat_ws(":",
           col(orderCol).cast(StringType), col(idCol).cast(StringType))), 1, 4)
-          < lit(fractionBound(cap / n)))
+          < lit(fractionBound(cap / nn)))
     val cuts = exactQuantiles(sampled.withColumn("__g", lit(1)), "__g", orderCol, qs)
       .drop("__g")
     val cutCols = qs.map(q => s"p${(q * 100).round}")
+    // degenerate input — no non-null order values at all: the cut frame
+    // is EMPTY and the crossJoin below would silently drop every row.
+    // Every row is null-keyed, so one bucket suffices and the numbering
+    // contract (nulls 1..|nulls| by idCol) is preserved verbatim.
+    val noCuts = nn == 0L
     // Null orderCol → bucket -1, BELOW every value bucket: Spark sorts
     // nulls FIRST ascending, so `row_number() OVER (ORDER BY orderCol,
     // idCol)` numbers the null rows 1..|nulls| (by idCol) before any
@@ -938,10 +946,13 @@ object Corpus {
     }
     val bucketWithNull = when(col(orderCol).isNull, lit(-1)).otherwise(bucket)
     val wb = Window.partitionBy("__bucket").orderBy(col(orderCol), col(idCol))
-    val ranked = df.crossJoin(broadcast(cuts))
-      .withColumn("__bucket", bucketWithNull)
-      .drop(cutCols: _*)
-      .withColumn("__rn", row_number().over(wb))
+    val bucketed =
+      if (noCuts) df.withColumn("__bucket",
+        when(col(orderCol).isNull, lit(-1)).otherwise(lit(0)))
+      else df.crossJoin(broadcast(cuts))
+        .withColumn("__bucket", bucketWithNull)
+        .drop(cutCols: _*)
+    val ranked = bucketed.withColumn("__rn", row_number().over(wb))
     val offsets = ranked.groupBy("__bucket").agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(

@@ -740,7 +740,20 @@ object Dedup {
     */
   def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
                        n: Int, bands: Int, rowsPerBand: Int): DataFrame =
-    wordShingled(df, textCol, idCol, n)
+    minhashBandIndexFromShingled(wordShingled(df, textCol, idCol, n),
+      idCol, bands, rowsPerBand)
+
+  /** [[minhashBandIndex]] over an already-shingled frame — callers that
+    * also need [[shingleHashSetsFromShingled]] share ONE tokenize+shingle
+    * pass (checkpoint the shingled frame; the batch-side signature is the
+    * dominant per-batch cost, so re-deriving shingles per consumer is the
+    * waste to avoid).
+    */
+  private[graft] def minhashBandIndexFromShingled(shingled: DataFrame,
+                                                  idCol: String,
+                                                  bands: Int,
+                                                  rowsPerBand: Int): DataFrame =
+    shingled
       .withColumn("__sig", minhashSignature(col("__sh"), bands * rowsPerBand))
       .select(col("__id").as(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -758,10 +771,16 @@ object Dedup {
     */
   def shingleHashSets(df: DataFrame, textCol: String, idCol: String,
                       n: Int): DataFrame =
-    wordShingled(df, textCol, idCol, n)
-      .select(col("__id").as(idCol),
-        array_sort(transform(col("__sh"), s => xxhash64(s)))
-          .as("shingle_hashes"))
+    shingleHashSetsFromShingled(wordShingled(df, textCol, idCol, n), idCol)
+
+  /** [[shingleHashSets]] over an already-shingled frame (see
+    * [[minhashBandIndexFromShingled]] for the shared-pass rationale).
+    */
+  private[graft] def shingleHashSetsFromShingled(shingled: DataFrame,
+                                                 idCol: String): DataFrame =
+    shingled.select(col("__id").as(idCol),
+      array_sort(transform(col("__sh"), s => xxhash64(s)))
+        .as("shingle_hashes"))
 
   /** MinHash keep-one: [[nearDupSurvivors]]' banding-family sibling —
     * cluster [[minhashLshPairs]] pairs with connected components and
@@ -825,17 +844,22 @@ object Dedup {
     // whole LSH clustering three times per batch
     val batchSurvivors = minhashSurvivors(incoming, textCol, idCol,
       n, bands, rowsPerBand, threshold).localCheckpoint(true)
+    // ONE tokenize+shingle pass over the survivors feeds both the band
+    // probe and the verify sets (the signature is the dominant batch
+    // cost — see the IncrementalProbeBench numbers in the scaladoc)
+    val survShingled = wordShingled(batchSurvivors, textCol, idCol, n)
+      .localCheckpoint(true)
     // candidate probe: batch side built (Θ(batch × bands) fixed-width
     // rows), history side streams — and arrives shuffle-free when the
     // persisted index is bucketed on the join key
-    val bBands = minhashBandIndex(batchSurvivors, textCol, idCol,
-      n, bands, rowsPerBand)
+    val bBands = minhashBandIndexFromShingled(survShingled, idCol,
+      bands, rowsPerBand)
       .select(col(idCol).as("inc_id"), col("band"), col("bucket"))
     val cand = bandIndex
       .select(col("band"), col("bucket"), col(idCol).as("ex_id"))
       .join(bBands.hint("shuffle_hash"), Seq("band", "bucket"))
       .select("inc_id", "ex_id").distinct()
-    val bSets = shingleHashSets(batchSurvivors, textCol, idCol, n)
+    val bSets = shingleHashSetsFromShingled(survShingled, idCol)
       .select(col(idCol).as("inc_id"), col("shingle_hashes").as("__ha"))
     // both verify attaches build the candidate-derived side (bounded by
     // batch × banding collisions), never the history

@@ -79,13 +79,9 @@ object Unigram {
     // start position; chars all kept, multi-char top-seedSize
     val positions = words.select(col("word"), col("cnt"),
       explode(sequence(lit(0), length(col("word")) - 1)).as("s"))
-    val subs = positions.select(col("cnt"),
-      col("word").substr(col("s") + 1,
-        least(lit(maxPieceLen), length(col("word")) - col("s"))).as("stub"),
-      col("word"), col("s"))
-      .select(col("cnt"), explode(
-        transform(sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - col("s"))),
-          l => col("word").substr(col("s") + 1, l))).as("piece"))
+    val subs = positions.select(col("cnt"), explode(
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - col("s"))),
+        l => col("word").substr(col("s") + 1, l))).as("piece"))
     val counts0 = subs.groupBy("piece").agg(sum(col("cnt")).as("c"))
     val chars = counts0.filter(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))

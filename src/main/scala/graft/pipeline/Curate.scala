@@ -69,6 +69,14 @@ object Curate {
             minhashRowsPerBand: Int = 2): DataFrame = {
     require(nearDupFamily == "ngram" || nearDupFamily == "minhash",
       s"nearDupFamily='$nearDupFamily' (ngram | minhash)")
+    // maxShingleDocFreq CHANGES WHICH PAIRS EXIST (the lossy boilerplate
+    // cutoff) and has no minhash equivalent — silently ignoring it would
+    // run a different screen than configured, so the conflict fails fast.
+    // prefixFilter is strategy-only (identical pairs either way) and is
+    // legitimately moot under minhash.
+    require(nearDupFamily == "ngram" || maxShingleDocFreq == 0L,
+      s"maxShingleDocFreq=$maxShingleDocFreq is an ngram-family knob; " +
+        "the minhash family has no doc-frequency cutoff")
     // Optional domain blocklist before everything — the cheapest screen
     // (one metadata predicate, no text touched) precedes any content
     // stage, and a blocked doc must never influence dedup's keep-one

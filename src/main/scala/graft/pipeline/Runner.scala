@@ -122,7 +122,9 @@ object Runner {
       pplLangCol = c.pplLangCol,
       dsirTarget = c.dsirTargetPath.map(spark.read.parquet(_)),
       dsirK = c.dsirK,
-      nearDupFamily = c.nearDupFamily), tables.curatedChunks)
+      nearDupFamily = c.nearDupFamily,
+      minhashBands = c.minhashBands,
+      minhashRowsPerBand = c.minhashRowsPerBand), tables.curatedChunks)
   }
 
   /** Full DAG in reference order. */

@@ -36,7 +36,9 @@ object PipelineConfig {
                           pplLangCol: Option[String] = None,
                           dsirTargetPath: Option[String] = None,
                           dsirK: Int = 0,
-                          nearDupFamily: String = "ngram")
+                          nearDupFamily: String = "ngram",
+                          minhashBands: Int = 64,
+                          minhashRowsPerBand: Int = 2)
 
   final case class Conf(values: Map[String, Any]) {
     /** Dotted-path lookup: conf.get("storage.mongodb.database"). */
@@ -78,7 +80,9 @@ object PipelineConfig {
       getString("curation.ppl_lang_col"),
       getString("curation.dsir_target_path"),
       getDouble("curation.dsir_k").map(_.toInt).getOrElse(0),
-      getString("curation.near_dup_family").getOrElse("ngram"))
+      getString("curation.near_dup_family").getOrElse("ngram"),
+      getDouble("curation.minhash_bands").map(_.toInt).getOrElse(64),
+      getDouble("curation.minhash_rows_per_band").map(_.toInt).getOrElse(2))
   }
 
   private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r

@@ -173,6 +173,21 @@ object TrackStream {
     * exactly this. Resuming with a fresh empty filter silently breaks
     * the same no-false-negative invariant as the ordering above.
     */
+  /** Read a parquet state table, distinguishing ABSENT (first batch /
+    * pre-bootstrap — `None`) from FAILED (transient FS error, corrupt
+    * footer — the read exception PROPAGATES, failing the micro-batch so
+    * the source retries it). A broad catch here would silently
+    * substitute an EMPTY history for a read failure, let every
+    * historical duplicate in the batch pass as novel, and append the
+    * divergence permanently — unrepairable and undetectable.
+    */
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
   def bloomDedupForeachBatch(textCol: String, idCol: String,
                              historyDir: String,
                              state: org.apache.spark.util.sketch.BloomFilter,
@@ -180,9 +195,8 @@ object TrackStream {
                              sink: DataFrame => Unit = _ => ())
       : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val spark = batch.sparkSession
-    val history =
-      try spark.read.parquet(historyDir)
-      catch { case _: Throwable => batch.limit(0) } // first batch: no corpus yet
+    val history = readState(spark, historyDir)
+      .getOrElse(batch.limit(0)) // first batch: no corpus yet
     val kept = graft.ops.Dedup.exactDedupIncrementalBloom(
       batch, history, textCol, idCol, state).localCheckpoint(true)
     // fold the kept digests into the state filter FIRST (same (n, fpp) ⇒
@@ -206,11 +220,8 @@ object TrackStream {
                        historyDir: String, textCol: String,
                        expectedItems: Long, fpp: Double = 0.01)
       : org.apache.spark.util.sketch.BloomFilter = {
-    val history =
-      try spark.read.parquet(historyDir)
-      catch { case _: Throwable =>
-        return org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-      }
+    val history = readState(spark, historyDir).getOrElse(
+      return org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))
     graft.ops.Dedup.buildDigestBloom(
       history, textCol, expectedItems = expectedItems, fpp = fpp)
   }
@@ -245,11 +256,8 @@ object TrackStream {
                           sink: DataFrame => Unit = _ => ())
       : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val spark = batch.sparkSession
-    val index =
-      try spark.read.parquet(indexDir)
-      catch { case _: Throwable => // first batch: no index yet
-        graft.ops.Dedup.shingleIndex(batch.limit(0), textCol, idCol, n)
-      }
+    val index = readState(spark, indexDir).getOrElse( // first batch
+      graft.ops.Dedup.shingleIndex(batch.limit(0), textCol, idCol, n))
     val kept = graft.ops.Dedup.nearDupIncrementalAgainstIndex(
       batch, index, textCol, idCol, n, threshold).localCheckpoint(true)
     kept.write.mode("append").parquet(corpusDir)
@@ -316,9 +324,7 @@ object TrackStream {
                              corpusDir: String, indexDir: String,
                              textCol: String, idCol: String,
                              n: Int = 3): Unit = {
-    val corpus =
-      try spark.read.parquet(corpusDir)
-      catch { case _: Throwable => return }
+    val corpus = readState(spark, corpusDir).getOrElse(return)
     graft.ops.Dedup.shingleIndex(corpus, textCol, idCol, n)
       .write.mode("overwrite").parquet(indexDir)
   }
@@ -352,24 +358,23 @@ object TrackStream {
                                  sink: DataFrame => Unit = _ => ())
       : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val spark = batch.sparkSession
-    val bandIdx =
-      try spark.read.parquet(bandDir)
-      catch { case _: Throwable => // first batch: no index yet
-        graft.ops.Dedup.minhashBandIndex(batch.limit(0), textCol, idCol,
-          n, bands, rowsPerBand)
-      }
-    val hashSets =
-      try spark.read.parquet(setsDir)
-      catch { case _: Throwable =>
-        graft.ops.Dedup.shingleHashSets(batch.limit(0), textCol, idCol, n)
-      }
+    val bandIdx = readState(spark, bandDir).getOrElse( // first batch
+      graft.ops.Dedup.minhashBandIndex(batch.limit(0), textCol, idCol,
+        n, bands, rowsPerBand))
+    val hashSets = readState(spark, setsDir).getOrElse(
+      graft.ops.Dedup.shingleHashSets(batch.limit(0), textCol, idCol, n))
     val kept = graft.ops.Dedup.minhashIncrementalAgainstIndex(
       batch, bandIdx, hashSets, textCol, idCol, n, bands, rowsPerBand,
       threshold).localCheckpoint(true)
     kept.write.mode("append").parquet(corpusDir)
-    graft.ops.Dedup.shingleHashSets(kept, textCol, idCol, n)
+    // one shingling pass feeds both index appends (the signature is the
+    // dominant batch-side cost — don't pay it per state table)
+    val keptShingled = graft.ops.Dedup.wordShingled(kept, textCol, idCol, n)
+      .localCheckpoint(true)
+    graft.ops.Dedup.shingleHashSetsFromShingled(keptShingled, idCol)
       .write.mode("append").parquet(setsDir)
-    graft.ops.Dedup.minhashBandIndex(kept, textCol, idCol, n, bands, rowsPerBand)
+    graft.ops.Dedup.minhashBandIndexFromShingled(keptShingled, idCol,
+      bands, rowsPerBand)
       .write.mode("append").parquet(bandDir)
     sink(kept)
   }
@@ -385,9 +390,7 @@ object TrackStream {
                              textCol: String, idCol: String,
                              n: Int = 3, bands: Int = 64,
                              rowsPerBand: Int = 2): Unit = {
-    val corpus =
-      try spark.read.parquet(corpusDir)
-      catch { case _: Throwable => return }
+    val corpus = readState(spark, corpusDir).getOrElse(return)
     graft.ops.Dedup.minhashBandIndex(corpus, textCol, idCol, n, bands, rowsPerBand)
       .write.mode("overwrite").parquet(bandDir)
     graft.ops.Dedup.shingleHashSets(corpus, textCol, idCol, n)

@@ -395,6 +395,26 @@ class CorpusSpec extends SparkTestBase {
     val gotNS = Corpus.globalRowNumber(withNulls, "v", "id", buckets = 8, sampleCap = 100L)
       .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotNS == naiveN)
+    // ALL-null order column: the cut frame is empty, which must NOT drop
+    // rows through the crossJoin — every row is numbered 1..n by id
+    val allNull = (1 to 40).map(i => (i.toLong, None: Option[Long]))
+      .toDF("id", "v").repartition(3)
+    val gotAN = Corpus.globalRowNumber(allNull, "v", "id", buckets = 8)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotAN == (1 to 40).map(i => i.toLong -> i.toLong).toMap)
+    // mostly-null at n > sampleCap: the sample fraction must come from
+    // the NON-null count (computed from the total it would under-sample
+    // the few orderable rows to an empty cut table and drop everything)
+    val sparse = (1 to 300).map(i =>
+      (i.toLong, if (i <= 5) Some(i.toLong) else None))
+      .toDF("id", "v").repartition(4)
+    val gotSp = Corpus.globalRowNumber(sparse, "v", "id", buckets = 8, sampleCap = 100L)
+      .select("id", "global_row").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naiveSp = sparse.withColumn("global_row",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "global_row").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(gotSp == naiveSp && gotSp.size == 300)
   }
 
   test("winsorize: exact-rank band, clamp both tails, pass-through interior") {

@@ -54,6 +54,18 @@ class UnigramSpec extends graft.SparkTestBase {
     assert(seg("ab", "ab" -> -1L) == "ab")
   }
 
+  test("astral characters are single DP positions, never lone surrogates") {
+    // U+1D11E (musical G clef) is two UTF-16 units; a unit-indexed DP
+    // would split it into lone surrogates (invalid UTF-8) and fall to
+    // the unk path twice. As ONE code point it is one unk position.
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(seg(s"a${clef}b", "a" -> -1L, "b" -> -1L) == s"a $clef b")
+    // an astral char INSIDE a trained piece stays intact and the piece
+    // is reachable (length compared in code points, not units)
+    assert(seg(s"a${clef}b", s"a${clef}b" -> -1L, "a" -> -5L, "b" -> -5L)
+      == s"a${clef}b")
+  }
+
   test("encoder output matches the shared kernel, via codegen") {
     val df = corpus("abab" -> 2, "ab" -> 1)
     val vocab = Seq("a" -> 2L, "b" -> 2L, "ab" -> 5L)
