@@ -129,11 +129,25 @@ object Curate {
     // per-op gates pin value equality at matched thresholds); pick it
     // when the corpus is too large for even the prefix-filtered index
     // and a planMinhashLsh-sized banding recall is acceptable.
+    // `minhashBands <= 0` sizes (bands, rowsPerBand) from the ACTUAL
+    // deduped corpus via planMinhashLsh — the scale path: FIXED banding
+    // at a growing corpus is the quadratic trap (rowsPerBand tuned for
+    // gate determinism is too short against a big corpus' background
+    // similarity; measured: the 64×2 gate config OOMs the planted
+    // corpus at sf100 where the planner's sizing runs it in seconds).
+    // Costs one count() of the deduped frame, same contract as
+    // minhashLshPairsAuto.
     val survivors =
-      if (nearDupFamily == "minhash")
+      if (nearDupFamily == "minhash") {
+        val (b, r) =
+          if (minhashBands > 0) (minhashBands, minhashRowsPerBand)
+          else {
+            val plan = Dedup.planMinhashLsh(deduped.count(), jaccardThreshold)
+            (plan.bands, plan.rowsPerBand)
+          }
         Dedup.minhashSurvivors(deduped, textCol, idCol,
-          shingleN, minhashBands, minhashRowsPerBand, jaccardThreshold)
-      else Dedup.nearDupSurvivors(deduped, textCol, idCol,
+          shingleN, b, r, jaccardThreshold)
+      } else Dedup.nearDupSurvivors(deduped, textCol, idCol,
         shingleN, jaccardThreshold, prefixFilter = prefixFilter,
         maxShingleDocFreq = maxShingleDocFreq)
     // Optional benchmark decontamination — AFTER dedup (clustering must

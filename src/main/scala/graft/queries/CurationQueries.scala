@@ -3706,6 +3706,17 @@ object CurationQueries {
     * which pairs fn runs — exact dedup before it, and every stage after
     * the keep-one (quality, scrub, split, chunk), must hash identically
     * against the shared oracle body at the matching threshold.
+    *
+    * SCALE POSTURE: excluded from every scale set, like its planted
+    * siblings — and with a second, family-specific reason: the gate's
+    * FIXED 64×2 banding (pinned for oracle determinism) is the planner
+    * trap at corpus scale. On the planted corpus every pair has
+    * background similarity ≈ 0.1 through the shared tail, and r=2 gives
+    * each pair a ~47% per-run band-collision probability at 500k docs —
+    * ~10¹¹ candidates (measured: heap OOM at sf100, while the
+    * planner-sized q_dedup_minhash_lsh_auto runs the same corpus in
+    * ~30 s). Scale users set `minhashBands = 0` (curation.minhash_bands)
+    * to get planMinhashLsh sizing from the actual corpus.
     */
   val curateE2EMinhash = Q("q_curate_e2e_minhash",
     (s, dir) => {

@@ -261,6 +261,33 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("split")).forall(Set("train", "valid", "test")))
   }
 
+  test("curate: minhash near-dup family keeps the same docs, fixed or planner-sized banding") {
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler mail me at a.b@example.com today"),
+      (2L, s"$filler mail me at a.b@example.com today"), // exact dup of 1
+      (3L, s"$filler mail me at a.b@example.com tomorrow maybe"), // near-dup of 1
+      (4L, "too short"),
+      (5L, s"different corpus entirely ${(1 to 40).map(i => s"tok$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // fixed gate banding (64×2 at threshold 0.5: doc 3 vs 1 shares 41 of
+    // ~47 union shingles, j ≈ 0.83 ≫ 0.5 — banding miss p ≈ 1e-38)
+    val fixed = ids(Curate(docs, jaccardThreshold = 0.5,
+      nearDupFamily = "minhash"))
+    assert(fixed == Set(1L, 5L))
+    // planner-sized banding (minhashBands = 0 → planMinhashLsh from the
+    // deduped count) — the scale path must keep the same documents
+    val auto = ids(Curate(docs, jaccardThreshold = 0.5,
+      nearDupFamily = "minhash", minhashBands = 0))
+    assert(auto == fixed)
+    // the ngram-only knob fails fast under the minhash family
+    intercept[IllegalArgumentException] {
+      Curate(docs, nearDupFamily = "minhash", maxShingleDocFreq = 5L)
+    }
+  }
+
   test("curate: optional benchmark decontamination drops quoting docs, leaves the rest") {
     val fillerA = (1 to 40).map(i => s"worda$i").mkString(" ")
     val fillerB = (1 to 40).map(i => s"wordb$i").mkString(" ")
