@@ -1301,10 +1301,15 @@ object Corpus {
     // negative values would bucket nonsensically (BIN of a negative long
     // is its two's-complement, 64 chars) — fail fast at execution, same
     // discipline as intervalOverlapJoin's inversion assert
+    // the null filter runs BEFORE the cast, so a non-null value the cast
+    // cannot represent (non-numeric string, overflowing decimal) arrives
+    // here as a null __v — the assert condition must name that case too,
+    // or the failure reads "negative value" for an input that never was
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast(LongType).as("__v"))
-      .filter(assert_true(col("__v") >= 0,
-        lit(s"quantileSketch($valueCol): negative value — the sketch domain is [0, 2^63)")).isNull)
+      .filter(assert_true(col("__v").isNotNull && col("__v") >= 0,
+        lit(s"quantileSketch($valueCol): negative or long-uncastable value — " +
+          "the sketch domain is [0, 2^63)")).isNull)
       .withColumn("__s",
         greatest(lit(0), length(bin(col("__v"))) - lit(subBits + 1)))
       .withColumn("bucket", expr("shiftleft(shiftright(__v, __s), __s)"))

@@ -139,13 +139,19 @@ object Curate {
     // minhashLshPairsAuto.
     val survivors =
       if (nearDupFamily == "minhash") {
-        val (b, r) =
-          if (minhashBands > 0) (minhashBands, minhashRowsPerBand)
+        val (dedupedIn, b, r) =
+          if (minhashBands > 0) (deduped, minhashBands, minhashRowsPerBand)
           else {
-            val plan = Dedup.planMinhashLsh(deduped.count(), jaccardThreshold)
-            (plan.bands, plan.rowsPerBand)
+            // eager-checkpoint BEFORE the planner's count (the Dedup
+            // discipline): `deduped` is a lazy exactDedup subtree, and a
+            // bare count() would execute its digest/semi-join work once
+            // for the plan sizing and AGAIN when minhashSurvivors runs —
+            // at exactly the corpus scale this planner path targets
+            val cp = deduped.localCheckpoint(true)
+            val plan = Dedup.planMinhashLsh(cp.count(), jaccardThreshold)
+            (cp, plan.bands, plan.rowsPerBand)
           }
-        Dedup.minhashSurvivors(deduped, textCol, idCol,
+        Dedup.minhashSurvivors(dedupedIn, textCol, idCol,
           shingleN, b, r, jaccardThreshold)
       } else Dedup.nearDupSurvivors(deduped, textCol, idCol,
         shingleN, jaccardThreshold, prefixFilter = prefixFilter,
