@@ -72,8 +72,12 @@ import graft.queries.Q
   * Optional scale sections: when SPARK_GRAFT_SF1_DIR (default
   * /tmp/graft-sf1; see [[ScaleGen]]) exists, the queries named in
   * SPARK_GRAFT_SF1_QUERIES (default: the heavy set) run ONCE each there —
-  * in their own fresh session — and land under "sf1" in the JSON; same
-  * for SPARK_GRAFT_SF30_DIR (default /tmp/graft-sf30) under "sf30",
+  * in their own fresh session, and since round 13 BEFORE the main suite
+  * (young JVM + quiet host — the conditions every committed scale
+  * artifact was produced under; see the SCALE SECTIONS RUN FIRST note in
+  * main()), with a per-sample environment bracket ([[SampleDiag]]) and
+  * one settle-retry for any flagged sample — and land under "sf1" in the
+  * JSON; same for SPARK_GRAFT_SF30_DIR (default /tmp/graft-sf30) under "sf30",
   * which defaults to its OWN curated [[Sf30Queries]] — NOT the sf1 set:
   * the r9 run inherited all 24 sf1 picks at 30× the data (the reuse
   * twins alone build a 60× history sequentially) and blew the budget. A
@@ -170,6 +174,152 @@ object Bench {
       val ext = (after._1 - before._1) - (after._2 - before._2)
       math.max(0.0, ext / 100.0 / secs)
     }
+
+  /** majflt (major page faults of this process) from a `/proc/self/stat`
+    * line — 1-based field 12, index 9 after the last `)` (same comm-with-
+    * spaces hazard as [[parseSelfJiffies]]). Package-private for the spec.
+    */
+  private[graft] def parseSelfMajflt(statLine: String): Long = {
+    val after = statLine.substring(statLine.lastIndexOf(')') + 1).trim
+    val f = after.split("\\s+")
+    require(f.length >= 13, s"unexpected /proc/self/stat tail: $after")
+    f(9).toLong
+  }
+
+  /** Cumulative `some total=` stall microseconds from a PSI file
+    * (`/proc/pressure/{io,memory}`): the kernel's own accounting of time
+    * ANY task on the host spent stalled on that resource. The delta of
+    * two reads over a sample's wall window, divided by the window, is
+    * the direct "this sample ran under io/memory pressure" fraction —
+    * the non-CPU contention arm the round-12 detector lacked (its
+    * external-CPU arm read 0.295 cores during the driver-channel 143 s
+    * sf100 MinHash sample and called it clean; CPU accounting is blind
+    * to page-cache eviction, writeback and reclaim stalls by design).
+    * -1 where PSI is unavailable (CONFIG_PSI=n, pre-4.20 kernel) —
+    * never trips the suspect arm, same contract as loadAvg's -1.
+    */
+  private[graft] def psiSomeTotalMicros(path: String): Long =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val line = try src.getLines().find(_.startsWith("some")).getOrElse("")
+      finally src.close()
+      val m = java.util.regex.Pattern.compile("total=(\\d+)").matcher(line)
+      if (m.find()) m.group(1).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Cumulative stop-the-world GC milliseconds of THIS JVM (all
+    * collectors). Bracketing a sample gives its gc fraction — the
+    * self-inflicted counterpart to the external arms: a JVM aged by
+    * hundreds of prior samples (fragmented old gen, full code cache,
+    * metaspace churn) collects more on identical work, which no
+    * host-side counter can see because the burn is OUR OWN CPU.
+    */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Everything bracketed around one timed sample, read in one place so
+    * both ends see the same instant ordering.
+    */
+  private final case class EnvSnap(jiffies: (Long, Long), gcMs: Long,
+                                   majflt: Long, psiIo: Long, psiMem: Long)
+
+  private def snapEnv(): EnvSnap = {
+    val mf = try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try parseSelfMajflt(src.getLines().next()) finally src.close()
+    } catch { case _: Throwable => -1L }
+    EnvSnap(cpuJiffies, gcMillis, mf,
+      psiSomeTotalMicros("/proc/pressure/io"),
+      psiSomeTotalMicros("/proc/pressure/memory"))
+  }
+
+  /** Per-sample diagnostics derived from the two [[EnvSnap]] brackets.
+    * Unavailable counters surface as -1 and never trip [[envCause]].
+    */
+  private[graft] final case class SampleDiag(extCores: Double, gcFrac: Double,
+                                             majfltRate: Double,
+                                             psiIoFrac: Double,
+                                             psiMemFrac: Double)
+
+  private def diagOf(a: EnvSnap, b: EnvSnap, secs: Double): SampleDiag = {
+    def frac(x0: Long, x1: Long, unitPerSec: Double): Double =
+      if (x0 < 0 || x1 < 0 || secs <= 0) -1.0
+      else math.max(0.0, (x1 - x0) / unitPerSec / secs)
+    SampleDiag(
+      extCores = externalCores(a.jiffies, b.jiffies, secs),
+      gcFrac = frac(a.gcMs, b.gcMs, 1000.0),
+      majfltRate = if (a.majflt < 0 || b.majflt < 0 || secs <= 0) -1.0
+                   else math.max(0.0, (b.majflt - a.majflt) / secs),
+      psiIoFrac = frac(a.psiIo, b.psiIo, 1e6),
+      psiMemFrac = frac(a.psiMem, b.psiMem, 1e6))
+  }
+
+  /** The measured cause when a sample's environment ran abnormal, or
+    * None when every arm read clean. Arms, in evidence-strength order:
+    *
+    *   - `ext`: other processes burned > max(1, cores/16) CPU cores
+    *     during the sample ([[highExternal]] — the round-12 arm).
+    *   - `psi_io` / `psi_mem`: tasks on the host spent >25% of the
+    *     sample's wall window stalled on IO / memory reclaim (kernel
+    *     PSI accounting — catches page-cache eviction, writeback and
+    *     reclaim pressure that burns no CPU and so slipped past the
+    *     r12 detector: BENCH_r12's 143 s sf100 MinHash sample read
+    *     0.295 external cores and was labeled clean).
+    *   - `majflt`: this process took major page faults at >50/s (and
+    *     >100 total — a handful on a short sample is startup noise).
+    *     With no swap configured this means page-cache misses on
+    *     file-backed mappings — evicted executable/jar pages.
+    *   - `gc`: >50% of the sample's wall window was stop-the-world GC.
+    *     Not host contention but still a sample that does NOT measure
+    *     the query's plan: on fixed code+data+heap, a gc-dominated
+    *     sample means the JVM arrived degraded (175-query suites age
+    *     the heap/code cache before the scale sections run). Flagged
+    *     so the artifact carries the cause instead of a silent 5×.
+    *
+    * Thresholds deliberately coarse: this is a "the number is not
+    * trustworthy AND here is why" marker, not a profiler.
+    */
+  private[graft] def envCause(d: SampleDiag): Option[String] =
+    if (highExternal(d.extCores)) Some(f"ext=${d.extCores}%.1f")
+    else if (d.psiIoFrac > 0.25) Some(f"psi_io=${d.psiIoFrac}%.2f")
+    else if (d.psiMemFrac > 0.25) Some(f"psi_mem=${d.psiMemFrac}%.2f")
+    else if (d.majfltRate > 50.0) Some(f"majflt=${d.majfltRate}%.0f/s")
+    else if (d.gcFrac > 0.5) Some(f"gc=${d.gcFrac}%.2f")
+    else None
+
+  /** One-line JVM-aging evidence for the artifact: code-cache and
+    * metaspace occupancy plus uptime and cumulative GC time. The bench
+    * runs passes AND scale sections in ONE JVM, so a section that runs
+    * late executes in a JVM that has JIT-compiled and class-loaded
+    * through every earlier sample — if a late section is slow and this
+    * block shows the code cache pinned at its max, the cause is aging,
+    * not the operator.
+    */
+  private def jvmHealthJson: String = {
+    import scala.jdk.CollectionConverters._
+    def mb(b: Long): String = fmt(b / 1048576.0)
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def pool(nameFrag: String): String = {
+      val ps = pools.filter(_.getName.toLowerCase.contains(nameFrag))
+      if (ps.isEmpty) "-1,-1" else {
+        val used = ps.map(_.getUsage.getUsed).sum
+        val max = ps.map(p => math.max(0L, p.getUsage.getMax)).sum
+        s"${mb(used)},${mb(max)}"
+      }
+    }
+    val Array(ccU, ccM) = pool("codeheap").split(",") match {
+      case a if a.length == 2 => a
+      case _ => Array("-1", "-1")
+    }
+    val Array(msU, _) = pool("metaspace").split(",")
+    val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+    s"""{"code_cache_used_mb":$ccU,"code_cache_max_mb":$ccM,""" +
+      s""""metaspace_used_mb":$msU,"gc_total_s":${fmt(gcMillis / 1000.0)},""" +
+      s""""uptime_s":${fmt(up)}}"""
+  }
 
   /** A sample is externally contended when OTHER processes averaged more
     * than max(1, cores/16) CPU cores over its wall-clock window —
@@ -414,11 +564,16 @@ object Bench {
 
   /** Structured residue of a scale section, kept alongside its JSON
     * fragment so [[digestLine]] can summarize without re-parsing strings.
+    * `causes` carries (query → measured cause) for every sample whose
+    * FINAL kept run is still suspect after the settle-retry — the
+    * round-12 verdict's demand that a flagged scale number ride with
+    * its evidence in the driver-parsed line, not only in bench_out.json.
     */
   final case class ScaleSummary(
       label: String,
       results: Seq[(String, Option[Double])],
-      contended: Boolean)
+      contended: Boolean,
+      causes: Seq[(String, String)] = Nil)
 
   /** The FINAL printed line — the one the driver actually parses.
     *
@@ -454,8 +609,17 @@ object Bench {
           case (`n`, r) => "\"" + n + "\":" + r.map(fmt).getOrElse("null")
         }
       }
+      // measured per-sample causes for still-suspect scale samples ride
+      // in the digest (capped at 3 — the full list is in bench_out.json):
+      // a flagged scale number must carry its own evidence in the line
+      // the driver actually parses
+      val causes =
+        if (s.causes.isEmpty) ""
+        else s""","${s.label}_suspect_causes":""" + s.causes.take(3)
+          .map { case (n, c) => "\"" + n + "\":\"" + c + "\"" }
+          .mkString("{", ",", "}")
       s""","${s.label}":${entries.mkString("{", ",", "}")}""" +
-        s""","${s.label}_contended":${s.contended}"""
+        s""","${s.label}_contended":${s.contended}$causes"""
     }.mkString
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""reps":$reps,"reps_completed":$repsCompleted,"truncated":$truncated,""" +
@@ -558,14 +722,14 @@ object Bench {
     * sample ends can never cancel a later sample's work.
     */
   private def runOnce(spark: SparkSession, q: Q, dir: String,
-                      capSecs: Double): (Either[String, Double], Boolean, Double) = {
+                      capSecs: Double): (Either[String, Double], Boolean, SampleDiag) = {
     val group = s"bench-${q.name}-${System.nanoTime()}"
     spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val canceller = watchdogTimer.scheduleAtFixedRate(
       () => { fired.set(true); spark.sparkContext.cancelJobGroup(group) },
       (capSecs * 1000).toLong, 5000L, java.util.concurrent.TimeUnit.MILLISECONDS)
-    val jiffies0 = cpuJiffies
+    val env0 = snapEnv()
     val t0 = System.nanoTime()
     val res =
       try { q.fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -578,13 +742,13 @@ object Bench {
         Left(why)
       }
       finally { canceller.cancel(false); spark.sparkContext.clearJobGroup() }
-    // external CPU measured over EXACTLY the sample's wall window (the
+    // environment measured over EXACTLY the sample's wall window (the
     // scrub below, like calibration, stays outside it)
-    val ext = externalCores(jiffies0, cpuJiffies, (System.nanoTime() - t0) / 1e9)
+    val diag = diagOf(env0, snapEnv(), (System.nanoTime() - t0) / 1e9)
     val leaked = spark.sparkContext.getPersistentRDDs.nonEmpty
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    (res, leaked, ext)
+    (res, leaked, diag)
   }
 
   /** Minimal JSON string escaping for error messages. */
@@ -603,12 +767,33 @@ object Bench {
     // Locale.ROOT: a comma-decimal locale would emit invalid JSON.
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-  /** One scale section (sf1/sf30): pre-validate every table in the dir,
-    * run the picked queries once each in a FRESH session, emit the JSON
-    * fragment (`,"<label>":{…}[,"<label>_errors":{…}],"<label>_dir":…`).
-    * The section is calibration-BRACKETED like a main pass (start + end
-    * points; single-sample sections get no mid-points — they are one
-    * sample per query anyway, so the bracket IS the sample's bracket).
+  /** Settle window before retrying a suspect scale sample (seconds).
+    * Host contention here arrives as short bursts (1–6 cores for tens of
+    * seconds, every few minutes — measured across rounds); 20 s lets a
+    * burst that bit the first attempt drain before the retry starts.
+    */
+  private def settleSecs: Double =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_SETTLE", "20").toDouble
+
+  /** Whether a suspect scale sample is retried once after [[settleSecs]]
+    * (round-13; the r12 driver channel shipped its THIRD consecutive
+    * contended sf1 section — flagged honestly, but round-over-round
+    * comparison then needs the committed idle artifacts; one in-run
+    * retry usually lands a clean sample at the cost of one extra
+    * minute-scale query).
+    */
+  private def scaleRetry: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRY", "true").toBoolean
+
+  /** One scale section (sf1/sf30/sf100): pre-validate every table in the
+    * dir, run the picked queries once each in a FRESH session, emit the
+    * JSON fragment (`,"<label>":{…}[,"<label>_errors":{…}],"<label>_dir":…`).
+    * The section is calibration-BRACKETED per query, every sample carries
+    * the full [[SampleDiag]] environment bracket, and a sample whose
+    * window ran abnormal ([[envCause]] or a hot calibration bracket) is
+    * RETRIED once after a settle window — the retry replaces the sample
+    * only when its own window is clean, and the replaced original rides
+    * in `<label>_retried` so nothing is silently discarded.
     * `timeLeft()` is consulted between queries: once false, the rest of
     * the pick is skipped (recorded under `<label>_skipped`) — a scale
     * smoke must degrade to fewer queries, not blow the artifact.
@@ -643,54 +828,83 @@ object Bench {
       val calibs = scala.collection.mutable.ArrayBuffer[Double](calibrate(spark))
       case class ScaleRun(name: String, res: Either[String, Double],
                           loadBefore: Double, loadAfter: Double,
-                          extCores: Double, calibIdx: Int)
-      val (ran, skipped) = {
-        val done = scala.collection.mutable.ArrayBuffer.empty[ScaleRun]
-        val skip = scala.collection.mutable.ArrayBuffer.empty[String]
-        picked.foreach { q =>
-          if (timeLeft()) {
-            val before = calibs.length - 1
-            val lb = loadAvg
-            val (r, _, ext) = runOnce(spark, q, dir, scaleQueryCap)
-            calibs += calibrate(spark)
-            done += ScaleRun(q.name, r, lb, loadAvg, ext, before)
-          } else skip += q.name
-        }
-        (done.toSeq, skip.toSeq)
+                          diag: SampleDiag, calibBefore: Double,
+                          calibAfter: Double, origSecs: Option[Double])
+      def attempt(q: Q, orig: Option[Double]): ScaleRun = {
+        val cb = calibs.last
+        val lb = loadAvg
+        val (r, _, diag) = runOnce(spark, q, dir, scaleQueryCap)
+        val ca = calibrate(spark)
+        calibs += ca
+        ScaleRun(q.name, r, lb, loadAvg, diag, cb, ca, orig)
       }
-      val runBest = calibs.min
+      val runs = scala.collection.mutable.LinkedHashMap.empty[String, ScaleRun]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      picked.foreach { q =>
+        if (timeLeft()) runs(q.name) = attempt(q, None) else skipped += q.name
+      }
       // Suspect arms here: the PER-QUERY calibration brackets (already
       // sample-granular in this section, unlike the main suite's
-      // every-16-queries points) OR the measured external-CPU burn
-      // DURING the sample ([[highExternal]]). A loadavg arm would
-      // false-positive here — samples are minute-scale 32-thread jobs
-      // back-to-back, so the 1-minute loadavg before query N is
-      // dominated by query N-1's own just-finished threads (measured
-      // 3.8 → 15.0 self-ramp across an otherwise-idle section) — but
-      // the jiffie measurement subtracts our own burn, so it has no
-      // self-ramp to false-positive on, and unlike the brackets it SEES
-      // contention living entirely inside a minute-long sample. The
-      // load reads still ride in `<label>_sample_load_before` for the
-      // record.
+      // every-16-queries points) OR any measured [[envCause]] arm —
+      // external CPU, PSI io/memory stall, major faults, GC-dominated
+      // window. A loadavg arm would false-positive here — samples are
+      // minute-scale 32-thread jobs back-to-back, so the 1-minute
+      // loadavg before query N is dominated by query N-1's own
+      // just-finished threads (measured 3.8 → 15.0 self-ramp across an
+      // otherwise-idle section) — but every envCause arm measures the
+      // sample's OWN window, so none has a self-ramp to false-positive
+      // on, and unlike the brackets they SEE pressure living entirely
+      // inside a minute-long sample (the r12 failure: a 143 s sf100
+      // sample with cool edges and 0.295 external cores, labeled clean
+      // while its cause — non-CPU by elimination — stayed invisible).
+      // The load reads still ride in `<label>_sample_load_before`.
+      def runBest = calibs.min
+      def causeOf(r: ScaleRun): Option[String] =
+        envCause(r.diag).orElse(
+          if (isHot(r.calibBefore, runBest) || isHot(r.calibAfter, runBest))
+            Some("calib_bracket") else None)
+      // settle-then-retry: one retry per first-pass suspect, replacing
+      // the sample only when the retry's own window is clean AND it
+      // succeeded — a clean-but-slower retry is the honest number, a
+      // still-dirty retry leaves the flagged original in place
+      val firstSuspects = runs.values.filter(r => causeOf(r).isDefined).map(_.name).toSeq
+      if (scaleRetry && firstSuspects.nonEmpty && timeLeft()) {
+        Thread.sleep((settleSecs * 1000).toLong)
+        firstSuspects.foreach { name =>
+          if (timeLeft()) {
+            val q = picked.find(_.name == name).get
+            val retry = attempt(q, runs(name).res.toOption)
+            if (retry.res.isRight && causeOf(retry).isEmpty) runs(name) = retry
+          }
+        }
+      }
+      val ran = runs.values.toSeq
       val hot = calibs.count(isHot(_, runBest)) >= 2
-      val suspects = ran.collect {
-        case r if isHot(calibs(r.calibIdx), runBest) ||
-          isHot(calibs(r.calibIdx + 1), runBest) ||
-          highExternal(r.extCores) => r.name
-      }
-      val entries = ran.map { r =>
-        "\"" + r.name + "\":" + r.res.toOption.map(fmt).getOrElse("null")
-      }
-      val loads = ran.map(r => "\"" + r.name + "\":" + fmt(r.loadAfter))
-      val loadsBefore = ran.map(r => "\"" + r.name + "\":" + fmt(r.loadBefore))
-      val exts = ran.map(r => "\"" + r.name + "\":" + fmt(r.extCores))
+      val causes: Seq[(String, String)] =
+        ran.flatMap(r => causeOf(r).map(r.name -> _))
+      val suspects = causes.map(_._1)
+      def jm(f: ScaleRun => String): String =
+        ran.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+      val entries = jm(_.res.toOption.map(fmt).getOrElse("null"))
+      val retriedRuns = ran.filter(_.origSecs.isDefined)
       val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
-        ran.collect { case ScaleRun(n, Left(m), _, _, _, _) => s""""$n":"${jesc(m)}"""" }
+        ran.collect { case r if r.res.isLeft =>
+          s""""${r.name}":"${jesc(r.res.swap.toOption.get)}"""" }
       val errJson =
         if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
       val skipJson =
         if (skipped.isEmpty) ""
         else s""","${label}_skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val retryJson =
+        if (retriedRuns.isEmpty) ""
+        else s""","${label}_retried":""" + retriedRuns
+          .map(r => "\"" + r.name + "\":" + fmt(r.origSecs.get))
+          .mkString("{", ",", "}")
+      val causeJson =
+        if (causes.isEmpty) ""
+        else s""","${label}_suspect_causes":""" + causes
+          .map { case (n, c) => "\"" + n + "\":\"" + jesc(c) + "\"" }
+          .mkString("{", ",", "}")
       val manifestJson = {
         val f = new java.io.File(s"$dir/manifest.json")
         if (f.isFile) {
@@ -703,17 +917,22 @@ object Bench {
         } else ""
       }
       val frag =
-        s""","$label":${entries.mkString("{", ",", "}")}$errJson$skipJson,""" +
+        s""","$label":$entries$errJson$skipJson$retryJson$causeJson,""" +
           s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
           s""""${label}_contended":$hot,""" +
           s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""${label}_load":${fmt(load)},""" +
-          s""""${label}_sample_load":${loads.mkString("{", ",", "}")},""" +
-          s""""${label}_sample_load_before":${loadsBefore.mkString("{", ",", "}")},""" +
-          s""""${label}_sample_ext_cores":${exts.mkString("{", ",", "}")}""" +
+          s""""${label}_sample_load":${jm(r => fmt(r.loadAfter))},""" +
+          s""""${label}_sample_load_before":${jm(r => fmt(r.loadBefore))},""" +
+          s""""${label}_sample_ext_cores":${jm(r => fmt(r.diag.extCores))},""" +
+          s""""${label}_sample_gc_frac":${jm(r => fmt(r.diag.gcFrac))},""" +
+          s""""${label}_sample_majflt_rate":${jm(r => fmt(r.diag.majfltRate))},""" +
+          s""""${label}_sample_psi_io":${jm(r => fmt(r.diag.psiIoFrac))},""" +
+          s""""${label}_sample_psi_mem":${jm(r => fmt(r.diag.psiMemFrac))},""" +
+          s""""${label}_jvm":$jvmHealthJson""" +
           manifestJson +
           s""","${label}_dir":"$dir""""
-      (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot))
+      (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot, causes))
     } finally spark.stop()
   }
 
@@ -748,11 +967,11 @@ object Bench {
     // before it; its trailing bracket is calibIdx + 1 (the next mid-pass
     // point, or the pass-end point).
     case class Sample(name: String, ts: Long, loadBefore: Double, load: Double,
-                      extCores: Double, res: Either[String, Double],
+                      diag: SampleDiag, res: Either[String, Double],
                       leaked: Boolean, calibIdx: Int)
     case class Pass(calibs: Seq[Double], passLoad: Double, samples: Seq[Sample])
     case class Judged(secs: Double, ts: Long, loadBefore: Double, load: Double,
-                      extCores: Double, suspect: Boolean)
+                      diag: SampleDiag, cause: Option[String], suspect: Boolean)
 
     val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
     val scaleJsons = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -786,22 +1005,23 @@ object Bench {
       val contended: Seq[Int] =
         ps.zipWithIndex.collect {
           case (p, i) if p.calibs.count(isHot(_, runBest)) >= 2 ||
-            p.samples.count(s => highExternal(s.extCores)) >= 2 => i + 1 }
+            p.samples.count(s => envCause(s.diag).isDefined) >= 2 => i + 1 }
       // A sample is SUSPECT when either surrounding calibration point ran
-      // hot OR other processes measurably burned CPU during its wall
-      // window ([[highExternal]] — the arm that catches contention the
-      // brackets straddle, including contention living entirely INSIDE a
-      // long sample, which the r11 loadavg-before rule missed for the
-      // 38–87 s q_curate_e2e samples); only successful reps are judged,
-      // so every per-query array below (samples / ts / load / ext /
-      // suspect) is index-aligned.
+      // hot OR any [[envCause]] arm measured an abnormal environment
+      // DURING its wall window — external CPU (the r12 arm), PSI
+      // io/memory stall, major-fault storms, or a GC-dominated window
+      // (the r13 arms: the causes CPU accounting is blind to). Only
+      // successful reps are judged, so every per-query array below
+      // (samples / ts / load / diag / cause / suspect) is index-aligned.
       val judged: Seq[(String, Judged)] = ps.flatMap { p =>
         p.samples.flatMap { s =>
           s.res.toOption.map { secs =>
-            s.name -> Judged(secs, s.ts, s.loadBefore, s.load, s.extCores,
-              isHot(p.calibs(s.calibIdx), runBest) ||
-                isHot(p.calibs(s.calibIdx + 1), runBest) ||
-                highExternal(s.extCores))
+            val cause = envCause(s.diag).orElse(
+              if (isHot(p.calibs(s.calibIdx), runBest) ||
+                isHot(p.calibs(s.calibIdx + 1), runBest)) Some("calib_bracket")
+              else None)
+            s.name -> Judged(secs, s.ts, s.loadBefore, s.load, s.diag,
+              cause, cause.isDefined)
           }
         }
       }
@@ -841,7 +1061,13 @@ object Bench {
       val sampleTs = jmap(good)(s => s.map(_.ts).mkString("[", ",", "]"))
       val sampleLoad = jmap(good)(s => s.map(j => fmt(j.load)).mkString("[", ",", "]"))
       val sampleLoadBefore = jmap(good)(s => s.map(j => fmt(j.loadBefore)).mkString("[", ",", "]"))
-      val sampleExt = jmap(good)(s => s.map(j => fmt(j.extCores)).mkString("[", ",", "]"))
+      val sampleExt = jmap(good)(s => s.map(j => fmt(j.diag.extCores)).mkString("[", ",", "]"))
+      val sampleGc = jmap(good)(s => s.map(j => fmt(j.diag.gcFrac)).mkString("[", ",", "]"))
+      val sampleMajflt = jmap(good)(s => s.map(j => fmt(j.diag.majfltRate)).mkString("[", ",", "]"))
+      val samplePsiIo = jmap(good)(s => s.map(j => fmt(j.diag.psiIoFrac)).mkString("[", ",", "]"))
+      val samplePsiMem = jmap(good)(s => s.map(j => fmt(j.diag.psiMemFrac)).mkString("[", ",", "]"))
+      val sampleCause = jmap(good)(s =>
+        s.map(j => "\"" + jesc(j.cause.getOrElse("")) + "\"").mkString("[", ",", "]"))
       val sampleSuspect = jmap(good)(s => s.map(_.suspect).mkString("[", ",", "]"))
       val total = good.map(r => median(cleanOf(r._2).map(_.secs))).sum
 
@@ -891,7 +1117,13 @@ object Bench {
         s""""sample_ts":$sampleTs,"sample_load":$sampleLoad,""" +
         s""""sample_load_before":$sampleLoadBefore,""" +
         s""""sample_ext_cores":$sampleExt,""" +
+        s""""sample_gc_frac":$sampleGc,""" +
+        s""""sample_majflt_rate":$sampleMajflt,""" +
+        s""""sample_psi_io":$samplePsiIo,""" +
+        s""""sample_psi_mem":$samplePsiMem,""" +
+        s""""sample_cause":$sampleCause,""" +
         s""""sample_suspect":$sampleSuspect,""" +
+        s""""jvm":$jvmHealthJson,""" +
         s""""calibration":$calibJson,"calib_baseline":${fmt(calibBaseline)},""" +
         s""""calib_every":$calibEvery,"contended":$contJson,""" +
         s""""suspect":$nSuspect,"clean_medians":true,""" +
@@ -921,7 +1153,7 @@ object Bench {
         sfDir))
     }
 
-    (1 to reps).foreach { p =>
+    def runPasses(): Unit = (1 to reps).foreach { p =>
       if (!timeLeft()) {
         if (!skippedWork.contains(s"pass$p")) { truncated = true; skippedWork += s"pass$p" }
       } else {
@@ -941,10 +1173,10 @@ object Bench {
               val ts = System.currentTimeMillis() / 1000L
               // loadavg before/after ride along as DIAGNOSTICS only —
               // since round 12 the suspect rule judges on the measured
-              // external-CPU burn inside runOnce, not on either read
+              // per-sample environment inside runOnce, not on either read
               val lb = loadAvg
-              val (r, leaked, ext) = runOnce(spark, q, sfDir, queryCap)
-              samples += Sample(q.name, ts, lb, loadAvg, ext, r, leaked,
+              val (r, leaked, diag) = runOnce(spark, q, sfDir, queryCap)
+              samples += Sample(q.name, ts, lb, loadAvg, diag, r, leaked,
                 calibs.length - 1)
             }
           }
@@ -958,33 +1190,79 @@ object Bench {
       }
     }
 
-    // optional scale sections, each in a fresh session (sf1 default path
-    // is the ScaleGen output dir so a generated corpus is picked up
-    // automatically; silently skipped when a dir doesn't exist, skipped
-    // WITH a marker when the deadline already passed)
+    // Scale sections, each in a fresh session (sf1 default path is the
+    // ScaleGen output dir so a generated corpus is picked up
+    // automatically; a missing dir skips silently, an expired budget
+    // skips WITH a marker). Returns the sections it did NOT run so the
+    // caller can hand them to a later phase.
     def picked(envVar: String, fallback: Seq[String]): Seq[String] =
       sys.env.get(envVar)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(fallback)
-    val sf1Names = picked("SPARK_GRAFT_SF1_QUERIES", HeavyQueries)
-    val sf30Names = picked("SPARK_GRAFT_SF30_QUERIES", Sf30Queries)
-    val sf100Names = picked("SPARK_GRAFT_SF100_QUERIES", Sf100Queries)
-    Seq(
-      ("sf1", sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1"), sf1Names),
-      ("sf30", sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "/tmp/graft-sf30"), sf30Names),
-      ("sf100", sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/graft-sf100"), sf100Names))
-      .filter { case (_, d, _) => new java.io.File(d).isDirectory }
-      .foreach { case (label, d, names) =>
-        if (!timeLeft()) { truncated = true; skippedWork += label }
+    type Section = (String, String, Seq[String])
+    def runScaleSections(sections: Seq[Section],
+                         sectionTimeLeft: () => Boolean): Seq[Section] =
+      sections.flatMap { case s @ (label, d, names) =>
+        if (!new java.io.File(d).isDirectory) None
+        else if (!sectionTimeLeft()) Some(s)
         else {
           val (frag, summary) =
             scaleSection(label, d, cpus, catalog.filter(q => names.contains(q.name)),
-              () => timeLeft())
+              sectionTimeLeft)
           scaleJsons += frag
           scaleSummaries += summary
           emit()
+          None
         }
       }
+    val allSections: Seq[Section] = Seq(
+      ("sf1", sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1"),
+        picked("SPARK_GRAFT_SF1_QUERIES", HeavyQueries)),
+      ("sf30", sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "/tmp/graft-sf30"),
+        picked("SPARK_GRAFT_SF30_QUERIES", Sf30Queries)),
+      ("sf100", sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/graft-sf100"),
+        picked("SPARK_GRAFT_SF100_QUERIES", Sf100Queries)))
+
+    // SCALE SECTIONS RUN FIRST (round 13). Two reasons, both measured:
+    //
+    //   1. JVM youth. Passes and scale sections share ONE JVM; with the
+    //      suite first, sf100 executed after ~875 samples of codegen/
+    //      class-loading/GC history, while every committed scale
+    //      artifact (docs/bench_scale_*.json) ran its sections in a
+    //      near-fresh JVM — the r12 driver channel measured the sf100
+    //      MinHash at 143.3 s where the committed artifact had 27.1 s
+    //      on identical data, and the CPU-only detector read clean.
+    //      Running scale first measures the sections under the same
+    //      conditions the committed artifacts were produced in.
+    //   2. Host quiet. The suite's 875 samples churn the page cache and
+    //      writeback queues for ~20 minutes before the old scale slot;
+    //      the r12 sf1 section was the third consecutive driver-channel
+    //      sf1 to run contended.
+    //
+    // The scale phase is BUDGETED (default 1200 s — the committed
+    // sections total ~460 s idle) so a pathological section cannot eat
+    // the main suite's deadline; sections that don't fit the budget run
+    // in the old post-suite slot instead. SPARK_GRAFT_SCALE_FIRST=false
+    // restores the r12 order (used by the attribution experiment that
+    // reproduces the driver-channel sequence).
+    val scaleFirst = sys.env.getOrElse("SPARK_GRAFT_SCALE_FIRST", "true").toBoolean
+    val scaleBudget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1200").toDouble
+    val pending =
+      if (scaleFirst)
+        runScaleSections(allSections,
+          () => elapsed < math.min(scaleBudget, deadlineSecs))
+      else allSections
+
+    runPasses()
+
+    // post-suite slot: sections the scale-first budget didn't cover (or
+    // all of them under SPARK_GRAFT_SCALE_FIRST=false), under the global
+    // deadline; a section that can't start records a skip marker
+    pending.foreach { case s @ (label, d, _) =>
+      if (new java.io.File(d).isDirectory && !timeLeft()) {
+        truncated = true; skippedWork += label
+      } else runScaleSections(Seq(s), () => timeLeft())
+    }
 
     // final cumulative line: every session is stopped, nothing can
     // interleave behind it — and if truncation marked work skipped after

@@ -25,10 +25,14 @@ class BenchDigestSpec extends AnyFunSuite {
 
   private def worstCaseDigest: String = {
     val meds = Bench.DigestQueries.map(_ -> 99999.999).toMap
-    val scales = Seq("sf1", "sf30").map { label =>
+    val scales = Seq("sf1", "sf30", "sf100").map { label =>
       Bench.ScaleSummary(label,
         Bench.ScaleDigestPicks(label).map(_ -> Option(99999.999)),
-        contended = true)
+        contended = true,
+        // worst case: EVERY pick still suspect after retry, longest
+        // cause strings (digestLine caps the emitted map at 3 entries,
+        // but hand it the full list so the cap itself is under test)
+        causes = Bench.ScaleDigestPicks(label).map(_ -> "majflt=99999/s"))
     }
     Bench.digestLine(
       total = 99999.999, reps = 99, repsCompleted = 99, truncated = true,
@@ -114,6 +118,51 @@ class BenchDigestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Bench.parseHostBusyJiffies("cpu0 1 2 3 4 5 6 7 8") // per-cpu line, not aggregate
     }
+  }
+
+  test("digest suspect-causes map is capped at 3 entries per section") {
+    val node = mapper.readTree(worstCaseDigest)
+    val sf1 = node.get("sf1_suspect_causes")
+    assert(sf1 != null && sf1.isObject)
+    assert(sf1.size() <= 3)
+    assert(sf1.elements().next().asText() == "majflt=99999/s")
+  }
+
+  test("PSI parser: 'some … total=' extracted; garbage and absence yield -1") {
+    val f = java.io.File.createTempFile("psi", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("some avg10=0.03 avg60=1.19 avg300=0.58 total=107581482\n" +
+        "full avg10=0.03 avg60=1.19 avg300=0.58 total=99716746\n").getBytes)
+    assert(Bench.psiSomeTotalMicros(f.getAbsolutePath) == 107581482L)
+    java.nio.file.Files.write(f.toPath, "not a psi file\n".getBytes)
+    assert(Bench.psiSomeTotalMicros(f.getAbsolutePath) == -1L)
+    assert(Bench.psiSomeTotalMicros("/nonexistent/psi") == -1L)
+  }
+
+  test("/proc/self/stat majflt parser: field 12, robust to spaces in comm") {
+    // after ')': state ppid pgrp session tty tpgid flags minflt cminflt majflt …
+    val tail = "S 1 2 3 4 5 6 77 88 4242 13 1234 567 0 0 20 0 32 0 99"
+    assert(Bench.parseSelfMajflt(s"1 (java (w) x) $tail") == 4242L)
+    val self = scala.io.Source.fromFile("/proc/self/stat")
+    val actual = try self.getLines().next() finally self.close()
+    assert(Bench.parseSelfMajflt(actual) >= 0L)
+  }
+
+  test("envCause arms: each measured pressure names itself; unavailable (-1) stays clean") {
+    def d(ext: Double = 0.1, gc: Double = 0.05, mf: Double = 0.0,
+          io: Double = 0.0, mem: Double = 0.0) =
+      Bench.SampleDiag(ext, gc, mf, io, mem)
+    assert(Bench.envCause(d()).isEmpty)
+    // unavailable counters must never trip an arm
+    assert(Bench.envCause(d(ext = -1, gc = -1, mf = -1, io = -1, mem = -1)).isEmpty)
+    assert(Bench.envCause(d(ext = 33.0)).exists(_.startsWith("ext=")))
+    assert(Bench.envCause(d(gc = 0.82)).exists(_.startsWith("gc=")))
+    assert(Bench.envCause(d(mf = 412.0)).exists(_.startsWith("majflt=")))
+    assert(Bench.envCause(d(io = 0.41)).exists(_.startsWith("psi_io=")))
+    assert(Bench.envCause(d(mem = 0.33)).exists(_.startsWith("psi_mem=")))
+    // below-threshold values stay clean
+    assert(Bench.envCause(d(gc = 0.4, mf = 40.0, io = 0.2, mem = 0.2)).isEmpty)
   }
 
   test("/proc/self/stat parser: utime+stime counted from after the LAST ')'") {
