@@ -109,6 +109,15 @@ class BenchDigestSpec extends AnyFunSuite {
     Bench.ScaleDigestPicks.values.foreach(p => assert(p.distinct == p))
   }
 
+  test("catalog has no duplicate gate names (split-aggregator invariant)") {
+    // CurationQueries.all is assembled from seven family objects since
+    // the round-13 split; a gate accidentally listed in two objects (or
+    // twice in the aggregator) would run twice and double-count medians
+    val names = SparkEntry.catalog.map(_.name)
+    val dupes = names.groupBy(identity).collect { case (n, v) if v.length > 1 => n }
+    assert(dupes.isEmpty, s"duplicate gates: $dupes")
+  }
+
   test("/proc/stat host-busy parser: busy excludes idle+iowait, includes steal") {
     // man proc: cpu  user nice system idle iowait irq softirq steal ...
     val line = "cpu  100 20 30 100000 500 3 7 40 0 0"
