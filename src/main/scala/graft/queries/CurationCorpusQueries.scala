@@ -267,6 +267,86 @@ private[graft] object CurationCorpusQueries {
                    MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bucket END) AS p99
             FROM cum GROUP BY source ORDER BY source"""))
 
+  /** Exact/sketch quantile TWIN ([[graft.ops.Corpus.exactQuantiles]] vs
+    * [[graft.ops.Corpus.quantileSketchEstimate]] over the same
+    * [[graft.ops.Corpus.quantileSketch]] frame, same per-source token
+    * counts, same ⌈q·n⌉ rank): emits both values per quantile PLUS the
+    * estimator's contract as data — `ok_*` asserts
+    * est ≤ exact < est + 2^max(0, bitlen(est)−8), i.e. the estimate is
+    * the true quantile's bucket lower bound and the truth sits inside
+    * that bucket (exact equality below 2^8). A sketch regression that
+    * stays inside the band would still flip a value column; one that
+    * leaves the band flips ok_* — the gate pins the GUARANTEE
+    * cross-engine, not just today's numbers. The CorpusSpec property
+    * test covers random multisets; this covers the real corpus under
+    * the DuckDB oracle.
+    */
+  val corpusQuantileEstimate = Q("q_corpus_quantile_estimate",
+    (s, dir) => {
+      val lens = Tables.documents(s, dir)
+        .select(col("source"), Text.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      val exact = Corpus.exactQuantiles(lens, "source", "n_tok", Seq(0.5, 0.9, 0.99))
+      val est = Corpus.quantileSketchEstimate(
+        Corpus.quantileSketch(lens, "source", "n_tok", subBits = 7),
+        "source", Seq(0.5, 0.9, 0.99))
+        .select(col("source"), col("p50").as("est_p50"),
+          col("p90").as("est_p90"), col("p99").as("est_p99"))
+      def ok(p: String): Column =
+        (col(s"est_$p") <= col(p)) && (col(p) <
+          col(s"est_$p") + expr(
+            s"shiftleft(CAST(1 AS BIGINT), greatest(0, length(bin(est_$p)) - 8))"))
+      // both sides are ≤20-row aggregates of the same frame; the join is
+      // a broadcast over the group key at any corpus size
+      exact.join(broadcast(est), Seq("source"))
+        .withColumn("ok_p50", ok("p50"))
+        .withColumn("ok_p90", ok("p90"))
+        .withColumn("ok_p99", ok("p99"))
+        .orderBy("source")
+    },
+    Some("""WITH lens AS (
+              SELECT source,
+                CAST(LEN(LIST_FILTER(
+                  STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT source, n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM lens),
+            ex AS (
+              SELECT source,
+                     MAX(CASE WHEN rn = CEIL(0.5 * n) THEN n_tok END) AS p50,
+                     MAX(CASE WHEN rn = CEIL(0.9 * n) THEN n_tok END) AS p90,
+                     MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_tok END) AS p99
+              FROM r GROUP BY source),
+            b AS (
+              SELECT source,
+                     CASE WHEN LENGTH(BIN(n_tok)) <= 8 THEN n_tok
+                          ELSE (n_tok >> (LENGTH(BIN(n_tok)) - 8)) << (LENGTH(BIN(n_tok)) - 8)
+                     END AS bucket
+              FROM lens),
+            c AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (
+              SELECT source, bucket, c,
+                     SUM(c) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+                     SUM(c) OVER (PARTITION BY source) AS n
+              FROM c),
+            es AS (
+              SELECT source,
+                     MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bucket END) AS est_p50,
+                     MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN bucket END) AS est_p90,
+                     MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bucket END) AS est_p99
+              FROM cum GROUP BY source)
+            SELECT ex.source, p50, p90, p99, est_p50, est_p90, est_p99,
+                   (est_p50 <= p50 AND p50 < est_p50 +
+                     (CAST(1 AS BIGINT) << GREATEST(0, LENGTH(BIN(est_p50)) - 8))) AS ok_p50,
+                   (est_p90 <= p90 AND p90 < est_p90 +
+                     (CAST(1 AS BIGINT) << GREATEST(0, LENGTH(BIN(est_p90)) - 8))) AS ok_p90,
+                   (est_p99 <= p99 AND p99 < est_p99 +
+                     (CAST(1 AS BIGINT) << GREATEST(0, LENGTH(BIN(est_p99)) - 8))) AS ok_p99
+            FROM ex JOIN es USING (source) ORDER BY source"""))
+
   /** Per-source winsorization ([[graft.ops.Corpus.winsorize]]): n_chars
     * clamped into the source's exact [p05, p95] band — the clip-not-drop
     * robust-preprocessing twin of the validators' bound checks. Oracle
@@ -621,5 +701,5 @@ private[graft] object CurationCorpusQueries {
               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(corpusKmv, corpusKmvOverlap, corpusHll, corpusProfile, corpusQuantiles, corpusQuantileSketch, corpusWinsorize, corpusCms, graphPagerank, graphCC, graphHits, graphTriangles, selectDsir, selectDomainCap, curateChunk, textFingerprint)
+  val all: Seq[Q] = Seq(corpusKmv, corpusKmvOverlap, corpusHll, corpusProfile, corpusQuantiles, corpusQuantileSketch, corpusQuantileEstimate, corpusWinsorize, corpusCms, graphPagerank, graphCC, graphHits, graphTriangles, selectDsir, selectDomainCap, curateChunk, textFingerprint)
 }
