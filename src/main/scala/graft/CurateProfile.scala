@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
   * scrub (plan cache + blocking unpersist of leaked localCheckpoint
   * blocks) after every sample, per-prefix MEDIAN reported.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.CurateProfile [reps]
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.CurateProfile [reps] [mode]
   * Prints one JSON line: {"stages":{name:{"median":…,"delta":…,
   * "samples":[…]}},"order":[…]}.
+  *
+  * mode=screens (round 13): the same prefix protocol over the
+  * `q_curate_e2e_screens` configuration — the DOUBLED corpus (planted
+  * tail + accent twins), accent folding, and the screens-ON Curate call
+  * (PPL band keep, DSIR-last). The screens gate is the suite's
+  * costliest (20.8 s idle) and its cost claim — the doubled corpus
+  * quadruples the candidate stage (2×docs ≈ 4×pairs through a
+  * corpus²-shaped pair join) — was asserted from construction; this
+  * mode measures it (docs/CURATE_SCREENS_ATTRIBUTION.md).
   */
 object CurateProfile {
 
@@ -45,11 +54,33 @@ object CurateProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val mode = args.lift(1).getOrElse("default")
+    require(mode == "default" || mode == "screens", s"mode=$mode (default | screens)")
+
     def planted: DataFrame = Tables.documents(spark, sfDir).select(
       col("doc_id"),
       concat(col("text"),
         lit(" contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567"))
         .as("text"))
+
+    // the q_curate_e2e_screens corpus: planted docs UNION accent twins
+    // (translate a→á, e→é with a shifted id space) — 2× the docs, and
+    // every twin is a true near-dup of its original once accents fold
+    def plantedScreens: DataFrame = {
+      val p = Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567"))
+          .as("text"),
+        col("lang"), col("source"))
+      p.unionByName(p.select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"),
+        // \u-escaped like the gate: the corpus must be byte-identical
+        translate(col("text"), "ae", "\u00e1\u00e9").as("text"),
+        col("lang"), col("source")))
+    }
+    def foldedScreens: DataFrame = plantedScreens.withColumn("text",
+      graft.functions.TextExprs.stripAccents(col("text")))
 
     // Cumulative prefixes of the default Curate chain. Stage bodies
     // restate Curate.apply's default-path composition (same ops, same
@@ -57,7 +88,7 @@ object CurateProfile {
     // kept in sync by the full-chain sanity delta at the end: `full`
     // IS Curate.apply, so drift between these prefixes and the real
     // chain shows up as a nonsensical last delta.
-    val prefixes: Seq[(String, () => DataFrame)] = Seq(
+    val defaultPrefixes: Seq[(String, () => DataFrame)] = Seq(
       "read_plant" -> (() => planted),
       "exact_dedup" -> (() => graft.ops.Dedup.exactDedup(planted, "text", "doc_id")),
       "neardup_pairs" -> (() => {
@@ -71,6 +102,34 @@ object CurateProfile {
           prefixFilter = true)
       }),
       "full" -> (() => graft.pipeline.Curate(planted)))
+
+    // Cumulative prefixes of the screens chain (q_curate_e2e_screens
+    // config: foldAccents, PPL band keep head+middle, DSIR k=120). The
+    // last delta = survivor-fit PPL screen + DSIR + quality/scrub/split/
+    // chunk tail — everything after the keep-one.
+    val screensPrefixes: Seq[(String, () => DataFrame)] = Seq(
+      "read_plant_2x" -> (() => plantedScreens),
+      "fold_accents" -> (() => foldedScreens),
+      "exact_dedup" -> (() => graft.ops.Dedup.exactDedup(foldedScreens, "text", "doc_id")),
+      "neardup_pairs" -> (() => {
+        val d = graft.ops.Dedup.exactDedup(foldedScreens, "text", "doc_id")
+        graft.ops.Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.2,
+          prefixFilter = true)
+      }),
+      "neardup_keepone" -> (() => {
+        val d = graft.ops.Dedup.exactDedup(foldedScreens, "text", "doc_id")
+        graft.ops.Dedup.nearDupSurvivors(d, "text", "doc_id", 3, 0.2,
+          prefixFilter = true)
+      }),
+      "full" -> (() => {
+        val p = plantedScreens
+        graft.pipeline.Curate(p,
+          foldAccents = true,
+          pplKeepBuckets = Seq("head", "middle"), pplLangCol = Some("lang"),
+          dsirTarget = Some(p.filter(col("source").isin("src0", "src1", "src2", "src3"))),
+          dsirK = 120)
+      }))
+    val prefixes = if (mode == "screens") screensPrefixes else defaultPrefixes
 
     // warmup: the same representative slice Bench runs, plus one table touch
     Tables.documents(spark, sfDir).count()
@@ -98,7 +157,7 @@ object CurateProfile {
         samples(n).map(fmt).mkString("[", ",", "]")}}"""
     }
     val order = prefixes.map(p => "\"" + p._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"stages":${stages.mkString("{", ",", "}")},"order":$order,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"stages":${stages.mkString("{", ",", "}")},"order":$order,"reps":$reps,"mode":"$mode","sf":"$sfDir"}""")
     spark.stop()
   }
 
