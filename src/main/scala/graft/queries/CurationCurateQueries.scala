@@ -64,15 +64,19 @@ private[graft] object CurationCurateQueries {
     * band → hashed-unigram importance weights + top-k cut → scrub →
     * split → chunk. Any stage reordering moves the final chunk set.
     *
-    * COST NOTE: this is, by construction, the suite's most expensive
-    * gate (~23 s vs curateE2E's ~12.5 s clean at sf0.1) — it pushes a
-    * DOUBLED copy of the planted-tail corpus through the near-dup
-    * candidate stage, whose true pair count is corpus²-shaped on this
-    * corpus (see curateE2EScale's scaladoc); 2× docs ≈ 4× pairs in the
-    * stage that already dominates curateE2E's wall (60%, see
-    * docs/CURATE_E2E_ATTRIBUTION.md). Like curateE2E it is excluded
-    * from every scale set for exactly that reason — the composition
-    * coverage needs the planted structure; scaling claims don't.
+    * COST NOTE (measured round 13 — the earlier "2×docs ≈ 4×pairs"
+    * claim was WRONG and contradicted the first bullet above: the
+    * accent twins collapse into exact-dup buckets BEFORE any shingle
+    * exists, so the candidate stage sees the same corpus as curateE2E
+    * and costs the same ~9 s): this is the suite's most expensive gate
+    * (~21-25 s vs curateE2E's ~12.5 s clean at sf0.1) because of the
+    * screens TAIL — the perplexity screen fits an LM on the deduped
+    * survivors and scores every doc, and DSIR runs two hashed-unigram
+    * passes plus a top-k cut: 14.4 s, ~58% of the gate wall
+    * (docs/CURATE_SCREENS_ATTRIBUTION.md; per-stage table from
+    * `CurateProfile <reps> screens`). Like curateE2E it is excluded
+    * from every scale set — the composition coverage needs the planted
+    * structure; scaling claims don't.
     */
   val curateE2EScreens = Q("q_curate_e2e_screens",
     (s, dir) => {
