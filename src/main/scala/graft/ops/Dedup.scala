@@ -811,17 +811,40 @@ object Dedup {
     * batches probe co-located buckets, history never reshuffles) and
     * grow by appending the kept batch's own index rows.
     *
-    * WHEN TO USE — measured, not assumed (IncrementalProbeBench, sf100,
-    * pre-persisted indexes): on the SHORT-doc synthetic corpus the
-    * inverted-index probe is FASTER (13-18 s vs 22-24 s) and its index
-    * no bigger — the batch-side signature (128 hashes/shingle) dominates
-    * when docs are short and the history index is small enough to
-    * reshuffle cheaply. This screen pays that fixed per-batch signature
-    * cost to make the history-side work bucket-local, so it wins when
-    * (a) documents are long (shingles/doc ≫ bands → index 10-80×
-    * smaller) and (b) the history is large enough that reshuffling its
-    * inverted index per batch dominates — i.e. exactly the
-    * 100-TB-history regime, and not the gate-scale one.
+    * WHEN TO USE — measured, not assumed (IncrementalProbeBench with
+    * pre-persisted indexes, warm pass, 8 g heap; round-13 sweep across
+    * the generated decades, history = half the corpus):
+    *
+    *   | corpus | inverted probe | band probe | index bytes (sh/bands) |
+    *   |--------|----------------|------------|------------------------|
+    *   | 50k    | 4.9 s          | 7.4 s      | 10.4 / 13.2 MB         |
+    *   | 150k   | 7.6 s          | 10.5 s     | 31.2 / 39.6 MB         |
+    *   | 500k   | 13.5 s         | 21.5 s     | 104 / 132 MB           |
+    *
+    * On THIS corpus family (short docs, 310-word ScaleGen vocab) the
+    * inverted-index probe wins at every measured decade and the gap
+    * WIDENS (2.5 → 2.9 → 8.0 s): the band path's fixed per-doc
+    * signature (128 hashes) never pays for itself when docs are short
+    * (~doc-length shingle hashes would be probed anyway), and the
+    * FIXED 64×2 banding meets growing background similarity (tiny
+    * vocab ⇒ shingle collisions compound with corpus size), inflating
+    * verify candidates superlinearly. No crossover is in extrapolation
+    * range on this corpus — an honest negative; the short-doc regime
+    * belongs to the inverted-index probe.
+    *
+    * The band screen's claim is therefore structural, not throughput at
+    * these sizes: (a) per-batch history-side WORK is bucket-local — the
+    * persisted index is probed by (band,bucket) equality and arrives
+    * shuffle-free when bucketed, while the inverted probe reshuffles
+    * Σ-shingle-rows of history per batch (104 MB here, ~TBs at a
+    * 100 TB history — the regime the table cannot reach on this host);
+    * (b) the index is a fixed `bands` rows/doc regardless of doc
+    * length, so LONG docs (shingles/doc ≫ bands: book-length pages vs
+    * these ~100-token synthetics) shrink it 10-80× below the shingle
+    * index. Deploy it when history-side shuffle mass is the binding
+    * constraint or docs are long; size banding with [[planMinhashLsh]]
+    * (the fixed 64×2 here is the gates' oracle-determinism config and
+    * is exactly what inflates candidates at scale).
     *
     * Semantics mirror [[nearDupIncrementalAgainstIndex]]: keep incoming
     * rows that survive within-batch keep-one AND verify below
