@@ -212,10 +212,18 @@ object Curate {
     // token-band filter so quality judges only documents that will ship.
     val pplScreened = pplLangCol match {
       case Some(lc) if pplKeepBuckets.nonEmpty =>
-        val keep = Corpus.pplBuckets(lineStripped, textCol, idCol, lc)
+        // materialize the survivor chain BEFORE the screen: pplBuckets
+        // consumes it several times (LM vocab pass, per-doc scores, the
+        // lang attach) and the semi-join left side is a fourth consumer
+        // — unmaterialized, the exact-dedup + near-dup upstream
+        // re-executes per consumer (measured: the screens gate's tail
+        // carried whole repeated dedup subtrees; same checkpoint-at-the-
+        // fork discipline as Dedup)
+        val mat = lineStripped.localCheckpoint(true)
+        val keep = Corpus.pplBuckets(mat, textCol, idCol, lc)
           .filter(col("ppl_bucket").isin(pplKeepBuckets: _*))
           .select(col(idCol))
-        lineStripped.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
+        mat.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
       case _ => lineStripped
     }
     val kept = pplScreened
@@ -233,9 +241,13 @@ object Curate {
     // (broadcast) is right for the semi join.
     val selected = dsirTarget match {
       case Some(t) if dsirK > 0 =>
-        val picks = Corpus.dsirSelect(kept, t, textCol, idCol, dsirK)
+        // same fork discipline: DSIR's importance pass and the semi-join
+        // left side both consume `kept`, whose quality/scrub projections
+        // (regex-heavy) and whole upstream would otherwise run twice
+        val matKept = kept.localCheckpoint(true)
+        val picks = Corpus.dsirSelect(matKept, t, textCol, idCol, dsirK)
           .select(col(idCol))
-        kept.join(picks, Seq(idCol), "left_semi")
+        matKept.join(picks, Seq(idCol), "left_semi")
       case _ => kept
     }
     selected
