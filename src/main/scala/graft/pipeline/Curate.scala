@@ -162,10 +162,14 @@ object Curate {
     // doc must never reach a training split). Long shingles
     // (decontaminateN default 8) per decontamination convention.
     val screened = benchmark.fold(survivors) { bench =>
-      val flagged = Dedup.contaminatedIds(survivors, bench, textCol, idCol,
+      // fork: the contamination index and the anti-join left side both
+      // consume survivors — checkpoint or the dedup upstream runs twice
+      // (same discipline as the PPL/DSIR forks below)
+      val mat = survivors.localCheckpoint(true)
+      val flagged = Dedup.contaminatedIds(mat, bench, textCol, idCol,
         decontaminateN, decontaminateMinShared)
         .select(col(idCol))
-      survivors.join(flagged.hint("shuffle_hash"), Seq(idCol), "left_anti")
+      mat.join(flagged.hint("shuffle_hash"), Seq(idCol), "left_anti")
     }
     // Optional duplicated-substring removal — AFTER document-level dedup
     // (exact dup docs would otherwise strip each other to nothing; see
@@ -185,26 +189,28 @@ object Curate {
     // line and would turn the line screen into a no-op. Span-only mode
     // keeps the default byte-exact rebuild its gates pin.
     val stripped =
-      if (stripSpanK > 0)
-        screened.drop(textCol).join(
-          Dedup.stripDuplicatedSpans(screened, textCol, idCol, stripSpanK,
+      if (stripSpanK > 0) {
+        val mat = screened.localCheckpoint(true) // fork: strip + join left side
+        mat.drop(textCol).join(
+          Dedup.stripDuplicatedSpans(mat, textCol, idCol, stripSpanK,
             preserveNewlines = stripLineDups)
             .select(col(idCol), col("clean_text").as(textCol))
             .hint("shuffle_hash"),
           Seq(idCol))
-      else screened
+      } else screened
     // Optional line-level keep-first dedup (CCNet paragraph screen) —
     // same slot-reasoning as the span strip: after document-level dedup
     // (exact-dup docs would strip each other's every line), before
     // quality (the token band must judge the text that ships).
     val lineStripped =
-      if (stripLineDups)
-        stripped.drop(textCol).join(
-          Dedup.stripDuplicatedLines(stripped, textCol, idCol)
+      if (stripLineDups) {
+        val mat = stripped.localCheckpoint(true) // fork: strip + join left side
+        mat.drop(textCol).join(
+          Dedup.stripDuplicatedLines(mat, textCol, idCol)
             .select(col(idCol), col("clean_text").as(textCol))
             .hint("shuffle_hash"),
           Seq(idCol))
-      else stripped
+      } else stripped
     // Optional CCNet perplexity-bucket screen — the LM and its
     // per-language tertile cuts are fit on the DEDUPED, DECONTAMINATED
     // survivors (duplicates would weight the unigram model and drag the
