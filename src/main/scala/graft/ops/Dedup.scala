@@ -809,7 +809,14 @@ object Dedup {
     * and (b) per-doc hash sets fetched by id for candidate docs only.
     * Both persist as stage tables (bucketed on their join keys →
     * batches probe co-located buckets, history never reshuffles) and
-    * grow by appending the kept batch's own index rows.
+    * grow by appending the kept batch's own index rows. Bucketing must
+    * cover BOTH band-index join columns — `saveBucketed(idx,
+    * "bands_tbl", "band", n, "bucket")` — because co-partitioning
+    * rejects subset partitionings since Spark 3.3
+    * (`spark.sql.requireAllClusterKeysForCoPartition`); a bucket-only
+    * bucketed index gets re-exchanged anyway. IncrementalIndexSpec pins
+    * the shuffle-free arrival of both tables (and its negative control
+    * shows the plain-parquet index reshuffling per batch).
     *
     * WHEN TO USE — measured, not assumed (IncrementalProbeBench with
     * pre-persisted indexes, warm pass, 8 g heap; round-13 sweep across

@@ -37,11 +37,20 @@ object StageIO {
     * (proved in SourcesSpec by asserting the executed plan has no
     * hashpartitioning exchange). Requires a catalog table (bucketing
     * metadata lives in the metastore).
+    *
+    * Multi-column keys: bucket on ALL of a join's key columns
+    * (`moreCols`) — since Spark 3.3 co-partitioning rejects a
+    * partitioning on a subset of the join keys by default
+    * (`spark.sql.requireAllClusterKeysForCoPartition`), so a table
+    * bucketed on one column of a two-column join key gets reshuffled
+    * anyway (measured in IncrementalIndexSpec: the (band,bucket) probe
+    * against a bucket-only-bucketed index re-exchanged the index).
     */
-  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+                   moreCols: String*): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCol, moreCols: _*)
+      .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(table)
 
   /** Incremental ingest: append only rows whose key is not already present
