@@ -396,14 +396,16 @@ object Corpus {
     */
   def pplBuckets(df: DataFrame, textCol: String, idCol: String,
                  langCol: String): DataFrame = {
-    // checkpoint at the fork: `scored` feeds BOTH the tertile-cut
-    // aggregate and the final bucket join — unmaterialized, the whole
-    // unigram-LM chain (vocab aggregate + per-doc probe + lang attach)
-    // executes twice. Four narrow columns per doc, standard
-    // eager-checkpoint discipline.
+    // `scored` feeds BOTH the tertile-cut aggregate and the final
+    // bucket join. Deliberately LAZY: the duplicated subtrees are
+    // identical up to the shuffle_hash join's exchanges, which
+    // Catalyst's exchange reuse dedupes (docs/SCALING.md §9 — the
+    // measured rule; a checkpoint here also cuts the plan that
+    // CorpusSpec's no-corpus-broadcast shape test inspects). Callers
+    // whose INPUT is an expensive chain checkpoint before calling
+    // (Curate does, at the screen fork).
     val scored = unigramNegLogProb(df, textCol, idCol)
       .join(df.select(col(idCol), col(langCol)).hint("shuffle_hash"), Seq(idCol))
-      .localCheckpoint(true)
     val cuts = exactQuantiles(
       scored.filter(col("n_tokens") > 0), langCol, "neg_logp",
       Seq(1.0 / 3, 2.0 / 3))
