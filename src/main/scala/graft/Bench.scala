@@ -282,13 +282,18 @@ object Bench {
     * Thresholds deliberately coarse: this is a "the number is not
     * trustworthy AND here is why" marker, not a profiler.
     */
-  private[graft] def envCause(d: SampleDiag): Option[String] =
-    if (highExternal(d.extCores)) Some(f"ext=${d.extCores}%.1f")
-    else if (d.psiIoFrac > 0.25) Some(f"psi_io=${d.psiIoFrac}%.2f")
-    else if (d.psiMemFrac > 0.25) Some(f"psi_mem=${d.psiMemFrac}%.2f")
-    else if (d.majfltRate > 50.0) Some(f"majflt=${d.majfltRate}%.0f/s")
-    else if (d.gcFrac > 0.5) Some(f"gc=${d.gcFrac}%.2f")
+  private[graft] def envCause(d: SampleDiag): Option[String] = {
+    // Locale.ROOT like fmt(): a comma-decimal locale must not leak
+    // commas into artifact strings
+    def r(fmtStr: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmtStr, Double.box(v))
+    if (highExternal(d.extCores)) Some(r("ext=%.1f", d.extCores))
+    else if (d.psiIoFrac > 0.25) Some(r("psi_io=%.2f", d.psiIoFrac))
+    else if (d.psiMemFrac > 0.25) Some(r("psi_mem=%.2f", d.psiMemFrac))
+    else if (d.majfltRate > 50.0) Some(r("majflt=%.0f/s", d.majfltRate))
+    else if (d.gcFrac > 0.5) Some(r("gc=%.2f", d.gcFrac))
     else None
+  }
 
   /** One-line JVM-aging evidence for the artifact: code-cache and
     * metaspace occupancy plus uptime and cumulative GC time. The bench
