@@ -340,6 +340,19 @@ object TrackStream {
     * and documented on the batch operator (long-doc corpora + large
     * history); the streaming contract is identical.
     *
+    * SCALE BOUNDARY (honest): these state tables are PLAIN PARQUET
+    * appends — simple, crash-rebuildable (below), but the per-batch
+    * probe join reshuffles the history-side index rows it reads
+    * (IncrementalIndexSpec's negative control measures exactly this
+    * shape). At a truly large history, run the ingestion as periodic
+    * BATCHES of `minhashIncrementalAgainstIndex` against BUCKETED
+    * stage tables (`StageIO.saveBucketed(idx, tbl, "band", n,
+    * "bucket")` — bucket-local, zero history reshuffle, the spec's
+    * positive case); the streaming sink's value is micro-batch
+    * latency, and its recovery contract relies on cheap
+    * whole-directory rebuilds that a metastore-backed bucketed table
+    * would complicate. Pick by history size.
+    *
     * RECOVERY CONTRACT: three non-atomic appends, corpus DELIBERATELY
     * first (same reasoning as [[nearDupForeachBatch]] — any
     * index-behind-corpus window is repaired by rebuilding both index
