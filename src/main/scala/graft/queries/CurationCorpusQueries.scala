@@ -279,7 +279,9 @@ private[graft] object CurationCorpusQueries {
     * leaves the band flips ok_* — the gate pins the GUARANTEE
     * cross-engine, not just today's numbers. The CorpusSpec property
     * test covers random multisets; this covers the real corpus under
-    * the DuckDB oracle.
+    * the DuckDB oracle. sf100 single-shot: 7.9 s over 500k docs (the
+    * exact side's per-group window sort dominates; the sketch side is
+    * the scale path — ≤ ~7.5k bucket rows per group at any size).
     */
   val corpusQuantileEstimate = Q("q_corpus_quantile_estimate",
     (s, dir) => {
