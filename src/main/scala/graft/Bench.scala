@@ -112,28 +112,19 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** Cumulative (host-busy, this-process) CPU jiffies from /proc, or
-    * (-1,-1) where /proc isn't available. Host busy = user+nice+system+
-    * irq+softirq+steal from the aggregate `cpu` line of /proc/stat
-    * (idle and iowait excluded); self = utime+stime from
-    * /proc/self/stat. The difference of two readings brackets a timed
-    * sample, and `(Δbusy − Δself) / Δwall` is the CPU other processes
-    * burned DURING the sample, in cores — the direct contention signal
-    * the 1-minute loadavg only lags at (see [[highExternal]]).
+  /** Cumulative host-busy CPU jiffies from /proc/stat, or -1 where /proc
+    * isn't available. Host busy = user+nice+system+irq+softirq+steal from
+    * the aggregate `cpu` line (idle and iowait excluded). The difference
+    * of two readings brackets a timed sample, and `(Δbusy − Δself) /
+    * Δwall` is the CPU other processes burned DURING the sample, in
+    * cores — the direct contention signal the 1-minute loadavg only lags
+    * at (see [[highExternal]]).
     */
-  private def cpuJiffies: (Long, Long) = {
+  private def hostBusyJiffies: Long =
     try {
-      val cpuLine = {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().next() finally src.close()
-      }
-      val selfLine = {
-        val src = scala.io.Source.fromFile("/proc/self/stat")
-        try src.getLines().next() finally src.close()
-      }
-      (parseHostBusyJiffies(cpuLine), parseSelfJiffies(selfLine))
-    } catch { case _: Throwable => (-1L, -1L) }
-  }
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try parseHostBusyJiffies(src.getLines().next()) finally src.close()
+    } catch { case _: Throwable => -1L }
 
   /** user+nice+system+irq+softirq+steal from a `/proc/stat` aggregate
     * cpu line (`cpu  user nice system idle iowait irq softirq steal …`).
@@ -148,32 +139,48 @@ object Bench {
       (if (f.length > 8) f(8).toLong else 0L)
   }
 
-  /** utime+stime from a `/proc/self/stat` line. The comm field (2nd) is
-    * in parentheses and MAY CONTAIN SPACES, so fields are counted from
-    * after the LAST `)` — state is then index 0, utime index 11, stime
-    * index 12 (man proc: fields 3, 14, 15 1-based). Package-private for
-    * the spec.
+  /** (utime, stime) from a `/proc/self/stat` line, kept SEPARATE. The
+    * comm field (2nd) is in parentheses and MAY CONTAIN SPACES, so fields
+    * are counted from after the LAST `)` — state is then index 0, utime
+    * index 11, stime index 12 (man proc: fields 3, 14, 15 1-based).
+    * Separation matters (round 14): the external-CPU arm only ever
+    * SUBTRACTED utime+stime from host jiffies, so kernel time inflating
+    * OUR OWN stime kept `ext` at 0 and the sample read clean — exactly
+    * how the r12/r13 driver-channel heavy samples ran 3–5× slow with
+    * every arm green (docs/BENCH_HEAP.md: this host's first-touch
+    * page-zeroing pathology is sys-CPU inside the faulting process, not
+    * GC, not majflt, not PSI). stime/wall is now its own suspect arm.
+    * Package-private for the spec.
     */
-  private[graft] def parseSelfJiffies(statLine: String): Long = {
+  private[graft] def parseSelfUtimeStime(statLine: String): (Long, Long) = {
     val after = statLine.substring(statLine.lastIndexOf(')') + 1).trim
     val f = after.split("\\s+")
     require(f.length >= 13, s"unexpected /proc/self/stat tail: $after")
-    f(11).toLong + f(12).toLong
+    (f(11).toLong, f(12).toLong)
   }
 
-  /** External CPU burned during a sample, in cores: jiffie deltas of two
-    * [[cpuJiffies]] readings over `secs` of wall clock, at the
-    * standard USER_HZ=100 (Linux ABI constant for /proc/stat
-    * accounting). -1 when /proc was unavailable at either end — which
-    * never trips [[highExternal]], same contract as loadAvg's -1.
+  /** utime+stime — the self-burn total the external-CPU subtraction uses.
+    * Package-private for the spec.
     */
-  private def externalCores(before: (Long, Long), after: (Long, Long),
-                            secs: Double): Double =
-    if (before._1 < 0 || after._1 < 0 || secs <= 0) -1.0
-    else {
-      val ext = (after._1 - before._1) - (after._2 - before._2)
-      math.max(0.0, ext / 100.0 / secs)
-    }
+  private[graft] def parseSelfJiffies(statLine: String): Long = {
+    val (u, s) = parseSelfUtimeStime(statLine)
+    u + s
+  }
+
+  /** minflt (minor page faults of this process) from a `/proc/self/stat`
+    * line — 1-based field 10, index 7 after the last `)` (same
+    * comm-with-spaces hazard as [[parseSelfUtimeStime]]). Minor faults
+    * are pages resolved WITHOUT disk IO — fresh-anonymous-page zeroing
+    * above all — which is why the majflt arm (field 12) never saw the
+    * heap pathology: an oversized heap faults in millions of fresh pages
+    * and not one of them is "major". Package-private for the spec.
+    */
+  private[graft] def parseSelfMinflt(statLine: String): Long = {
+    val after = statLine.substring(statLine.lastIndexOf(')') + 1).trim
+    val f = after.split("\\s+")
+    require(f.length >= 13, s"unexpected /proc/self/stat tail: $after")
+    f(7).toLong
+  }
 
   /** majflt (major page faults of this process) from a `/proc/self/stat`
     * line — 1-based field 12, index 9 after the last `)` (same comm-with-
@@ -221,17 +228,24 @@ object Bench {
   }
 
   /** Everything bracketed around one timed sample, read in one place so
-    * both ends see the same instant ordering.
+    * both ends see the same instant ordering. /proc/self/stat is read
+    * ONCE and all four of its counters (utime, stime, minflt, majflt)
+    * parsed from the same line — two reads could straddle a burst and
+    * disagree about which side of the bracket it landed on.
     */
-  private final case class EnvSnap(jiffies: (Long, Long), gcMs: Long,
-                                   majflt: Long, psiIo: Long, psiMem: Long)
+  private final case class EnvSnap(hostBusy: Long, selfUser: Long,
+                                   selfSys: Long, gcMs: Long,
+                                   minflt: Long, majflt: Long,
+                                   psiIo: Long, psiMem: Long)
 
   private def snapEnv(): EnvSnap = {
-    val mf = try {
+    val (u, s, minf, majf) = try {
       val src = scala.io.Source.fromFile("/proc/self/stat")
-      try parseSelfMajflt(src.getLines().next()) finally src.close()
-    } catch { case _: Throwable => -1L }
-    EnvSnap(cpuJiffies, gcMillis, mf,
+      val line = try src.getLines().next() finally src.close()
+      val (uu, ss) = parseSelfUtimeStime(line)
+      (uu, ss, parseSelfMinflt(line), parseSelfMajflt(line))
+    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+    EnvSnap(hostBusyJiffies, u, s, gcMillis, minf, majf,
       psiSomeTotalMicros("/proc/pressure/io"),
       psiSomeTotalMicros("/proc/pressure/memory"))
   }
@@ -240,6 +254,8 @@ object Bench {
     * Unavailable counters surface as -1 and never trip [[envCause]].
     */
   private[graft] final case class SampleDiag(extCores: Double, gcFrac: Double,
+                                             sysCores: Double,
+                                             minfltRate: Double,
                                              majfltRate: Double,
                                              psiIoFrac: Double,
                                              psiMemFrac: Double)
@@ -248,9 +264,20 @@ object Bench {
     def frac(x0: Long, x1: Long, unitPerSec: Double): Double =
       if (x0 < 0 || x1 < 0 || secs <= 0) -1.0
       else math.max(0.0, (x1 - x0) / unitPerSec / secs)
+    val extCores =
+      if (a.hostBusy < 0 || b.hostBusy < 0 || a.selfUser < 0 || b.selfUser < 0
+        || secs <= 0) -1.0
+      else {
+        val ext = (b.hostBusy - a.hostBusy) -
+          ((b.selfUser + b.selfSys) - (a.selfUser + a.selfSys))
+        math.max(0.0, ext / 100.0 / secs) // USER_HZ=100, the /proc ABI constant
+      }
     SampleDiag(
-      extCores = externalCores(a.jiffies, b.jiffies, secs),
+      extCores = extCores,
       gcFrac = frac(a.gcMs, b.gcMs, 1000.0),
+      sysCores = frac(a.selfSys, b.selfSys, 100.0), // jiffies → cores
+      minfltRate = if (a.minflt < 0 || b.minflt < 0 || secs <= 0) -1.0
+                   else math.max(0.0, (b.minflt - a.minflt) / secs),
       majfltRate = if (a.majflt < 0 || b.majflt < 0 || secs <= 0) -1.0
                    else math.max(0.0, (b.majflt - a.majflt) / secs),
       psiIoFrac = frac(a.psiIo, b.psiIo, 1e6),
@@ -268,6 +295,17 @@ object Bench {
     *     reclaim pressure that burns no CPU and so slipped past the
     *     r12 detector: BENCH_r12's 143 s sf100 MinHash sample read
     *     0.295 external cores and was labeled clean).
+    *   - `sys`: THIS process burned kernel CPU at > [[sysCoresMax]]
+    *     cores over the sample's window (stime/wall, the round-14 arm).
+    *     This is the arm every earlier round lacked structurally: ext
+    *     SUBTRACTS self-burn so own-kernel time keeps it at 0, majflt
+    *     counts disk-backed faults only, PSI memory reads 0 without
+    *     reclaim, and GC is normal — yet this host's one documented
+    *     pathology (docs/BENCH_HEAP.md: -Xmx100g ⇒ 8× slower, sys
+    *     1832 s vs 17 s) is exactly kernel first-touch page-zeroing
+    *     INSIDE the bench process. Threshold calibrated on this host
+    *     (and the reason there is no minflt arm): see [[sysCoresMax]].
+    *     When both ext and sys fire, the LARGER signal names the cause.
     *   - `majflt`: this process took major page faults at >50/s (and
     *     >100 total — a handful on a short sample is startup noise).
     *     With no swap configured this means page-cache misses on
@@ -287,13 +325,47 @@ object Bench {
     // commas into artifact strings
     def r(fmtStr: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmtStr, Double.box(v))
-    if (highExternal(d.extCores)) Some(r("ext=%.1f", d.extCores))
+    // sys OUTRANKS ext when it is the larger signal: in the injected
+    // -Xmx100g validation run the sf100 MinHash sample burned 19.3 sys
+    // cores while side-effect kernel threads nudged ext to 2.1 — an
+    // "ext=2.1" label on a sample whose real cause is 19 cores of
+    // own-process kernel time misattributes the round's central anomaly
+    val sysHit = d.sysCores > sysCoresMax
+    val extHit = highExternal(d.extCores)
+    if (extHit && (!sysHit || d.extCores >= d.sysCores))
+      Some(r("ext=%.1f", d.extCores))
+    else if (sysHit) Some(r("sys=%.1f", d.sysCores))
     else if (d.psiIoFrac > 0.25) Some(r("psi_io=%.2f", d.psiIoFrac))
     else if (d.psiMemFrac > 0.25) Some(r("psi_mem=%.2f", d.psiMemFrac))
     else if (d.majfltRate > 50.0) Some(r("majflt=%.0f/s", d.majfltRate))
     else if (d.gcFrac > 0.5) Some(r("gc=%.2f", d.gcFrac))
     else None
   }
+
+  /** Own-process sys-CPU suspect threshold, in cores of stime over the
+    * sample's wall window. Calibrated on this host (round 14, committed
+    * as docs/bench_sysarm_*.json): the syscall-heaviest CLEAN -Xmx8g
+    * sample in the suite is the sf1 plain reuse twin at 6.5 sys cores
+    * (six sequential parquet history writes — legitimate kernel work);
+    * ordinary heavy samples run 0.2–1.6. The injected -Xmx100g
+    * first-touch pathology (docs/BENCH_HEAP.md) measured 8.0 sys cores
+    * on its LEAST-affected sample (the plain twin on a mostly-touched
+    * heap) and 12.9–19.3 on the samples it actually slowed 3–8×. 7.0
+    * sits between the bands; the margin is thin on the borderline pair
+    * (6.5 clean vs 8.0 barely-affected) but ≥2× on every sample the
+    * pathology meaningfully distorted — which is the population the arm
+    * exists to catch. Env-overridable for other host classes, same
+    * contract as [[calibBaseline]].
+    *
+    * MEASURED NEGATIVE, recorded so nobody re-adds it: minflt RATE does
+    * not discriminate this pathology — the clean 8g control faulted at
+    * up to 110k/s (normal allocation + mmap'd shuffle files) while the
+    * 100g pathology ran 42k–166k/s, because slow first-touch faults
+    * REDUCE the fault rate (each fault costs more wall). minflt rides
+    * in every artifact as a diagnostic array but is not a suspect arm.
+    */
+  private def sysCoresMax: Double =
+    sys.env.getOrElse("SPARK_GRAFT_SYS_CORES_MAX", "7.0").toDouble
 
   /** One-line JVM-aging evidence for the artifact: code-cache and
     * metaspace occupancy plus uptime and cumulative GC time. The bench
@@ -321,7 +393,14 @@ object Bench {
     }
     val Array(msU, _) = pool("metaspace").split(",")
     val up = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
-    s"""{"code_cache_used_mb":$ccU,"code_cache_max_mb":$ccM,""" +
+    // heap_max_mb (round 14): the actual -Xmx this run resolved to. The
+    // r12/r13 driver-channel anomaly was finally attributable only
+    // because the committed artifacts pinned their heap OUTSIDE the
+    // artifact (docs/BENCH_HEAP.md: comparing numbers across heap sizes
+    // compares kernels, not queries) — a channel mismatch must be
+    // visible IN the artifact itself.
+    s"""{"heap_max_mb":${mb(Runtime.getRuntime.maxMemory)},""" +
+      s""""code_cache_used_mb":$ccU,"code_cache_max_mb":$ccM,""" +
       s""""metaspace_used_mb":$msU,"gc_total_s":${fmt(gcMillis / 1000.0)},""" +
       s""""uptime_s":${fmt(up)}}"""
   }
@@ -567,6 +646,45 @@ object Bench {
       "q_dedup_minhash_lsh_auto", "q_dedup_winnow_pairs",
       "q_curate_e2e_scale"))
 
+  /** Committed-artifact reference values for the scale digest picks
+    * (seconds; the CLEAN medians from the latest idle artifacts —
+    * docs/bench_full_r13b_idle.json, with sf30 semdedup from
+    * bench_full_r13_idle.json because the r13b sample was env-flagged).
+    * Round-14 verdict item 6: the r12/r13 driver channels measured the
+    * heavy scale samples 3–5× slower than every committed artifact and
+    * the divergence was only visible by cross-reading four files — the
+    * digest now carries the reference values and a `divergent` list so
+    * a >1.5× channel mismatch is evidence IN BENCH_r{N}.json itself.
+    * These are host-class constants like [[calibBaseline]]: update them
+    * when a newer idle artifact supersedes r13b.
+    */
+  val ScaleRefs: Map[String, Map[String, Double]] = Map(
+    "sf1" -> Map(
+      "q_dedup_incremental_reuse_bloom" -> 21.3,
+      "q_dedup_incremental_reuse_plain" -> 27.5,
+      "q_dedup_minhash_lsh_auto" -> 4.1,
+      "q_curate_e2e_scale" -> 13.5,
+      "q_bpe_train" -> 2.5),
+    "sf30" -> Map(
+      "q_dedup_minhash_lsh_auto" -> 8.2,
+      "q_dedup_semdedup" -> 4.8,
+      "q_dedup_winnow_pairs" -> 6.3,
+      "q_curate_e2e_scale" -> 21.3),
+    "sf100" -> Map(
+      "q_dedup_minhash_lsh_auto" -> 22.9,
+      "q_dedup_winnow_pairs" -> 38.6,
+      "q_curate_e2e_scale" -> 54.0))
+
+  /** Divergence rule for the digest's `divergent` list: a measured scale
+    * sample disagrees with its committed reference when the ratio
+    * exceeds 1.5× in either direction — the within-1.5× band is the
+    * round-12 done-criterion for channel agreement. Package-private for
+    * the spec.
+    */
+  private[graft] def isDivergent(measured: Double, ref: Double): Boolean =
+    ref > 0 && measured > 0 &&
+      (measured / ref > 1.5 || ref / measured > 1.5)
+
   /** Structured residue of a scale section, kept alongside its JSON
     * fragment so [[digestLine]] can summarize without re-parsing strings.
     * `causes` carries (query → measured cause) for every sample whose
@@ -607,30 +725,64 @@ object Bench {
     val qs = DigestQueries
       .flatMap(n => medians.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
+    // one decimal for reference values: they are ~±10% host-class
+    // constants, and the digest must stay inside the tail window
+    def fmt1(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    val divergent = scala.collection.mutable.ArrayBuffer.empty[String]
     val scaleJson = scales.map { s =>
       val picks = ScaleDigestPicks.getOrElse(s.label, s.results.map(_._1).take(4))
+      val refs = ScaleRefs.getOrElse(s.label, Map.empty)
       val entries = picks.flatMap { n =>
         s.results.collectFirst {
           case (`n`, r) => "\"" + n + "\":" + r.map(fmt).getOrElse("null")
         }
       }
+      // cross-check every measured pick against its committed reference
+      // (round 14): a >1.5× disagreement between this run and the idle
+      // artifacts lands in the digest's `divergent` list
+      picks.foreach { n =>
+        for (m <- s.results.collectFirst { case (`n`, Some(v)) => v };
+             ref <- refs.get(n) if isDivergent(m, ref))
+          divergent += s"${s.label}:$n"
+      }
+      // refs ride as an ARRAY position-aligned with the `<label>` object's
+      // keys (null where no reference exists) — repeating the long query
+      // names would push the digest past the driver's tail window
+      // (measured: named refs cost ~430 chars, aligned arrays ~100)
+      val emittedPicks = picks.filter(n => s.results.exists(_._1 == n))
+      val refJson =
+        if (refs.isEmpty) ""
+        else s""","${s.label}_ref":""" + emittedPicks
+          .map(n => refs.get(n).map(fmt1).getOrElse("null"))
+          .mkString("[", ",", "]")
       // measured per-sample causes for still-suspect scale samples ride
-      // in the digest (capped at 3 — the full list is in bench_out.json):
-      // a flagged scale number must carry its own evidence in the line
-      // the driver actually parses
+      // in the digest (capped at 2 since round 14 — the `_ref` arrays
+      // and `divergent` list took the chars; the full cause list is in
+      // bench_out.json): a flagged scale number must carry its own
+      // evidence in the line the driver actually parses. jesc for
+      // symmetry with scaleSection's causeJson — envCause output is
+      // internally formatted today, but a future cause containing a
+      // quote must not corrupt the digest.
       val causes =
         if (s.causes.isEmpty) ""
-        else s""","${s.label}_suspect_causes":""" + s.causes.take(3)
-          .map { case (n, c) => "\"" + n + "\":\"" + c + "\"" }
+        else s""","${s.label}_suspect_causes":""" + s.causes.take(2)
+          .map { case (n, c) => "\"" + n + "\":\"" + jesc(c) + "\"" }
           .mkString("{", ",", "}")
-      s""","${s.label}":${entries.mkString("{", ",", "}")}""" +
+      s""","${s.label}":${entries.mkString("{", ",", "}")}$refJson""" +
         s""","${s.label}_contended":${s.contended}$causes"""
     }.mkString
+    // capped at 3 (divergence between channels is systemic — three named
+    // examples plus the total count carry the evidence; the full
+    // per-sample data is in bench_out.json); divergent_n is the real count
+    val divJson =
+      s""","divergent_n":${divergent.length},"divergent":""" +
+        divergent.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""reps":$reps,"reps_completed":$repsCompleted,"truncated":$truncated,""" +
       s""""contended":${contended.mkString("[", ",", "]")},"suspect":$suspect,""" +
       s""""no_clean":$noClean,"errors_n":$errors,"skipped_n":$skipped,""" +
-      s""""clean_medians":true,"digest":true$scaleJson,""" +
+      s""""clean_medians":true,"digest":true$scaleJson$divJson,""" +
       s""""detail":"bench_out.json","sf":"$sfDir"}"""
   }
 
@@ -831,11 +983,18 @@ object Bench {
       // brackets clean. Per-query points cost ~0.3 s each against
       // minute-scale samples and pin the heat to the sample it bit.
       val calibs = scala.collection.mutable.ArrayBuffer[Double](calibrate(spark))
+      // origRes carries the ENTIRE first attempt when this run replaced
+      // it (round 14, advisor item: a FAILED first attempt that was
+      // env-flagged used to vanish — its error string left _errors when
+      // the clean retry replaced it, and Option[Double] couldn't carry a
+      // Left into _retried — breaking the "nothing is silently
+      // discarded" contract for exactly the failed-then-recovered case)
       case class ScaleRun(name: String, res: Either[String, Double],
                           loadBefore: Double, loadAfter: Double,
                           diag: SampleDiag, calibBefore: Double,
-                          calibAfter: Double, origSecs: Option[Double])
-      def attempt(q: Q, orig: Option[Double]): ScaleRun = {
+                          calibAfter: Double,
+                          origRes: Option[Either[String, Double]])
+      def attempt(q: Q, orig: Option[Either[String, Double]]): ScaleRun = {
         val cb = calibs.last
         val lb = loadAvg
         val (r, _, diag) = runOnce(spark, q, dir, scaleQueryCap)
@@ -878,7 +1037,7 @@ object Bench {
         firstSuspects.foreach { name =>
           if (timeLeft()) {
             val q = picked.find(_.name == name).get
-            val retry = attempt(q, runs(name).res.toOption)
+            val retry = attempt(q, Some(runs(name).res))
             if (retry.res.isRight && causeOf(retry).isEmpty) runs(name) = retry
           }
         }
@@ -891,7 +1050,7 @@ object Bench {
       def jm(f: ScaleRun => String): String =
         ran.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
       val entries = jm(_.res.toOption.map(fmt).getOrElse("null"))
-      val retriedRuns = ran.filter(_.origSecs.isDefined)
+      val retriedRuns = ran.filter(_.origRes.isDefined)
       val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
         ran.collect { case r if r.res.isLeft =>
           s""""${r.name}":"${jesc(r.res.swap.toOption.get)}"""" }
@@ -900,10 +1059,16 @@ object Bench {
       val skipJson =
         if (skipped.isEmpty) ""
         else s""","${label}_skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      // a replaced original rides as its seconds (Right) or as a quoted
+      // "error: …" string (Left) — a failed-then-recovered attempt is
+      // preserved evidence, not a vanished one
       val retryJson =
         if (retriedRuns.isEmpty) ""
         else s""","${label}_retried":""" + retriedRuns
-          .map(r => "\"" + r.name + "\":" + fmt(r.origSecs.get))
+          .map(r => "\"" + r.name + "\":" + (r.origRes.get match {
+            case Right(s) => fmt(s)
+            case Left(e)  => "\"error: " + jesc(e) + "\""
+          }))
           .mkString("{", ",", "}")
       val causeJson =
         if (causes.isEmpty) ""
@@ -931,6 +1096,8 @@ object Bench {
           s""""${label}_sample_load_before":${jm(r => fmt(r.loadBefore))},""" +
           s""""${label}_sample_ext_cores":${jm(r => fmt(r.diag.extCores))},""" +
           s""""${label}_sample_gc_frac":${jm(r => fmt(r.diag.gcFrac))},""" +
+          s""""${label}_sample_sys_cores":${jm(r => fmt(r.diag.sysCores))},""" +
+          s""""${label}_sample_minflt_rate":${jm(r => fmt(r.diag.minfltRate))},""" +
           s""""${label}_sample_majflt_rate":${jm(r => fmt(r.diag.majfltRate))},""" +
           s""""${label}_sample_psi_io":${jm(r => fmt(r.diag.psiIoFrac))},""" +
           s""""${label}_sample_psi_mem":${jm(r => fmt(r.diag.psiMemFrac))},""" +
@@ -1068,6 +1235,8 @@ object Bench {
       val sampleLoadBefore = jmap(good)(s => s.map(j => fmt(j.loadBefore)).mkString("[", ",", "]"))
       val sampleExt = jmap(good)(s => s.map(j => fmt(j.diag.extCores)).mkString("[", ",", "]"))
       val sampleGc = jmap(good)(s => s.map(j => fmt(j.diag.gcFrac)).mkString("[", ",", "]"))
+      val sampleSys = jmap(good)(s => s.map(j => fmt(j.diag.sysCores)).mkString("[", ",", "]"))
+      val sampleMinflt = jmap(good)(s => s.map(j => fmt(j.diag.minfltRate)).mkString("[", ",", "]"))
       val sampleMajflt = jmap(good)(s => s.map(j => fmt(j.diag.majfltRate)).mkString("[", ",", "]"))
       val samplePsiIo = jmap(good)(s => s.map(j => fmt(j.diag.psiIoFrac)).mkString("[", ",", "]"))
       val samplePsiMem = jmap(good)(s => s.map(j => fmt(j.diag.psiMemFrac)).mkString("[", ",", "]"))
@@ -1123,6 +1292,8 @@ object Bench {
         s""""sample_load_before":$sampleLoadBefore,""" +
         s""""sample_ext_cores":$sampleExt,""" +
         s""""sample_gc_frac":$sampleGc,""" +
+        s""""sample_sys_cores":$sampleSys,""" +
+        s""""sample_minflt_rate":$sampleMinflt,""" +
         s""""sample_majflt_rate":$sampleMajflt,""" +
         s""""sample_psi_io":$samplePsiIo,""" +
         s""""sample_psi_mem":$samplePsiMem,""" +
@@ -1246,10 +1417,14 @@ object Bench {
     //
     // The scale phase is BUDGETED (default 1200 s — the committed
     // sections total ~460 s idle) so a pathological section cannot eat
-    // the main suite's deadline; sections that don't fit the budget run
-    // in the old post-suite slot instead. SPARK_GRAFT_SCALE_FIRST=false
-    // restores the r12 order (used by the attribution experiment that
-    // reproduces the driver-channel sequence).
+    // the main suite's deadline. Only sections that NEVER STARTED inside
+    // the budget defer to the old post-suite slot; a section that starts
+    // and exhausts the budget mid-way records its remaining queries
+    // under `<label>_skipped` and they do not re-run later (re-queueing
+    // them would emit a second `<label>` fragment — duplicate JSON keys
+    // in the artifact). SPARK_GRAFT_SCALE_FIRST=false restores the r12
+    // order (used by the attribution experiment that reproduces the
+    // driver-channel sequence).
     val scaleFirst = sys.env.getOrElse("SPARK_GRAFT_SCALE_FIRST", "true").toBoolean
     val scaleBudget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1200").toDouble
     val pending =

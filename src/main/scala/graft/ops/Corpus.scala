@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ops.Materialize.ForkOps
+
 /** Corpus-level text analytics — the ops that need a shuffle, as opposed
   * to the pure per-row expressions in [[Text]]: TF-IDF term weighting,
   * training-sequence packing, and deterministic stratified sampling.
@@ -287,7 +289,7 @@ object Corpus {
     // tokenize of the whole corpus would re-run per consumer (the same
     // trap topNgrams' projection-materialization comment documents)
     val toks = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val termCounts = toks.groupBy("term").agg(count(lit(1)).as("__c"))
     val total = toks.agg(count(lit(1)).as("__n"))
     val perDoc = toks
@@ -333,7 +335,7 @@ object Corpus {
     // AND the per-doc probe — unmaterialized, the whole tokenize+hash
     // pipeline would run twice
     val docBuckets = Text.hashingTfBuckets(corpus, idCol, textCol, dim)
-      .localCheckpoint(true)
+      .forkMaterialize()
     val srcBuckets = docBuckets.groupBy("bucket").agg(sum("cnt").as("__sc"))
     val srcTotal = srcBuckets.agg(coalesce(sum("__sc"), lit(0L)).as("__st"))
     val tgtBuckets = Text.hashingTfBuckets(target, idCol, textCol, dim)
@@ -591,7 +593,7 @@ object Corpus {
         i => struct(element_at(col("__toks"), i + 1).as("prev"),
           element_at(col("__toks"), i + 2).as("cur")))).as("__b"))
       .select(col(idCol), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
     val cp = cb.groupBy("prev").agg(sum(col("__cb")).as("__cp"))
     val vocab = toks.select(explode(col("__toks")).as("t"))
@@ -630,7 +632,7 @@ object Corpus {
                     minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, s"bad params minCount=$minCount k=$k")
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val uni = toks.select(explode(col("__toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("__cu"))
     val bi = toks.filter(size(col("__toks")) >= 2)
@@ -641,7 +643,7 @@ object Corpus {
       .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
       .filter(col("__cb") >= minCount)
-      .localCheckpoint(true)
+      .forkMaterialize()
     val totals = uni.agg(sum(col("__cu")).as("__t"))
       .crossJoin(bi.agg(count(lit(1)).as("__bt")))
     val pmi = round(log(
@@ -697,11 +699,11 @@ object Corpus {
         i => struct(element_at(col("__toks"), i + 1).as("prev"),
           element_at(col("__toks"), i + 2).as("cur")))).as("__b"))
       .select(col(idCol), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     // bigram types feed four consumers (context totals, left-context
     // counts, the B total, the probe join) — materialize once
     val cb = bi.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val cp = cb.groupBy("prev")
       .agg(sum(col("__cb")).as("__cp"), count(lit(1)).as("__n1r"))
     val nl = cb.groupBy("cur").agg(count(lit(1)).as("__n1l"))
@@ -998,7 +1000,7 @@ object Corpus {
     val terms = queryTerms.distinct
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
-      .localCheckpoint(true) // feeds totals + the tf stream
+      .forkMaterialize() // feeds totals + the tf stream
     val nd = toks.agg(count(lit(1)).as("__n"),
       avg(col("__dl").cast(DoubleType)).as("__avgdl"))
     val tf = toks.select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
@@ -1455,7 +1457,7 @@ object Corpus {
     val trainToks = train
       .select(col(posCol).cast(BooleanType).as("__pos"),
         explode(Text.tokens(col(textCol))).as("term"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val termTable = trainToks.groupBy("term")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.types._
 
 /** Deduplication operators for training-data curation at scale:
@@ -612,11 +614,11 @@ object Dedup {
       .select(col("__id"), explode(transform(
         sequence(lit(0), size(col("__toks")) - k),
         i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " ")))).as("__h"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val perDocTotal = spans.groupBy("__id").agg(count(lit(1)).as("n_spans"))
     val dup = spans.groupBy("__h").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2).select("__h")
-      .localCheckpoint(true)
+      .forkMaterialize()
     val h = adaptivePin(dup.count() <= pairCeiling(df))
     val perDocDup = spans.join(h(dup), Seq("__h"), "left_semi")
       .groupBy("__id").agg(count(lit(1)).as("n_dup_spans"))
@@ -716,7 +718,7 @@ object Dedup {
     // components + anti-join) feeds BOTH the index probe and the final
     // anti-join — unmaterialized it would execute twice per batch
     val batchSurvivors =
-      nearDupSurvivors(incoming, textCol, idCol, n, threshold).localCheckpoint(true)
+      nearDupSurvivors(incoming, textCol, idCol, n, threshold).forkMaterialize()
     val hits = bipartiteJaccard(
       shingleIndex(batchSurvivors, textCol, idCol, n), idCol,
       index, idCol, threshold)
@@ -792,7 +794,7 @@ object Dedup {
                        n: Int, bands: Int, rowsPerBand: Int,
                        threshold: Double): DataFrame = {
     val pairs = minhashLshPairs(df, textCol, idCol, n, bands, rowsPerBand,
-      threshold).select("id_a", "id_b").localCheckpoint(true)
+      threshold).select("id_a", "id_b").forkMaterialize()
     val losers = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
@@ -873,12 +875,12 @@ object Dedup {
     // attach AND the final anti-join — unmaterialized it would run the
     // whole LSH clustering three times per batch
     val batchSurvivors = minhashSurvivors(incoming, textCol, idCol,
-      n, bands, rowsPerBand, threshold).localCheckpoint(true)
+      n, bands, rowsPerBand, threshold).forkMaterialize()
     // ONE tokenize+shingle pass over the survivors feeds both the band
     // probe and the verify sets (the signature is the dominant batch
     // cost — see the IncrementalProbeBench numbers in the scaladoc)
     val survShingled = wordShingled(batchSurvivors, textCol, idCol, n)
-      .localCheckpoint(true)
+      .forkMaterialize()
     // candidate probe: batch side built (Θ(batch × bands) fixed-width
     // rows), history side streams — and arrives shuffle-free when the
     // persisted index is bucketed on the join key
@@ -985,7 +987,7 @@ object Dedup {
         i => struct(i.cast(IntegerType).as("s"),
           xxhash64(array_join(slice(col("__toks"), i + 1, lit(k)), " ")).as("h")))).as("sp"))
       .select(col("__id"), col("sp.s").as("__s"), col("sp.h").as("__h"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     // canonical = min (id, start) per DUPLICATED span, via a
     // partial-aggregatable min-struct — NOT a row_number window, whose
     // per-hash sort serializes a hot boilerplate span's entire occurrence
@@ -998,7 +1000,7 @@ object Dedup {
         min(struct(col("__id"), col("__s"))).as("__first"))
       .filter(col("__c") >= 2)
       .select(col("__h"), col("__first"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val h = adaptivePin(dupCanon.count() <= pairCeiling(df))
     val nonCanon = spans.join(h(dupCanon), Seq("__h"))
       .filter(col("__id") =!= col("__first.__id") ||
@@ -1093,7 +1095,7 @@ object Dedup {
     // checkpoint so the split/normalize/hash pipeline runs once, and so
     // the adaptive count below is metadata-cheap
     val lines = lineFrame(df, textCol, idCol).filter(col("__h").isNotNull)
-      .localCheckpoint(true)
+      .forkMaterialize()
     // total per doc: direct partial aggregate — no join at all
     val perDocTotal = lines.groupBy("__id").agg(count(lit(1)).as("n_lines"))
     // the duplicated-line SET is Θ(distinct duplicated lines) — far
@@ -1104,7 +1106,7 @@ object Dedup {
     // probe, not a sort.
     val dup = lines.groupBy("__h").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOccurs).select("__h")
-      .localCheckpoint(true)
+      .forkMaterialize()
     val h = adaptivePin(dup.count() <= pairCeiling(df))
     val perDocDup = lines.join(h(dup), Seq("__h"), "left_semi")
       .groupBy("__id").agg(count(lit(1)).as("n_dup_lines"))
@@ -1144,7 +1146,7 @@ object Dedup {
     val linesArr = df.select(col(idCol).as("__id"),
       split(col(textCol), "\n", -1).as("__lines"))
     val lines = lineFrame(df, textCol, idCol).filter(col("__h").isNotNull)
-      .localCheckpoint(true)
+      .forkMaterialize()
     // first corpus occurrence per DUPLICATED line, in (id, pos) order —
     // min over a (id, pos) struct is order-equivalent and partial-aggregates
     val dupCanon = lines.groupBy("__h").agg(
@@ -1152,7 +1154,7 @@ object Dedup {
         min(struct(col("__id"), col("__pos"))).as("__first"))
       .filter(col("__c") >= 2)
       .select(col("__h"), col("__first"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val h = adaptivePin(dupCanon.count() <= pairCeiling(df))
     val removed = lines.join(h(dupCanon), Seq("__h"))
       .filter(col("__id") =!= col("__first.__id") ||
@@ -1207,7 +1209,7 @@ object Dedup {
     val index0 = shingled
       .select(col("__id"), col("__size"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     // adaptive broadcast (see the ceiling scaladoc): index0 is checkpointed
     // so the occurrence count is metadata-cheap; a small corpus gets the
     // broadcast plan, a big one keeps the pinned shape below
@@ -1228,7 +1230,7 @@ object Dedup {
         // partitioning (see winnowCopyPairs) and runs the doc-frequency
         // aggregate once, not once per self-join side.
         val capped = index0.join(adaptivePin(small)(hot), Seq("__s"), "left_anti")
-        if (small) capped else capped.localCheckpoint(true)
+        if (small) capped else capped.forkMaterialize()
       }
     val h = adaptivePin(small)
     // fixed-width index rows; scaledParts bounds the per-task shuffled-hash
@@ -1297,7 +1299,7 @@ object Dedup {
     // frame is dropped, so long-lived sessions don't accumulate cache
     val shingled = wordShingled(df, textCol, idCol, n)
       .withColumn("__size", size(col("__sh")))
-      .localCheckpoint(true)
+      .forkMaterialize()
     // adaptive broadcast (see the ceiling scaladoc): the checkpointed
     // shingled frame makes the occurrence count cheap; below the ceiling
     // the five joins of this path drop their pins and the planner's
@@ -1426,7 +1428,7 @@ object Dedup {
     // and its blocks are ContextCleaner-reclaimable when the frame drops
     // (a bare persist here is never unpersisted: the result is lazy)
     val shingled = wordShingled(df, textCol, idCol, n)
-      .localCheckpoint(true)
+      .forkMaterialize()
     // adaptive broadcast (see the ceiling scaladoc): checkpointed frame →
     // cheap occurrence count; small corpora broadcast, big ones stay pinned
     val occ = totalShingles(shingled)
@@ -1443,7 +1445,7 @@ object Dedup {
         b => xxhash64(concat_ws("_",
           slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")), b)))
         .as(Seq("__band", "__bucket")))
-      .localCheckpoint(true)
+      .forkMaterialize()
     // band-join build mass = docs × bands fixed-width rows; checkpointed,
     // so the count is metadata-cheap. scaledParts bounds the per-task
     // shuffled-hash build no matter the corpus size.
@@ -1566,7 +1568,7 @@ object Dedup {
     // candidate+verify join, and the two eager checkpoints below would
     // otherwise each re-run that whole plan (measured: the composed
     // curation pipeline spent 2× its pair-generation time right here).
-    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p0 = pairs.select(col("id_a"), col("id_b")).forkMaterialize()
     // small graphs: let the planner broadcast the round frames; big
     // graphs: pin every round join to shuffle_hash (see the pair-ceiling
     // note above)
@@ -1624,7 +1626,7 @@ object Dedup {
   def connectedComponentsLabel(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // same single-materialization contract as the star variant: the union
     // below reads its source twice within one job
-    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p0 = pairs.select(col("id_a"), col("id_b")).forkMaterialize()
     // same small-graph broadcast / big-graph shuffle_hash adaptivity as
     // the star variant (labels is Θ(dup-graph vertices))
     val h = adaptivePin(p0.count() <= pairCeiling(p0))
@@ -1664,7 +1666,7 @@ object Dedup {
     // candidate+verify plan
     val pairs = ngramJaccardPairs(df, textCol, idCol, n, threshold,
       maxShingleDocFreq = maxShingleDocFreq, prefixFilter = prefixFilter)
-      .select("id_a", "id_b").localCheckpoint(true)
+      .select("id_a", "id_b").forkMaterialize()
     val losers = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
@@ -1686,7 +1688,7 @@ object Dedup {
   def editDistanceSurvivors(df: DataFrame, strCol: String, idCol: String,
                             maxDist: Int = 2, q: Int = 3): DataFrame = {
     val pairs = editDistancePairs(df, strCol, idCol, maxDist, q)
-      .select("id_a", "id_b").localCheckpoint(true)
+      .select("id_a", "id_b").forkMaterialize()
     val losers = connectedComponents(pairs)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
@@ -1812,7 +1814,7 @@ object Dedup {
     // over every token of the corpus) twice
     val chunked = hashed.select(col("__id"), col("__h"),
       posexplode(array(chunkExprs: _*)).as(Seq("__chunk", "__ckey")))
-      .localCheckpoint(true)
+      .forkMaterialize()
     // adaptive broadcast (see the ceiling scaladoc): chunked rows are
     // fixed-width (4 numeric cols), so the pair ceiling applies
     val chunkRows = chunked.count()
@@ -1878,7 +1880,7 @@ object Dedup {
         posexplode(array((0 until lshTables).map(t =>
           Similarity.hyperplaneBucket(col("__v"), lshBits, t * lshBits, planeHash)): _*))
           .as(Seq("__table", "__bkt")))
-        .localCheckpoint(true)
+        .forkMaterialize()
       // fanoutSides: this join explodes ~1000× (200M candidates from a
       // 170 MB input at 20k vectors); without the pinned repartition AQE
       // coalesced it to 4 tasks — 57 s on 4 threads while 28 cores idled.
@@ -2006,7 +2008,7 @@ object Dedup {
     val cells = vecs.select(col("__id"),
       explode(graft.functions.VectorExprs.topCells(col("__v"), ids, mat, effAssign))
         .as("centroid_id"),
-      col("__v")).localCheckpoint(true)
+      col("__v")).forkMaterialize()
     // vector-carrying rows: 25k-row per-task build budget, same as the
     // LSH fan-out above (see scaledParts)
     val (a, b) = fanoutSides(cells, Seq("centroid_id"),
@@ -2100,7 +2102,7 @@ object Dedup {
     val index0 = Text.winnowingFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fingerprint").as("__fp"))
       .distinct()
-      .localCheckpoint(true)
+      .forkMaterialize()
     val small = index0.count() <= shingleCeiling(df)
     val hot = index0.groupBy("__fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxFpDocFreq).select("__fp")
@@ -2119,7 +2121,7 @@ object Dedup {
     // Checkpointing the capped index resets the advertised partitioning
     // so the pin survives — and runs the doc-frequency aggregate once
     // instead of once per self-join side.
-    val index = if (small) index1 else index1.localCheckpoint(true)
+    val index = if (small) index1 else index1.forkMaterialize()
     val h = adaptivePin(small)
     // fixed-width (fp, id) rows; the checkpointed count is metadata-cheap
     // and bounds the per-task shuffled-hash build (see scaledParts)
@@ -2192,7 +2194,7 @@ object Dedup {
       .filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__len"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val baseRows = base.count()
     val smallCorpus = baseRows <= pairCeiling(df)
     val hc = adaptivePin(smallCorpus)
@@ -2212,7 +2214,7 @@ object Dedup {
     val gset = longs.select(col("__id"), col("__len"),
       explode(array_distinct(transform(sequence(lit(0), col("__len") - q),
         i => xxhash64(col("__s").substr(i + lit(1), lit(q)))))).as("__g"))
-      .localCheckpoint(true)
+      .forkMaterialize()
     val gsetRows = gset.count()
     val small = gsetRows <= shingleCeiling(df)
     val h = adaptivePin(small)

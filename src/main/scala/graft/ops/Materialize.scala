@@ -1,0 +1,104 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+
+/** Fork materialization strategy — the one knob between "fast on one
+  * machine" and "resilient on a thousand".
+  *
+  * A FORK is a frame consumed by two or more downstream actions (the
+  * contamination index and the anti-join left side both reading the
+  * survivor chain; DSIR's importance pass and its semi-join both reading
+  * `kept`). Spark re-executes lazy lineage once PER CONSUMER, so an
+  * unmaterialized fork re-runs its whole upstream N times — the round-13
+  * Curate screens fix (24.1 → 14.9 s) was exactly this, and
+  * [[graft.pipeline.CurateForkSpec]] pins the discipline with a
+  * scan-counting listener so a refactor can't silently lazify a fork.
+  *
+  * Two strategies, selected by the session conf `spark.graft.forkMaterialize`:
+  *
+  *   - `local` (default): `localCheckpoint(eager = true)` — blocks pinned
+  *     in executor block managers. The right call on local[32] and for
+  *     interactive work: zero filesystem round-trip, and the bench scrubs
+  *     blocks between samples. Two caveats at scale, both structural:
+  *     an executor loss KILLS the lineage (localCheckpoint is
+  *     non-resilient by contract — the truncated logical plan cannot
+  *     recompute lost blocks), and at 100 TB the forked frames are
+  *     block-manager-resident, competing with shuffle and cache storage.
+  *     Library callers invoking curate repeatedly in one long-lived
+  *     session should also note the blocks accumulate until the terminal
+  *     action's session scrubs them (`spark.sparkContext
+  *     .getPersistentRDDs` + unpersist, as graft.Bench does between
+  *     samples) — checkpointed RDDs are not unpersisted mid-pipeline
+  *     here because the frames are consumed lazily by downstream stages
+  *     whose actions run after this function returns.
+  *
+  *   - `table`: write a parquet staging table via [[graft.sources.StageIO.save]]
+  *     and read it back. One filesystem round-trip per fork, but the
+  *     materialized bytes live on the (durable, replicated) storage
+  *     layer: executor loss costs nothing, memory pressure is zero, and
+  *     the staging table doubles as a debuggable pipeline breakpoint.
+  *     This is the 100-TB default — the measured decision rule is in
+  *     SCALING.md §fork-materialization. Staging tables land under
+  *     `spark.graft.forkMaterialize.dir` (default: JVM temp dir +
+  *     `/graft-fork-stage`) with unique names; the dir is CALLER-MANAGED:
+  *     point it at job-scoped scratch storage and drop it when the job
+  *     ends (the tables cannot be deleted mid-job — downstream stages
+  *     re-read them lazily, mirroring the local mode's block-accumulation
+  *     caveat above).
+  *
+  * Loop LINEAGE CUTS (per-iteration checkpoints in connected-components,
+  * PageRank, BPE rounds) are deliberately NOT routed through this knob:
+  * their frames are iteration-internal (single consumer, replaced next
+  * round), the cut exists to stop exponential plan growth rather than to
+  * share work, and a per-iteration filesystem round-trip would multiply
+  * the loop's critical path by its round count. On a real cluster an
+  * executor loss there costs one recompute of a bounded per-round frame,
+  * not the whole pipeline.
+  */
+object Materialize {
+
+  /** Session-conf key selecting the strategy: `local` (default) | `table`. */
+  val StrategyKey = "spark.graft.forkMaterialize"
+
+  /** Session-conf key for the `table` strategy's staging directory. */
+  val DirKey = "spark.graft.forkMaterialize.dir"
+
+  private val counter = new AtomicLong(0L)
+
+  /** Materialize a frame that is about to be consumed by more than one
+    * downstream action, per the session's configured strategy. Eager in
+    * both modes: the work upstream of the fork runs exactly once, HERE,
+    * not once per consumer.
+    */
+  def fork(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(StrategyKey, "local") match {
+      case "table" =>
+        val base = spark.conf.get(DirKey,
+          s"${System.getProperty("java.io.tmpdir")}/graft-fork-stage")
+        val path = s"$base/fork_${java.lang.Long.toHexString(System.nanoTime())}" +
+          s"_${counter.incrementAndGet()}"
+        graft.sources.StageIO.save(df, path)
+        spark.read.parquet(path)
+      case "local" => df.localCheckpoint(true)
+      // NEGATIVE-CONTROL strategy, for tests only: no materialization at
+      // all, so every fork re-executes its upstream once per consumer —
+      // CurateForkSpec uses it to prove its scan-counting assertion CAN
+      // fail (without it, a broken counter and a held discipline are
+      // indistinguishable). Never use it in production pipelines.
+      case "lazy" => df
+      case other => throw new IllegalArgumentException(
+        s"$StrategyKey='$other' (expected: local | table)")
+    }
+  }
+
+  /** Chainable syntax for [[fork]] so a fork site stays a one-token
+    * change from the `.localCheckpoint(true)` it replaces:
+    * `import graft.ops.Materialize.ForkOps` then `.forkMaterialize()`.
+    */
+  implicit final class ForkOps(private val df: DataFrame) extends AnyVal {
+    def forkMaterialize(): DataFrame = Materialize.fork(df)
+  }
+}

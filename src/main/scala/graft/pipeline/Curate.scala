@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Corpus, Dedup, Text}
+import graft.ops.{Corpus, Dedup, Materialize, Text}
 
 /** The composed training-data curation stage: the per-op building blocks
   * (each individually oracle-gated) chained in the order a corpus
@@ -147,7 +147,7 @@ object Curate {
             // bare count() would execute its digest/semi-join work once
             // for the plan sizing and AGAIN when minhashSurvivors runs —
             // at exactly the corpus scale this planner path targets
-            val cp = deduped.localCheckpoint(true)
+            val cp = Materialize.fork(deduped)
             val plan = Dedup.planMinhashLsh(cp.count(), jaccardThreshold)
             (cp, plan.bands, plan.rowsPerBand)
           }
@@ -165,7 +165,7 @@ object Curate {
       // fork: the contamination index and the anti-join left side both
       // consume survivors — checkpoint or the dedup upstream runs twice
       // (same discipline as the PPL/DSIR forks below)
-      val mat = survivors.localCheckpoint(true)
+      val mat = Materialize.fork(survivors)
       val flagged = Dedup.contaminatedIds(mat, bench, textCol, idCol,
         decontaminateN, decontaminateMinShared)
         .select(col(idCol))
@@ -190,7 +190,7 @@ object Curate {
     // keeps the default byte-exact rebuild its gates pin.
     val stripped =
       if (stripSpanK > 0) {
-        val mat = screened.localCheckpoint(true) // fork: strip + join left side
+        val mat = Materialize.fork(screened) // fork: strip + join left side
         mat.drop(textCol).join(
           Dedup.stripDuplicatedSpans(mat, textCol, idCol, stripSpanK,
             preserveNewlines = stripLineDups)
@@ -204,7 +204,7 @@ object Curate {
     // quality (the token band must judge the text that ships).
     val lineStripped =
       if (stripLineDups) {
-        val mat = stripped.localCheckpoint(true) // fork: strip + join left side
+        val mat = Materialize.fork(stripped) // fork: strip + join left side
         mat.drop(textCol).join(
           Dedup.stripDuplicatedLines(mat, textCol, idCol)
             .select(col(idCol), col("clean_text").as(textCol))
@@ -225,7 +225,7 @@ object Curate {
         // re-executes per consumer (measured: the screens gate's tail
         // carried whole repeated dedup subtrees; same checkpoint-at-the-
         // fork discipline as Dedup)
-        val mat = lineStripped.localCheckpoint(true)
+        val mat = Materialize.fork(lineStripped)
         val keep = Corpus.pplBuckets(mat, textCol, idCol, lc)
           .filter(col("ppl_bucket").isin(pplKeepBuckets: _*))
           .select(col(idCol))
@@ -250,7 +250,7 @@ object Curate {
         // same fork discipline: DSIR's importance pass and the semi-join
         // left side both consume `kept`, whose quality/scrub projections
         // (regex-heavy) and whole upstream would otherwise run twice
-        val matKept = kept.localCheckpoint(true)
+        val matKept = Materialize.fork(kept)
         val picks = Corpus.dsirSelect(matKept, t, textCol, idCol, dsirK)
           .select(col(idCol))
         matKept.join(picks, Seq(idCol), "left_semi")

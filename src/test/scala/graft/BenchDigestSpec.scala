@@ -30,7 +30,7 @@ class BenchDigestSpec extends AnyFunSuite {
         Bench.ScaleDigestPicks(label).map(_ -> Option(99999.999)),
         contended = true,
         // worst case: EVERY pick still suspect after retry, longest
-        // cause strings (digestLine caps the emitted map at 3 entries,
+        // cause strings (digestLine caps the emitted map at 2 entries,
         // but hand it the full list so the cap itself is under test)
         causes = Bench.ScaleDigestPicks(label).map(_ -> "majflt=99999/s"))
     }
@@ -63,6 +63,16 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(node.get("sf1").size() == Bench.ScaleDigestPicks("sf1").length)
     assert(node.get("sf30").size() == Bench.ScaleDigestPicks("sf30").length)
     assert(node.get("detail").asText() == "bench_out.json")
+    // round 14: the committed-artifact cross-check rides in the digest.
+    // refs are ARRAYS position-aligned with the section object's keys
+    assert(node.get("sf1_ref").isArray)
+    assert(node.get("sf1_ref").size() == node.get("sf1").size())
+    assert(node.get("sf100_ref").size() == node.get("sf100").size())
+    assert(node.get("divergent").isArray)
+    // worst case: every measured pick is 99999.999 ⇒ every ref'd pick
+    // diverges; the list is capped at 3, the count is exact
+    assert(node.get("divergent").size() == 3)
+    assert(node.get("divergent_n").asInt() == Bench.ScaleRefs.values.map(_.size).sum)
   }
 
   test("digest with no completed work is still valid minimal JSON") {
@@ -129,11 +139,11 @@ class BenchDigestSpec extends AnyFunSuite {
     }
   }
 
-  test("digest suspect-causes map is capped at 3 entries per section") {
+  test("digest suspect-causes map is capped at 2 entries per section") {
     val node = mapper.readTree(worstCaseDigest)
     val sf1 = node.get("sf1_suspect_causes")
     assert(sf1 != null && sf1.isObject)
-    assert(sf1.size() <= 3)
+    assert(sf1.size() <= 2)
     assert(sf1.elements().next().asText() == "majflt=99999/s")
   }
 
@@ -159,19 +169,63 @@ class BenchDigestSpec extends AnyFunSuite {
   }
 
   test("envCause arms: each measured pressure names itself; unavailable (-1) stays clean") {
-    def d(ext: Double = 0.1, gc: Double = 0.05, mf: Double = 0.0,
+    def d(ext: Double = 0.1, gc: Double = 0.05, sysC: Double = 0.3,
+          minf: Double = 5000.0, mf: Double = 0.0,
           io: Double = 0.0, mem: Double = 0.0) =
-      Bench.SampleDiag(ext, gc, mf, io, mem)
+      Bench.SampleDiag(ext, gc, sysC, minf, mf, io, mem)
     assert(Bench.envCause(d()).isEmpty)
     // unavailable counters must never trip an arm
-    assert(Bench.envCause(d(ext = -1, gc = -1, mf = -1, io = -1, mem = -1)).isEmpty)
+    assert(Bench.envCause(d(ext = -1, gc = -1, sysC = -1, minf = -1,
+      mf = -1, io = -1, mem = -1)).isEmpty)
     assert(Bench.envCause(d(ext = 33.0)).exists(_.startsWith("ext=")))
     assert(Bench.envCause(d(gc = 0.82)).exists(_.startsWith("gc=")))
     assert(Bench.envCause(d(mf = 412.0)).exists(_.startsWith("majflt=")))
     assert(Bench.envCause(d(io = 0.41)).exists(_.startsWith("psi_io=")))
     assert(Bench.envCause(d(mem = 0.33)).exists(_.startsWith("psi_mem=")))
-    // below-threshold values stay clean
-    assert(Bench.envCause(d(gc = 0.4, mf = 40.0, io = 0.2, mem = 0.2)).isEmpty)
+    // the round-14 own-process arm: kernel CPU inside this process (the
+    // BENCH_HEAP.md first-touch pathology — invisible to every arm above)
+    assert(Bench.envCause(d(sysC = 8.5)).exists(_.startsWith("sys=")))
+    // minflt is a DIAGNOSTIC, not an arm — the calibration runs measured
+    // clean rates up to 110k/s and pathological rates as low as 42k/s
+    // (slow faults reduce the rate); a huge rate alone must stay clean
+    assert(Bench.envCause(d(minf = 450000.0)).isEmpty)
+    // when ext and sys both fire, the larger signal names the cause
+    // (the injected-pathology sf100 sample: sys=19.3 with ext=2.1)
+    assert(Bench.envCause(d(ext = 2.1, sysC = 19.3)).exists(_.startsWith("sys=")))
+    assert(Bench.envCause(d(ext = 19.3, sysC = 8.0)).exists(_.startsWith("ext=")))
+    // below-threshold values stay clean — including the syscall-heaviest
+    // clean sample's measured 6.5 sys cores (sf1 plain reuse twin)
+    assert(Bench.envCause(d(gc = 0.4, sysC = 6.5, minf = 40000.0,
+      mf = 40.0, io = 0.2, mem = 0.2)).isEmpty)
+  }
+
+  test("/proc/self/stat round-14 parsers: utime/stime separated, minflt at field 10") {
+    // after ')': state ppid pgrp session tty tpgid flags minflt cminflt majflt …
+    val tail = "S 1 2 3 4 5 6 77 88 4242 13 1234 567 0 0 20 0 32 0 99"
+    val line = s"1 (java (w) x) $tail"
+    assert(Bench.parseSelfUtimeStime(line) == (1234L, 567L))
+    assert(Bench.parseSelfMinflt(line) == 77L)
+    // the live file must parse on this platform (the arms run here)
+    val self = scala.io.Source.fromFile("/proc/self/stat")
+    val actual = try self.getLines().next() finally self.close()
+    assert(Bench.parseSelfMinflt(actual) >= 0L)
+    val (u, s) = Bench.parseSelfUtimeStime(actual)
+    assert(u >= 0L && s >= 0L)
+  }
+
+  test("scale reference values resolve against the digest picks; divergence rule is two-sided") {
+    // every ref key must be a pick its section actually emits, or the
+    // cross-check silently checks nothing
+    Bench.ScaleRefs.foreach { case (label, refs) =>
+      val picks = Bench.ScaleDigestPicks(label).toSet
+      assert(refs.keySet.subsetOf(picks),
+        s"$label refs not in digest picks: ${refs.keySet -- picks}")
+      refs.values.foreach(v => assert(v > 0))
+    }
+    assert(!Bench.isDivergent(24.0, 22.9))       // within band
+    assert(Bench.isDivergent(77.4, 22.9))        // the r13 anomaly
+    assert(Bench.isDivergent(10.0, 22.9))        // suspiciously FAST counts too
+    assert(!Bench.isDivergent(0.0, 22.9))        // degenerate guard
   }
 
   test("/proc/self/stat parser: utime+stime counted from after the LAST ')'") {
