@@ -344,28 +344,66 @@ object Bench {
 
   /** Own-process sys-CPU suspect threshold, in cores of stime over the
     * sample's wall window. Calibrated on this host (round 14, committed
-    * as docs/bench_sysarm_*.json): the syscall-heaviest CLEAN -Xmx8g
-    * sample in the suite is the sf1 plain reuse twin at 6.5 sys cores
-    * (six sequential parquet history writes — legitimate kernel work);
-    * ordinary heavy samples run 0.2–1.6. The injected -Xmx100g
-    * first-touch pathology (docs/BENCH_HEAP.md) measured 8.0 sys cores
-    * on its LEAST-affected sample (the plain twin on a mostly-touched
-    * heap) and 12.9–19.3 on the samples it actually slowed 3–8×. 7.0
-    * sits between the bands; the margin is thin on the borderline pair
-    * (6.5 clean vs 8.0 barely-affected) but ≥2× on every sample the
-    * pathology meaningfully distorted — which is the population the arm
-    * exists to catch. Env-overridable for other host classes, same
+    * as docs/bench_sysarm_*.json + docs/twinprofile_*.json): the
+    * syscall-heaviest CLEAN -Xmx8g sample in the suite is the sf1 plain
+    * reuse twin at 6.5–11.3 sys cores across three idle control runs —
+    * and the per-stage profile shows that burn is INHERENT, not noise
+    * (TwinProfile at 8g: the plain screen's six history anti-joins +
+    * per-batch landings run at ~10.6 sys cores sustained). Ordinary
+    * heavy samples run 0.2–3.1. The injected -Xmx100g pathology's
+    * bench-channel samples measured 16.2–20.1 sys cores (bloom twin
+    * 4.6×, plain 2.6×, sf100 MinHash 2.4–8× slow). 13.0 splits the
+    * bands: ≥15% above the worst clean value, ≥24% under the mildest
+    * pathological one. Env-overridable for other host classes, same
     * contract as [[calibBaseline]].
     *
-    * MEASURED NEGATIVE, recorded so nobody re-adds it: minflt RATE does
-    * not discriminate this pathology — the clean 8g control faulted at
-    * up to 110k/s (normal allocation + mmap'd shuffle files) while the
-    * 100g pathology ran 42k–166k/s, because slow first-touch faults
-    * REDUCE the fault rate (each fault costs more wall). minflt rides
-    * in every artifact as a diagnostic array but is not a suspect arm.
+    * TWO MEASURED NEGATIVES, recorded so nobody re-adds them:
+    * (1) minflt RATE does not discriminate — the clean 8g control
+    * faulted at up to 110k/s (normal allocation + mmap'd shuffle files)
+    * while the 100g pathology ran 42k–166k/s, because slow first-touch
+    * faults REDUCE the fault rate (each fault costs more wall); it
+    * rides in every artifact as a diagnostic array only. (2) sys
+    * FRACTION (stime/(utime+stime)) does not discriminate either —
+    * clean plain screen 0.49 vs pathological 0.64, clean bloom 0.27 vs
+    * 0.33 (TwinProfile) — overlapping bands, because a standalone
+    * oversized-heap run touches progressively and barely suffers; the
+    * bench-context amplifier is G1 UNCOMMITTING heap after the
+    * calibration System.gc() and the next sample re-zeroing the pages,
+    * which no per-stage fraction sees. The threshold-free arm that
+    * actually pins the channel difference is [[heapMismatchCause]].
     */
   private def sysCoresMax: Double =
-    sys.env.getOrElse("SPARK_GRAFT_SYS_CORES_MAX", "7.0").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_SYS_CORES_MAX", "13.0").toDouble
+
+  /** The committed bench protocol runs -Xmx8g (docs/BENCH_HEAP.md: this
+    * host zeroes fresh pages pathologically slowly, so heap size selects
+    * a kernel regime, not just a GC regime — comparing numbers across
+    * heap sizes compares kernels, not queries). Env-overridable for
+    * hosts with a different committed protocol.
+    */
+  private def expectedHeapMb: Double =
+    sys.env.getOrElse("SPARK_GRAFT_EXPECTED_HEAP_MB", "8192").toDouble
+
+  /** The threshold-free round-14 arm: a run whose actual -Xmx deviates
+    * >25% from the committed protocol heap gets every SCALE sample
+    * tagged `heap=<N>mb` (unless a stronger per-sample cause already
+    * fired). This is the arm that needed no calibration: the r12/r13
+    * driver-channel anomaly selected exactly the heap-heavy queries,
+    * every committed artifact is pinned at 8g, and the one knob the
+    * artifacts could not previously prove about themselves was the
+    * heap — now `heap_max_mb` rides in every JVM block AND mismatches
+    * flag the samples they make untrustworthy. Main-suite (sf0.1)
+    * samples are deliberately NOT flagged: the injected-pathology run
+    * measured them within noise of the 8g control (5.9/4.9/1.9 vs
+    * 5.9/5.1/1.9 s — too little fresh allocation per query to suffer),
+    * and flagging 875 samples would zero out every median's clean set.
+    */
+  private[graft] def heapMismatchCause: Option[String] = {
+    val mb = Runtime.getRuntime.maxMemory / 1048576.0
+    if (mb > expectedHeapMb * 1.25 || mb < expectedHeapMb * 0.75)
+      Some(s"heap=${mb.toLong}mb")
+    else None
+  }
 
   /** One-line JVM-aging evidence for the artifact: code-cache and
     * metaspace occupancy plus uptime and cumulative GC time. The bench
@@ -772,12 +810,15 @@ object Bench {
       s""","${s.label}":${entries.mkString("{", ",", "}")}$refJson""" +
         s""","${s.label}_contended":${s.contended}$causes"""
     }.mkString
-    // capped at 3 (divergence between channels is systemic — three named
+    // capped at 2 (divergence between channels is systemic — two named
     // examples plus the total count carry the evidence; the full
     // per-sample data is in bench_out.json); divergent_n is the real count
     val divJson =
       s""","divergent_n":${divergent.length},"divergent":""" +
-        divergent.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+        divergent.take(2).map("\"" + _ + "\"").mkString("[", ",", "]") +
+        // the run's actual heap, in the line the driver parses — the
+        // channel knob the committed artifacts pin outside themselves
+        s""","heap_mb":${Runtime.getRuntime.maxMemory / 1048576}"""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""reps":$reps,"reps_completed":$repsCompleted,"truncated":$truncated,""" +
       s""""contended":${contended.mkString("[", ",", "]")},"suspect":$suspect,""" +
@@ -1024,15 +1065,21 @@ object Bench {
       // The load reads still ride in `<label>_sample_load_before`.
       def runBest = calibs.min
       def causeOf(r: ScaleRun): Option[String] =
-        envCause(r.diag).orElse(
-          if (isHot(r.calibBefore, runBest) || isHot(r.calibAfter, runBest))
-            Some("calib_bracket") else None)
+        envCause(r.diag)
+          .orElse(heapMismatchCause) // wrong-heap run: every scale sample carries it
+          .orElse(
+            if (isHot(r.calibBefore, runBest) || isHot(r.calibAfter, runBest))
+              Some("calib_bracket") else None)
       // settle-then-retry: one retry per first-pass suspect, replacing
       // the sample only when the retry's own window is clean AND it
       // succeeded — a clean-but-slower retry is the honest number, a
       // still-dirty retry leaves the flagged original in place
       val firstSuspects = runs.values.filter(r => causeOf(r).isDefined).map(_.name).toSeq
-      if (scaleRetry && firstSuspects.nonEmpty && timeLeft()) {
+      // no settle-retry under a heap mismatch: the cause is permanent for
+      // the whole process, so a retry can only re-pay the sample's cost
+      // to earn the same flag
+      if (scaleRetry && firstSuspects.nonEmpty && heapMismatchCause.isEmpty
+        && timeLeft()) {
         Thread.sleep((settleSecs * 1000).toLong)
         firstSuspects.foreach { name =>
           if (timeLeft()) {

@@ -123,10 +123,16 @@ object CurateProfile {
       }),
       "full" -> (() => {
         val p = plantedScreens
+        // DSIR target from the UN-TWINNED planted half (doc_id < 10^7),
+        // exactly as q_curate_e2e_screens builds it — the doubled corpus
+        // includes accent twins, and fitting importance on a 2× target
+        // with accented n-grams would profile a different gate than the
+        // one being attributed (round-14 advisor item)
         graft.pipeline.Curate(p,
           foldAccents = true,
           pplKeepBuckets = Seq("head", "middle"), pplLangCol = Some("lang"),
-          dsirTarget = Some(p.filter(col("source").isin("src0", "src1", "src2", "src3"))),
+          dsirTarget = Some(p.filter(col("doc_id") < 10000000L &&
+            col("source").isin("src0", "src1", "src2", "src3"))),
           dsirK = 120)
       }))
     val prefixes = if (mode == "screens") screensPrefixes else defaultPrefixes

@@ -328,6 +328,18 @@ object Dedup {
     * mergeInPlace), because building scans the whole history: a 10⁹-doc
     * corpus at 1% fpp is a ~1.2 GB filter vs a ~16 GB digest frame —
     * and probing it is executor-local, no shuffle at all.
+    *
+    * SCALE BOUNDARY on the PROBE side (round 14, measured in
+    * docs/REUSE_TWIN_ATTRIBUTION.md): [[graft.functions.SketchExprs
+    * .bloomMightContain]] embeds the serialized filter in the
+    * expression, so every task deserializes a fresh bitset — ~5 MB ×
+    * tasks at sf1 (noise), ~1.2 GB × tasks at 10⁹ docs (not). At that
+    * size ship the filter as a broadcast variable (one deserialization
+    * per executor) instead of expression bytes. The BUILD side needs no
+    * such upgrade: the per-stage profile measured the driver-side
+    * collect+merge at 0.1–0.3 sys cores and ~5 s — the least sensitive
+    * stage of the whole twin, refuting the r13 suspicion that it was
+    * the heap-pathology hotspot.
     */
   def buildDigestBloom(existing: DataFrame, textCol: String,
                        expectedItems: Long = 0L, fpp: Double = 0.01,

@@ -37,6 +37,16 @@ import graft.ops.{Corpus, Dedup, Materialize, Text}
   * codegen'd expressions fused into one projection over the survivors,
   * and the final explode is narrow — no shuffle after the dedup joins.
   *
+  * Fork materialization: every consumption fork routes through
+  * [[graft.ops.Materialize.fork]] (strategy knob
+  * `spark.graft.forkMaterialize`). In the default `local` mode the
+  * checkpointed blocks are NOT unpersisted here — downstream stages
+  * consume the forked frames lazily after this function returns, so a
+  * long-lived session invoking curate repeatedly accumulates executor
+  * storage blocks until it scrubs them (`sparkContext.getPersistentRDDs`
+  * + unpersist, as graft.Bench does between samples) or switches to
+  * `table` mode, which keeps nothing in executor memory.
+  *
   * One row per (surviving doc, chunk):
   * (idCol, split, chunk_id, n_tokens, chunk_text).
   */

@@ -116,13 +116,14 @@ private[graft] object CurationDedupQueries {
             WHERE ntext NOT IN (SELECT ntext FROM hist)
             ORDER BY batch, doc_id"""
 
-  private def reuseHistory(d: org.apache.spark.sql.DataFrame) =
+  // private[graft] (round 14): TwinProfile reuses the exact gate constructions
+  private[graft] def reuseHistory(d: org.apache.spark.sql.DataFrame) =
     (0 until 20).map(i => d.select(
       (col("doc_id") + lit(100000L * (i + 1))).as("doc_id"),
       concat(col("text"), lit(s" v$i")).as("text"),
       col("lang"), col("source"))).reduce(_ unionByName _)
 
-  private def reuseBatch(d: org.apache.spark.sql.DataFrame, b: Int) =
+  private[graft] def reuseBatch(d: org.apache.spark.sql.DataFrame, b: Int) =
     d.select(col("doc_id"),
       when(lit(b) === 0 && col("doc_id") % 10 === 0,
         concat(col("text"), lit(" v0")))

@@ -410,6 +410,90 @@ object TrackStream {
       .write.mode("overwrite").parquet(setsDir)
   }
 
+  /** [[minhashNearDupForeachBatch]] with BUCKETED state tables — the
+    * round-14 closure of the scale boundary its sibling's scaladoc
+    * documents: plain-parquet state makes every batch's probe join
+    * reshuffle the history-side index rows it reads, so the per-batch
+    * cost grows with the HISTORY; with the band index bucketed on
+    * (band, bucket) and the hash sets bucketed on idCol — the exact
+    * join keys, all of them, per the requireAllClusterKeysForCoPartition
+    * contract StageIO.saveBucketed documents — the history scans arrive
+    * at their joins with ZERO exchange and the per-batch shuffle is
+    * batch-sized forever (TrackStreamSpec pins the executed plan,
+    * mirroring IncrementalIndexSpec's batch-side assertion).
+    *
+    * The price, and why the plain sibling still exists: bucketed tables
+    * live in the CATALOG (bucket metadata is metastore state), so state
+    * is named by TABLE, not directory, and append-bucketed writes add
+    * one file per bucket per batch — compact periodically
+    * ([[graft.sources.StageIO.compact]] does not preserve bucketing;
+    * rebuild via [[minhashIndexFromCorpusBucketed]] instead, which is
+    * also the crash-recovery step). Same recovery contract as the
+    * sibling: corpus append FIRST, then both index appends — any crash
+    * window leaves index ⊆ corpus, repaired by the rebuild before
+    * resume; a replayed batch emits zero rows.
+    */
+  def minhashNearDupForeachBatchBucketed(textCol: String, idCol: String,
+                                         corpusDir: String,
+                                         bandTable: String,
+                                         setsTable: String,
+                                         buckets: Int = 8,
+                                         n: Int = 3, bands: Int = 64,
+                                         rowsPerBand: Int = 2,
+                                         threshold: Double = 0.5,
+                                         sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    def tableOr(table: String, empty: => DataFrame): DataFrame =
+      if (spark.catalog.tableExists(table)) spark.table(table) else empty
+    val bandIdx = tableOr(bandTable,
+      graft.ops.Dedup.minhashBandIndex(batch.limit(0), textCol, idCol,
+        n, bands, rowsPerBand))
+    val hashSets = tableOr(setsTable,
+      graft.ops.Dedup.shingleHashSets(batch.limit(0), textCol, idCol, n))
+    val kept = graft.ops.Dedup.minhashIncrementalAgainstIndex(
+      batch, bandIdx, hashSets, textCol, idCol, n, bands, rowsPerBand,
+      threshold).localCheckpoint(true)
+    kept.write.mode("append").parquet(corpusDir)
+    val keptShingled = graft.ops.Dedup.wordShingled(kept, textCol, idCol, n)
+      .localCheckpoint(true)
+    // append-bucketed: Spark appends to a bucketed table only with an
+    // IDENTICAL bucket spec, so the layout invariant the probe relies on
+    // cannot drift batch-to-batch
+    graft.ops.Dedup.shingleHashSetsFromShingled(keptShingled, idCol)
+      .write.mode("append")
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .saveAsTable(setsTable)
+    graft.ops.Dedup.minhashBandIndexFromShingled(keptShingled, idCol,
+      bands, rowsPerBand)
+      .write.mode("append")
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(bandTable)
+    sink(kept)
+  }
+
+  /** Rebuild [[minhashNearDupForeachBatchBucketed]]'s state tables from
+    * the persisted corpus: the crash-recovery step AND the periodic
+    * compaction (an overwrite collapses the one-file-per-bucket-per-batch
+    * accumulation back to `buckets` files). No-op if the corpus is
+    * absent.
+    */
+  def minhashIndexFromCorpusBucketed(spark: org.apache.spark.sql.SparkSession,
+                                     corpusDir: String, bandTable: String,
+                                     setsTable: String,
+                                     textCol: String, idCol: String,
+                                     buckets: Int = 8,
+                                     n: Int = 3, bands: Int = 64,
+                                     rowsPerBand: Int = 2): Unit = {
+    val corpus = readState(spark, corpusDir).getOrElse(return)
+    graft.sources.StageIO.saveBucketed(
+      graft.ops.Dedup.minhashBandIndex(corpus, textCol, idCol, n, bands, rowsPerBand),
+      bandTable, "band", buckets, "bucket")
+    graft.sources.StageIO.saveBucketed(
+      graft.ops.Dedup.shingleHashSets(corpus, textCol, idCol, n),
+      setsTable, idCol, buckets)
+  }
+
   /** Read-side half of the crash-safe state-dir protocol shared by the
     * sketch sinks: repair whichever single rename a crashed
     * [[commitState]] left unfinished — live dir present → drop any

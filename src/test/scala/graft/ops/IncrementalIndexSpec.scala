@@ -1,9 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-
+import graft.PlanTestUtil.{historySideShuffleFree, scansOf}
 import graft.SparkTestBase
 import graft.sources.StageIO
 
@@ -33,40 +30,8 @@ class IncrementalIndexSpec extends SparkTestBase {
   private def docs(ids: Range, text: Long => String) =
     ids.map(i => (i.toLong, text(i.toLong))).toDF("doc_id", "text")
 
-  /** Every node of the executed plan, descending through adaptive
-    * roots, query stages and reused exchanges.
-    */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: kids.flatMap(nodes)
-  }
-
-  private def scansOf(p: SparkPlan, cols: Set[String]): Seq[SparkPlan] =
-    nodes(p).collect {
-      case s: FileSourceScanExec if cols.subsetOf(s.output.map(_.name).toSet) => s
-    }
-
-  /** The history-side contract, precisely: the join consuming the
-    * history scan receives it WITHOUT any shuffle exchange between scan
-    * and join. (Exchanges ABOVE the join are fine — they move the
-    * candidate pairs, a batch-sized object, not the history.)
-    */
-  private def historySideShuffleFree(p: SparkPlan, cols: Set[String]): Boolean = {
-    val joins = nodes(p).collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-    }
-    joins.exists(_.children.exists { side =>
-      scansOf(side, cols).nonEmpty && !nodes(side).exists {
-        case e: ShuffleExchangeLike => scansOf(e, cols).nonEmpty
-        case _ => false
-      }
-    })
-  }
+  // plan walkers live in graft.PlanTestUtil since round 14 (shared with
+  // TrackStreamSpec's bucketed streaming-state assertion)
 
   private def history = docs(0 until 64,
     i => s"alpha beta gamma delta epsilon zeta doc $i unique tail ${i * 7}")

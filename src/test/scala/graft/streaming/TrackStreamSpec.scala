@@ -592,4 +592,61 @@ class TrackStreamSpec extends SparkTestBase {
     fn((301 to 1000).map(i => ("s", i.toLong)).toDF("src", "v"), 2L)
     assert(ests(3)("s") > ests(1)("s"))
   }
+
+  test("bucketed minhash screen: same semantics as the plain sink, zero history-side shuffle in the probe plan") {
+    import graft.PlanTestUtil.{historySideShuffleFree, scansOf}
+    val base = java.nio.file.Files.createTempDirectory("mhbucketed").toString
+    val filler = (1 to 30).map(i => s"word$i").mkString(" ")
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val fn = TrackStream.minhashNearDupForeachBatchBucketed("text", "doc_id",
+      s"$base/corpus", "graft_stream_bands", "graft_stream_sets",
+      buckets = 4, n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5,
+      sink = df => emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    try {
+      // batch 0 lands and seeds both bucketed state tables
+      fn(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here"))
+        .toDF("doc_id", "text"), 0L)
+      // batch 1: doc 3 near-dups ingested doc 1; doc 4 is novel
+      fn(Seq((3L, s"$filler alpha gamma"), (4L, "another novel document entirely"))
+        .toDF("doc_id", "text"), 1L)
+      // batch-0 replay (at-least-once retry) emits zero
+      fn(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here"))
+        .toDF("doc_id", "text"), 2L)
+      assert(emitted.toSeq == Seq(Set(1L, 2L), Set(4L), Set.empty[Long]),
+        s"per-batch novel sets: $emitted")
+      assert(spark.read.parquet(s"$base/corpus").select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+      // THE CONTRACT (round-14 verdict item 4, mirroring
+      // IncrementalIndexSpec): the next batch's probe join receives BOTH
+      // bucketed history scans with no shuffle exchange between scan and
+      // join — history stays bucket-local however large it grows
+      val probe = graft.ops.Dedup.minhashIncrementalAgainstIndex(
+        Seq((9L, s"$filler alpha delta"), (10L, "yet another novel text"))
+          .toDF("doc_id", "text"),
+        spark.table("graft_stream_bands"), spark.table("graft_stream_sets"),
+        "text", "doc_id", 3, 64, 2, 0.5)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan
+      val bandCols = Set("band", "bucket")
+      val setCols = Set("shingle_hashes")
+      assert(scansOf(plan, bandCols).nonEmpty, s"band scan not found:\n$plan")
+      assert(scansOf(plan, setCols).nonEmpty, s"sets scan not found:\n$plan")
+      assert(historySideShuffleFree(plan, bandCols),
+        s"bucketed streaming band state reshuffled before its join:\n$plan")
+      assert(historySideShuffleFree(plan, setCols),
+        s"bucketed streaming hash sets reshuffled before their join:\n$plan")
+      // crash recovery: rebuild both tables from the corpus, replay is
+      // idempotent and the rebuilt tables keep the bucketed layout
+      TrackStream.minhashIndexFromCorpusBucketed(spark, s"$base/corpus",
+        "graft_stream_bands", "graft_stream_sets", "text", "doc_id",
+        buckets = 4, n = 3, bands = 64, rowsPerBand = 2)
+      emitted.clear()
+      fn(Seq((1L, s"$filler alpha beta"), (2L, "tiny unrelated doc here"))
+        .toDF("doc_id", "text"), 3L)
+      assert(emitted.toSeq == Seq(Set.empty[Long]), s"post-rebuild replay: $emitted")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_stream_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_sets")
+    }
+  }
 }
