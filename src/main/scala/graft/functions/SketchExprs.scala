@@ -51,6 +51,43 @@ object SketchExprs {
     GraftShim.column(BloomMightContainString(GraftShim.expression(c), bos.toByteArray))
   }
 
+  /** [[BloomMightContainString]]'s broadcast twin — the 100-TB probe
+    * shape (round 14, docs/REUSE_TWIN_ATTRIBUTION.md finding 4): the
+    * bytes variant embeds the serialized filter in the expression, so
+    * every TASK deserializes a fresh bitset — ~5 MB × tasks at sf1
+    * (noise), ~1.2 GB × tasks for a 10⁹-doc history (not). Here the
+    * expression carries only the broadcast HANDLE; the filter object is
+    * fetched/deserialized once per executor by the broadcast machinery
+    * (BloomFilterImpl is Serializable) and shared by every task on it.
+    *
+    * CONTRACT CHANGE vs the bytes variant, for callers that mutate the
+    * filter (the streaming sink's mergeInPlace): the bytes variant
+    * snapshotted the filter at COLUMN-CONSTRUCTION time, so later
+    * mutation never affected even a lazy frame; in local mode a
+    * broadcast can hand back the caller's own object, so mutate only
+    * after the probing frame is materialized (both existing callers
+    * already checkpoint before merging).
+    */
+  case class BloomMightContainBroadcast(
+      child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain_bc"
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(bc.value.mightContainString(input.toString))
+
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContainBroadcast =
+      copy(child = newChild)
+  }
+
+  def bloomMightContainBc(
+      c: Column,
+      bc: org.apache.spark.broadcast.Broadcast[BloomFilter]): Column =
+    GraftShim.column(BloomMightContainBroadcast(GraftShim.expression(c), bc))
+
   /** KMV hash: the top 60 bits of md5, i.e. exactly the engine-portable
     * `('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT` every md5-prefix oracle in
     * this codebase uses (and [[TextExprs.winnowEval]]'s `v >>> 4`) — so a

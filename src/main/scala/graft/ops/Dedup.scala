@@ -329,17 +329,15 @@ object Dedup {
     * corpus at 1% fpp is a ~1.2 GB filter vs a ~16 GB digest frame —
     * and probing it is executor-local, no shuffle at all.
     *
-    * SCALE BOUNDARY on the PROBE side (round 14, measured in
-    * docs/REUSE_TWIN_ATTRIBUTION.md): [[graft.functions.SketchExprs
-    * .bloomMightContain]] embeds the serialized filter in the
-    * expression, so every task deserializes a fresh bitset — ~5 MB ×
-    * tasks at sf1 (noise), ~1.2 GB × tasks at 10⁹ docs (not). At that
-    * size ship the filter as a broadcast variable (one deserialization
-    * per executor) instead of expression bytes. The BUILD side needs no
-    * such upgrade: the per-stage profile measured the driver-side
-    * collect+merge at 0.1–0.3 sys cores and ~5 s — the least sensitive
-    * stage of the whole twin, refuting the r13 suspicion that it was
-    * the heap-pathology hotspot.
+    * PROBE shape (round 14, measured in docs/REUSE_TWIN_ATTRIBUTION.md):
+    * [[exactDedupIncrementalBloom]] ships the filter as a BROADCAST —
+    * the earlier expression-embedded bytes made every task deserialize
+    * a fresh bitset (~5 MB × tasks at sf1, ~1.2 GB × tasks for a
+    * 10⁹-doc history). The BUILD side needs no such upgrade: the
+    * per-stage profile measured the driver-side collect+merge at
+    * 0.1–0.3 sys cores and ~5 s — the least sensitive stage of the
+    * whole twin, refuting the r13 suspicion that it was the
+    * heap-pathology hotspot.
     */
   def buildDigestBloom(existing: DataFrame, textCol: String,
                        expectedItems: Long = 0L, fpp: Double = 0.01,
@@ -392,6 +390,17 @@ object Dedup {
                                  textCol: String, idCol: String,
                                  bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val dig = md5(Text.normalize(col(textCol)))
+    // The probe rides a BROADCAST, not expression-embedded bytes (round
+    // 14): the bytes form deserialized a fresh bitset PER TASK — ~5 MB ×
+    // tasks here, ~1.2 GB × tasks for a 10⁹-doc history's filter — while
+    // the broadcast hands every task on an executor the same object. One
+    // broadcast per call = per batch, amortized across this function's
+    // several probing jobs (pre-screen count, fresh/residue branches).
+    // Mutation contract: this frame is lazy, so a caller that
+    // mergeInPlace's the filter must materialize the result first (the
+    // streaming sink checkpoints before merging — see
+    // SketchExprs.BloomMightContainBroadcast).
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     // Null-guard the probe: a null text digests to null, so the raw
     // might-contain is null and a branch filter pair would silently drop
     // the row — whereas the plain path keeps it (an anti-join on a null
@@ -399,7 +408,7 @@ object Dedup {
     // ([[buildDigestBloom]] na.drop's them), so treating them as
     // definitively-novel is exact.
     def might(digest: Column) = coalesce(
-      graft.functions.SketchExprs.bloomMightContain(digest, bloom), lit(false))
+      graft.functions.SketchExprs.bloomMightContainBc(digest, bc), lit(false))
     // Pre-screen the RAW batch: one scan with an executor-local probe —
     // no shuffle, no materialization, no history involvement. If NO raw
     // row might be in history the batch is definitively all-novel and
