@@ -685,33 +685,35 @@ object Bench {
       "q_curate_e2e_scale"))
 
   /** Committed-artifact reference values for the scale digest picks
-    * (seconds; the CLEAN medians from the latest idle artifacts —
-    * docs/bench_full_r13b_idle.json, with sf30 semdedup from
-    * bench_full_r13_idle.json because the r13b sample was env-flagged).
-    * Round-14 verdict item 6: the r12/r13 driver channels measured the
-    * heavy scale samples 3–5× slower than every committed artifact and
-    * the divergence was only visible by cross-reading four files — the
-    * digest now carries the reference values and a `divergent` list so
-    * a >1.5× channel mismatch is evidence IN BENCH_r{N}.json itself.
-    * These are host-class constants like [[calibBaseline]]: update them
-    * when a newer idle artifact supersedes r13b.
+    * (seconds; the CLEAN values from the latest idle artifact —
+    * docs/bench_full_r14_idle.json, whose every scale section ran with
+    * zero suspects; BenchDigestSpec pins these against that file so
+    * they cannot silently go stale). Round-14 verdict item 6: the
+    * r12/r13 driver channels measured the heavy scale samples 3–5×
+    * slower than every committed artifact and the divergence was only
+    * visible by cross-reading four files — the digest now carries the
+    * reference values and a `divergent` list so a >1.5× channel
+    * mismatch is evidence IN BENCH_r{N}.json itself. These are
+    * host-class constants like [[calibBaseline]]: update them (and the
+    * artifact name above + in the spec) when a newer idle artifact
+    * supersedes r14.
     */
   val ScaleRefs: Map[String, Map[String, Double]] = Map(
     "sf1" -> Map(
-      "q_dedup_incremental_reuse_bloom" -> 21.3,
-      "q_dedup_incremental_reuse_plain" -> 27.5,
-      "q_dedup_minhash_lsh_auto" -> 4.1,
-      "q_curate_e2e_scale" -> 13.5,
-      "q_bpe_train" -> 2.5),
+      "q_dedup_incremental_reuse_bloom" -> 18.3,
+      "q_dedup_incremental_reuse_plain" -> 34.9,
+      "q_dedup_minhash_lsh_auto" -> 3.7,
+      "q_curate_e2e_scale" -> 14.1,
+      "q_bpe_train" -> 2.2),
     "sf30" -> Map(
-      "q_dedup_minhash_lsh_auto" -> 8.2,
-      "q_dedup_semdedup" -> 4.8,
+      "q_dedup_minhash_lsh_auto" -> 7.8,
+      "q_dedup_semdedup" -> 5.0,
       "q_dedup_winnow_pairs" -> 6.3,
-      "q_curate_e2e_scale" -> 21.3),
+      "q_curate_e2e_scale" -> 21.1),
     "sf100" -> Map(
-      "q_dedup_minhash_lsh_auto" -> 22.9,
-      "q_dedup_winnow_pairs" -> 38.6,
-      "q_curate_e2e_scale" -> 54.0))
+      "q_dedup_minhash_lsh_auto" -> 21.2,
+      "q_dedup_winnow_pairs" -> 33.3,
+      "q_curate_e2e_scale" -> 41.6))
 
   /** Divergence rule for the digest's `divergent` list: a measured scale
     * sample disagrees with its committed reference when the ratio

@@ -229,6 +229,29 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(u >= 0L && s >= 0L)
   }
 
+  test("ScaleRefs match the committed idle artifact they cite (staleness pin)") {
+    // ScaleRefs' scaladoc names docs/bench_full_r14_idle.json as its
+    // source; this test reads that file and asserts every ref equals
+    // the artifact's value at the digest's 1-decimal precision — a
+    // future round that commits a newer artifact without updating the
+    // refs (or vice versa) fails here instead of shipping a digest
+    // whose cross-check compares against numbers nobody measured.
+    val path = java.nio.file.Paths.get("docs/bench_full_r14_idle.json")
+    assume(java.nio.file.Files.isReadable(path), s"artifact not found: $path")
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+    Bench.ScaleRefs.foreach { case (label, refs) =>
+      val section = node.get(label)
+      assert(section != null && section.isObject, s"artifact lacks $label")
+      refs.foreach { case (q, ref) =>
+        val measured = section.get(q)
+        assert(measured != null, s"artifact $label lacks $q")
+        val rounded = math.rint(measured.asDouble() * 10) / 10
+        assert(rounded == ref,
+          s"$label:$q ref $ref != artifact ${measured.asDouble()} (rounded $rounded)")
+      }
+    }
+  }
+
   test("scale reference values resolve against the digest picks; divergence rule is two-sided") {
     // every ref key must be a pick its section actually emits, or the
     // cross-check silently checks nothing
