@@ -48,7 +48,18 @@ object StageIO {
     */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
                    moreCols: String*): Unit =
-    df.write.mode("overwrite")
+    // repartition on the bucket columns FIRST: a bucketed writer emits
+    // one file per (input task × bucket it holds), so writing from N
+    // shuffle partitions produces up to N×buckets files — measured
+    // (docs/stream_state_sweep.json): a 32-task write of a 51M-row band
+    // index at 32 buckets made 1024 files whose per-file open overhead
+    // tripled every downstream no-exchange probe (15.2 s vs 4.2 s
+    // plain). repartition uses the same Murmur3 hash bucketing does, so
+    // each task holds exactly one bucket → one file per bucket, and the
+    // write's shuffle replaces the sort-within-task fan-out it had to
+    // do anyway.
+    df.repartition(buckets, (bucketCol +: moreCols).map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCol, moreCols: _*)
       .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(table)

@@ -459,13 +459,20 @@ object TrackStream {
       .localCheckpoint(true)
     // append-bucketed: Spark appends to a bucketed table only with an
     // IDENTICAL bucket spec, so the layout invariant the probe relies on
-    // cannot drift batch-to-batch
+    // cannot drift batch-to-batch. repartition on the bucket key first
+    // (same rationale as StageIO.saveBucketed): a bucketed writer emits
+    // one file per (task × bucket), so an unrepartitioned append adds up
+    // to tasks×buckets files per batch — with it, exactly one file per
+    // non-empty bucket per batch, which is the append floor
+    import org.apache.spark.sql.functions.col
     graft.ops.Dedup.shingleHashSetsFromShingled(keptShingled, idCol)
+      .repartition(buckets, col(idCol))
       .write.mode("append")
       .bucketBy(buckets, idCol).sortBy(idCol)
       .saveAsTable(setsTable)
     graft.ops.Dedup.minhashBandIndexFromShingled(keptShingled, idCol,
       bands, rowsPerBand)
+      .repartition(buckets, col("band"), col("bucket"))
       .write.mode("append")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(bandTable)
