@@ -229,14 +229,16 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(u >= 0L && s >= 0L)
   }
 
-  test("ScaleRefs match the committed idle artifact they cite (staleness pin)") {
-    // ScaleRefs' scaladoc names docs/bench_full_r14_idle.json as its
-    // source; this test reads that file and asserts every ref equals
-    // the artifact's value at the digest's 1-decimal precision — a
-    // future round that commits a newer artifact without updating the
-    // refs (or vice versa) fails here instead of shipping a digest
-    // whose cross-check compares against numbers nobody measured.
-    val path = java.nio.file.Paths.get("docs/bench_full_r14_idle.json")
+  test("ScaleRefs track the newest committed idle artifact (staleness pin, variance-tolerant)") {
+    // ScaleRefs are MEDIANS across the committed zero-suspect idle
+    // artifacts; this pin reads the NEWEST one and asserts every ref is
+    // within 1.4× of its value in either direction — tight enough that
+    // a stale table (or a committed artifact nobody folded in) fails,
+    // loose enough for the measured ±30% single-shot variance of the
+    // heaviest samples (sf100 curate-scale: 41.6/54.0/66.2 s across
+    // three clean runs). Update the artifact name when a newer idle
+    // artifact lands, and refresh the medians.
+    val path = java.nio.file.Paths.get("docs/bench_full_r14b_idle.json")
     assume(java.nio.file.Files.isReadable(path), s"artifact not found: $path")
     val node = mapper.readTree(java.nio.file.Files.readAllBytes(path))
     Bench.ScaleRefs.foreach { case (label, refs) =>
@@ -245,9 +247,9 @@ class BenchDigestSpec extends AnyFunSuite {
       refs.foreach { case (q, ref) =>
         val measured = section.get(q)
         assert(measured != null, s"artifact $label lacks $q")
-        val rounded = math.rint(measured.asDouble() * 10) / 10
-        assert(rounded == ref,
-          s"$label:$q ref $ref != artifact ${measured.asDouble()} (rounded $rounded)")
+        val m = measured.asDouble()
+        assert(m / ref < 1.4 && ref / m < 1.4,
+          s"$label:$q ref $ref vs newest artifact $m - stale table?")
       }
     }
   }
