@@ -432,6 +432,14 @@ object TrackStream {
     * sibling: corpus append FIRST, then both index appends — any crash
     * window leaves index ⊆ corpus, repaired by the rebuild before
     * resume; a replayed batch emits zero rows.
+    *
+    * SIZING `buckets` (measured, SCALING.md §5b): a bucketed scan runs
+    * one task per bucket, so the probe join's parallelism IS the bucket
+    * count — size it to the core budget the probe should use (the
+    * default 8 suits small sessions; a 32-core ingestion executor wants
+    * 32). Each append writes one file per non-empty bucket per batch,
+    * so more buckets also means faster file accumulation between
+    * rebuild-compactions.
     */
   def minhashNearDupForeachBatchBucketed(textCol: String, idCol: String,
                                          corpusDir: String,
