@@ -94,6 +94,23 @@ object Materialize {
     }
   }
 
+  /** Drop the `table` strategy's staging directory — the job-end
+    * cleanup the scaladoc above promises callers. Safe to call in any
+    * mode (a missing dir is a no-op) but only AFTER every frame forked
+    * in this job has had its terminal action: downstream stages re-read
+    * staging tables lazily, so cleaning mid-job breaks them the same
+    * way unpersisting a live localCheckpoint would. Resolves the path
+    * through Hadoop's FileSystem so job-scoped scratch on HDFS/S3 URIs
+    * cleans the same as local disk.
+    */
+  def cleanStagingDir(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val base = spark.conf.get(DirKey,
+      s"${System.getProperty("java.io.tmpdir")}/graft-fork-stage")
+    val path = new org.apache.hadoop.fs.Path(base)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Chainable syntax for [[fork]] so a fork site stays a one-token
     * change from the `.localCheckpoint(true)` it replaces:
     * `import graft.ops.Materialize.ForkOps` then `.forkMaterialize()`.

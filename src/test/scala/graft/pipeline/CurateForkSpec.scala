@@ -161,6 +161,13 @@ class CurateForkSpec extends SparkTestBase {
     // the staging tables actually landed on disk (the strategy ran)
     val staged = new java.io.File(stageDir).listFiles()
     assert(staged != null && staged.nonEmpty, "table mode wrote no staging tables")
+    // job-end cleanup drops the whole staging dir; a second call no-ops
+    spark.conf.set(Materialize.DirKey, stageDir)
+    try {
+      Materialize.cleanStagingDir(spark)
+      assert(!new java.io.File(stageDir).exists(), "staging dir survived cleanup")
+      Materialize.cleanStagingDir(spark) // missing dir is a no-op
+    } finally spark.conf.unset(Materialize.DirKey)
   }
 
   test("unknown strategy fails fast") {
