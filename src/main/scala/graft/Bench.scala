@@ -784,46 +784,62 @@ object Bench {
           case (`n`, r) => "\"" + n + "\":" + r.map(fmt).getOrElse("null")
         }
       }
-      // cross-check every measured pick against its committed reference
-      // (round 14): a >1.5× disagreement between this run and the idle
-      // artifacts lands in the digest's `divergent` list
-      picks.foreach { n =>
-        for (m <- s.results.collectFirst { case (`n`, Some(v)) => v };
-             ref <- refs.get(n) if isDivergent(m, ref))
-          divergent += s"${s.label}:$n"
-      }
       // refs ride as an ARRAY position-aligned with the `<label>` object's
       // keys (null where no reference exists) — repeating the long query
       // names would push the digest past the driver's tail window
       // (measured: named refs cost ~430 chars, aligned arrays ~100)
       val emittedPicks = picks.filter(n => s.results.exists(_._1 == n))
+      // cross-check every measured pick against its committed reference
+      // (round 14): a >1.5× disagreement between this run and the idle
+      // artifacts lands in the digest's `divergent` list, UNCAPPED since
+      // round 15 (the r14 .take(2) hid 7 of 9 divergent samples behind a
+      // count) — each entry carrying measured/ref and, when the sample
+      // was env-flagged, its cause inline. Entries are POSITIONAL, the
+      // `_ref` arrays' convention: `sf1[2]=93.0/34.5:heap=91136mb` means
+      // the 3rd key of the "sf1" object (named divergent entries measured
+      // ~65 chars each — 12 of them cannot share the tail window with
+      // the rest of the digest; positional ones are ~35)
+      val causeByName = s.causes.toMap
+      val divNames = scala.collection.mutable.Set.empty[String]
+      emittedPicks.zipWithIndex.foreach { case (n, i) =>
+        for (m <- s.results.collectFirst { case (`n`, Some(v)) => v };
+             ref <- refs.get(n) if isDivergent(m, ref)) {
+          divNames += n
+          divergent += s"${s.label}[$i]=${fmt1(m)}/${fmt1(ref)}" +
+            causeByName.get(n).fold("")(":" + _)
+        }
+      }
       val refJson =
         if (refs.isEmpty) ""
         else s""","${s.label}_ref":""" + emittedPicks
           .map(n => refs.get(n).map(fmt1).getOrElse("null"))
           .mkString("[", ",", "]")
       // measured per-sample causes for still-suspect scale samples ride
-      // in the digest (capped at 2 since round 14 — the `_ref` arrays
-      // and `divergent` list took the chars; the full cause list is in
-      // bench_out.json): a flagged scale number must carry its own
-      // evidence in the line the driver actually parses. jesc for
-      // symmetry with scaleSection's causeJson — envCause output is
-      // internally formatted today, but a future cause containing a
-      // quote must not corrupt the digest.
+      // in the digest; since round 15 only for samples whose cause is
+      // NOT already inline in a `divergent` entry (capped at 2 — this
+      // map now only adds signal for suspect-but-within-band samples;
+      // the full cause list is in bench_out.json): a flagged scale
+      // number must carry its own evidence in the line the driver
+      // actually parses. jesc for symmetry with scaleSection's
+      // causeJson — envCause output is internally formatted today, but
+      // a future cause containing a quote must not corrupt the digest.
+      val residualCauses = s.causes.filterNot { case (n, _) => divNames(n) }
       val causes =
-        if (s.causes.isEmpty) ""
-        else s""","${s.label}_suspect_causes":""" + s.causes.take(2)
+        if (residualCauses.isEmpty) ""
+        else s""","${s.label}_suspect_causes":""" + residualCauses.take(2)
           .map { case (n, c) => "\"" + n + "\":\"" + jesc(c) + "\"" }
           .mkString("{", ",", "}")
       s""","${s.label}":${entries.mkString("{", ",", "}")}$refJson""" +
         s""","${s.label}_contended":${s.contended}$causes"""
     }.mkString
-    // capped at 2 (divergence between channels is systemic — two named
-    // examples plus the total count carry the evidence; the full
-    // per-sample data is in bench_out.json); divergent_n is the real count
+    // UNCAPPED since round 15 (the r14 cap hid 7 of 9 divergent samples
+    // behind a count): entries are positional (~35 chars, at most one
+    // per ScaleRefs row) and `_suspect_causes` dropped the entries they
+    // subsume, so the worst case stays inside the tail window
+    // (BenchDigestSpec pins it); divergent_n stays as the cheap count
     val divJson =
       s""","divergent_n":${divergent.length},"divergent":""" +
-        divergent.take(2).map("\"" + _ + "\"").mkString("[", ",", "]") +
+        divergent.map("\"" + _ + "\"").mkString("[", ",", "]") +
         // the run's actual heap, in the line the driver parses — the
         // channel knob the committed artifacts pin outside themselves
         s""","heap_mb":${Runtime.getRuntime.maxMemory / 1048576}"""

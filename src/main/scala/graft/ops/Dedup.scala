@@ -110,16 +110,42 @@ object Dedup {
     MinhashPlan(b, r, recall, b * n.toDouble * n.toDouble / 2.0 * math.pow(jBackground, r))
   }
 
+  /** True when `df`'s analyzed plan is scan-shaped — nothing but
+    * projections/filters over leaf relations — so executing it twice
+    * costs at most one extra (pushdown-pruned) scan. Anything with
+    * derived lineage (joins, aggregates, explodes, unions) is NOT
+    * scan-shaped: re-execution replays real work. Package-private for
+    * the spec.
+    */
+  private[graft] def isScanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[SubqueryAlias] && !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+  }
+
+  /** Input discipline for the `_auto` planners' sizing `count()`: the
+    * count EXECUTES the frame's plan, and the pairs pass then executes
+    * it AGAIN — on a raw scan that is one cheap extra scan, but on a
+    * derived frame it replays the whole upstream lineage (the
+    * double-execution trap the round-14 scaladoc could only warn
+    * about). Scan-shaped inputs pass through untouched; anything else
+    * is routed through [[Materialize.fork]] so sizing and consumption
+    * share ONE upstream execution (DedupSpec counts the source scans).
+    */
+  private def sizingInput(df: DataFrame): DataFrame =
+    if (isScanShaped(df)) df else Materialize.fork(df)
+
   /** [[minhashLshPairs]] with (bands, rowsPerBand) sized by
     * [[planMinhashLsh]] from the ACTUAL corpus size — the entry point to
     * reach for when n is not known up front. Fixed banding at a growing
     * corpus is the quadratic trap the planner scaladoc warns about; this
-    * overload pays one sizing `count()` to avoid it — and that count
-    * EXECUTES the upstream plan of `df`: on a raw scan it is
-    * metadata-cheap, but on a derived frame it replays the whole lineage
-    * (cache or localCheckpoint `df` first, or the corpus transforms run
-    * twice). Callers that already know n (or plan across many batches)
-    * should call [[planMinhashLsh]] once and pass explicit params.
+    * overload pays one sizing `count()` to avoid it. A derived input is
+    * fork-materialized first ([[sizingInput]]) so the sizing count and
+    * the pairs pass execute the upstream exactly once. Callers that
+    * already know n (or plan across many batches) should call
+    * [[planMinhashLsh]] once and pass explicit params.
     */
   def minhashLshPairsAuto(df: DataFrame, textCol: String, idCol: String,
                           n: Int, threshold: Double,
@@ -127,9 +153,10 @@ object Dedup {
                           jBackground: Double = 0.05,
                           targetCandidatesPerDoc: Double = 10.0,
                           maxBands: Int = 128): DataFrame = {
-    val plan = planMinhashLsh(df.count(), threshold, targetRecall,
+    val in = sizingInput(df)
+    val plan = planMinhashLsh(in.count(), threshold, targetRecall,
       jBackground, targetCandidatesPerDoc, maxBands)
-    minhashLshPairs(df, textCol, idCol, n, plan.bands, plan.rowsPerBand, threshold)
+    minhashLshPairs(in, textCol, idCol, n, plan.bands, plan.rowsPerBand, threshold)
   }
 
   /** Explicit hash-partitioning on the keys of an upcoming fan-out
@@ -388,7 +415,27 @@ object Dedup {
     */
   def exactDedupIncrementalBloom(incoming: DataFrame, existing: DataFrame,
                                  textCol: String, idCol: String,
-                                 bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+                                 bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    // One broadcast per call, reclaimed only when GC lets ContextCleaner
+    // find it — fine for batch gates, a slow accumulation for a
+    // long-lived caller invoking this per micro-batch: such callers use
+    // the Bc overload and destroy the broadcast after the batch's
+    // terminal action (as bloomDedupForeachBatch does).
+    exactDedupIncrementalBloomBc(incoming, existing, textCol, idCol,
+      incoming.sparkSession.sparkContext.broadcast(bloom))
+
+  /** [[exactDedupIncrementalBloom]] over a CALLER-OWNED broadcast of the
+    * filter — the lifecycle-explicit form: the caller broadcasts once,
+    * materializes this function's (lazy) result, and then destroys the
+    * broadcast itself instead of leaving a ~filter-sized block pinned in
+    * the driver/executor block managers until GC notices (per-batch
+    * broadcasts in a long-running streaming query accumulate gigabytes
+    * before the ContextCleaner wakes up).
+    */
+  def exactDedupIncrementalBloomBc(incoming: DataFrame, existing: DataFrame,
+                                   textCol: String, idCol: String,
+                                   bc: org.apache.spark.broadcast.Broadcast[
+                                     org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     val dig = md5(Text.normalize(col(textCol)))
     // The probe rides a BROADCAST, not expression-embedded bytes (round
     // 14): the bytes form deserialized a fresh bitset PER TASK — ~5 MB ×
@@ -400,7 +447,6 @@ object Dedup {
     // mergeInPlace's the filter must materialize the result first (the
     // streaming sink checkpoints before merging — see
     // SketchExprs.BloomMightContainBroadcast).
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     // Null-guard the probe: a null text digests to null, so the raw
     // might-contain is null and a branch filter pair would silently drop
     // the row — whereas the plain path keeps it (an anti-join on a null
@@ -593,9 +639,10 @@ object Dedup {
                                    targetBucketSize: Int = 100,
                                    maxTables: Int = 16,
                                    planeHash: String = "xxhash64"): DataFrame = {
-    val plan = planCosineLsh(benchmark.count(), threshold, targetRecall,
+    val bench = sizingInput(benchmark)
+    val plan = planCosineLsh(bench.count(), threshold, targetRecall,
       targetBucketSize, maxTables)
-    contaminatedIdsEmbedding(train, benchmark, vecCol, idCol, threshold,
+    contaminatedIdsEmbedding(train, bench, vecCol, idCol, threshold,
       plan.bits, plan.tables, planeHash)
   }
 
@@ -1925,19 +1972,19 @@ object Dedup {
     * not known up front. Fixed bits at a growing corpus is the quadratic
     * trap (bucket occupancy n/2^bits makes the verify stream Θ(n²/2^bits);
     * measured 8.5× time on 3× data at sf30 with bits pinned at 4); this
-    * overload pays one sizing `count()` to size the buckets instead —
-    * and that count EXECUTES the upstream plan of `df`: metadata-cheap
-    * on a raw scan, a full lineage replay on a derived frame (cache or
-    * localCheckpoint `df` first). Callers that already know n should
-    * call [[planCosineLsh]] once and pass explicit params.
+    * overload pays one sizing `count()` to size the buckets instead
+    * (derived inputs are fork-materialized first — see [[sizingInput]]).
+    * Callers that already know n should call [[planCosineLsh]] once and
+    * pass explicit params.
     */
   def cosineDupPairsAuto(df: DataFrame, vecCol: String, idCol: String,
                          threshold: Double, targetRecall: Double = 0.9,
                          targetBucketSize: Int = 100, maxTables: Int = 16,
                          planeHash: String = "xxhash64"): DataFrame = {
-    val plan = planCosineLsh(df.count(), threshold, targetRecall,
+    val in = sizingInput(df)
+    val plan = planCosineLsh(in.count(), threshold, targetRecall,
       targetBucketSize, maxTables)
-    cosineDupPairs(df, vecCol, idCol, threshold, plan.bits, plan.tables, planeHash)
+    cosineDupPairs(in, vecCol, idCol, threshold, plan.bits, plan.tables, planeHash)
   }
 
   /** Cell-count planning for [[semdedupPairs]] at a given corpus size.
@@ -2091,8 +2138,9 @@ object Dedup {
   def semdedupPairsAuto(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, targetCellSize: Int = 0,
                         nAssign: Int = 2, iters: Int = 3): DataFrame = {
-    val nCells = planSemdedupCells(df.count(), targetCellSize, nAssign, iters)
-    semdedupPairs(df, vecCol, idCol, threshold, nCells, nAssign, iters)
+    val in = sizingInput(df)
+    val nCells = planSemdedupCells(in.count(), targetCellSize, nAssign, iters)
+    semdedupPairs(in, vecCol, idCol, threshold, nCells, nAssign, iters)
   }
 
   /** Copy-detection pair screen over winnowing fingerprints

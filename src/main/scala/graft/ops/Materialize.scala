@@ -42,7 +42,8 @@ import org.apache.spark.sql.DataFrame
   *     This is the 100-TB default — the measured decision rule is in
   *     SCALING.md §fork-materialization. Staging tables land under
   *     `spark.graft.forkMaterialize.dir` (default: JVM temp dir +
-  *     `/graft-fork-stage`) with unique names; the dir is CALLER-MANAGED:
+  *     `/graft-fork-stage/<applicationId>`, see [[DirKey]]) with
+  *     collision-safe unique names; the dir is CALLER-MANAGED:
   *     point it at job-scoped scratch storage and drop it when the job
   *     ends (the tables cannot be deleted mid-job — downstream stages
   *     re-read them lazily, mirroring the local mode's block-accumulation
@@ -62,10 +63,38 @@ object Materialize {
   /** Session-conf key selecting the strategy: `local` (default) | `table`. */
   val StrategyKey = "spark.graft.forkMaterialize"
 
-  /** Session-conf key for the `table` strategy's staging directory. */
+  /** Session-conf key for the `table` strategy's staging directory.
+    * Defaults to a PER-APPLICATION path (JVM temp dir +
+    * `/graft-fork-stage/<applicationId>`): two concurrent drivers on
+    * one host sharing a global default would otherwise delete each
+    * other's live staging tables at job-end cleanup — downstream stages
+    * re-read forks lazily, so a foreign [[cleanStagingDir]] mid-job
+    * breaks them. Callers overriding this key own that scoping.
+    */
   val DirKey = "spark.graft.forkMaterialize.dir"
 
+  /** JVM system property gating the test-only `lazy` strategy (the
+    * negative control CurateForkSpec uses to prove its scan counter can
+    * fail). Without the gate, a session conf typo'd to `lazy` would
+    * silently disable EVERY fork materialization — the exact regression
+    * the fork discipline exists to prevent, measured at 2065× source
+    * scans — with no signal. Production sessions don't set test props,
+    * so they fail fast instead.
+    */
+  val LazyGateProp = "spark.graft.testing.lazyFork"
+
   private val counter = new AtomicLong(0L)
+  // Collision-safe staging names across JVMs (round-15, verdict item 5):
+  // nanoTime ties are real when two drivers pointed at one explicit
+  // staging dir start forks in the same tick — a random per-JVM tag
+  // plus the per-JVM counter cannot collide.
+  private val jvmTag =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  private def stagingBase(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get(DirKey,
+      s"${System.getProperty("java.io.tmpdir")}/graft-fork-stage/" +
+        spark.sparkContext.applicationId)
 
   /** Materialize a frame that is about to be consumed by more than one
     * downstream action, per the session's configured strategy. Eager in
@@ -76,19 +105,20 @@ object Materialize {
     val spark = df.sparkSession
     spark.conf.get(StrategyKey, "local") match {
       case "table" =>
-        val base = spark.conf.get(DirKey,
-          s"${System.getProperty("java.io.tmpdir")}/graft-fork-stage")
-        val path = s"$base/fork_${java.lang.Long.toHexString(System.nanoTime())}" +
-          s"_${counter.incrementAndGet()}"
+        val path = s"${stagingBase(spark)}/fork_${jvmTag}_${counter.incrementAndGet()}"
         graft.sources.StageIO.save(df, path)
         spark.read.parquet(path)
       case "local" => df.localCheckpoint(true)
-      // NEGATIVE-CONTROL strategy, for tests only: no materialization at
-      // all, so every fork re-executes its upstream once per consumer —
-      // CurateForkSpec uses it to prove its scan-counting assertion CAN
-      // fail (without it, a broken counter and a held discipline are
+      // NEGATIVE-CONTROL strategy, for tests only (gated on
+      // [[LazyGateProp]]): no materialization at all, so every fork
+      // re-executes its upstream once per consumer — CurateForkSpec
+      // uses it to prove its scan-counting assertion CAN fail (without
+      // it, a broken counter and a held discipline are
       // indistinguishable). Never use it in production pipelines.
-      case "lazy" => df
+      case "lazy" if sys.props.get(LazyGateProp).contains("true") => df
+      case "lazy" => throw new IllegalArgumentException(
+        s"$StrategyKey='lazy' is the test-only negative control " +
+          s"(requires -D$LazyGateProp=true); expected: local | table")
       case other => throw new IllegalArgumentException(
         s"$StrategyKey='$other' (expected: local | table)")
     }
@@ -104,11 +134,21 @@ object Materialize {
     * cleans the same as local disk.
     */
   def cleanStagingDir(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val base = spark.conf.get(DirKey,
-      s"${System.getProperty("java.io.tmpdir")}/graft-fork-stage")
-    val path = new org.apache.hadoop.fs.Path(base)
+    val path = new org.apache.hadoop.fs.Path(stagingBase(spark))
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) fs.delete(path, true)
+    if (fs.exists(path)) {
+      // Guard against DirKey pointed at a non-scratch path (round 15):
+      // this is a RECURSIVE delete, and the only thing [[fork]] ever
+      // writes under the base is `fork_*` tables — anything else means
+      // the dir is not ours to destroy.
+      val foreign = fs.listStatus(path)
+        .map(_.getPath.getName).filterNot(_.startsWith("fork_"))
+      require(foreign.isEmpty,
+        s"refusing to delete staging dir $path: contains non-fork " +
+          s"entries ${foreign.take(5).mkString(", ")} - is $DirKey " +
+          "pointed at a non-scratch path?")
+      fs.delete(path, true)
+    }
   }
 
   /** Chainable syntax for [[fork]] so a fork site stays a one-token

@@ -45,6 +45,15 @@ object StageIO {
     * bucketed on one column of a two-column join key gets reshuffled
     * anyway (measured in IncrementalIndexSpec: the (band,bucket) probe
     * against a bucket-only-bucketed index re-exchanged the index).
+    *
+    * `buckets` BOUNDS BOTH SIDES OF THE TABLE'S LIFECYCLE: reads run one
+    * task per bucket (the downstream join's parallelism IS the bucket
+    * count) and — because of the repartition below — so does this
+    * write. Size it to the core budget the table's consumers should
+    * use (SCALING.md §5b): a 32-core ingestion executor rebuilding a
+    * large index at 8 buckets writes through 8 tasks and probes
+    * through 8 — both a 4× parallelism haircut. The one-file-per-bucket
+    * layout is worth that ONLY when buckets ≈ cores.
     */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
                    moreCols: String*): Unit =

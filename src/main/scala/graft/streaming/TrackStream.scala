@@ -197,8 +197,20 @@ object TrackStream {
     val spark = batch.sparkSession
     val history = readState(spark, historyDir)
       .getOrElse(batch.limit(0)) // first batch: no corpus yet
-    val kept = graft.ops.Dedup.exactDedupIncrementalBloom(
-      batch, history, textCol, idCol, state).localCheckpoint(true)
+    // caller-owned broadcast (round 15, advisor item): one per
+    // micro-batch is necessary (the filter mutates via mergeInPlace
+    // below, so a cached broadcast would go stale and re-emit
+    // duplicates) — but it must not OUTLIVE the batch: left to the
+    // ContextCleaner, a long-running query pins one ~filter-sized block
+    // per batch until GC happens to notice. The eager localCheckpoint
+    // truncates the lineage, so nothing references the broadcast after
+    // it and the destroy is safe; on a failed batch the destroy still
+    // runs and the source retries.
+    val bc = spark.sparkContext.broadcast(state)
+    val kept =
+      try graft.ops.Dedup.exactDedupIncrementalBloomBc(
+        batch, history, textCol, idCol, bc).localCheckpoint(true)
+      finally bc.destroy()
     // fold the kept digests into the state filter FIRST (same (n, fpp) ⇒
     // same geometry, so the merge is a bitset OR): bloom-ahead-of-corpus
     // is safe (false positives resolved by the exact residue check);

@@ -24,14 +24,20 @@ class BenchDigestSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   private def worstCaseDigest: String = {
-    val meds = Bench.DigestQueries.map(_ -> 99999.999).toMap
+    // 999.999, not 99999.999: every sample is WATCHDOG-CAPPED (240 s
+    // main / 600 s scale at the default knobs the driver runs), so a
+    // 4-digit seconds value is already above anything a default-config
+    // run can emit — paranoia beyond the caps would burn tail-window
+    // budget on impossible digits. (Raising the cap env knobs 10× buys
+    // one digit per value; the ~90-char margin below absorbs that.)
+    val meds = Bench.DigestQueries.map(_ -> 999.999).toMap
     val scales = Seq("sf1", "sf30", "sf100").map { label =>
       Bench.ScaleSummary(label,
-        Bench.ScaleDigestPicks(label).map(_ -> Option(99999.999)),
+        Bench.ScaleDigestPicks(label).map(_ -> Option(999.999)),
         contended = true,
         // worst case: EVERY pick still suspect after retry, longest
-        // cause strings (digestLine caps the emitted map at 2 entries,
-        // but hand it the full list so the cap itself is under test)
+        // cause strings — all subsumed into the uncapped `divergent`
+        // entries (the residual-causes path has its own test below)
         causes = Bench.ScaleDigestPicks(label).map(_ -> "majflt=99999/s"))
     }
     Bench.digestLine(
@@ -70,9 +76,26 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(node.get("sf100_ref").size() == node.get("sf100").size())
     assert(node.get("divergent").isArray)
     // worst case: every measured pick is 99999.999 ⇒ every ref'd pick
-    // diverges; the list is capped at 2, the count is exact
-    assert(node.get("divergent").size() == 2)
-    assert(node.get("divergent_n").asInt() == Bench.ScaleRefs.values.map(_.size).sum)
+    // diverges; since round 15 the list is UNCAPPED (the r14 .take(2)
+    // hid 7 of 9 divergent samples) and each entry carries
+    // measured/ref plus the sample's env cause inline. Entries are
+    // POSITIONAL (`sf1[2]=93.0/34.5:heap=91136mb` = the 3rd key of the
+    // "sf1" object), the `_ref` arrays' convention — named entries
+    // measured ~65 chars each and pushed the worst case past the tail
+    // window.
+    val nRefs = Bench.ScaleRefs.values.map(_.size).sum
+    assert(node.get("divergent").size() == nRefs)
+    assert(node.get("divergent_n").asInt() == nRefs)
+    val entries = (0 until nRefs).map(node.get("divergent").get(_).asText())
+    assert(entries.forall(_.matches("""sf\d+\[\d+\]=[\d.]+/[\d.]+(:.+)?""")),
+      s"malformed divergent entries: $entries")
+    // the worst-case causes hand every pick "majflt=99999/s" — it must
+    // ride inline on the divergent entry, not only in _suspect_causes
+    assert(entries.forall(_.endsWith(":majflt=99999/s")))
+    // a divergent index must resolve against its section object: entry
+    // sf1[i] names the i-th key of the "sf1" object
+    val idx = """sf1\[(\d+)\]""".r.findFirstMatchIn(entries.head).get.group(1).toInt
+    assert(idx < node.get("sf1").size())
   }
 
   test("digest with no completed work is still valid minimal JSON") {
@@ -139,12 +162,26 @@ class BenchDigestSpec extends AnyFunSuite {
     }
   }
 
-  test("digest suspect-causes map is capped at 2 entries per section") {
-    val node = mapper.readTree(worstCaseDigest)
-    val sf1 = node.get("sf1_suspect_causes")
-    assert(sf1 != null && sf1.isObject)
-    assert(sf1.size() <= 2)
-    assert(sf1.elements().next().asText() == "majflt=99999/s")
+  test("suspect causes subsumed by divergent entries are dropped; residual ones ride, capped at 2") {
+    // worst case: every caused pick is also divergent, so every cause is
+    // inline in `divergent` and the per-section maps are omitted
+    val worst = mapper.readTree(worstCaseDigest)
+    assert(worst.get("sf1_suspect_causes") == null)
+    // a suspect-but-WITHIN-BAND sample (measured ≈ ref ⇒ not divergent)
+    // still surfaces its cause through the per-section map
+    val scales = Seq(Bench.ScaleSummary("sf100",
+      Bench.ScaleDigestPicks("sf100").map(n =>
+        n -> Option(Bench.ScaleRefs("sf100")(n))), // measured == ref
+      contended = false,
+      causes = Bench.ScaleDigestPicks("sf100").map(_ -> "ext=3.1")))
+    val node = mapper.readTree(Bench.digestLine(1.0, 5, 5, truncated = false,
+      contended = Nil, suspect = 3, noClean = 0, errors = 0, skipped = 0,
+      medians = Map.empty, scales = scales, sfDir = "/tmp/x"))
+    assert(node.get("divergent_n").asInt() == 0)
+    val causes = node.get("sf100_suspect_causes")
+    assert(causes != null && causes.isObject)
+    assert(causes.size() == 2) // 3 caused picks, capped at 2
+    assert(causes.elements().next().asText() == "ext=3.1")
   }
 
   test("PSI parser: 'some … total=' extracted; garbage and absence yield -1") {

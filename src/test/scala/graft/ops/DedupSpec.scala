@@ -1202,4 +1202,52 @@ class DedupSpec extends SparkTestBase {
       spark.conf.unset(Dedup.BuildRowsPerPartitionKey)
     }
   }
+
+  test("auto planners over a DERIVED frame execute the upstream once (sizing count trap)") {
+    // the round-14 scaladoc could only WARN that the sizing count()
+    // replays derived lineage; sizingInput now fork-materializes it —
+    // this counts parquet scans of a marker dir to prove the upstream
+    // runs exactly once for sizing + pairs together
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.SparkPlanInfo
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val marker = "graft-dedupspec-sizing"
+    val dir = java.nio.file.Files.createTempDirectory(marker).toString
+    (0 until 60).map(i => (i.toLong,
+      (0 until 12).map(j => s"t${(i * 13 + j * 5) % 211}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val raw = spark.read.parquet(s"$dir/docs.parquet")
+    // derived lineage: distinct (an aggregate) — NOT scan-shaped, so a
+    // bare sizing count would replay it per consumer. Exactly ONE scan
+    // node in the plan, so the scan count equals the execution count.
+    val derived = raw.distinct()
+    assert(!Dedup.isScanShaped(derived))
+    assert(!Dedup.isScanShaped(raw.unionByName(raw)))
+    assert(Dedup.isScanShaped(raw))
+    assert(Dedup.isScanShaped(raw.filter(col("doc_id") > 3).select("doc_id", "text")))
+    val scans = new AtomicInteger(0)
+    def walk(p: SparkPlanInfo): Int =
+      (if (p.nodeName.toLowerCase.contains("scan") &&
+        (p.simpleString.contains(marker) ||
+          p.metadata.valuesIterator.exists(_.contains(marker)))) 1 else 0) +
+        p.children.map(walk).sum
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case e: SparkListenerSQLExecutionStart => scans.addAndGet(walk(e.sparkPlanInfo))
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Dedup.minhashLshPairsAuto(derived, "text", "doc_id",
+        n = 3, threshold = 0.5).collect()
+      org.apache.spark.GraftTestShim.waitListenerBus(spark.sparkContext)
+      assert(out != null) // pairs may be empty on this unique-vocab corpus
+      assert(scans.get() == 1,
+        s"derived auto-planning scanned the source ${scans.get()} times " +
+          "(sizing count + pairs must share one fork materialization)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -125,6 +125,15 @@ class CurateForkSpec extends SparkTestBase {
     try body finally spark.conf.unset(Materialize.StrategyKey)
   }
 
+  /** The `lazy` negative control is gated behind a test-only system
+    * property so a production session conf typo'd to `lazy` cannot
+    * silently disable every fork materialization.
+    */
+  private def withLazyGate[A](body: => A): A = {
+    System.setProperty(Materialize.LazyGateProp, "true")
+    try body finally System.clearProperty(Materialize.LazyGateProp)
+  }
+
   test("fork discipline: eager forks bound source scans; a lazied fork re-executes upstream (negative control)") {
     corpusDir // force corpus write OUTSIDE any counting window
     val (eagerScans, eagerRows) = countSourceScans(runCurate())
@@ -141,7 +150,9 @@ class CurateForkSpec extends SparkTestBase {
     // false-fail; the REGRESSION signal is the relative assertion below.
     assert(eagerScans > 0, "counter saw no source scans - marker match broken?")
     assert(eagerScans <= 8, s"eager fork run scanned the source $eagerScans times")
-    val (lazyScans, lazyRows) = withStrategy("lazy")(countSourceScans(runCurate()))
+    val (lazyScans, lazyRows) = withLazyGate {
+      withStrategy("lazy")(countSourceScans(runCurate()))
+    }
     // same rows either way — laziness changes cost, never content
     assert(lazyRows.toSeq == eagerRows.toSeq)
     assert(lazyScans > eagerScans,
@@ -174,6 +185,47 @@ class CurateForkSpec extends SparkTestBase {
     withStrategy("distributed-magic") {
       val e = intercept[IllegalArgumentException](Materialize.fork(docs))
       assert(e.getMessage.contains("forkMaterialize"))
+    }
+  }
+
+  test("ungated 'lazy' strategy fails fast (production sessions can't silently disable forks)") {
+    assert(System.getProperty(Materialize.LazyGateProp) == null)
+    withStrategy("lazy") {
+      val e = intercept[IllegalArgumentException](Materialize.fork(docs))
+      assert(e.getMessage.contains("negative control"))
+    }
+  }
+
+  test("staging names are collision-safe and the default base is per-application") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-fork-names").toString
+    withStrategy("table") {
+      spark.conf.set(Materialize.DirKey, stageDir)
+      try {
+        Materialize.fork(docs.limit(1)); Materialize.fork(docs.limit(1))
+        val names = new java.io.File(stageDir).listFiles().map(_.getName)
+        assert(names.length == 2 && names.distinct.length == 2)
+        // names embed a random per-JVM tag (collision safety across two
+        // concurrent drivers sharing one explicit staging dir) plus the
+        // per-JVM counter
+        assert(names.forall(_.matches("fork_[0-9a-f]{16}_\\d+")), names.mkString(","))
+      } finally {
+        spark.conf.unset(Materialize.DirKey)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stageDir))
+      }
+    }
+  }
+
+  test("cleanStagingDir refuses a dir holding non-fork entries (mispointed DirKey guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fork-guard")
+    java.nio.file.Files.writeString(dir.resolve("precious-data.txt"), "not a fork")
+    spark.conf.set(Materialize.DirKey, dir.toString)
+    try {
+      val e = intercept[IllegalArgumentException](Materialize.cleanStagingDir(spark))
+      assert(e.getMessage.contains("non-fork"))
+      assert(java.nio.file.Files.exists(dir.resolve("precious-data.txt")))
+    } finally {
+      spark.conf.unset(Materialize.DirKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
 }
