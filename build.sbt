@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xms pinned to -Xmx: G1 cannot uncommit heap below Xms, which
+  // removes the uncommit-then-retouch amplifier behind the r12-r14
+  // bench anomalies (docs/REUSE_TWIN_ATTRIBUTION.md finding 3: a
+  // calibration System.gc() let G1 return gigabytes to the OS and the
+  // next sample re-zeroed them at this host's pathological first-touch
+  // rate). Committed pages are not touched pages, so startup stays
+  // instant (measured 0.09 s at 8g) — first-touch cost is paid once
+  // per page instead of once per uncommit cycle.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -437,7 +437,10 @@ object Bench {
     // artifact (docs/BENCH_HEAP.md: comparing numbers across heap sizes
     // compares kernels, not queries) — a channel mismatch must be
     // visible IN the artifact itself.
-    s"""{"heap_max_mb":${mb(Runtime.getRuntime.maxMemory)},""" +
+    val parentHeap = sys.env.get("SPARK_GRAFT_PARENT_HEAP_MB")
+      .collect { case s if s.forall(_.isDigit) => s }
+      .fold("")(p => s""""heap_parent_mb":$p,""")
+    s"""{"heap_max_mb":${mb(Runtime.getRuntime.maxMemory)},$parentHeap""" +
       s""""code_cache_used_mb":$ccU,"code_cache_max_mb":$ccM,""" +
       s""""metaspace_used_mb":$msU,"gc_total_s":${fmt(gcMillis / 1000.0)},""" +
       s""""uptime_s":${fmt(up)}}"""
@@ -841,8 +844,14 @@ object Bench {
       s""","divergent_n":${divergent.length},"divergent":""" +
         divergent.map("\"" + _ + "\"").mkString("[", ",", "]") +
         // the run's actual heap, in the line the driver parses — the
-        // channel knob the committed artifacts pin outside themselves
-        s""","heap_mb":${Runtime.getRuntime.maxMemory / 1048576}"""
+        // channel knob the committed artifacts pin outside themselves;
+        // when this process is a heap-neutralizing re-exec
+        // ([[reexecAtExpectedHeap]]), the parent's foreign heap rides
+        // beside it so the channel mismatch stays visible evidence
+        s""","heap_mb":${Runtime.getRuntime.maxMemory / 1048576}""" +
+        sys.env.get("SPARK_GRAFT_PARENT_HEAP_MB")
+          .collect { case s if s.forall(_.isDigit) => s }
+          .fold("")(p => s""","heap_parent_mb":$p""")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""reps":$reps,"reps_completed":$repsCompleted,"truncated":$truncated,""" +
       s""""contended":${contended.mkString("[", ",", "]")},"suspect":$suspect,""" +
@@ -1007,6 +1016,50 @@ object Bench {
   private def scaleRetry: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRY", "true").toBoolean
 
+  /** Stream every byte of a scale dir through the page cache, returning
+    * (MB read, seconds). Round 15, verdict item 2 — the unexplained
+    * 41.6-vs-66.2 s idle spread on sf100 curate-scale. The attribution
+    * experiment (docs/CACHE_ATTRIBUTION.md) REFUTED the page-cache
+    * suspect: drop_caches-cold vs warm runs measured 33.9-40.4 s with
+    * no cold/warm separation (the query reads a 105 MB table; device
+    * reads are seconds at most). The spread's measured cause is
+    * own-process KERNEL time — the slow committed sample burned 9.7
+    * sys-cores vs the fast run's 1.5, every other arm clean: the
+    * BENCH_HEAP.md gc-uncommit-retouch amplifier operating at 8g,
+    * below the (correctly-calibrated) 13.0 sys-arm threshold — and the
+    * fix is the -Xms=-Xmx pin (build.sbt; the re-exec child adds
+    * AlwaysPreTouch), under which G1 cannot uncommit and the
+    * experiment's four pinned runs sat in a ±9% band. This precache
+    * stays because it costs ~1 s warm and turns the cache-state
+    * question from "unrecorded" into per-section artifact evidence
+    * (`<label>_precache_{mb,sec}`: a cold dir reads at device speed,
+    * a warm one at memory speed) — the table-touch warmup cannot do
+    * this: parquet `count()` reads footers, never the data pages.
+    */
+  private def precacheDir(spark: SparkSession, dir: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var bytes = 0L
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val buf = new Array[Byte](1 << 20)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) {
+          val in = fs.open(f.getPath)
+          try {
+            var n = 0
+            while ({ n = in.read(buf); n >= 0 }) bytes += n
+          } finally in.close()
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] precache of $dir failed: $e")
+    }
+    (bytes / 1048576.0, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** One scale section (sf1/sf30/sf100): pre-validate every table in the
     * dir, run the picked queries once each in a FRESH session, emit the
     * JSON fragment (`,"<label>":{…}[,"<label>_errors":{…}],"<label>_dir":…`).
@@ -1039,6 +1092,10 @@ object Bench {
           Some(t -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
         }
       }
+      // warm the page cache BEFORE the JVM warmup and record what was
+      // found (see [[precacheDir]]) — cold-dir evidence rides in the
+      // artifact as `<label>_precache_{mb,sec}`
+      val (precacheMb, precacheSec) = precacheDir(spark, dir)
       warmup(spark, dir)
       val load = loadAvg
       // calibration BETWEEN EVERY query, not just section brackets: a
@@ -1172,14 +1229,68 @@ object Bench {
           s""""${label}_sample_majflt_rate":${jm(r => fmt(r.diag.majfltRate))},""" +
           s""""${label}_sample_psi_io":${jm(r => fmt(r.diag.psiIoFrac))},""" +
           s""""${label}_sample_psi_mem":${jm(r => fmt(r.diag.psiMemFrac))},""" +
-          s""""${label}_jvm":$jvmHealthJson""" +
+          s""""${label}_jvm":$jvmHealthJson,""" +
+          s""""${label}_precache_mb":${fmt(precacheMb)},""" +
+          s""""${label}_precache_sec":${fmt(precacheSec)}""" +
           manifestJson +
           s""","${label}_dir":"$dir""""
       (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot, causes))
     } finally spark.stop()
   }
 
+  /** Whether a heap-mismatched Bench process re-execs itself at the
+    * committed protocol heap instead of merely flagging every scale
+    * sample (round 15, verdict item 1: "a flagged-bad measurement still
+    * measures nothing"). The child gets SPARK_GRAFT_HEAP_REEXEC=false,
+    * so a child that STILL mismatches (e.g. the expected heap is
+    * unattainable) degrades to the round-14 flagging behavior instead
+    * of forking forever.
+    */
+  private def heapReexecEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_HEAP_REEXEC", "true").toBoolean
+
+  /** Re-exec this JVM as `graft.Bench` at [[expectedHeapMb]] — Xms
+    * pinned to Xmx (G1 cannot uncommit below Xms, so the
+    * gc-uncommit-retouch amplifier cannot exist) plus AlwaysPreTouch
+    * (every heap page zeroed ONCE at JVM start, outside all sample
+    * windows — measured 1.4 s at 8g on this host, vs the same cost
+    * landing inside whichever samples touch fresh pages first). The
+    * child inherits stdio (its digest line IS this process's output),
+    * every non-heap JVM arg (add-opens, -D conf), the classpath, and
+    * the environment; the parent's heap is recorded for the artifact
+    * via SPARK_GRAFT_PARENT_HEAP_MB. Never returns.
+    */
+  private def reexecAtExpectedHeap(args: Array[String], actualMb: Long): Nothing = {
+    import scala.jdk.CollectionConverters._
+    val mb = expectedHeapMb.toLong
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        a.startsWith("-XX:MaxHeapSize") || a.startsWith("-XX:InitialHeapSize") ||
+        a == "-XX:+AlwaysPreTouch")
+    val cmd = Seq(javaBin) ++ inherited ++ Seq(
+      s"-Xms${mb}m", s"-Xmx${mb}m", "-XX:+AlwaysPreTouch",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
+    val pb = new ProcessBuilder(cmd.asJava).inheritIO()
+    pb.environment().put("SPARK_GRAFT_PARENT_HEAP_MB", actualMb.toString)
+    pb.environment().put("SPARK_GRAFT_HEAP_REEXEC", "false")
+    System.err.println(s"[bench] heap ${actualMb}mb deviates from the " +
+      s"committed protocol ${mb}mb - re-exec at the protocol heap " +
+      "(SPARK_GRAFT_HEAP_REEXEC=false to flag instead)")
+    sys.exit(pb.start().waitFor())
+  }
+
   def main(args: Array[String]): Unit = {
+    // NEUTRALIZE a foreign heap before measuring anything (round 15):
+    // rounds 12-14 each shipped heavy scale samples 2-4.6× over the
+    // committed idle bands because the driver channel exports a large
+    // SPARK_DRIVER_MEM; round 14 made the artifact NAME that cause
+    // (heap_mb + per-sample heap= tags), this makes the measurement
+    // valid instead — the bench re-runs itself at the protocol heap and
+    // the artifact records both heaps.
+    if (heapReexecEnabled && heapMismatchCause.isDefined)
+      reexecAtExpectedHeap(args, Runtime.getRuntime.maxMemory / 1048576)
     val startNs = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - startNs) / 1e9
     def timeLeft(): Boolean = elapsed < deadlineSecs

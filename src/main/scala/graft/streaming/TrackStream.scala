@@ -241,9 +241,13 @@ object TrackStream {
   /** [[bloomDedupForeachBatch]]'s NEAR-dup sibling: incremental n-gram
     * Jaccard screening as a `foreachBatch` sink. Cross-batch state is
     * the appended corpus table plus the persisted [[graft.ops.Dedup
-    * .shingleIndex]] (`indexDir`, parquet — one (id, n_shingles, 64-bit
-    * shingle hash) row per distinct shingle occurrence; at ingestion
-    * scale, the stage table to bucket by `shingle`). Each micro-batch
+    * .shingleIndex]] (`indexDir`, plain parquet — one (id, n_shingles,
+    * 64-bit shingle hash) row per distinct shingle occurrence). SCALE
+    * BOUNDARY: the per-batch probe join RESHUFFLES the history-side
+    * index rows it reads — Θ(history shingle occurrences) per batch; at
+    * a large history use [[nearDupForeachBatchBucketed]], whose index
+    * rides a bucketed table and reaches the join with zero exchange
+    * (plan-asserted in TrackStreamSpec). Each micro-batch
     * clusters against itself, probes the index bipartite (the history is
     * never re-tokenized — the 100 TB property), appends its survivors'
     * rows AND shingles, and hands survivors to `sink`. A replayed batch
@@ -339,6 +343,62 @@ object TrackStream {
     val corpus = readState(spark, corpusDir).getOrElse(return)
     graft.ops.Dedup.shingleIndex(corpus, textCol, idCol, n)
       .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** [[nearDupForeachBatch]] with the shingle index as a BUCKETED table
+    * — the round-15 closure of the remaining plain-parquet streaming
+    * screen (the minhash screen got this treatment in round 14): the
+    * plain sibling's per-batch probe join re-exchanges the history-side
+    * shingle index it reads — Θ(history shingle occurrences) of shuffle
+    * per batch — while a table bucketed on `shingle` (the probe join's
+    * one key) reaches the join with ZERO exchange and the per-batch
+    * shuffle mass stays batch-sized forever (TrackStreamSpec pins the
+    * executed plan). Same catalog/file-accumulation price and the same
+    * recovery contract as [[minhashNearDupForeachBatchBucketed]]:
+    * corpus append FIRST, then the index append — any crash window
+    * leaves index ⊆ corpus, repaired by
+    * [[shingleIndexFromCorpusBucketed]] (also the periodic compaction)
+    * before resume; a replayed batch emits zero rows. Size `buckets`
+    * to the probe's core budget (StageIO.saveBucketed's sizing rule).
+    */
+  def nearDupForeachBatchBucketed(textCol: String, idCol: String,
+                                  corpusDir: String, indexTable: String,
+                                  buckets: Int = 8,
+                                  n: Int = 3, threshold: Double = 0.2,
+                                  sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    val index =
+      if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
+      else graft.ops.Dedup.shingleIndex(batch.limit(0), textCol, idCol, n)
+    val kept = graft.ops.Dedup.nearDupIncrementalAgainstIndex(
+      batch, index, textCol, idCol, n, threshold).localCheckpoint(true)
+    kept.write.mode("append").parquet(corpusDir)
+    // append-bucketed with the identical spec, repartitioned to one
+    // file per non-empty bucket per batch — same mechanics and
+    // rationale as the minhash sibling's index appends
+    import org.apache.spark.sql.functions.col
+    graft.ops.Dedup.shingleIndex(kept, textCol, idCol, n)
+      .repartition(buckets, col("shingle"))
+      .write.mode("append")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .saveAsTable(indexTable)
+    sink(kept)
+  }
+
+  /** Rebuild [[nearDupForeachBatchBucketed]]'s index table from the
+    * persisted corpus — crash recovery AND the periodic compaction (an
+    * overwrite collapses one-file-per-bucket-per-batch accumulation
+    * back to `buckets` files). No-op if the corpus is absent.
+    */
+  def shingleIndexFromCorpusBucketed(spark: org.apache.spark.sql.SparkSession,
+                                     corpusDir: String, indexTable: String,
+                                     textCol: String, idCol: String,
+                                     buckets: Int = 8, n: Int = 3): Unit = {
+    val corpus = readState(spark, corpusDir).getOrElse(return)
+    graft.sources.StageIO.saveBucketed(
+      graft.ops.Dedup.shingleIndex(corpus, textCol, idCol, n),
+      indexTable, "shingle", buckets)
   }
 
   /** [[nearDupForeachBatch]]'s MINHASH-BANDED sibling: the
