@@ -8,7 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional dev filter; driver passes 2 args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -16,7 +16,13 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Fork-materialization strategy override (docs/SCALING.md, round 15):
+    // SPARK_GRAFT_FORK_MATERIALIZE=table runs the whole gate catalog with
+    // durable parquet fork staging — the catalog-wide strategy-invariance
+    // artifact (docs/fork_invariance_r15.json) is two Verify runs diffed.
+    sys.env.get("SPARK_GRAFT_FORK_MATERIALIZE")
+      .foreach(v => builder.config(graft.ops.Materialize.StrategyKey, v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

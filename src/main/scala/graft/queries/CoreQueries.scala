@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.ops.{Cleanse, Matching, Restructure}
+import graft.sources.StageIO
 
 /** Correctness-gate queries for the structural/projection/join/window
   * operator families (SURVEY.md §2.1-§2.4, §2.6-§2.7), each re-expressed
@@ -811,6 +812,91 @@ object CoreQueries {
     Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM customer ORDER BY c_custkey"""))
 
+  /** A gate-scoped scratch table dir: created fresh per invocation (the
+    * bench runs each gate once per pass — a shared path would make pass
+    * N read pass N-1's table), deleted eagerly after the result is
+    * localCheckpoint'd off it, so repeated passes don't accumulate
+    * tmp-dir garbage.
+    */
+  private def withScratchTable(s: SparkSession)
+                              (body: String => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_s5_gate")
+    val tbl = s"$base/table"
+    try body(tbl).localCheckpoint(true)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+    }
+  }
+
+  /** S5 (incremental-sink variant): appendDedup ≡ full-rerun equality,
+    * through the DuckDB hash channel. Three batches against one stage
+    * table: (1) odd order keys create it; (2) the FULL table — with a
+    * mutated o_orderpriority so the oracle can see WHICH copy survived —
+    * appends only the even keys (odd keys dup within their month and are
+    * dropped, keeping batch 1's copy); (3) batch 2 replayed is a no-op
+    * (idempotence — any appended row would break the row-count match).
+    * The oracle states the declarative contract the incremental path
+    * must land on: one row per key, first-writer-wins per month.
+    * Reference context: the reference re-fetches full history and
+    * truncate-loads every run (R/ingestion.R:43-58, R/storage.R:89);
+    * appendDedup is the 100-TB incremental replacement whose observable
+    * state must equal that full rerun.
+    */
+  val s5AppendDedup = Q("q_s5_append_dedup",
+    (s, dir) => withScratchTable(s) { tbl =>
+      val o = Tables.orders(s, dir)
+      val batch1 = o.filter(col("o_orderkey") % 2 === 1)
+      val batch2 = o.withColumn("o_orderpriority",
+        concat(col("o_orderpriority"), lit("_v2")))
+      StageIO.appendDedup(s, batch1, tbl, "o_orderdate", Seq("o_orderkey"))
+      StageIO.appendDedup(s, batch2, tbl, "o_orderdate", Seq("o_orderkey"))
+      StageIO.appendDedup(s, batch2, tbl, "o_orderdate", Seq("o_orderkey"))
+      s.read.parquet(tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"), col("__month"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              STRFTIME(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+              CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                   ELSE o_orderpriority || '_v2' END AS o_orderpriority,
+              STRFTIME(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS __month
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** S5 (compaction variant): [[graft.sources.StageIO.compact]] is
+    * content-preserving — a table written as many small files, compacted
+    * to few, hash-equals the source data through the oracle channel.
+    * The gate also pins the operational point: the file count actually
+    * drops (compaction that preserved content but not the file-count
+    * contract would pass a pure data compare).
+    */
+  val s5CompactRoundtrip = Q("q_s5_compact_roundtrip",
+    (s, dir) => withScratchTable(s) { tbl =>
+      StageIO.save(Tables.orders(s, dir).repartition(16), tbl)
+      val before = new java.io.File(tbl).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      StageIO.compact(s, tbl) // sf-dir orders ≪ 128 MB → 1 output file
+      val after = new java.io.File(tbl).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(after < before && after == 1,
+        s"compact left $after files (was $before); expected 1")
+      s.read.parquet(tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              STRFTIME(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+              o_orderpriority
+            FROM orders ORDER BY o_orderkey"""))
+
   def all: Seq[Q] = Seq(
     s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
@@ -818,5 +904,6 @@ object CoreQueries {
     j3BroadcastLeft, j5Remerge, j8Match, j9Enrich, j10Suffix, asofJoin,
     rangeJoin, intervalOverlap, joinSalted, joinSaltedAuto, joinSkewReport,
     so3Union, soExceptIntersect,
-    joinStreamIntervalTwin, soGlobalRowNumber, scd2Intervals, so6Complete)
+    joinStreamIntervalTwin, soGlobalRowNumber, scd2Intervals, so6Complete,
+    s5AppendDedup, s5CompactRoundtrip)
 }
