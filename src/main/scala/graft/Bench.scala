@@ -708,21 +708,28 @@ object Bench {
     * the spec) when newer idle artifacts land.
     */
   val ScaleRefs: Map[String, Map[String, Double]] = Map(
+    // Medians across the committed zero-suspect idle artifacts
+    // (r14/r14b/r15), EXCEPT where a pre-pin value violates the
+    // 1.4×-of-newest staleness pin: the round-15 Xms=Xmx protocol change
+    // removed the gc-uncommit-retouch amplifier and legitimately moved
+    // some samples (sf1 bpe_train 2.1 → 1.5), so the post-pin artifact's
+    // value stands there — folding amplifier-era numbers into a ref for
+    // the fixed protocol would encode the defect as the baseline.
     "sf1" -> Map(
-      "q_dedup_incremental_reuse_bloom" -> 18.3,
+      "q_dedup_incremental_reuse_bloom" -> 17.5,
       "q_dedup_incremental_reuse_plain" -> 34.5,
-      "q_dedup_minhash_lsh_auto" -> 3.9,
-      "q_curate_e2e_scale" -> 13.5,
-      "q_bpe_train" -> 2.2),
+      "q_dedup_minhash_lsh_auto" -> 3.7,
+      "q_curate_e2e_scale" -> 10.9,
+      "q_bpe_train" -> 1.5),
     "sf30" -> Map(
-      "q_dedup_minhash_lsh_auto" -> 7.8,
-      "q_dedup_semdedup" -> 4.8,
-      "q_dedup_winnow_pairs" -> 6.3,
-      "q_curate_e2e_scale" -> 21.1),
+      "q_dedup_minhash_lsh_auto" -> 7.6,
+      "q_dedup_semdedup" -> 4.5,
+      "q_dedup_winnow_pairs" -> 6.0,
+      "q_curate_e2e_scale" -> 19.0),
     "sf100" -> Map(
       "q_dedup_minhash_lsh_auto" -> 21.1,
-      "q_dedup_winnow_pairs" -> 34.6,
-      "q_curate_e2e_scale" -> 54.0))
+      "q_dedup_winnow_pairs" -> 33.3,
+      "q_curate_e2e_scale" -> 49.9))
 
   /** Divergence rule for the digest's `divergent` list: a measured scale
     * sample disagrees with its committed reference when the ratio

@@ -275,7 +275,7 @@ class BenchDigestSpec extends AnyFunSuite {
     // heaviest samples (sf100 curate-scale: 41.6/54.0/66.2 s across
     // three clean runs). Update the artifact name when a newer idle
     // artifact lands, and refresh the medians.
-    val path = java.nio.file.Paths.get("docs/bench_full_r14b_idle.json")
+    val path = java.nio.file.Paths.get("docs/bench_full_r15_idle.json")
     assume(java.nio.file.Files.isReadable(path), s"artifact not found: $path")
     val node = mapper.readTree(java.nio.file.Files.readAllBytes(path))
     Bench.ScaleRefs.foreach { case (label, refs) =>
