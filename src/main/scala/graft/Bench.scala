@@ -193,6 +193,29 @@ object Bench {
     f(9).toLong
   }
 
+  /** (read_bytes, write_bytes) from `/proc/self/io` content — ACTUAL
+    * device IO attributed to this process (the storage-layer counters,
+    * not rchar/wchar syscall volume, which double-counts page-cache
+    * hits). Bracketing a sample yields its own-process device-IO rate:
+    * the counter that separates "the sample did more write work" from
+    * "the same writes drained slower" — the residual ambiguity in the
+    * plain reuse twin's clean 32–47 s spread
+    * (docs/HEAPFIX_VALIDATION.md finding 2: sys-cores pinned at 11–12
+    * while wall varies 1.5×). DIAGNOSTIC ONLY, like minflt — a
+    * write-RATE threshold cannot discriminate, because slow writeback
+    * LOWERS the rate; what a reader wants is bytes ≈ equal across twins
+    * while wall differs (device-speed cause) vs bytes tracking wall
+    * (work-volume cause). -1 where the file is unreadable.
+    */
+  private[graft] def parseSelfIo(content: String): (Long, Long) = {
+    def grab(k: String): Long = {
+      val m = java.util.regex.Pattern
+        .compile(s"(?m)^$k:\\s*(\\d+)").matcher(content)
+      if (m.find()) m.group(1).toLong else -1L
+    }
+    (grab("read_bytes"), grab("write_bytes"))
+  }
+
   /** Cumulative `some total=` stall microseconds from a PSI file
     * (`/proc/pressure/{io,memory}`): the kernel's own accounting of time
     * ANY task on the host spent stalled on that resource. The delta of
@@ -236,7 +259,8 @@ object Bench {
   private final case class EnvSnap(hostBusy: Long, selfUser: Long,
                                    selfSys: Long, gcMs: Long,
                                    minflt: Long, majflt: Long,
-                                   psiIo: Long, psiMem: Long)
+                                   psiIo: Long, psiMem: Long,
+                                   ioRead: Long, ioWrite: Long)
 
   private def snapEnv(): EnvSnap = {
     val (u, s, minf, majf) = try {
@@ -245,9 +269,15 @@ object Bench {
       val (uu, ss) = parseSelfUtimeStime(line)
       (uu, ss, parseSelfMinflt(line), parseSelfMajflt(line))
     } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+    val (ioR, ioW) = try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      val content = try src.mkString finally src.close()
+      parseSelfIo(content)
+    } catch { case _: Throwable => (-1L, -1L) }
     EnvSnap(hostBusyJiffies, u, s, gcMillis, minf, majf,
       psiSomeTotalMicros("/proc/pressure/io"),
-      psiSomeTotalMicros("/proc/pressure/memory"))
+      psiSomeTotalMicros("/proc/pressure/memory"),
+      ioR, ioW)
   }
 
   /** Per-sample diagnostics derived from the two [[EnvSnap]] brackets.
@@ -258,7 +288,9 @@ object Bench {
                                              minfltRate: Double,
                                              majfltRate: Double,
                                              psiIoFrac: Double,
-                                             psiMemFrac: Double)
+                                             psiMemFrac: Double,
+                                             ioReadMb: Double = -1.0,
+                                             ioWriteMb: Double = -1.0)
 
   private def diagOf(a: EnvSnap, b: EnvSnap, secs: Double): SampleDiag = {
     def frac(x0: Long, x1: Long, unitPerSec: Double): Double =
@@ -281,7 +313,13 @@ object Bench {
       majfltRate = if (a.majflt < 0 || b.majflt < 0 || secs <= 0) -1.0
                    else math.max(0.0, (b.majflt - a.majflt) / secs),
       psiIoFrac = frac(a.psiIo, b.psiIo, 1e6),
-      psiMemFrac = frac(a.psiMem, b.psiMem, 1e6))
+      psiMemFrac = frac(a.psiMem, b.psiMem, 1e6),
+      // TOTAL MB over the sample (not a rate): the diagnostic question
+      // is "did the twins move the same bytes" — see [[parseSelfIo]]
+      ioReadMb = if (a.ioRead < 0 || b.ioRead < 0) -1.0
+                 else math.max(0.0, (b.ioRead - a.ioRead) / 1048576.0),
+      ioWriteMb = if (a.ioWrite < 0 || b.ioWrite < 0) -1.0
+                  else math.max(0.0, (b.ioWrite - a.ioWrite) / 1048576.0))
   }
 
   /** The measured cause when a sample's environment ran abnormal, or
@@ -1236,6 +1274,8 @@ object Bench {
           s""""${label}_sample_majflt_rate":${jm(r => fmt(r.diag.majfltRate))},""" +
           s""""${label}_sample_psi_io":${jm(r => fmt(r.diag.psiIoFrac))},""" +
           s""""${label}_sample_psi_mem":${jm(r => fmt(r.diag.psiMemFrac))},""" +
+          s""""${label}_sample_io_read_mb":${jm(r => fmt(r.diag.ioReadMb))},""" +
+          s""""${label}_sample_io_write_mb":${jm(r => fmt(r.diag.ioWriteMb))},""" +
           s""""${label}_jvm":$jvmHealthJson,""" +
           s""""${label}_precache_mb":${fmt(precacheMb)},""" +
           s""""${label}_precache_sec":${fmt(precacheSec)}""" +
@@ -1429,6 +1469,8 @@ object Bench {
       val sampleMajflt = jmap(good)(s => s.map(j => fmt(j.diag.majfltRate)).mkString("[", ",", "]"))
       val samplePsiIo = jmap(good)(s => s.map(j => fmt(j.diag.psiIoFrac)).mkString("[", ",", "]"))
       val samplePsiMem = jmap(good)(s => s.map(j => fmt(j.diag.psiMemFrac)).mkString("[", ",", "]"))
+      val sampleIoRead = jmap(good)(s => s.map(j => fmt(j.diag.ioReadMb)).mkString("[", ",", "]"))
+      val sampleIoWrite = jmap(good)(s => s.map(j => fmt(j.diag.ioWriteMb)).mkString("[", ",", "]"))
       val sampleCause = jmap(good)(s =>
         s.map(j => "\"" + jesc(j.cause.getOrElse("")) + "\"").mkString("[", ",", "]"))
       val sampleSuspect = jmap(good)(s => s.map(_.suspect).mkString("[", ",", "]"))
@@ -1486,6 +1528,8 @@ object Bench {
         s""""sample_majflt_rate":$sampleMajflt,""" +
         s""""sample_psi_io":$samplePsiIo,""" +
         s""""sample_psi_mem":$samplePsiMem,""" +
+        s""""sample_io_read_mb":$sampleIoRead,""" +
+        s""""sample_io_write_mb":$sampleIoWrite,""" +
         s""""sample_cause":$sampleCause,""" +
         s""""sample_suspect":$sampleSuspect,""" +
         s""""jvm":$jvmHealthJson,""" +

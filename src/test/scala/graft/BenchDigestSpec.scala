@@ -205,6 +205,18 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(Bench.parseSelfMajflt(actual) >= 0L)
   }
 
+  test("/proc/self/io parser: storage-layer counters only, -1 when a key is absent") {
+    val content = "rchar: 999999\nwchar: 888888\nsyscr: 5\nsyscw: 6\n" +
+      "read_bytes: 1048576\nwrite_bytes: 2097152\ncancelled_write_bytes: 0\n"
+    assert(Bench.parseSelfIo(content) == (1048576L, 2097152L))
+    // rchar must NOT satisfy read_bytes (anchored key match)
+    assert(Bench.parseSelfIo("rchar: 42\nwchar: 43\n") == (-1L, -1L))
+    val self = scala.io.Source.fromFile("/proc/self/io")
+    val actual = try self.mkString finally self.close()
+    val (r, w) = Bench.parseSelfIo(actual)
+    assert(r >= 0L && w >= 0L)
+  }
+
   test("envCause arms: each measured pressure names itself; unavailable (-1) stays clean") {
     def d(ext: Double = 0.1, gc: Double = 0.05, sysC: Double = 0.3,
           minf: Double = 5000.0, mf: Double = 0.0,
