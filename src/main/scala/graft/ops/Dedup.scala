@@ -988,6 +988,170 @@ object Dedup {
       shingleHashSets(existing, textCol, idCol, n),
       textCol, idCol, n, bands, rowsPerBand, threshold)
 
+  /** Collect an `ivfCentroids`-shaped frame — bounded model state, the
+    * same object [[semdedupPairs]] collects (√n-sized by the planner,
+    * K rows for a fixed-K screen) — into the (ids, matrix) pair the
+    * native TopCells assignment rides on.
+    */
+  private def collectCentroids(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** The persisted-history half of the incremental SEMANTIC screen: one
+    * row per document per assigned cell — `(centroid_id, idCol, vec)`,
+    * cells = the document's top-`indexAssign` centroids by (cosine desc,
+    * centroid_id asc), the same native TopCells rule every SemDeDup/IVF
+    * op uses. This is the embedding family's analogue of
+    * [[minhashBandIndex]]+[[shingleHashSets]] in ONE table: the cell id
+    * is the candidate key and the vector rides along for the exact
+    * verify, so the per-batch probe needs a single history join.
+    * Persist it bucketed on `centroid_id`
+    * (`StageIO.saveBucketed(idx, tbl, "centroid_id", n)`) and the
+    * history side of every probe join arrives with zero exchange.
+    *
+    * `centroids` must be the SAME frame (or persisted copy) used by
+    * every probe against this index — cell ids are meaningless across
+    * centroid fits. Vectors that cannot be scored against any centroid
+    * (zero norm) still assign deterministically (uncomputable cosines
+    * rank last, ties to the smallest centroid_id), so every document
+    * lands in the index.
+    */
+  def semanticCellIndex(df: DataFrame, vecCol: String, idCol: String,
+                        centroids: DataFrame, indexAssign: Int = 1): DataFrame = {
+    require(indexAssign >= 1 && indexAssign <= 4,
+      s"indexAssign=$indexAssign out of [1,4]")
+    val (ids, mat) = collectCentroids(centroids)
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
+    val eff = math.min(indexAssign, ids.length)
+    if (eff == 0)
+      return vecs.limit(0)
+        .select(lit(0L).as("centroid_id"), col(idCol), col("vec"))
+    vecs.select(
+      explode(graft.functions.VectorExprs.topCells(col("vec"), ids, mat, eff))
+        .as("centroid_id"),
+      col(idCol), col("vec"))
+  }
+
+  /** Incremental EMBEDDING-cosine near-dup screen against a persisted
+    * cell index — the semantic sibling of
+    * [[minhashIncrementalAgainstIndex]], completing the incremental
+    * family (exact digest / n-gram Jaccard / minhash banding /
+    * embedding cosine) for the ingestion design where the HISTORY is
+    * the 100 TB object. History contributes [[semanticCellIndex]] —
+    * probed by `centroid_id` equality only, so a `centroid_id`-bucketed
+    * table arrives at the join with zero exchange and per-batch cost is
+    * batch-sized forever — and `centroids`, the fixed coarse quantizer
+    * both sides must share (bounded model state, collected like every
+    * centroid consumer here).
+    *
+    * Semantics mirror the minhash sibling: keep incoming rows that
+    * survive within-batch keep-one (cells-confined pairs at cosine ≥
+    * `threshold`, connected components, min id wins — [[semdedupPairs]]'
+    * candidate shape against the SAME fixed centroids) AND whose exact
+    * cosine stays below `threshold` against every history candidate
+    * sharing a probed cell. Candidate completeness is cell co-residence:
+    * a true near-dup pair straddling cells that neither side probes is
+    * missed — the SemDeDup trade ([[semdedupPairs]]' scaladoc derives
+    * it); raise `probeCells` (incoming side) or the index's
+    * `indexAssign` to widen the net. The verify is exact, so false
+    * candidates never cost a keep decision.
+    *
+    * Idempotence: re-ingesting a loaded batch emits zero rows for every
+    * NONZERO vector — the replayed copy shares its original's cells by
+    * determinism of the assignment and verifies at cosine ≈ 1 ≥ any
+    * sane threshold. Zero-norm vectors are unscreenable (cosine is null
+    * against everything, never ≥ threshold) and re-emit on replay —
+    * filter them upstream where exactly-once matters, or compose after
+    * the exact-digest screen, which catches byte-identical replays of
+    * any vector.
+    *
+    * Empty `centroids` (bootstrap from an empty corpus) returns
+    * `incoming` unchanged: with no quantizer there are no cells, no
+    * candidates, and nothing to screen against — callers bootstrap
+    * centroids from the first non-empty batch
+    * ([[graft.ops.Similarity.ivfCentroids]], deterministic) before any
+    * screening claim holds.
+    */
+  def semanticIncrementalAgainstCells(incoming: DataFrame, cellIndex: DataFrame,
+                                      centroids: DataFrame,
+                                      vecCol: String, idCol: String,
+                                      threshold: Double,
+                                      probeCells: Int = 2): DataFrame = {
+    require(probeCells >= 1 && probeCells <= 4,
+      s"probeCells=$probeCells out of [1,4]")
+    val (ids, mat) = collectCentroids(centroids)
+    val eff = math.min(probeCells, ids.length)
+    if (eff == 0) return incoming
+    val vecs = incoming.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    // one assignment pass feeds the within-batch pairs AND the history
+    // probe (the TopCells scan is the dominant batch-side cost —
+    // same shared-pass rule as the minhash sibling's shingling)
+    val cells = vecs.select(col("__id"),
+      explode(graft.functions.VectorExprs.topCells(col("__v"), ids, mat, eff))
+        .as("centroid_id"),
+      col("__v")).forkMaterialize()
+    // within-batch keep-one: cells-confined pairs, exact cosine verify,
+    // CC min-id — semdedupPairs' shape with the screen's FIXED centroids
+    // (a per-batch refit would put batch and history in different cell
+    // spaces). Vector-carrying fan-out rows: 25k-row per-task budget,
+    // same as semdedupPairs.
+    val (a, b) = fanoutSides(cells, Seq("centroid_id"),
+      Seq(col("centroid_id"), col("__id").as("id_a"), col("__v").as("__va")),
+      Seq(col("centroid_id"), col("__id").as("id_b"), col("__v").as("__vb")),
+      parts = scaledParts(vecs, cells.count(), 25000L))
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(atLeast(Similarity.cosine(col("__va"), col("__vb")), threshold))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .forkMaterialize()
+    val losers = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    val h = adaptivePin(pairs.count() <= pairCeiling(incoming))
+    val batchSurvivors = incoming.join(h(losers), Seq(idCol), "left_anti")
+      .forkMaterialize()
+    // history probe: survivors' probe cells against the persisted index.
+    // The index is the LEFT/stream side and is joined on centroid_id
+    // alone — bucketed state arrives with ZERO exchange
+    // (TrackStreamSpec pins the executed plan); the batch-derived side
+    // is the build. No self-exclusion: a replayed doc MUST match its
+    // own ingested copy (same id, cosine ≈ 1) — that is the idempotence
+    // contract, exactly as the digest/jaccard screens match their own
+    // copies.
+    val survCells = cells.join(
+      batchSurvivors.select(col(idCol).as("__id")).hint("shuffle_hash"),
+      Seq("__id"), "left_semi")
+    val hits = cellIndex
+      .select(col("centroid_id"), col("vec").as("__hv"))
+      .join(survCells.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(atLeast(Similarity.cosine(col("__v"), col("__hv")), threshold))
+      .select(col("__id").as(idCol)).distinct()
+    batchSurvivors.join(hits.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticIncrementalAgainstCells]] with the quantizer fit and the
+    * index derived in-query from `existing` — the convenience overload
+    * for one-shot use (and the oracle gate's form); production ingestion
+    * persists the centroids once and appends [[semanticCellIndex]] rows
+    * per batch ([[graft.streaming.TrackStream
+    * .semanticNearDupForeachBatchBucketed]]).
+    */
+  def semanticIncremental(incoming: DataFrame, existing: DataFrame,
+                          vecCol: String, idCol: String,
+                          threshold: Double, nCells: Int,
+                          probeCells: Int = 2, indexAssign: Int = 1,
+                          iters: Int = 3): DataFrame = {
+    val cents = Similarity.ivfCentroids(existing, idCol, vecCol, nCells, iters)
+    semanticIncrementalAgainstCells(incoming,
+      semanticCellIndex(existing, vecCol, idCol, cents, indexAssign),
+      cents, vecCol, idCol, threshold, probeCells)
+  }
+
   /** Duplicated-substring REMOVAL at k-token granularity — the transform
     * half of [[duplicatedSpanStats]] (Lee et al.'s ExactSubstr dedup):
     * every k-token span occurring ≥2 times corpus-wide keeps only its

@@ -377,6 +377,101 @@ private[graft] object CurationDedupQueries {
               AND doc_id NOT IN (SELECT doc_id FROM crosshit)
             ORDER BY doc_id"""))
 
+  /** Incremental SEMANTIC (embedding-cosine) near-dup screen
+    * ([[graft.ops.Dedup.semanticIncrementalAgainstCells]]) — the fourth
+    * member of the incremental family: history = the whole embeddings
+    * table, incoming = a deterministic synthetic batch derived from the
+    * first 48 vectors, built to exercise every decision path at
+    * threshold 0.9: ids ≡ 0 (mod 4) replay their history vector
+    * verbatim (history hit via cosine ≈ 1), ids ≡ 3 ship it scaled
+    * ×0.5 (cosine is scale-invariant — same hit through different
+    * bytes), ids ≡ 1 ship it NEGATED (cosine ≈ −1 → novel), and ids ≡
+    * 2 duplicate the PREVIOUS id-≡-1 row's negated vector under a
+    * larger id (a within-batch exact pair: connected components keeps
+    * the smaller id, so the ≡2 row dies to self-dedup, not to
+    * history). FULLY oracled: the SQL rebuilds the 16-cell / 3-step
+    * Lloyd quantizer ([[lloydCtesSql]] — fit on the history, exactly
+    * what [[graft.ops.Dedup.semanticIncremental]] does), re-derives the
+    * top-1 history cells and top-2 probe cells with the TopCells tie
+    * rule, replays the within-batch cell-confined pairs + recursive-CC
+    * keep-one, and the survivor-vs-history probe — every CANDIDATE
+    * decision (cell co-residence), not just the cosine verdicts,
+    * reproduces bit-for-bit (the quantized-centroid contract).
+    */
+  val dedupIncrementalSemantic = Q("q_dedup_incremental_semantic",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") < 48)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val prev = base.select((col("vec_id") + 1).as("vec_id"),
+        col("e").as("e_prev"))
+      val incoming = base.join(prev, Seq("vec_id"), "left")
+        .select(
+          when(col("vec_id") % 4 === 2, col("vec_id") + 2000000L)
+            .otherwise(col("vec_id") + 1000000L).as("new_id"),
+          when(col("vec_id") % 4 === 0, col("e"))
+            .when(col("vec_id") % 4 === 1, transform(col("e"), x => -x))
+            .when(col("vec_id") % 4 === 2, transform(col("e_prev"), x => -x))
+            .otherwise(transform(col("e"), x => x * 0.5)).as("embedding"))
+        .select(col("new_id").as("vec_id"), col("embedding"))
+      Dedup.semanticIncremental(incoming, emb, "embedding", "vec_id",
+        threshold = 0.9, nCells = 16, probeCells = 2, indexAssign = 1,
+        iters = 3)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE ${lloydCtesSql("16", 3)},
+            inc AS (
+              SELECT CASE WHEN a.vec_id % 4 = 2 THEN a.vec_id + 2000000
+                          ELSE a.vec_id + 1000000 END AS vec_id,
+                     CASE WHEN a.vec_id % 4 = 0 THEN a.e
+                          WHEN a.vec_id % 4 = 1 THEN LIST_TRANSFORM(a.e, x -> -x)
+                          WHEN a.vec_id % 4 = 2 THEN LIST_TRANSFORM(p.e, x -> -x)
+                          ELSE LIST_TRANSFORM(a.e, x -> x * 0.5) END AS e
+              FROM v a LEFT JOIN v p ON p.vec_id = a.vec_id - 1
+              WHERE a.vec_id < 48),
+            nc AS (SELECT LEAST(2, COUNT(*)) AS eff FROM c3),
+            hcells AS (
+              SELECT vec_id, centroid_id, e FROM (
+                SELECT v.vec_id, c.centroid_id, v.e,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c) WHERE rk <= 1),
+            icells AS (
+              SELECT vec_id, centroid_id, e FROM (
+                SELECT i.vec_id, c.centroid_id, i.e,
+                       ROW_NUMBER() OVER (PARTITION BY i.vec_id
+                         ORDER BY ${cosSql("i.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM inc i CROSS JOIN c3 c), nc WHERE rk <= eff),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM icells a JOIN icells b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              WHERE ${cosSql("a.e", "b.e")} >= 0.9),
+            edges AS (
+              SELECT id_a AS ea, id_b AS eb FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(ea, eb) AS (
+              SELECT ea, eb FROM edges
+              UNION
+              SELECT r.ea, g.eb FROM reach r JOIN edges g ON r.eb = g.ea),
+            labels AS (
+              SELECT ea AS id, LEAST(ea, MIN(eb)) AS label FROM reach GROUP BY ea),
+            losers AS (SELECT id FROM labels WHERE label <> id),
+            surv AS (
+              SELECT vec_id FROM inc
+              WHERE vec_id NOT IN (SELECT id FROM losers)),
+            hits AS (
+              SELECT DISTINCT s.vec_id
+              FROM icells s JOIN hcells h ON h.centroid_id = s.centroid_id
+              WHERE s.vec_id IN (SELECT vec_id FROM surv)
+                AND ${cosSql("s.e", "h.e")} >= 0.9)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id FROM surv
+            WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+            ORDER BY vec_id"""))
+
   /** Exact duplicated-substring screen at 8-token granularity: per doc,
     * how many sliding 8-token spans occur ≥2 times corpus-wide. The
     * oracle recomputes the identical definition relationally (span text
@@ -1015,5 +1110,5 @@ private[graft] object CurationDedupQueries {
             SELECT id_a, id_b, ROUND(cosine, 9) AS cosine
             FROM sc WHERE cosine >= 0.45 ORDER BY id_a, id_b"""))
 
-  val all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalBloom, dedupIncrementalReuseBloom, dedupIncrementalReusePlain, dedupDecontaminate, dedupContainment, dedupIncrementalNear, dedupIncrementalMinhash, dedupSubstring, dedupSubstringStrip, dedupLineStats, dedupLineStrip, dedupJaccard, dedupEditDist, dedupEditDistKeep, dedupMinhash, dedupMinhashAuto, dedupSimhash, dedupCosine, dedupDecontaminateEmbed, dedupCosineLsh, dedupCosineLshAuto, dedupSemdedup)
+  val all: Seq[Q] = Seq(dedupExact, dedupIncremental, dedupIncrementalBloom, dedupIncrementalReuseBloom, dedupIncrementalReusePlain, dedupDecontaminate, dedupContainment, dedupIncrementalNear, dedupIncrementalMinhash, dedupIncrementalSemantic, dedupSubstring, dedupSubstringStrip, dedupLineStats, dedupLineStrip, dedupJaccard, dedupEditDist, dedupEditDistKeep, dedupMinhash, dedupMinhashAuto, dedupSimhash, dedupCosine, dedupDecontaminateEmbed, dedupCosineLsh, dedupCosineLshAuto, dedupSemdedup)
 }

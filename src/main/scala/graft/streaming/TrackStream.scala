@@ -581,6 +581,121 @@ object TrackStream {
       setsTable, idCol, buckets)
   }
 
+  /** The SEMANTIC member of the history-probing screen family —
+    * incremental embedding-cosine near-dup as a `foreachBatch` sink,
+    * completing the set (exact digest → bloom; n-gram Jaccard →
+    * shingle index; minhash banding → band index; embedding cosine →
+    * THIS). Unlike [[semanticScreenForeachBatch]], whose state is a
+    * static benchmark set, this screens each batch against the
+    * ACCUMULATED INGESTED HISTORY — the paraphrase-dedup analogue of
+    * [[minhashNearDupForeachBatchBucketed]], and like it built
+    * bucketed-state-first: cross-batch state is
+    *
+    *   - `centroidsDir` (plain parquet, K rows): the coarse quantizer,
+    *     fit ONCE on the first non-empty batch
+    *     ([[graft.ops.Similarity.ivfCentroids]] — deterministic, so a
+    *     replayed bootstrap batch refits the identical centroids) and
+    *     FIXED for the query's lifetime: cell ids are meaningless
+    *     across fits, so re-fitting per batch would orphan the index.
+    *   - `cellsTable` ([[graft.ops.Dedup.semanticCellIndex]] rows,
+    *     bucketed on `centroid_id`): the history's cell-resident
+    *     vectors. The per-batch probe joins it on `centroid_id` alone,
+    *     so the history side arrives with ZERO exchange
+    *     (TrackStreamSpec pins the executed plan) and per-batch cost is
+    *     batch-sized no matter how large the history grows — the same
+    *     scale contract as the minhash screen's band index.
+    *
+    * Each micro-batch runs [[graft.ops.Dedup
+    * .semanticIncrementalAgainstCells]] (within-batch keep-one, then
+    * the history-cell probe at exact cosine ≥ `threshold`), appends its
+    * survivors to the corpus AND their cell rows to the index, and
+    * hands survivors to `sink`. Replay idempotence holds for every
+    * nonzero vector (the replayed copy matches its own ingested copy at
+    * cosine ≈ 1); zero-norm vectors are unscreenable and re-emit —
+    * compose after [[bloomDedupForeachBatch]] when byte-identical
+    * replays must die exactly.
+    *
+    * RECOVERY CONTRACT (same shape as the minhash sibling): corpus
+    * append FIRST, then the index append — a crash between them leaves
+    * index ⊆ corpus, repaired by [[semanticIndexFromCorpusBucketed]]
+    * before resume. Candidate recall is cell co-residence (the SemDeDup
+    * trade): size `nCells` for the expected corpus
+    * ([[graft.ops.Dedup.planSemdedupCells]] at the ingest horizon, not
+    * the bootstrap batch) and widen `probeCells`/`indexAssign` for
+    * recall; the verify is exact, so precision is never at stake.
+    * `buckets` sizing follows StageIO.saveBucketed's rule: the probe
+    * join runs one task per bucket.
+    */
+  def semanticNearDupForeachBatchBucketed(vecCol: String, idCol: String,
+                                          corpusDir: String,
+                                          centroidsDir: String,
+                                          cellsTable: String,
+                                          buckets: Int = 8,
+                                          nCells: Int = 16,
+                                          probeCells: Int = 2,
+                                          indexAssign: Int = 1,
+                                          iters: Int = 3,
+                                          threshold: Double = 0.9,
+                                          sink: DataFrame => Unit = _ => ())
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    val cents = readState(spark, centroidsDir).getOrElse {
+      // bootstrap: fit on the first batch and persist BEFORE any index
+      // write — centroids-without-index is recoverable (rebuild assigns
+      // against them); index-without-centroids would be orphaned state
+      val fit = graft.ops.Similarity.ivfCentroids(
+        batch, idCol, vecCol, nCells, iters)
+      fit.write.mode("overwrite").parquet(centroidsDir)
+      spark.read.parquet(centroidsDir)
+    }
+    val cellIdx =
+      if (spark.catalog.tableExists(cellsTable)) spark.table(cellsTable)
+      else graft.ops.Dedup.semanticCellIndex(
+        batch.limit(0), vecCol, idCol, cents, indexAssign)
+    val kept = graft.ops.Dedup.semanticIncrementalAgainstCells(
+      batch, cellIdx, cents, vecCol, idCol, threshold, probeCells)
+      .localCheckpoint(true)
+    kept.write.mode("append").parquet(corpusDir)
+    import org.apache.spark.sql.functions.col
+    // append-bucketed with the identical spec, one file per non-empty
+    // bucket per batch (same writer discipline as the minhash screen)
+    graft.ops.Dedup.semanticCellIndex(kept, vecCol, idCol, cents, indexAssign)
+      .repartition(buckets, col("centroid_id"))
+      .write.mode("append")
+      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(cellsTable)
+    sink(kept)
+  }
+
+  /** Rebuild [[semanticNearDupForeachBatchBucketed]]'s cell index from
+    * the persisted corpus — the crash-recovery step AND the periodic
+    * compaction (the overwrite collapses one-file-per-bucket-per-batch
+    * accumulation back to `buckets` files). Reuses the persisted
+    * centroids when they survived (cell ids stay stable across the
+    * rebuild); a lost quantizer is refit deterministically from the
+    * corpus and re-persisted — a NEW cell space, consistent because
+    * index and every future probe derive from it together. No-op if the
+    * corpus is absent.
+    */
+  def semanticIndexFromCorpusBucketed(spark: org.apache.spark.sql.SparkSession,
+                                      corpusDir: String, centroidsDir: String,
+                                      cellsTable: String,
+                                      vecCol: String, idCol: String,
+                                      buckets: Int = 8, nCells: Int = 16,
+                                      indexAssign: Int = 1,
+                                      iters: Int = 3): Unit = {
+    val corpus = readState(spark, corpusDir).getOrElse(return)
+    val cents = readState(spark, centroidsDir).getOrElse {
+      val fit = graft.ops.Similarity.ivfCentroids(
+        corpus, idCol, vecCol, nCells, iters)
+      fit.write.mode("overwrite").parquet(centroidsDir)
+      spark.read.parquet(centroidsDir)
+    }
+    graft.sources.StageIO.saveBucketed(
+      graft.ops.Dedup.semanticCellIndex(corpus, vecCol, idCol, cents, indexAssign),
+      cellsTable, "centroid_id", buckets)
+  }
+
   /** Read-side half of the crash-safe state-dir protocol shared by the
     * sketch sinks: repair whichever single rename a crashed
     * [[commitState]] left unfinished — live dir present → drop any

@@ -1250,4 +1250,35 @@ class DedupSpec extends SparkTestBase {
           "(sizing count + pairs must share one fork materialization)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("semanticIncremental: history hits (verbatim + scaled) drop, novel keep, " +
+    "within-batch pair keeps min id, zero vectors are unscreenable, replay is empty") {
+    val history = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "vec")
+    val incoming = Seq(
+      (10L, Seq(0.99, 0.01, 0.0, 0.0)), // ≈ history 1 → history hit
+      (11L, Seq(2.0, 0.0, 0.0, 0.0)),   // scaled history 1 → cosine is scale-invariant, hit
+      (12L, Seq(0.7, 0.7, 0.0, 0.0)),   // cos ≈ 0.707 vs both neighbors → novel
+      (13L, Seq(0.7, 0.7, 0.0, 0.0)),   // within-batch exact dup of 12 → CC keeps 12
+      (14L, Seq(0.0, 0.0, 0.0, 0.0)))   // zero norm: cosine null vs everything
+      .toDF("vec_id", "vec")
+    val kept = Dedup.semanticIncremental(incoming, history, "vec", "vec_id",
+      threshold = 0.9, nCells = 4, probeCells = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L), s"survivors: $kept")
+    // replay idempotence: the history screened against itself emits
+    // nothing — every nonzero vector matches its own copy at cosine ≈ 1
+    // (no self-exclusion BY DESIGN; same contract as the digest screens)
+    assert(Dedup.semanticIncremental(history, history, "vec", "vec_id",
+      threshold = 0.9, nCells = 4, probeCells = 2).isEmpty)
+    // empty quantizer (bootstrap from an empty corpus): nothing to
+    // screen against — incoming passes through unchanged
+    val noCents = Seq.empty[(Long, Seq[Double])].toDF("centroid_id", "centroid")
+    val noIdx = Dedup.semanticCellIndex(history.limit(0), "vec", "vec_id", noCents)
+    assert(Dedup.semanticIncrementalAgainstCells(incoming, noIdx, noCents,
+      "vec", "vec_id", threshold = 0.9).count() == incoming.count())
+  }
 }

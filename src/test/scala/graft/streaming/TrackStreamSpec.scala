@@ -731,4 +731,58 @@ class TrackStreamSpec extends SparkTestBase {
     assert(historySideShuffleFree(plan, histCols),
       s"bloom residue path reshuffled the history:\n$plan")
   }
+
+  test("bucketed semantic screen: history-probing embedding dedup; replay emits " +
+    "zero; zero history-side shuffle in the probe plan; recovery rebuilds") {
+    import graft.PlanTestUtil.{historySideShuffleFree, scansOf}
+    val base = java.nio.file.Files.createTempDirectory("sembucketed").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val fn = TrackStream.semanticNearDupForeachBatchBucketed("vec", "doc_id",
+      s"$base/corpus", s"$base/centroids", "graft_stream_cells",
+      buckets = 4, nCells = 2, probeCells = 2, threshold = 0.9,
+      sink = df => emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    try {
+      // batch 0 bootstraps the quantizer and seeds the bucketed index
+      fn(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+        .toDF("doc_id", "vec"), 0L)
+      // batch 1: doc 3 paraphrases ingested doc 1 (cos ≈ 0.998); doc 4 novel
+      fn(Seq((3L, Seq(0.95, 0.05, 0.0, 0.0)), (4L, Seq(0.0, 0.0, 1.0, 0.0)))
+        .toDF("doc_id", "vec"), 1L)
+      // batch-0 replay (at-least-once retry) emits zero
+      fn(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+        .toDF("doc_id", "vec"), 2L)
+      assert(emitted.toSeq == Seq(Set(1L, 2L), Set(4L), Set.empty[Long]),
+        s"per-batch novel sets: $emitted")
+      assert(spark.read.parquet(s"$base/corpus").select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+      // THE CONTRACT (the ANN-family member of the bucketed-state set):
+      // the probe join receives the cell index with no shuffle exchange
+      // between scan and join — history stays bucket-local however large
+      // the ingested corpus grows
+      // doc 9 hits ingested doc 1 (cos ≈ 0.9995) so the probe join stays
+      // live in the final adaptive plan (an all-novel batch's empty hit
+      // set lets AQE eliminate the anti-join — and the index scan with it)
+      val probe = graft.ops.Dedup.semanticIncrementalAgainstCells(
+        Seq((9L, Seq(0.97, 0.03, 0.0, 0.0)), (10L, Seq(0.0, 0.0, 0.0, 1.0)))
+          .toDF("doc_id", "vec"),
+        spark.table("graft_stream_cells"),
+        spark.read.parquet(s"$base/centroids"),
+        "vec", "doc_id", threshold = 0.9, probeCells = 2)
+      assert(probe.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+      val plan = probe.queryExecution.executedPlan
+      val idxCols = Set("centroid_id", "vec")
+      assert(scansOf(plan, idxCols).nonEmpty, s"cell-index scan not found:\n$plan")
+      assert(historySideShuffleFree(plan, idxCols),
+        s"bucketed cell index reshuffled before its join:\n$plan")
+      // crash recovery: rebuild the index from the corpus against the
+      // SURVIVING centroids; replay stays idempotent on the rebuilt layout
+      TrackStream.semanticIndexFromCorpusBucketed(spark, s"$base/corpus",
+        s"$base/centroids", "graft_stream_cells", "vec", "doc_id",
+        buckets = 4, nCells = 2)
+      emitted.clear()
+      fn(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+        .toDF("doc_id", "vec"), 3L)
+      assert(emitted.toSeq == Seq(Set.empty[Long]), s"post-rebuild replay: $emitted")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_stream_cells")
+  }
 }
