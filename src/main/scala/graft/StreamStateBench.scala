@@ -31,10 +31,7 @@ object StreamStateBench {
   private def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/tmp/graft-sf1")
-    val mults = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 16)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  private def makeSession(cpus: String): SparkSession = {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-ssb-wh").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +43,17 @@ object StreamStateBench {
       .config("spark.sql.warehouse.dir", warehouse)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft-sf1")
+    val semantic = args.lift(1).contains("sem")
+    val rest = if (semantic) args.drop(2) else args.drop(1)
+    val mults = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    if (semantic) { runSemantic(sfDir, mults, cpus); return }
+    val spark = makeSession(cpus)
 
     val docs = Tables.documents(spark, sfDir)
     val baseDocs = docs.count()
@@ -113,6 +121,87 @@ object StreamStateBench {
         s""""bucketed_probe_s":${fmt(bucketed)}}""")
       spark.sql(s"DROP TABLE IF EXISTS ssb_bands_$m")
       spark.sql(s"DROP TABLE IF EXISTS ssb_sets_$m")
+    }
+    spark.stop()
+  }
+
+  /** SEMANTIC-mode sweep (`StreamStateBench <sfDir> sem [mults…]`) —
+    * the round-15 twin of the minhash sweep above, for
+    * `TrackStream.semanticNearDupForeachBatchBucketed`'s state: one
+    * batch's embedding screen cost vs history size with the cell index
+    * as plain parquet (probe join reshuffles the history side per
+    * batch) vs a `centroid_id`-bucketed table (arrives co-located).
+    * Same honest framing: bucketing removes the history-side SHUFFLE,
+    * not the SCAN — both curves grow; the bucketed one by the scan +
+    * verify terms only. History copies are sign-flip-decorrelated per
+    * multiplier step (pattern keyed by the copy index) so history mass
+    * grows without saturating the batch in near-dups; the quantizer is
+    * a FIXED 64 cells at every multiplier (the production contract:
+    * centroids sized for the horizon, not refit as history grows — so
+    * per-cell population, and with it the verify term, grows linearly
+    * with history by design).
+    */
+  private def runSemantic(sfDir: String, mults: Seq[Int], cpus: String): Unit = {
+    val spark = makeSession(cpus)
+    val nCells = 64
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val baseVecs = base.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssb-sem").toString
+    def flipped(src: DataFrame, key: Long, idOffset: Long): DataFrame =
+      src.select((col("vec_id") + lit(idOffset)).as("vec_id"),
+        transform(col("vec"), (x, j) =>
+          when(pmod(xxhash64(lit(key), j), lit(2)) === 0, x).otherwise(-x)).as("vec"))
+    // fixed probe batch: 2k vectors, half exact dups of history copy 0
+    // (sign pattern 0, fresh ids), half novel (pattern 999 — decorrelated
+    // from every copy). Parquet-backed for the same scrub reason as the
+    // minhash batch.
+    val b = base.limit(2000)
+    flipped(b.filter(col("vec_id") % 2 === 0), 0L, 900000000L)
+      .unionByName(flipped(b.filter(col("vec_id") % 2 =!= 0), 999L, 900000000L))
+      .write.mode("overwrite").parquet(s"$tmp/batch")
+    val batch = spark.read.parquet(s"$tmp/batch")
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    mults.foreach { m =>
+      val history = (0 until m).map(i =>
+        flipped(base, i.toLong, 1000000L * (i + 1)))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      // quantizer fit + assignment are state-BUILD cost (ingestion-side,
+      // identical for both kinds) — excluded from the probe timing
+      val cents = graft.ops.Similarity.ivfCentroids(
+        history, "vec_id", "vec", nCells, iters = 3)
+      cents.write.mode("overwrite").parquet(s"$tmp/cents_$m")
+      val centsDf = spark.read.parquet(s"$tmp/cents_$m")
+      val idx = Dedup.semanticCellIndex(history, "vec", "vec_id", centsDf)
+        .localCheckpoint(true)
+      idx.write.mode("overwrite").parquet(s"$tmp/cells_$m")
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_SSB_BUCKETS", cpus).toInt
+      StageIO.saveBucketed(idx, s"ssb_cells_$m", "centroid_id", buckets)
+      history.unpersist(); idx.unpersist(); scrub()
+      def probe(cellsDf: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val out = Dedup.semanticIncrementalAgainstCells(batch, cellsDf, centsDf,
+          "vec", "vec_id", threshold = 0.9, probeCells = 2)
+        out.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        if (sys.env.get("SPARK_GRAFT_SSB_EXPLAIN").contains("true"))
+          System.err.println(out.queryExecution.executedPlan.toString.take(8000))
+        scrub(); s
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      probe(spark.read.parquet(s"$tmp/cells_$m"))
+      val plain = med((1 to 3).map(_ => probe(spark.read.parquet(s"$tmp/cells_$m"))))
+      probe(spark.table(s"ssb_cells_$m"))
+      val bucketed = med((1 to 3).map(_ => probe(spark.table(s"ssb_cells_$m"))))
+      println(s"""{"mode":"semantic","history_mult":$m,""" +
+        s""""history_vecs":${baseVecs * m},"batch_vecs":2000,""" +
+        s""""n_cells":$nCells,"plain_probe_s":${fmt(plain)},""" +
+        s""""bucketed_probe_s":${fmt(bucketed)}}""")
+      spark.sql(s"DROP TABLE IF EXISTS ssb_cells_$m")
     }
     spark.stop()
   }
