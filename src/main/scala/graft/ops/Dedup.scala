@@ -1152,6 +1152,29 @@ object Dedup {
       cents, vecCol, idCol, threshold, probeCells)
   }
 
+  /** [[semanticIncremental]] with `nCells` sized by [[planSemdedupCells]]
+    * from the ACTUAL history — the family's `_auto` discipline: fixed
+    * cells against a growing corpus is the quadratic trap (per-cell
+    * population, and with it the probe's verify term, grows linearly —
+    * the measured rule in docs/SCALING.md §5b). The sizing `count()`
+    * rides [[sizingInput]], so a derived history is fork-materialized
+    * once for sizing + index together, and `existing` should be sized
+    * at the INGEST HORIZON when known (pass `nCells` explicitly via
+    * [[semanticIncremental]] for that — a screen quantizer is fit once
+    * and fixed, so the horizon, not the bootstrap corpus, is the n
+    * that matters; see the streaming sink's scaladoc).
+    */
+  def semanticIncrementalAuto(incoming: DataFrame, existing: DataFrame,
+                              vecCol: String, idCol: String,
+                              threshold: Double,
+                              probeCells: Int = 2, indexAssign: Int = 1,
+                              iters: Int = 3): DataFrame = {
+    val ex = sizingInput(existing)
+    semanticIncremental(incoming, ex, vecCol, idCol, threshold,
+      planSemdedupCells(math.max(1L, ex.count()), 0, probeCells, iters),
+      probeCells, indexAssign, iters)
+  }
+
   /** Duplicated-substring REMOVAL at k-token granularity — the transform
     * half of [[duplicatedSpanStats]] (Lee et al.'s ExactSubstr dedup):
     * every k-token span occurring ≥2 times corpus-wide keeps only its

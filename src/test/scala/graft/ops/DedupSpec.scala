@@ -1280,5 +1280,12 @@ class DedupSpec extends SparkTestBase {
     val noIdx = Dedup.semanticCellIndex(history.limit(0), "vec", "vec_id", noCents)
     assert(Dedup.semanticIncrementalAgainstCells(incoming, noIdx, noCents,
       "vec", "vec_id", threshold = 0.9).count() == incoming.count())
+    // auto sizing: planSemdedupCells(4) floors at s=16 ⇒ 1 cell — every
+    // vector shares it, so candidate recall is total here and the
+    // decisions match the explicit-nCells run
+    val keptAuto = Dedup.semanticIncrementalAuto(incoming, history,
+      "vec", "vec_id", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptAuto == Set(12L, 14L), s"auto survivors: $keptAuto")
   }
 }
