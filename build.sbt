@@ -41,4 +41,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // instant (measured 0.09 s at 8g) — first-touch cost is paid once
   // per page instead of once per uncommit cycle.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32m G1 regions: at the default 8g heap G1 picks 4m regions, making
+  // every allocation over 2m HUMONGOUS — and the dedup kernels' growing
+  // collection buffers (PrimitiveVector doublings hit 4m+ arrays while
+  // localCheckpoint blocks unroll) allocate exactly that class. After a
+  // couple of scale sections' churn the region map fragments and a
+  // humongous allocation fails with free heap to spare (observed twice:
+  // winnow@sf100 OOM'd at stage 136 in a JVM that had run sf1+sf30, and
+  // ran clean in a fresh JVM — the GCLocker retry storm on 524290-word
+  // allocations is the fingerprint). 32m regions put the 16m humongous
+  // threshold above every buffer-doubling class the suite produces.
+  "-XX:G1HeapRegionSize=32m",
 )

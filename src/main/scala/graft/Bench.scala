@@ -554,6 +554,46 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-STREAM calibration — the bandwidth twin of [[calibrate]]:
+    * one wave of tasks (one per core), each writing then reducing a
+    * 64 MB long array; returns aggregate touched GB/s
+    * (slots × 128 MB ÷ wall). [[calibrate]]'s xorshift loop is
+    * deliberately register-resident, so it pins parallel SCALAR
+    * capacity and is structurally blind to the memory subsystem — and
+    * round 15 measured exactly that blind spot: after a VM restart the
+    * scale sections ran 1.5–1.9× over their committed bands with every
+    * arm quiet and the scalar calibration DEAD IN BAND
+    * (docs/HOST_DRIFT.md) — same cores, slower memory. This probe makes
+    * host-class drift a recorded number (`membw` in the digest,
+    * `<label>_membw_gbps` per scale section) instead of an unexplained
+    * divergence: compare it across committed artifacts before reading a
+    * scale regression as a code change. A small untimed run warms the
+    * lambda so the first measured value is not C2 compilation.
+    */
+  private[graft] def calibrateMemGbps(spark: SparkSession,
+                                      bytesPerTask: Long = 64L << 20): Double = {
+    val slots = spark.sparkContext.defaultParallelism
+    def wave(bytes: Long): Long = {
+      val n = (bytes / 8).toInt
+      spark.sparkContext.parallelize(1 to slots, slots).map { seed =>
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = i.toLong + seed; i += 1 }
+        var s = 0L
+        var j = 0
+        while (j < n) { s += a(j); j += 1 }
+        s
+      }.reduce(_ + _)
+    }
+    val warm = wave(1L << 20) // untimed: JIT-compile the lambda
+    System.gc()               // the arrays just freed must not bill the probe
+    val t0 = System.nanoTime()
+    val sink = wave(bytesPerTask)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if ((warm ^ sink) == 42L) System.err.print("")
+    slots.toDouble * bytesPerTask * 2 / secs / (1L << 30)
+  }
+
   /** Expected idle-host calibration cost (seconds). Committed constant for
     * THIS host class: set to the TOP of the judge-measured clean range
     * (0.25–0.42 s across sessions on the 32-thread host) — not above it;
@@ -790,7 +830,8 @@ object Bench {
       label: String,
       results: Seq[(String, Option[Double])],
       contended: Boolean,
-      causes: Seq[(String, String)] = Nil)
+      causes: Seq[(String, String)] = Nil,
+      membwGbps: Double = -1)
 
   /** The FINAL printed line — the one the driver actually parses.
     *
@@ -815,7 +856,7 @@ object Bench {
                  truncated: Boolean, contended: Seq[Int], suspect: Int,
                  noClean: Int, errors: Int, skipped: Int,
                  medians: Map[String, Double], scales: Seq[ScaleSummary],
-                 sfDir: String): String = {
+                 sfDir: String, membwGbps: Double = -1): String = {
     val qs = DigestQueries
       .flatMap(n => medians.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
@@ -901,8 +942,13 @@ object Bench {
       s""""reps":$reps,"reps_completed":$repsCompleted,"truncated":$truncated,""" +
       s""""contended":${contended.mkString("[", ",", "]")},"suspect":$suspect,""" +
       s""""no_clean":$noClean,"errors_n":$errors,"skipped_n":$skipped,""" +
-      s""""clean_medians":true,"digest":true$scaleJson$divJson,""" +
-      s""""detail":"bench_out.json","sf":"$sfDir"}"""
+      s""""clean_medians":true,"digest":true$scaleJson$divJson""" +
+      // run-level memory-bandwidth probe (GB/s): the host-class
+      // fingerprint the scalar calibration can't see — a divergent
+      // scale list beside an out-of-family membw is host drift, not a
+      // code regression (per-section values in bench_out.json)
+      (if (membwGbps > 0) s""","membw":${fmt1(membwGbps)}""" else "") +
+      s""","detail":"bench_out.json","sf":"$sfDir"}"""
   }
 
   /** The sf30 smoke set: 8 representatives, one per operator family that
@@ -1142,6 +1188,9 @@ object Bench {
       // artifact as `<label>_precache_{mb,sec}`
       val (precacheMb, precacheSec) = precacheDir(spark, dir)
       warmup(spark, dir)
+      // bandwidth probe once per section, warm JVM, before any sample —
+      // host-class drift evidence for this section's minute-scale runs
+      val membwGbps = calibrateMemGbps(spark)
       val load = loadAvg
       // calibration BETWEEN EVERY query, not just section brackets: a
       // scale query runs minutes, so a host-contention burst (r10: an
@@ -1277,11 +1326,13 @@ object Bench {
           s""""${label}_sample_io_read_mb":${jm(r => fmt(r.diag.ioReadMb))},""" +
           s""""${label}_sample_io_write_mb":${jm(r => fmt(r.diag.ioWriteMb))},""" +
           s""""${label}_jvm":$jvmHealthJson,""" +
+          s""""${label}_membw_gbps":${fmt(membwGbps)},""" +
           s""""${label}_precache_mb":${fmt(precacheMb)},""" +
           s""""${label}_precache_sec":${fmt(precacheSec)}""" +
           manifestJson +
           s""","${label}_dir":"$dir""""
-      (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot, causes))
+      (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot,
+        causes, membwGbps))
     } finally spark.stop()
   }
 
@@ -1315,9 +1366,14 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
         a.startsWith("-XX:MaxHeapSize") || a.startsWith("-XX:InitialHeapSize") ||
-        a == "-XX:+AlwaysPreTouch")
+        a.startsWith("-XX:G1HeapRegionSize") || a == "-XX:+AlwaysPreTouch")
     val cmd = Seq(javaBin) ++ inherited ++ Seq(
       s"-Xms${mb}m", s"-Xmx${mb}m", "-XX:+AlwaysPreTouch",
+      // same region-size pin as build.sbt: a raw-java driver channel
+      // would otherwise re-exec at G1's 4m default, where the dedup
+      // kernels' 4m+ buffer doublings are humongous and a multi-section
+      // run can fragment the region map into a spurious OOM
+      "-XX:G1HeapRegionSize=32m",
       "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
     val pb = new ProcessBuilder(cmd.asJava).inheritIO()
     pb.environment().put("SPARK_GRAFT_PARENT_HEAP_MB", actualMb.toString)
@@ -1556,10 +1612,13 @@ object Bench {
       // The digest is printed LAST so it is the `{`-line the driver's
       // 2000-char tail grep actually finds — see [[digestLine]].
       val medsMap = good.map(r => r._1 -> median(cleanOf(r._2).map(_.secs))).toMap
+      // run-level bandwidth fingerprint: the scale sections' median probe
+      // (they run first, youngest JVM); -1 (omitted) when none ran
+      val membws = scaleSummaries.map(_.membwGbps).filter(_ > 0).toSeq
       println(digestLine(total, reps, ps.length, truncated, contended,
         nSuspect, noClean.length, failed.length,
         skippedWork.length + neverRan.length, medsMap, scaleSummaries.toSeq,
-        sfDir))
+        sfDir, if (membws.isEmpty) -1 else median(membws)))
     }
 
     def runPasses(): Unit = (1 to reps).foreach { p =>

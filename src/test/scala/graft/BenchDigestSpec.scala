@@ -44,7 +44,8 @@ class BenchDigestSpec extends AnyFunSuite {
       total = 99999.999, reps = 99, repsCompleted = 99, truncated = true,
       contended = 1 to 99 by 11, suspect = 999, noClean = 999, errors = 999,
       skipped = 999, medians = meds, scales = scales,
-      sfDir = "/tmp/graft-scale-sections/some-long-sf-dir-name/sf0.1")
+      sfDir = "/tmp/graft-scale-sections/some-long-sf-dir-name/sf0.1",
+      membwGbps = 9999.9)
   }
 
   test("worst-case digest line stays far inside the driver's 2000-char tail window") {
@@ -74,6 +75,15 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(node.get("sf1_ref").isArray)
     assert(node.get("sf1_ref").size() == node.get("sf1").size())
     assert(node.get("sf100_ref").size() == node.get("sf100").size())
+    // round 15: the run-level memory-bandwidth probe rides in the digest
+    // (host-class drift evidence beside any divergent list); omitted
+    // entirely when no probe ran
+    assert(node.get("membw").isNumber)
+    val noProbe = mapper.readTree(Bench.digestLine(1.0, 5, 5,
+      truncated = false, contended = Nil, suspect = 0, noClean = 0,
+      errors = 0, skipped = 0, medians = Map.empty, scales = Nil,
+      sfDir = "/tmp/x"))
+    assert(noProbe.get("membw") == null)
     assert(node.get("divergent").isArray)
     // worst case: every measured pick is 99999.999 ⇒ every ref'd pick
     // diverges; since round 15 the list is UNCAPPED (the r14 .take(2)
