@@ -692,6 +692,10 @@ object Bench {
     // cheap, included to evidence sub-linear scaling
     "q_dedup_incremental", "q_dedup_incremental_bloom",
     "q_dedup_incremental_neardup",
+    // the semantic (embedding-cosine) member of the incremental family
+    // (round 15): Lloyd fit + cell-confined probe against the full
+    // embeddings history — the IVF-celled screen's scale representative
+    "q_dedup_incremental_semantic",
     // the sequential-ingestion reuse twins: the bloom's whole reason to
     // exist is the history≫batch regime, and at sf0.1 the history scan is
     // cheap enough that bloom ≈ plain — the sf1 entry (20× history, six
