@@ -297,7 +297,10 @@ class BenchDigestSpec extends AnyFunSuite {
     // heaviest samples (sf100 curate-scale: 41.6/54.0/66.2 s across
     // three clean runs). Update the artifact name when a newer idle
     // artifact lands, and refresh the medians.
-    val path = java.nio.file.Paths.get("docs/bench_full_r15_idle.json")
+    // r15d: the newest zero-divergent artifact — and the first from the
+    // CURRENT VM boot (docs/HOST_DRIFT.md), so the pin checks the refs
+    // against the host class the next driver run will actually measure
+    val path = java.nio.file.Paths.get("docs/bench_full_r15d_idle.json")
     assume(java.nio.file.Files.isReadable(path), s"artifact not found: $path")
     val node = mapper.readTree(java.nio.file.Files.readAllBytes(path))
     Bench.ScaleRefs.foreach { case (label, refs) =>
