@@ -573,6 +573,18 @@ object Bench {
   private[graft] def calibrateMemGbps(spark: SparkSession,
                                       bytesPerTask: Long = 64L << 20): Double = {
     val slots = spark.sparkContext.defaultParallelism
+    // G1 interaction (round 16, ADVICE): at the protocol's 32 m regions a
+    // full 64 MiB long[] PLUS its object header is a humongous allocation
+    // spanning THREE contiguous regions (2 full + a sliver for the
+    // header) — ~3 GB of contiguous-region demand per 32-task wave on a
+    // heap the suite has already churned, i.e. the probe itself allocates
+    // the contiguous-humongous class the region pin was introduced to
+    // defuse. Shaving one 4 KiB page off the request keeps array + header
+    // within an exact 2-region multiple: a third fewer regions per wave,
+    // no header sliver fragmenting the map, and the measured GB/s is
+    // computed from the ACTUAL touched bytes so the 0.006% trim cannot
+    // skew comparisons against pre-trim artifacts.
+    val actualBytes = 8L * ((bytesPerTask - 4096) / 8)
     def wave(bytes: Long): Long = {
       val n = (bytes / 8).toInt
       spark.sparkContext.parallelize(1 to slots, slots).map { seed =>
@@ -588,10 +600,10 @@ object Bench {
     val warm = wave(1L << 20) // untimed: JIT-compile the lambda
     System.gc()               // the arrays just freed must not bill the probe
     val t0 = System.nanoTime()
-    val sink = wave(bytesPerTask)
+    val sink = wave(actualBytes)
     val secs = (System.nanoTime() - t0) / 1e9
     if ((warm ^ sink) == 42L) System.err.print("")
-    slots.toDouble * bytesPerTask * 2 / secs / (1L << 30)
+    slots.toDouble * actualBytes * 2 / secs / (1L << 30)
   }
 
   /** Expected idle-host calibration cost (seconds). Committed constant for

@@ -1023,6 +1023,12 @@ object Dedup {
                         centroids: DataFrame, indexAssign: Int = 1): DataFrame = {
     require(indexAssign >= 1 && indexAssign <= 4,
       s"indexAssign=$indexAssign out of [1,4]")
+    // the index's vector column is named "vec" BY CONTRACT — the probe
+    // ([[semanticIncrementalAgainstCells]]) resolves it by that literal
+    // name; an idCol that is itself "vec" would emit a duplicate column
+    // and the probe would join on whichever resolves, with no diagnostic
+    require(idCol != "vec",
+      s"""idCol "$idCol" collides with the index's reserved vector column "vec"""")
     val (ids, mat) = collectCentroids(centroids)
     val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
     val eff = math.min(indexAssign, ids.length)
@@ -1082,6 +1088,11 @@ object Dedup {
                                       probeCells: Int = 2): DataFrame = {
     require(probeCells >= 1 && probeCells <= 4,
       s"probeCells=$probeCells out of [1,4]")
+    // mirror of [[semanticCellIndex]]'s reserved-name guard: the probe
+    // reads the history vector via the contract name col("vec"), so an
+    // idCol literally named "vec" would silently join the wrong column
+    require(idCol != "vec",
+      s"""idCol "$idCol" collides with the cell index's reserved vector column "vec"""")
     val (ids, mat) = collectCentroids(centroids)
     val eff = math.min(probeCells, ids.length)
     if (eff == 0) return incoming

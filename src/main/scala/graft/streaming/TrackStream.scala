@@ -639,32 +639,51 @@ object TrackStream {
                                           sink: DataFrame => Unit = _ => ())
       : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val spark = batch.sparkSession
-    val cents = readState(spark, centroidsDir).getOrElse {
-      // bootstrap: fit on the first batch and persist BEFORE any index
-      // write — centroids-without-index is recoverable (rebuild assigns
-      // against them); index-without-centroids would be orphaned state
-      val fit = graft.ops.Similarity.ivfCentroids(
-        batch, idCol, vecCol, nCells, iters)
-      fit.write.mode("overwrite").parquet(centroidsDir)
-      spark.read.parquet(centroidsDir)
+    // a persisted EMPTY quantizer is treated as absent: zero centroids
+    // make semanticIncrementalAgainstCells pass everything through
+    // (eff == 0), so honoring one would make the screen a permanent
+    // silent no-op — the exact state a pre-guard crash window could
+    // have left behind (see the bootstrap guard below)
+    val persisted = readState(spark, centroidsDir).filter(_.head(1).nonEmpty)
+    if (persisted.isEmpty && batch.isEmpty) {
+      // bootstrap guard (round 16, ADVICE): streaming retries and idle
+      // triggers legitimately deliver EMPTY batches, and fitting the
+      // quantizer on one persists zero centroids — every later batch
+      // then reads the empty quantizer and the screen silently screens
+      // nothing, forever (the rebuild reuses surviving centroids, so
+      // even recovery would not repair it). An empty batch before the
+      // first fit keeps nothing and teaches nothing: emit its (empty)
+      // novel set and defer the fit to the first non-empty batch.
+      sink(batch)
+    } else {
+      val cents = persisted.getOrElse {
+        // bootstrap: fit on the first NON-EMPTY batch and persist BEFORE
+        // any index write — centroids-without-index is recoverable
+        // (rebuild assigns against them); index-without-centroids would
+        // be orphaned state
+        val fit = graft.ops.Similarity.ivfCentroids(
+          batch, idCol, vecCol, nCells, iters)
+        fit.write.mode("overwrite").parquet(centroidsDir)
+        spark.read.parquet(centroidsDir)
+      }
+      val cellIdx =
+        if (spark.catalog.tableExists(cellsTable)) spark.table(cellsTable)
+        else graft.ops.Dedup.semanticCellIndex(
+          batch.limit(0), vecCol, idCol, cents, indexAssign)
+      val kept = graft.ops.Dedup.semanticIncrementalAgainstCells(
+        batch, cellIdx, cents, vecCol, idCol, threshold, probeCells)
+        .localCheckpoint(true)
+      kept.write.mode("append").parquet(corpusDir)
+      import org.apache.spark.sql.functions.col
+      // append-bucketed with the identical spec, one file per non-empty
+      // bucket per batch (same writer discipline as the minhash screen)
+      graft.ops.Dedup.semanticCellIndex(kept, vecCol, idCol, cents, indexAssign)
+        .repartition(buckets, col("centroid_id"))
+        .write.mode("append")
+        .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+        .saveAsTable(cellsTable)
+      sink(kept)
     }
-    val cellIdx =
-      if (spark.catalog.tableExists(cellsTable)) spark.table(cellsTable)
-      else graft.ops.Dedup.semanticCellIndex(
-        batch.limit(0), vecCol, idCol, cents, indexAssign)
-    val kept = graft.ops.Dedup.semanticIncrementalAgainstCells(
-      batch, cellIdx, cents, vecCol, idCol, threshold, probeCells)
-      .localCheckpoint(true)
-    kept.write.mode("append").parquet(corpusDir)
-    import org.apache.spark.sql.functions.col
-    // append-bucketed with the identical spec, one file per non-empty
-    // bucket per batch (same writer discipline as the minhash screen)
-    graft.ops.Dedup.semanticCellIndex(kept, vecCol, idCol, cents, indexAssign)
-      .repartition(buckets, col("centroid_id"))
-      .write.mode("append")
-      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
-      .saveAsTable(cellsTable)
-    sink(kept)
   }
 
   /** Rebuild [[semanticNearDupForeachBatchBucketed]]'s cell index from
@@ -685,12 +704,17 @@ object TrackStream {
                                       indexAssign: Int = 1,
                                       iters: Int = 3): Unit = {
     val corpus = readState(spark, corpusDir).getOrElse(return)
-    val cents = readState(spark, centroidsDir).getOrElse {
-      val fit = graft.ops.Similarity.ivfCentroids(
-        corpus, idCol, vecCol, nCells, iters)
-      fit.write.mode("overwrite").parquet(centroidsDir)
-      spark.read.parquet(centroidsDir)
-    }
+    // an EMPTY persisted quantizer is refit like an absent one (the
+    // other half of the sink's bootstrap guard): zero centroids can
+    // only be damage, never a fit, and rebuilding the index against
+    // them would re-commit the no-op state instead of repairing it
+    val cents = readState(spark, centroidsDir).filter(_.head(1).nonEmpty)
+      .getOrElse {
+        val fit = graft.ops.Similarity.ivfCentroids(
+          corpus, idCol, vecCol, nCells, iters)
+        fit.write.mode("overwrite").parquet(centroidsDir)
+        spark.read.parquet(centroidsDir)
+      }
     graft.sources.StageIO.saveBucketed(
       graft.ops.Dedup.semanticCellIndex(corpus, vecCol, idCol, cents, indexAssign),
       cellsTable, "centroid_id", buckets)

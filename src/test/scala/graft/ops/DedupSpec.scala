@@ -1288,4 +1288,23 @@ class DedupSpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(keptAuto == Set(12L, 14L), s"auto survivors: $keptAuto")
   }
+
+  test("semantic cell index: idCol colliding with the reserved vector column is rejected up front") {
+    // the probe resolves the history vector by the literal name "vec" —
+    // an idCol of "vec" would produce a duplicate/ambiguous schema (or a
+    // wrong-column join) with no diagnostic anywhere near the cause
+    val history = Seq((1L, Seq(1.0, 0.0))).toDF("vec", "emb") // idCol literally "vec"
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "centroid")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.semanticCellIndex(history, "emb", "vec", cents)
+    }
+    assert(e1.getMessage.contains("vec"))
+    val idx = Dedup.semanticCellIndex(
+      Seq((1L, Seq(1.0, 0.0))).toDF("doc_id", "emb"), "emb", "doc_id", cents)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.semanticIncrementalAgainstCells(history, idx, cents,
+        "emb", "vec", threshold = 0.9)
+    }
+    assert(e2.getMessage.contains("vec"))
+  }
 }

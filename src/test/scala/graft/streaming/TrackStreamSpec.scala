@@ -785,4 +785,47 @@ class TrackStreamSpec extends SparkTestBase {
       assert(emitted.toSeq == Seq(Set.empty[Long]), s"post-rebuild replay: $emitted")
     } finally spark.sql("DROP TABLE IF EXISTS graft_stream_cells")
   }
+
+  test("semantic screen bootstrap guard: empty batches before the first fit " +
+    "persist no quantizer; an empty persisted quantizer is refit, not reused") {
+    val base = java.nio.file.Files.createTempDirectory("semboot").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val fn = TrackStream.semanticNearDupForeachBatchBucketed("vec", "doc_id",
+      s"$base/corpus", s"$base/centroids", "graft_stream_cells_boot",
+      buckets = 2, nCells = 2, probeCells = 2, threshold = 0.9,
+      sink = df => emitted += df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    try {
+      // streaming retries / idle triggers deliver EMPTY micro-batches;
+      // fitting on one would persist zero centroids and every later
+      // batch would pass through unscreened, forever
+      fn(Seq.empty[(Long, Seq[Double])].toDF("doc_id", "vec"), 0L)
+      fn(Seq.empty[(Long, Seq[Double])].toDF("doc_id", "vec"), 1L)
+      assert(!new java.io.File(s"$base/centroids").exists(),
+        "an empty batch must not persist a quantizer fit")
+      // the fit happens on the first NON-EMPTY batch, and the screen then
+      // actually screens: doc 3 paraphrases ingested doc 1 and drops
+      fn(Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+        .toDF("doc_id", "vec"), 2L)
+      fn(Seq((3L, Seq(0.95, 0.05, 0.0, 0.0)), (4L, Seq(0.0, 0.0, 1.0, 0.0)))
+        .toDF("doc_id", "vec"), 3L)
+      assert(emitted.toSeq ==
+        Seq(Set.empty[Long], Set.empty[Long], Set(1L, 2L), Set(4L)),
+        s"per-batch novel sets: $emitted")
+      // damage repair: an empty persisted quantizer (the pre-guard crash
+      // window) is treated as ABSENT by both the sink and the rebuild
+      val emptyCents = spark.read.parquet(s"$base/centroids").limit(0)
+      val base2 = java.nio.file.Files.createTempDirectory("semboot2").toString
+      spark.read.parquet(s"$base/corpus").write.parquet(s"$base2/corpus")
+      emptyCents.write.parquet(s"$base2/centroids")
+      TrackStream.semanticIndexFromCorpusBucketed(spark, s"$base2/corpus",
+        s"$base2/centroids", "graft_stream_cells_boot2", "vec", "doc_id",
+        buckets = 2, nCells = 2)
+      assert(spark.read.parquet(s"$base2/centroids").count() > 0,
+        "rebuild must refit an empty quantizer from the corpus")
+      assert(spark.table("graft_stream_cells_boot2").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_stream_cells_boot")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_cells_boot2")
+    }
+  }
 }
