@@ -1,5 +1,6 @@
 package graft
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,11 +82,11 @@ object StreamStateBench {
         (col("doc_id") + lit(1000000L * (i + 1))).as("doc_id"),
         concat(col("text"), lit(s" variant $i")).as("text")))
         .reduce(_ unionByName _)
-        .localCheckpoint(true)
+        .lineageCut()
       val bandIdx = Dedup.minhashBandIndex(history, "text", "doc_id", n, bands, rows)
-        .localCheckpoint(true)
+        .lineageCut()
       val sets = Dedup.shingleHashSets(history, "text", "doc_id", n)
-        .localCheckpoint(true)
+        .lineageCut()
       // persist BOTH kinds from the same frames
       bandIdx.write.mode("overwrite").parquet(s"$tmp/bands_$m")
       sets.write.mode("overwrite").parquet(s"$tmp/sets_$m")
@@ -169,7 +170,7 @@ object StreamStateBench {
       val history = (0 until m).map(i =>
         flipped(base, i.toLong, 1000000L * (i + 1)))
         .reduce(_ unionByName _)
-        .localCheckpoint(true)
+        .lineageCut()
       // quantizer fit + assignment are state-BUILD cost (ingestion-side,
       // identical for both kinds) — excluded from the probe timing
       val cents = graft.ops.Similarity.ivfCentroids(
@@ -177,7 +178,7 @@ object StreamStateBench {
       cents.write.mode("overwrite").parquet(s"$tmp/cents_$m")
       val centsDf = spark.read.parquet(s"$tmp/cents_$m")
       val idx = Dedup.semanticCellIndex(history, "vec", "vec_id", centsDf)
-        .localCheckpoint(true)
+        .lineageCut()
       idx.write.mode("overwrite").parquet(s"$tmp/cells_$m")
       val buckets = sys.env.getOrElse("SPARK_GRAFT_SSB_BUCKETS", cpus).toInt
       StageIO.saveBucketed(idx, s"ssb_cells_$m", "centroid_id", buckets)

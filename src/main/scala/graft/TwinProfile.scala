@@ -1,5 +1,6 @@
 package graft
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -70,7 +71,7 @@ object TwinProfile {
     val d = stage("load")(
       { val t = Tables.documents(spark, sfDir); t.count(); t })
     val history = stage("history_build")(
-      CurationDedupQueries.reuseHistory(d).localCheckpoint(true))
+      CurationDedupQueries.reuseHistory(d).lineageCut())
     val screened = mode match {
       case "bloom" =>
         val bloom = stage("bloom_build")(
@@ -83,7 +84,7 @@ object TwinProfile {
                 CurationDedupQueries.reuseBatch(d, b), history,
                 "text", "doc_id", bloom)
                 .select(lit(b).as("batch"), col("doc_id"))
-                .localCheckpoint(true))
+                .lineageCut())
           }.reduce(_ unionByName _)
         }
       case _ =>
@@ -94,7 +95,7 @@ object TwinProfile {
                 CurationDedupQueries.reuseBatch(d, b), history,
                 "text", "doc_id")
                 .select(lit(b).as("batch"), col("doc_id"))
-                .localCheckpoint(true))
+                .lineageCut())
           }.reduce(_ unionByName _)
         }
     }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -63,7 +64,7 @@ object Bpe {
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", split(col("word"), ""))
-      .localCheckpoint(true)
+      .lineageCut()
     val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
     var step = 1
     var done = false
@@ -88,7 +89,7 @@ object Bpe {
         val old = state
         state = state
           .withColumn("syms", mergeFold(col("syms"), l, r))
-          .localCheckpoint(true)
+          .lineageCut()
         old.unpersist()
         step += 1
       }

@@ -1848,7 +1848,7 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     var iter = 0
     while (notStarForest(edges, h) && iter < maxIter) {
       // large-star over symmetric neighborhoods: m(u) = min(u, min N(u))
@@ -1868,7 +1868,7 @@ object Dedup {
         .union(smallMin.select(col("u"), col("__m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .lineageCut()
       edges = small
       iter += 1
     }
@@ -1898,10 +1898,10 @@ object Dedup {
     val h = adaptivePin(p0.count() <= pairCeiling(p0))
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .lineageCut()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .lineageCut()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -1909,7 +1909,7 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .lineageCut()
       changed = propagated.as("n")
         .join(h(labels.withColumnRenamed("label", "__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
@@ -2325,7 +2325,7 @@ object Dedup {
           col("centroid_id"), col("__v"))).as("__best"))
         .select(col("__id"), col("__best.centroid_id").as(s"__c$m"),
           col("__best.__v").as("__v"))
-        .localCheckpoint(true)
+        .lineageCut()
       parts += best.select(col("__id"), col(s"__c$m").as("centroid_id"), col("__v"))
       chosen = chosen.join(
         best.select(col("__id"), col(s"__c$m")).hint("shuffle_hash"), Seq("__id"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -45,13 +46,13 @@ object Graph {
     val nodes = edges.select(col(srcCol).as("node"))
       .unionByName(edges.select(col(dstCol).as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     val n = nodes.count()
     val deg = edges.groupBy(col(srcCol).as("__src"))
       .agg(count(lit(1)).as("__deg"))
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .join(deg.hint("shuffle_hash"), Seq("__src"))
-      .localCheckpoint(true)
+      .lineageCut()
     val base = lit((1.0 - damping) / n)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
@@ -64,7 +65,7 @@ object Graph {
         .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (base + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .lineageCut()
     }
     ranks.select(col("node"), round(col("rank"), 9).as("rank"))
   }
@@ -100,9 +101,9 @@ object Graph {
     val nodes = edges.select(col(srcCol).as("node"))
       .unionByName(edges.select(col(dstCol).as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint(true)
+      .lineageCut()
     var hub = nodes.withColumn("hub", lit(1.0))
     var auth = nodes.withColumn("auth", lit(0.0))
     for (_ <- 1 to iters) {
@@ -112,14 +113,14 @@ object Graph {
         .groupBy(col("__dst").as("node")).agg(sum(col("hub")).as("__a"))
       auth = nodes.join(aIn.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), coalesce(col("__a"), lit(0.0)).as("auth"))
-        .localCheckpoint(true)
+        .lineageCut()
       val hOut = e
         .join(auth.withColumnRenamed("node", "__dst").hint("shuffle_hash"),
           Seq("__dst"))
         .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("__h"))
       hub = nodes.join(hOut.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), coalesce(col("__h"), lit(0.0)).as("hub"))
-        .localCheckpoint(true)
+        .lineageCut()
     }
     nodes
       .join(hub.hint("shuffle_hash"), Seq("node"))
@@ -152,10 +153,10 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut()
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .lineageCut()
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("deg").as("__du")).hint("shuffle_hash"), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("__dv")).hint("shuffle_hash"), Seq("v"))
@@ -165,7 +166,7 @@ object Graph {
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"),
       when(uFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
-      .localCheckpoint(true)
+      .lineageCut()
     val w1 = oriented.select(col("a"), col("b"), col("__bd"))
     val w2 = oriented.select(col("a"), col("b").as("c"), col("__bd").as("__cd"))
     val wedges = w1.join(w2.hint("shuffle_hash"), Seq("a"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -35,7 +36,7 @@ object Layout {
     // one pass for all bounds: aggregate k mins and k maxes
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast(DoubleType)).as(s"__mn_$c"), max(col(c).cast(DoubleType)).as(s"__mx_$c")))
-    val bounds = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val bounds = df.agg(aggs.head, aggs.tail: _*).lineageCut()
     val withBounds = df.crossJoin(broadcast(bounds))
     val scaled: Seq[Column] = cols.map { c =>
       val x = col(c).cast(DoubleType)

@@ -108,7 +108,7 @@ object Materialize {
         val path = s"${stagingBase(spark)}/fork_${jvmTag}_${counter.incrementAndGet()}"
         graft.sources.StageIO.save(df, path)
         spark.read.parquet(path)
-      case "local" => df.localCheckpoint(true)
+      case "local" => cut(df)
       // NEGATIVE-CONTROL strategy, for tests only (gated on
       // [[LazyGateProp]]): no materialization at all, so every fork
       // re-executes its upstream once per consumer — CurateForkSpec
@@ -151,11 +151,47 @@ object Materialize {
     }
   }
 
+  /** Session-conf key selecting the storage level for every eager
+    * localCheckpoint this library issues — [[cut]] sites (loop lineage
+    * cuts, bounded model-state pins, streaming
+    * materialize-before-overwrite) and [[fork]]'s `local` strategy
+    * alike. Default `MEMORY_AND_DISK` is byte-identical to what a bare
+    * `localCheckpoint(true)` picks (`LocalRDDCheckpointData
+    * .DEFAULT_STORAGE_LEVEL`); `DISK_ONLY` removes the MemoryStore
+    * unroll from the write path entirely — blocks stream straight to
+    * DiskStore, so 32 concurrent tasks materializing checkpoint
+    * partitions can no longer exhaust storage memory. That unroll
+    * pressure is a measured crash class on small-heap drivers: the
+    * round-15 driver bench died mid-sf1 with `transferring unroll
+    * memory to storage memory failed` followed by lost (lineage-less,
+    * hence unrecoverable) checkpoint blocks. The trade is re-read IO on
+    * every consumer; measure per host class before switching a
+    * protocol (docs/SCALING.md).
+    */
+  val CheckpointLevelKey = "spark.graft.localCheckpointLevel"
+
+  private def cutLevel(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.get(CheckpointLevelKey, "MEMORY_AND_DISK"))
+
+  /** Eager lineage cut: `localCheckpoint(eager = true)` at the
+    * session's [[CheckpointLevelKey]] storage level. Every direct
+    * checkpoint site in the library routes through here so ONE conf
+    * de-pressures them all — the loop cuts (CC/PageRank/BPE rounds),
+    * the bounded model-state pins, and the streaming sinks'
+    * materialize-before-overwrite cuts. Semantics at the default level
+    * are exactly `localCheckpoint(true)`.
+    */
+  def cut(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true, cutLevel(df.sparkSession))
+
   /** Chainable syntax for [[fork]] so a fork site stays a one-token
     * change from the `.localCheckpoint(true)` it replaces:
     * `import graft.ops.Materialize.ForkOps` then `.forkMaterialize()`.
     */
   implicit final class ForkOps(private val df: DataFrame) extends AnyVal {
     def forkMaterialize(): DataFrame = Materialize.fork(df)
+    def lineageCut(): DataFrame = Materialize.cut(df)
   }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,7 +179,7 @@ object Similarity {
             col("__n").cast(DoubleType)).as("__m")))).as("__dm"))
         .select(col("centroid_id"),
           transform(col("__dm"), s => s.getField("__m")).as("centroid"))
-        .localCheckpoint(true)
+        .lineageCut()
     }
   }
 
@@ -275,7 +276,7 @@ object Similarity {
     // unmaterialized plan would re-run the whole bounds aggregation (its
     // own corpus scan) once per side — eagerly checkpoint the single row
     // so the corpus is scanned once for bounds, period
-    val bounds = sqBounds(corpus, cVec).localCheckpoint(true)
+    val bounds = sqBounds(corpus, cVec).lineageCut()
     // shift by -128 so the code domain is exactly TINYINT; span=0 dims
     // (constant across the corpus) code to 0 and dequantize to mn
     def encode(v: Column): Column =
@@ -414,7 +415,7 @@ object Similarity {
       .select(col("__id"), row_number().over(Window.orderBy("__id")).as("code"))
     val c0 = sv.join(broadcast(seedRanks), "__id")
       .select(col("__s"), col("code").cast("long").as("code"), col("__sv").as("cent"))
-      .localCheckpoint(true)
+      .lineageCut()
     (1 to iters).foldLeft(c0) { (cents, _) =>
       // element-wise mean per (subspace, code): exact quantized long sums
       // (order-independent), de-scale, re-assemble — see [[ivfCentroids]].
@@ -439,7 +440,7 @@ object Similarity {
             col("__n").cast(DoubleType)).as("__m")))).as("__dm"))
         .select(col("__s"), col("code"),
           transform(col("__dm"), s => s.getField("__m")).as("cent"))
-        .localCheckpoint(true)
+        .lineageCut()
     }
   }
 
@@ -609,7 +610,7 @@ object Similarity {
         (col("__qs").cast(DoubleType) / CentroidQuantScale /
           col("__n").cast(DoubleType)).as("__m")))).as("__dm"))
       .select(transform(col("__dm"), s => s.getField("__m")).as("__meanArr"))
-      .localCheckpoint(true)
+      .lineageCut()
     df.crossJoin(broadcast(means))
       .withColumn(outCol,
         when(size(col(vecCol)) === size(col("__meanArr")),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -73,7 +74,7 @@ object Unigram {
     val words = df
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .lineageCut()
 
     // seed: all substrings of every word type, weighted by cnt per
     // start position; chars all kept, multi-char top-seedSize

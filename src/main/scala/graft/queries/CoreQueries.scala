@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -822,7 +823,7 @@ object CoreQueries {
                               (body: String => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_s5_gate")
     val tbl = s"$base/table"
-    try body(tbl).localCheckpoint(true)
+    try body(tbl).lineageCut()
     finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -135,7 +136,7 @@ private[graft] object CurationDedupQueries {
       val d = Tables.documents(s, dir)
       // checkpoint = the persisted corpus table both twins read (at scale
       // this is a stored stage table, not a 20-way recompute per scan)
-      val history = reuseHistory(d).localCheckpoint(true)
+      val history = reuseHistory(d).lineageCut()
       // sizing from row counts (20 amplified copies) skips the
       // distinct-count scan. fpp is sized to the SHORT-CIRCUIT RULE, not
       // the usual residue-rate rule: an all-novel batch skips the history
@@ -156,7 +157,7 @@ private[graft] object CurationDedupQueries {
         Dedup.exactDedupIncrementalBloom(reuseBatch(d, b), history,
           "text", "doc_id", bloom)
           .select(lit(b).as("batch"), col("doc_id"), col("lang"), col("source"))
-          .localCheckpoint(true)
+          .lineageCut()
       }.reduce(_ unionByName _).orderBy("batch", "doc_id")
     },
     Some(reuseOracleSql))
@@ -178,11 +179,11 @@ private[graft] object CurationDedupQueries {
   val dedupIncrementalReusePlain = Q("q_dedup_incremental_reuse_plain",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val history = reuseHistory(d).localCheckpoint(true)
+      val history = reuseHistory(d).lineageCut()
       (0 until 6).map { b =>
         Dedup.exactDedupIncremental(reuseBatch(d, b), history, "text", "doc_id")
           .select(lit(b).as("batch"), col("doc_id"), col("lang"), col("source"))
-          .localCheckpoint(true)
+          .lineageCut()
       }.reduce(_ unionByName _).orderBy("batch", "doc_id")
     },
     Some(reuseOracleSql))

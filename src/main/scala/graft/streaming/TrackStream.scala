@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.Materialize.ForkOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -209,7 +210,7 @@ object TrackStream {
     val bc = spark.sparkContext.broadcast(state)
     val kept =
       try graft.ops.Dedup.exactDedupIncrementalBloomBc(
-        batch, history, textCol, idCol, bc).localCheckpoint(true)
+        batch, history, textCol, idCol, bc).lineageCut()
       finally bc.destroy()
     // fold the kept digests into the state filter FIRST (same (n, fpp) ⇒
     // same geometry, so the merge is a bitset OR): bloom-ahead-of-corpus
@@ -275,7 +276,7 @@ object TrackStream {
     val index = readState(spark, indexDir).getOrElse( // first batch
       graft.ops.Dedup.shingleIndex(batch.limit(0), textCol, idCol, n))
     val kept = graft.ops.Dedup.nearDupIncrementalAgainstIndex(
-      batch, index, textCol, idCol, n, threshold).localCheckpoint(true)
+      batch, index, textCol, idCol, n, threshold).lineageCut()
     kept.write.mode("append").parquet(corpusDir)
     graft.ops.Dedup.shingleIndex(kept, textCol, idCol, n)
       .write.mode("append").parquet(indexDir)
@@ -325,7 +326,7 @@ object TrackStream {
         graft.ops.Dedup.contaminatedIdsEmbedding(
           batch, benchmark, vecCol, idCol, threshold)
     val kept = batch.join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      .lineageCut()
     kept.write.mode("append").parquet(corpusDir)
     sink(kept)
   }
@@ -372,7 +373,7 @@ object TrackStream {
       if (spark.catalog.tableExists(indexTable)) spark.table(indexTable)
       else graft.ops.Dedup.shingleIndex(batch.limit(0), textCol, idCol, n)
     val kept = graft.ops.Dedup.nearDupIncrementalAgainstIndex(
-      batch, index, textCol, idCol, n, threshold).localCheckpoint(true)
+      batch, index, textCol, idCol, n, threshold).lineageCut()
     kept.write.mode("append").parquet(corpusDir)
     // append-bucketed with the identical spec, repartitioned to one
     // file per non-empty bucket per batch — same mechanics and
@@ -450,12 +451,12 @@ object TrackStream {
       graft.ops.Dedup.shingleHashSets(batch.limit(0), textCol, idCol, n))
     val kept = graft.ops.Dedup.minhashIncrementalAgainstIndex(
       batch, bandIdx, hashSets, textCol, idCol, n, bands, rowsPerBand,
-      threshold).localCheckpoint(true)
+      threshold).lineageCut()
     kept.write.mode("append").parquet(corpusDir)
     // one shingling pass feeds both index appends (the signature is the
     // dominant batch-side cost — don't pay it per state table)
     val keptShingled = graft.ops.Dedup.wordShingled(kept, textCol, idCol, n)
-      .localCheckpoint(true)
+      .lineageCut()
     graft.ops.Dedup.shingleHashSetsFromShingled(keptShingled, idCol)
       .write.mode("append").parquet(setsDir)
     graft.ops.Dedup.minhashBandIndexFromShingled(keptShingled, idCol,
@@ -533,10 +534,10 @@ object TrackStream {
       graft.ops.Dedup.shingleHashSets(batch.limit(0), textCol, idCol, n))
     val kept = graft.ops.Dedup.minhashIncrementalAgainstIndex(
       batch, bandIdx, hashSets, textCol, idCol, n, bands, rowsPerBand,
-      threshold).localCheckpoint(true)
+      threshold).lineageCut()
     kept.write.mode("append").parquet(corpusDir)
     val keptShingled = graft.ops.Dedup.wordShingled(kept, textCol, idCol, n)
-      .localCheckpoint(true)
+      .lineageCut()
     // append-bucketed: Spark appends to a bucketed table only with an
     // IDENTICAL bucket spec, so the layout invariant the probe relies on
     // cannot drift batch-to-batch. repartition on the bucket key first
@@ -672,7 +673,7 @@ object TrackStream {
           batch.limit(0), vecCol, idCol, cents, indexAssign)
       val kept = graft.ops.Dedup.semanticIncrementalAgainstCells(
         batch, cellIdx, cents, vecCol, idCol, threshold, probeCells)
-        .localCheckpoint(true)
+        .lineageCut()
       kept.write.mode("append").parquet(corpusDir)
       import org.apache.spark.sql.functions.col
       // append-bucketed with the identical spec, one file per non-empty
@@ -811,7 +812,7 @@ object TrackStream {
       val prev = if (hasState) Some(spark.read.parquet(stateDir)) else None
       val merged = prev.fold(batchCounters)(p =>
         p.union(batchCounters).groupBy("__j", "__b").agg(sum("c").as("c")))
-        .localCheckpoint(true)
+        .lineageCut()
       val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)
@@ -854,7 +855,7 @@ object TrackStream {
       if (recoverState(hadoop, stateDir)) Some(spark.read.parquet(stateDir)) else None
     val merged = prev.fold(batchRegs)(_.union(batchRegs))
       .groupBy("__g", "__reg").agg(max("__mr").as("__mr"))
-      .localCheckpoint(true) // materialize BEFORE overwriting what it read
+      .lineageCut() // materialize BEFORE overwriting what it read
     val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     commitState(hadoop, stateDir)
@@ -893,7 +894,7 @@ object TrackStream {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(groupCol), col("__kh"))
-      .localCheckpoint(true) // materialize BEFORE overwriting what it read
+      .lineageCut() // materialize BEFORE overwriting what it read
     val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     commitState(hadoop, stateDir)
@@ -947,7 +948,7 @@ object TrackStream {
       val prev = if (hasState) Some(spark.read.parquet(stateDir)) else None
       val merged = prev.fold(batchCounters)(p =>
         p.union(batchCounters).groupBy(groupCol, "bucket").agg(sum("c").as("c")))
-        .localCheckpoint(true)
+        .lineageCut()
       val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)

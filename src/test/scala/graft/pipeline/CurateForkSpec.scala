@@ -228,4 +228,28 @@ class CurateForkSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+
+  test("lineage cuts honor the session checkpoint-level conf: DISK_ONLY keeps " +
+    "blocks out of memory, results byte-identical") {
+    import spark.implicits._
+    // scrub leftover blocks so the level assertion below sees only ours
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val src = (1 to 100).toDF("x").select((col("x") * 2).as("y"))
+    val expected = Materialize.cut(src).collect().map(_.getInt(0)).sorted
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.conf.set(Materialize.CheckpointLevelKey, "DISK_ONLY")
+    try {
+      val got = Materialize.cut(src).collect().map(_.getInt(0)).sorted
+      assert(got.sameElements(expected))
+      // the de-pressure contract: the checkpointed blocks must not claim
+      // storage MEMORY — DiskStore streams them, no MemoryStore unroll
+      val lvls = spark.sparkContext.getPersistentRDDs.values
+        .map(_.getStorageLevel).toSeq
+      assert(lvls.nonEmpty && lvls.forall(l => l.useDisk && !l.useMemory),
+        s"expected disk-only checkpoint levels, got: $lvls")
+    } finally {
+      spark.conf.unset(Materialize.CheckpointLevelKey)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+  }
 }
