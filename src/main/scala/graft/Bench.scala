@@ -32,12 +32,17 @@ import graft.queries.Q
   * kill because emission was all-or-nothing at the very end of main().
   * Three independent guards now bound the damage:
   *
-  *   1. INCREMENTAL EMISSION — after EVERY completed pass and every scale
-  *      section, the cumulative compact line is printed and
-  *      bench_out.json is rewritten. The driver greps the LAST line
-  *      starting with `{` (build.sbt), so a kill at any point degrades to
-  *      a fewer-reps artifact (`"reps_completed"` says how many) instead
-  *      of `parsed:null`.
+  *   1. INCREMENTAL EMISSION — after EVERY SAMPLE (round 16; per
+  *      pass/section only until then, which salvaged NOTHING when the
+  *      r15 driver JVM OOM'd mid-sf1-section), the cumulative compact
+  *      line + digest are printed and bench_out.json is rewritten. The
+  *      driver greps the LAST line starting with `{` (build.sbt), so a
+  *      kill at any point — even -9 — degrades to an
+  *      everything-completed-so-far artifact instead of `parsed:null`.
+  *      Abnormal exits that still run hooks additionally print a
+  *      `salvage:true` digest naming the in-flight query and failure
+  *      class, and `<bench_out>.inflight` carries the last-started
+  *      sample for hook-less deaths.
   *   2. DEADLINE — SPARK_GRAFT_BENCH_DEADLINE seconds (default 3000,
   *      ~10 min inside the driver's 3600 s kill) measured from main()
   *      start and checked BETWEEN QUERIES everywhere; when exceeded, the
@@ -444,12 +449,12 @@ object Bench {
   }
 
   /** One-line JVM-aging evidence for the artifact: code-cache and
-    * metaspace occupancy plus uptime and cumulative GC time. The bench
-    * runs passes AND scale sections in ONE JVM, so a section that runs
-    * late executes in a JVM that has JIT-compiled and class-loaded
-    * through every earlier sample — if a late section is slow and this
-    * block shows the code cache pinned at its max, the cause is aging,
-    * not the operator.
+    * metaspace occupancy plus uptime and cumulative GC time. Since
+    * round 16 each scale section runs in its own CHILD JVM (so this
+    * block reads near-fresh there — the point of the isolation), but
+    * the five main-suite passes still share one JVM: if a late pass is
+    * slow and this block shows the code cache pinned at its max, the
+    * cause is aging, not the operator.
     */
   private def jvmHealthJson: String = {
     import scala.jdk.CollectionConverters._
@@ -835,6 +840,52 @@ object Bench {
     ref > 0 && measured > 0 &&
       (measured / ref > 1.5 || ref / measured > 1.5)
 
+  /** Section-level memory-bandwidth fingerprints of the SAME artifact
+    * [[ScaleRefs]] is pinned to (r15d — BenchDigestSpec's staleness pin
+    * names it). SCALING.md rule 10: scale reference values are only
+    * comparable within a membw family, so each ref carries the membw it
+    * was measured UNDER; a run whose section probe reads far below its
+    * ref's fingerprint is on measurably slower memory and its tolerance
+    * widens accordingly ([[divergenceClass]]). Refreshed together with
+    * ScaleRefs when a newer idle artifact lands (the staleness pin
+    * cross-checks both).
+    */
+  private[graft] val ScaleRefMembw: Map[String, Double] =
+    Map("sf1" -> 23.3, "sf30" -> 49.4, "sf100" -> 13.8)
+
+  /** Tolerance multiplier from a membw ratio: 1 when the ratio is
+    * missing/clean, capped at 2 — the measured between-boot envelope of
+    * this VM class is 1.5–1.9× (docs/HOST_DRIFT.md §2), and an uncapped
+    * factor would let an arbitrarily slow host excuse anything.
+    */
+  private[graft] def membwFactor(ratio: Double): Double =
+    if (ratio.isNaN || ratio.isInfinite || ratio <= 0) 1.0
+    else math.min(2.0, math.max(1.0, ratio))
+
+  /** Membw-aware divergence classification (round 16, verdict item 5):
+    * the base 1.5× rule, but a sample that exceeds it while the
+    * section's memory-bandwidth probe names a proportionate host drift
+    * classifies as `host_drift`, not `divergent` — the run-#3 pattern
+    * (docs/HOST_DRIFT.md §2: every heavy sample inflated 1.5–1.9×, all
+    * arms quiet, scalar calibration in band, SLOWER MEMORY the only
+    * witness) self-classifies instead of spraying the divergent list.
+    * `slowFactor` widens the too-slow arm (ref-era membw ÷ measured
+    * membw, clamped to [1,2]); `fastFactor` widens the too-fast arm
+    * symmetrically. A drift the probe does NOT explain stays
+    * `divergent`: r15e's curate@sf100 76.3 vs ref 49.9 ran at HIGHER
+    * membw than the ref's fingerprint — slowFactor 1 — and keeps its
+    * honest divergent entry (the probe catches uniform drift, never
+    * per-query writeback variance; HOST_DRIFT §3).
+    */
+  private[graft] def divergenceClass(measured: Double, ref: Double,
+                                     slowFactor: Double,
+                                     fastFactor: Double): Option[String] =
+    if (!(measured > 0 && ref > 0)) None
+    else if (measured / ref > 1.5 * slowFactor ||
+      ref / measured > 1.5 * fastFactor) Some("divergent")
+    else if (measured / ref > 1.5 || ref / measured > 1.5) Some("host_drift")
+    else None
+
   /** Structured residue of a scale section, kept alongside its JSON
     * fragment so [[digestLine]] can summarize without re-parsing strings.
     * `causes` carries (query → measured cause) for every sample whose
@@ -881,6 +932,7 @@ object Bench {
     def fmt1(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     val divergent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hostDrift = scala.collection.mutable.ArrayBuffer.empty[String]
     val scaleJson = scales.map { s =>
       val picks = ScaleDigestPicks.getOrElse(s.label, s.results.map(_._1).take(4))
       val refs = ScaleRefs.getOrElse(s.label, Map.empty)
@@ -906,12 +958,32 @@ object Bench {
       // the rest of the digest; positional ones are ~35)
       val causeByName = s.causes.toMap
       val divNames = scala.collection.mutable.Set.empty[String]
+      // membw-aware tolerance (round 16): the section ran at s.membwGbps,
+      // the refs were measured at ScaleRefMembw(label) — a proportionate
+      // uniform host drift reclassifies the entry ([[divergenceClass]]);
+      // entry format `sf1[2]=93.0/34.5~1.8` carries the applied factor
+      val refBw = ScaleRefMembw.getOrElse(s.label, -1.0)
+      val slowF = if (s.membwGbps > 0 && refBw > 0)
+        membwFactor(refBw / s.membwGbps) else 1.0
+      val fastF = if (s.membwGbps > 0 && refBw > 0)
+        membwFactor(s.membwGbps / refBw) else 1.0
       emittedPicks.zipWithIndex.foreach { case (n, i) =>
         for (m <- s.results.collectFirst { case (`n`, Some(v)) => v };
-             ref <- refs.get(n) if isDivergent(m, ref)) {
-          divNames += n
-          divergent += s"${s.label}[$i]=${fmt1(m)}/${fmt1(ref)}" +
-            causeByName.get(n).fold("")(":" + _)
+             ref <- refs.get(n);
+             cls <- divergenceClass(m, ref, slowF, fastF)) cls match {
+          case "divergent" =>
+            divNames += n
+            divergent += s"${s.label}[$i]=${fmt1(m)}/${fmt1(ref)}" +
+              causeByName.get(n).fold("")(":" + _)
+          case _ =>
+            // measured and ref already ride positionally in the section
+            // object and its `_ref` array — the entry only needs the
+            // position and the applied membw factor (tail-window budget:
+            // the all-host_drift worst case must fit beside the rest).
+            // An entry in EITHER list subsumes the digest-level cause map
+            // (the full per-sample cause map is in bench_out.json).
+            divNames += n
+            hostDrift += s"${s.label}[$i]~${fmt1(math.max(slowF, fastF))}"
         }
       }
       val refJson =
@@ -945,6 +1017,11 @@ object Bench {
     val divJson =
       s""","divergent_n":${divergent.length},"divergent":""" +
         divergent.map("\"" + _ + "\"").mkString("[", ",", "]") +
+        // over-band-but-membw-explained entries (empty key omitted):
+        // visible evidence, distinct verdict — see [[divergenceClass]]
+        (if (hostDrift.isEmpty) ""
+         else s""","host_drift":""" +
+           hostDrift.map("\"" + _ + "\"").mkString("[", ",", "]")) +
         // the run's actual heap, in the line the driver parses — the
         // channel knob the committed artifacts pin outside themselves;
         // when this process is a heap-neutralizing re-exec
@@ -1168,8 +1245,12 @@ object Bench {
   }
 
   /** One scale section (sf1/sf30/sf100): pre-validate every table in the
-    * dir, run the picked queries once each in a FRESH session, emit the
-    * JSON fragment (`,"<label>":{…}[,"<label>_errors":{…}],"<label>_dir":…`).
+    * dir, run the picked queries once each in a FRESH session, and hand
+    * the JSON fragment
+    * (`,"<label>":{…}[,"<label>_errors":{…}],"<label>_dir":…`) plus its
+    * [[ScaleSummary]] to `publish` — after EVERY sample (crash salvage:
+    * the round-15 driver JVM died mid-section and an end-of-section
+    * emission salvaged nothing) and once more at the end.
     * The section is calibration-BRACKETED per query, every sample carries
     * the full [[SampleDiag]] environment bracket, and a sample whose
     * window ran abnormal ([[envCause]] or a hot calibration bracket) is
@@ -1183,7 +1264,8 @@ object Bench {
     * `<label>_manifest` so the artifact records which corpus it measured.
     */
   private def scaleSection(label: String, dir: String, cpus: String,
-                           picked: Seq[Q], timeLeft: () => Boolean): (String, ScaleSummary) = {
+                           picked: Seq[Q], timeLeft: () => Boolean,
+                           publish: (String, ScaleSummary) => Unit): Unit = {
     val spark = newSession(cpus)
     try {
       // Pre-validate the generated dir: every table readable and
@@ -1227,18 +1309,17 @@ object Bench {
                           calibAfter: Double,
                           origRes: Option[Either[String, Double]])
       def attempt(q: Q, orig: Option[Either[String, Double]]): ScaleRun = {
+        noteInFlight(s"$label:${q.name}")
         val cb = calibs.last
         val lb = loadAvg
         val (r, _, diag) = runOnce(spark, q, dir, scaleQueryCap)
         val ca = calibrate(spark)
         calibs += ca
+        noteInFlight(s"(between samples; last=$label:${q.name})")
         ScaleRun(q.name, r, lb, loadAvg, diag, cb, ca, orig)
       }
       val runs = scala.collection.mutable.LinkedHashMap.empty[String, ScaleRun]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
-      picked.foreach { q =>
-        if (timeLeft()) runs(q.name) = attempt(q, None) else skipped += q.name
-      }
       // Suspect arms here: the PER-QUERY calibration brackets (already
       // sample-granular in this section, unlike the main suite's
       // every-16-queries points) OR any measured [[envCause]] arm —
@@ -1261,6 +1342,86 @@ object Bench {
           .orElse(
             if (isHot(r.calibBefore, runBest) || isHot(r.calibAfter, runBest))
               Some("calib_bracket") else None)
+      /** The section's complete (fragment, summary) from everything run
+        * SO FAR — recomputed after every sample so `publish` always has
+        * a crash-consistent view (the round-16 salvage contract).
+        */
+      def snapshot(): (String, ScaleSummary) = {
+        val ran = runs.values.toSeq
+        val hot = calibs.count(isHot(_, runBest)) >= 2
+        val causes: Seq[(String, String)] =
+          ran.flatMap(r => causeOf(r).map(r.name -> _))
+        val suspects = causes.map(_._1)
+        def jm(f: ScaleRun => String): String =
+          ran.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+        val entries = jm(_.res.toOption.map(fmt).getOrElse("null"))
+        val retriedRuns = ran.filter(_.origRes.isDefined)
+        val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
+          ran.collect { case r if r.res.isLeft =>
+            s""""${r.name}":"${jesc(r.res.swap.toOption.get)}"""" }
+        val errJson =
+          if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
+        val skipJson =
+          if (skipped.isEmpty) ""
+          else s""","${label}_skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        // a replaced original rides as its seconds (Right) or as a quoted
+        // "error: …" string (Left) — a failed-then-recovered attempt is
+        // preserved evidence, not a vanished one
+        val retryJson =
+          if (retriedRuns.isEmpty) ""
+          else s""","${label}_retried":""" + retriedRuns
+            .map(r => "\"" + r.name + "\":" + (r.origRes.get match {
+              case Right(s) => fmt(s)
+              case Left(e)  => "\"error: " + jesc(e) + "\""
+            }))
+            .mkString("{", ",", "}")
+        val causeJson =
+          if (causes.isEmpty) ""
+          else s""","${label}_suspect_causes":""" + causes
+            .map { case (n, c) => "\"" + n + "\":\"" + jesc(c) + "\"" }
+            .mkString("{", ",", "}")
+        val manifestJson = {
+          val f = new java.io.File(s"$dir/manifest.json")
+          if (f.isFile) {
+            val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            // echo only a sane single-line JSON object; anything else would
+            // corrupt the artifact it is supposed to annotate
+            if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
+              s""","${label}_manifest":$s""" else ""
+          } else ""
+        }
+        val frag =
+          s""","$label":$entries$errJson$skipJson$retryJson$causeJson,""" +
+            s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
+            s""""${label}_contended":$hot,""" +
+            s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""${label}_load":${fmt(load)},""" +
+            s""""${label}_sample_load":${jm(r => fmt(r.loadAfter))},""" +
+            s""""${label}_sample_load_before":${jm(r => fmt(r.loadBefore))},""" +
+            s""""${label}_sample_ext_cores":${jm(r => fmt(r.diag.extCores))},""" +
+            s""""${label}_sample_gc_frac":${jm(r => fmt(r.diag.gcFrac))},""" +
+            s""""${label}_sample_sys_cores":${jm(r => fmt(r.diag.sysCores))},""" +
+            s""""${label}_sample_minflt_rate":${jm(r => fmt(r.diag.minfltRate))},""" +
+            s""""${label}_sample_majflt_rate":${jm(r => fmt(r.diag.majfltRate))},""" +
+            s""""${label}_sample_psi_io":${jm(r => fmt(r.diag.psiIoFrac))},""" +
+            s""""${label}_sample_psi_mem":${jm(r => fmt(r.diag.psiMemFrac))},""" +
+            s""""${label}_sample_io_read_mb":${jm(r => fmt(r.diag.ioReadMb))},""" +
+            s""""${label}_sample_io_write_mb":${jm(r => fmt(r.diag.ioWriteMb))},""" +
+            s""""${label}_jvm":$jvmHealthJson,""" +
+            s""""${label}_membw_gbps":${fmt(membwGbps)},""" +
+            s""""${label}_precache_mb":${fmt(precacheMb)},""" +
+            s""""${label}_precache_sec":${fmt(precacheSec)}""" +
+            manifestJson +
+            s""","${label}_dir":"$dir""""
+        (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot,
+          causes, membwGbps))
+      }
+      def publishNow(): Unit = { val (f, s) = snapshot(); publish(f, s) }
+      picked.foreach { q =>
+        if (timeLeft()) { runs(q.name) = attempt(q, None); publishNow() }
+        else skipped += q.name
+      }
       // settle-then-retry: one retry per first-pass suspect, replacing
       // the sample only when the retry's own window is clean AND it
       // succeeded — a clean-but-slower retry is the honest number, a
@@ -1277,78 +1438,14 @@ object Bench {
             val q = picked.find(_.name == name).get
             val retry = attempt(q, Some(runs(name).res))
             if (retry.res.isRight && causeOf(retry).isEmpty) runs(name) = retry
+            publishNow()
           }
         }
       }
-      val ran = runs.values.toSeq
-      val hot = calibs.count(isHot(_, runBest)) >= 2
-      val causes: Seq[(String, String)] =
-        ran.flatMap(r => causeOf(r).map(r.name -> _))
-      val suspects = causes.map(_._1)
-      def jm(f: ScaleRun => String): String =
-        ran.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
-      val entries = jm(_.res.toOption.map(fmt).getOrElse("null"))
-      val retriedRuns = ran.filter(_.origRes.isDefined)
-      val errs = tableErrs.map { case (t, m) => s""""table:$t":"${jesc(m)}"""" } ++
-        ran.collect { case r if r.res.isLeft =>
-          s""""${r.name}":"${jesc(r.res.swap.toOption.get)}"""" }
-      val errJson =
-        if (errs.isEmpty) "" else s""","${label}_errors":${errs.mkString("{", ",", "}")}"""
-      val skipJson =
-        if (skipped.isEmpty) ""
-        else s""","${label}_skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      // a replaced original rides as its seconds (Right) or as a quoted
-      // "error: …" string (Left) — a failed-then-recovered attempt is
-      // preserved evidence, not a vanished one
-      val retryJson =
-        if (retriedRuns.isEmpty) ""
-        else s""","${label}_retried":""" + retriedRuns
-          .map(r => "\"" + r.name + "\":" + (r.origRes.get match {
-            case Right(s) => fmt(s)
-            case Left(e)  => "\"error: " + jesc(e) + "\""
-          }))
-          .mkString("{", ",", "}")
-      val causeJson =
-        if (causes.isEmpty) ""
-        else s""","${label}_suspect_causes":""" + causes
-          .map { case (n, c) => "\"" + n + "\":\"" + jesc(c) + "\"" }
-          .mkString("{", ",", "}")
-      val manifestJson = {
-        val f = new java.io.File(s"$dir/manifest.json")
-        if (f.isFile) {
-          val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          // echo only a sane single-line JSON object; anything else would
-          // corrupt the artifact it is supposed to annotate
-          if (s.startsWith("{") && s.endsWith("}") && !s.contains("\n"))
-            s""","${label}_manifest":$s""" else ""
-        } else ""
-      }
-      val frag =
-        s""","$label":$entries$errJson$skipJson$retryJson$causeJson,""" +
-          s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
-          s""""${label}_contended":$hot,""" +
-          s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""${label}_load":${fmt(load)},""" +
-          s""""${label}_sample_load":${jm(r => fmt(r.loadAfter))},""" +
-          s""""${label}_sample_load_before":${jm(r => fmt(r.loadBefore))},""" +
-          s""""${label}_sample_ext_cores":${jm(r => fmt(r.diag.extCores))},""" +
-          s""""${label}_sample_gc_frac":${jm(r => fmt(r.diag.gcFrac))},""" +
-          s""""${label}_sample_sys_cores":${jm(r => fmt(r.diag.sysCores))},""" +
-          s""""${label}_sample_minflt_rate":${jm(r => fmt(r.diag.minfltRate))},""" +
-          s""""${label}_sample_majflt_rate":${jm(r => fmt(r.diag.majfltRate))},""" +
-          s""""${label}_sample_psi_io":${jm(r => fmt(r.diag.psiIoFrac))},""" +
-          s""""${label}_sample_psi_mem":${jm(r => fmt(r.diag.psiMemFrac))},""" +
-          s""""${label}_sample_io_read_mb":${jm(r => fmt(r.diag.ioReadMb))},""" +
-          s""""${label}_sample_io_write_mb":${jm(r => fmt(r.diag.ioWriteMb))},""" +
-          s""""${label}_jvm":$jvmHealthJson,""" +
-          s""""${label}_membw_gbps":${fmt(membwGbps)},""" +
-          s""""${label}_precache_mb":${fmt(precacheMb)},""" +
-          s""""${label}_precache_sec":${fmt(precacheSec)}""" +
-          manifestJson +
-          s""","${label}_dir":"$dir""""
-      (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot,
-        causes, membwGbps))
+      // final publication: the skip markers of a deadline-cut tail (and
+      // a zero-sample section's table errors) must land even when no
+      // sample triggered a publish after them
+      publishNow()
     } finally spark.stop()
   }
 
@@ -1363,42 +1460,373 @@ object Bench {
   private def heapReexecEnabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_HEAP_REEXEC", "true").toBoolean
 
-  /** Re-exec this JVM as `graft.Bench` at [[expectedHeapMb]] — Xms
-    * pinned to Xmx (G1 cannot uncommit below Xms, so the
-    * gc-uncommit-retouch amplifier cannot exist) plus AlwaysPreTouch
-    * (every heap page zeroed ONCE at JVM start, outside all sample
-    * windows — measured 1.4 s at 8g on this host, vs the same cost
-    * landing inside whichever samples touch fresh pages first). The
-    * child inherits stdio (its digest line IS this process's output),
-    * every non-heap JVM arg (add-opens, -D conf), the classpath, and
-    * the environment; the parent's heap is recorded for the artifact
-    * via SPARK_GRAFT_PARENT_HEAP_MB. Never returns.
+  /** JVM arguments this process was launched with, minus every knob the
+    * protocol pins itself (heap sizing, pre-touch, region size, OOM
+    * hooks) — the inheritable remainder (add-opens, -D conf) any child
+    * JVM needs to behave like this one.
     */
-  private def reexecAtExpectedHeap(args: Array[String], actualMb: Long): Nothing = {
+  private def inheritedJvmArgs: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val mb = expectedHeapMb.toLong
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+    java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
         a.startsWith("-XX:MaxHeapSize") || a.startsWith("-XX:InitialHeapSize") ||
-        a.startsWith("-XX:G1HeapRegionSize") || a == "-XX:+AlwaysPreTouch")
-    val cmd = Seq(javaBin) ++ inherited ++ Seq(
+        a.startsWith("-XX:G1HeapRegionSize") || a == "-XX:+AlwaysPreTouch" ||
+        a.startsWith("-XX:OnOutOfMemoryError"))
+  }
+
+  /** Command line for a `graft.Bench` child at the committed protocol
+    * heap: Xms pinned to Xmx (G1 cannot uncommit below Xms, so the
+    * gc-uncommit-retouch amplifier cannot exist), AlwaysPreTouch (every
+    * heap page zeroed ONCE at JVM start, outside all sample windows),
+    * and the same 32 m region pin as build.sbt — a raw-java channel
+    * would otherwise land at G1's 4 m default, where the dedup kernels'
+    * 4 MB+ buffer doublings are humongous and a multi-section run can
+    * fragment the region map into a spurious OOM (docs/HOST_DRIFT.md §1).
+    */
+  private def protocolJvmCmd(extraJvmArgs: Seq[String]): Seq[String] = {
+    val mb = expectedHeapMb.toLong
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    Seq(javaBin) ++ inheritedJvmArgs ++ Seq(
       s"-Xms${mb}m", s"-Xmx${mb}m", "-XX:+AlwaysPreTouch",
-      // same region-size pin as build.sbt: a raw-java driver channel
-      // would otherwise re-exec at G1's 4m default, where the dedup
-      // kernels' 4m+ buffer doublings are humongous and a multi-section
-      // run can fragment the region map into a spurious OOM
-      "-XX:G1HeapRegionSize=32m",
-      "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
+      "-XX:G1HeapRegionSize=32m") ++ extraJvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+  }
+
+  /** Re-exec this JVM as `graft.Bench` at [[expectedHeapMb]] (see
+    * [[protocolJvmCmd]] for the pinned JVM knobs; AlwaysPreTouch costs a
+    * measured 1.4 s at 8 g at JVM start, outside all sample windows).
+    * The child inherits stdio (its digest line IS this process's
+    * output), every non-heap JVM arg, the classpath and the environment;
+    * the parent's foreign heap is recorded for the artifact via
+    * SPARK_GRAFT_PARENT_HEAP_MB. Never returns.
+    */
+  private def reexecAtExpectedHeap(args: Array[String], actualMb: Long): Nothing = {
+    import scala.jdk.CollectionConverters._
+    val cmd = protocolJvmCmd(Nil) ++ args
     val pb = new ProcessBuilder(cmd.asJava).inheritIO()
     pb.environment().put("SPARK_GRAFT_PARENT_HEAP_MB", actualMb.toString)
     pb.environment().put("SPARK_GRAFT_HEAP_REEXEC", "false")
     System.err.println(s"[bench] heap ${actualMb}mb deviates from the " +
-      s"committed protocol ${mb}mb - re-exec at the protocol heap " +
-      "(SPARK_GRAFT_HEAP_REEXEC=false to flag instead)")
+      s"committed protocol ${expectedHeapMb.toLong}mb - re-exec at the " +
+      "protocol heap (SPARK_GRAFT_HEAP_REEXEC=false to flag instead)")
     sys.exit(pb.start().waitFor())
   }
+
+  // ===== crash salvage (round 16, verdict items 1+4) ======================
+  //
+  // BENCH_r15.json was `parsed: null` because the JVM died mid-sf1-section
+  // (MemoryStore unroll OOM, runner exit 52) and emission only fired after
+  // a COMPLETED pass/section — a crash salvaged nothing. Three layers now
+  // bound that to one sample:
+  //
+  //   1. PER-SAMPLE EMISSION — emit() (compact line + digest + file
+  //      rewrite) runs after EVERY sample, main suite and scale sections
+  //      alike, so even a SIGKILL leaves the last sample's digest as the
+  //      tail's `{`-line.
+  //   2. SHUTDOWN SALVAGE — abnormal exits that still run hooks (Spark's
+  //      uncaught-exception handler calls System.exit(52) on OOM) print
+  //      one final digest carrying `salvage:true`, the in-flight query
+  //      and the recorded failure class.
+  //   3. IN-FLIGHT FILE — the last-started query name is written to
+  //      `<bench_out>.inflight` before every sample, so even a hook-less
+  //      death (kill -9) leaves machine-readable forensics on disk.
+
+  @volatile private var lastDigest: String = null
+  @volatile private var inFlightSample: String = ""
+  @volatile private var lastUncaught: String = null
+  @volatile private var inFlightFile: Option[String] = None
+  private val finishedNormally = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Record the sample about to start (or a between-samples marker) in
+    * memory for the shutdown hook and on disk for hook-less deaths.
+    */
+  private def noteInFlight(name: String): Unit = {
+    inFlightSample = name
+    inFlightFile.foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** The salvage digest an abnormal exit prints: the last emitted digest
+    * with `salvage:true`, the in-flight sample and the failure class
+    * appended — everything completed survives, and the crash carries its
+    * own evidence in the line the driver parses. Falls back to a minimal
+    * valid digest when death precedes the first emit. Package-private
+    * for the spec.
+    */
+  private[graft] def salvageLine(digest: String, inFlight: String,
+                                 failure: String): String = {
+    val base =
+      if (digest != null) digest.dropRight(1)
+      else """{"metric":"total","value":0.000,"unit":"sec","queries":{},""" +
+        """"reps":0,"reps_completed":0,"truncated":true,"digest":true"""
+    base + s""","salvage":true,"in_flight":"${jesc(Option(inFlight).getOrElse(""))}"""" +
+      s""","failure":"${jesc(Option(failure).getOrElse("abnormal_exit"))}"}"""
+  }
+
+  /** Install the uncaught-exception recorder and the shutdown salvage
+    * hook. The recorder CHAINS to whatever handler was installed (or the
+    * thread-group default) — it only observes; the hook prints the
+    * salvage digest unless main() marked a normal finish.
+    */
+  private def installSalvageHooks(): Unit = {
+    val prior = Thread.getDefaultUncaughtExceptionHandler
+    Thread.setDefaultUncaughtExceptionHandler((t: Thread, e: Throwable) => {
+      lastUncaught = s"${e.getClass.getName}: " +
+        s"${Option(e.getMessage).getOrElse("").take(140)} (thread ${t.getName})"
+      if (prior != null) prior.uncaughtException(t, e)
+      else t.getThreadGroup.uncaughtException(t, e)
+    })
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finishedNormally.get) {
+        println(salvageLine(lastDigest, inFlightSample, lastUncaught))
+        System.out.flush()
+      }
+    }, "bench-salvage"))
+  }
+
+  // ===== child-JVM scale sections (round 16, verdict item 2) ==============
+  //
+  // Passes and scale sections used to share one JVM; HOST_DRIFT §1's own
+  // evidence is that the OOM class is JVM-aging-dependent (the query that
+  // killed two full runs completed clean in a fresh JVM). Each scale
+  // section now runs in a CHILD JVM at the protocol heap: a dead child is
+  // a recorded `oom_child` cause plus whatever the child had already
+  // published — never a dead round — and the parent retries the section
+  // once in another fresh JVM. The child publishes its section fragment
+  // to a file after EVERY sample (atomic rename), so the parent can
+  // salvage a dead child's completed prefix; the pre-sample in-flight
+  // sidecar names the killer.
+
+  private val SectionChildEnv = "SPARK_GRAFT_SECTION_CHILD"
+  private val SectionDirEnv = "SPARK_GRAFT_SECTION_DIR"
+  private val SectionQueriesEnv = "SPARK_GRAFT_SECTION_QUERIES"
+  private val SectionOutEnv = "SPARK_GRAFT_SECTION_OUT"
+  private val SectionBudgetEnv = "SPARK_GRAFT_SECTION_BUDGET"
+
+  /** Whether scale sections run in child JVMs (default) or inline in
+    * this process (the pre-r16 behavior, kept for the attribution
+    * experiments that deliberately reproduce JVM-aging sequences).
+    */
+  private def sectionIsolate: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SECTION_ISOLATE", "true").toBoolean
+
+  /** One fresh-JVM retry for a section whose child died. */
+  private def sectionChildRetry: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SECTION_CHILD_RETRY", "true").toBoolean
+
+  /** Serialize a section's (fragment, summary) for the child→parent file.
+    * Line-oriented: FRAG carries the JSON fragment verbatim (single line
+    * by construction), SUM/RES/CAUSE carry the [[ScaleSummary]] fields.
+    * Package-private for the round-trip spec.
+    */
+  private[graft] def encodeSection(frag: String, s: ScaleSummary): String = {
+    val sb = new StringBuilder
+    sb.append("FRAG\t").append(frag).append('\n')
+    sb.append("SUM\t").append(s.label).append('\t').append(s.contended)
+      .append('\t').append(s.membwGbps).append('\n')
+    s.results.foreach { case (n, r) =>
+      sb.append("RES\t").append(n).append('\t')
+        .append(r.fold("NA")(_.toString)).append('\n')
+    }
+    s.causes.foreach { case (n, c) =>
+      sb.append("CAUSE\t").append(n).append('\t')
+        .append(c.replace("\n", " ")).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[encodeSection]]; None on a torn/foreign file (the
+    * atomic-rename publish makes that unreachable in practice, but a
+    * parent must never crash on a half-written child artifact).
+    */
+  private[graft] def decodeSection(text: String): Option[(String, ScaleSummary)] =
+    try {
+      val lines = text.split("\n")
+      val frag = lines.find(_.startsWith("FRAG\t")).map(_.substring(5))
+      val sum = lines.find(_.startsWith("SUM\t")).map(_.split("\t", -1))
+      (frag, sum) match {
+        case (Some(f), Some(Array(_, label, contended, membw))) =>
+          val results = lines.filter(_.startsWith("RES\t")).toSeq.map { l =>
+            val Array(_, n, v) = l.split("\t", -1)
+            n -> (if (v == "NA") None else Some(v.toDouble))
+          }
+          val causes = lines.filter(_.startsWith("CAUSE\t")).toSeq.map { l =>
+            val parts = l.split("\t", 3)
+            parts(1) -> parts(2)
+          }
+          Some((f, ScaleSummary(label, results, contended.toBoolean, causes,
+            membw.toDouble)))
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  private def writeSectionFile(path: String, frag: String, s: ScaleSummary): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
+      encodeSection(frag, s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readSectionFile(path: String): Option[(String, ScaleSummary)] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else decodeSection(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Child-mode entry: run ONE scale section in this (fresh, protocol-
+    * heap) JVM, publishing the fragment file after every sample. No
+    * stdout: the parent owns the driver-facing lines.
+    */
+  private def runSectionChild(label: String): Unit = {
+    val dir = sys.env(SectionDirEnv)
+    val outPath = sys.env(SectionOutEnv)
+    val budget = sys.env.getOrElse(SectionBudgetEnv, "1200").toDouble
+    val names = sys.env.getOrElse(SectionQueriesEnv, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val start = System.nanoTime()
+    def timeLeft(): Boolean = (System.nanoTime() - start) / 1e9 < budget
+    inFlightFile = Some(outPath + ".inflight")
+    // same catalog narrowing as the parent (BENCH_ONLY rides the env)
+    val base = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(SparkEntry.catalog)(only => SparkEntry.catalog.filter(q => only(q.name)))
+    val picked = base.filter(q => names(q.name))
+    scaleSection(label, dir, cpus, picked, timeLeft,
+      (frag, s) => writeSectionFile(outPath, frag, s))
+  }
+
+  /** Parent side: spawn the section child, stream its per-sample
+    * publications into `publish` (each call re-emits the cumulative
+    * artifact), classify a death, retry once in another fresh JVM. The
+    * child's stdout+stderr land in a log file — the driver tail must
+    * carry only THIS process's digest lines — and on death the log tail
+    * is echoed to stderr so the root exception survives the driver's
+    * window.
+    */
+  private def runSectionInChild(label: String, dir: String, names: Seq[String],
+                                budgetLeft: () => Double,
+                                publish: (String, ScaleSummary) => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    def attempt(n: Int): Option[(String, String)] = { // (cause, inFlight) on death
+      val out = java.nio.file.Files.createTempFile(s"graft-sect-$label-", ".txt")
+      java.nio.file.Files.deleteIfExists(out)
+      val outPath = out.toString
+      val oomMarker = new java.io.File(outPath + ".oom")
+      val budget = math.max(60.0, budgetLeft())
+      // OnOutOfMemoryError leaves a marker even when the death path
+      // skips Spark's exit-52 handler (e.g. an OOM on a non-task thread)
+      val cmd = protocolJvmCmd(
+        Seq(s"-XX:OnOutOfMemoryError=/bin/touch ${oomMarker.getPath}"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(outPath + ".log"))
+      val env = pb.environment()
+      env.put(SectionChildEnv, label)
+      env.put(SectionDirEnv, dir)
+      env.put(SectionQueriesEnv, names.mkString(","))
+      env.put(SectionOutEnv, outPath)
+      env.put(SectionBudgetEnv, budget.toLong.toString)
+      env.put("SPARK_GRAFT_HEAP_REEXEC", "false") // already at protocol heap
+      System.err.println(s"[bench] $label section -> child JVM (attempt $n, " +
+        s"budget ${budget.toLong}s)")
+      val proc = pb.start()
+      var lastLen = -1L
+      def pollPublish(): Unit = {
+        val f = new java.io.File(outPath)
+        if (f.isFile && f.length != lastLen) {
+          lastLen = f.length
+          readSectionFile(outPath).foreach { case (frag, sum) => publish(frag, sum) }
+        }
+      }
+      val t0 = System.nanoTime()
+      val hardCap = budget + 300 // slack for session startup/teardown
+      var dead: Option[String] = None
+      while (dead.isEmpty && !proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) {
+        pollPublish()
+        if ((System.nanoTime() - t0) / 1e9 > hardCap) {
+          proc.destroyForcibly().waitFor()
+          dead = Some("child_timeout")
+        }
+      }
+      pollPublish()
+      val code = if (dead.isDefined) -1 else proc.exitValue()
+      val oom = oomMarker.isFile
+      if (code == 0 && !oom && dead.isEmpty) None
+      else {
+        val log = try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath + ".log")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: Throwable => "" }
+        // three OOM witnesses, any one suffices: the OnOutOfMemoryError
+        // marker, Spark's dedicated exit code 52, or an OutOfMemoryError
+        // in the log (Spark wraps task-side OOMs in SparkExceptions and
+        // can exit 1 while the root cause is memory)
+        val cause = dead.getOrElse(
+          if (oom || code == 52 || log.contains("OutOfMemoryError"))
+            "oom_child"
+          else s"child_exit_$code")
+        val inflight = try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath + ".inflight")),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: Throwable => "" }
+        // the root exception must survive the driver's 2000-char tail:
+        // echo the child log's last lines to OUR stderr
+        System.err.println(s"[bench] $label child died ($cause, " +
+          s"in-flight: $inflight); log tail:\n${log.takeRight(1200)}")
+        Some((cause, inflight))
+      }
+    }
+    def publishDeath(n: Int, cause: String, inflight: String): Unit = {
+      // republish the child's last published state (or an empty section)
+      // with the death recorded: a `<label>_child` fragment block plus a
+      // digest-visible cause keyed by the in-flight query
+      val (frag0, sum0) = readLastPublished(label)
+        .getOrElse((s""","$label":{}""",
+          ScaleSummary(label, Nil, contended = false)))
+      // a retry that died before its first publication would otherwise
+      // append a SECOND `<label>_child` block to the first death's frag —
+      // duplicate JSON keys; the newest death replaces the block
+      val marker = s""","${label}_child":"""
+      val fragBase = frag0.indexOf(marker) match {
+        case -1 => frag0
+        case i  => frag0.substring(0, i)
+      }
+      val key = if (inflight.nonEmpty) inflight else s"$label:section"
+      val frag = fragBase + s""","${label}_child":{"attempt":$n,""" +
+        s""""cause":"${jesc(cause)}","in_flight":"${jesc(inflight)}"}"""
+      // a second death with the same in-flight key REPLACES the first
+      // cause entry (duplicate keys would corrupt the digest's cause map)
+      publish(frag,
+        sum0.copy(causes = sum0.causes.filterNot(_._1 == key) :+ (key -> cause)))
+    }
+    attempt(1) match {
+      case None => ()
+      case Some((cause1, inflight1)) =>
+        publishDeath(1, cause1, inflight1)
+        if (sectionChildRetry && budgetLeft() > 60) attempt(2) match {
+          case None => ()
+          case Some((cause2, inflight2)) => publishDeath(2, cause2, inflight2)
+        }
+    }
+  }
+
+  /** The last (frag, summary) published for `label` this run — consulted
+    * by [[runSectionInChild]]'s death path so a dead child's completed
+    * prefix stays in the artifact. Registered by the publish closure in
+    * main().
+    */
+  @volatile private var lastPublished: Map[String, (String, ScaleSummary)] = Map.empty
+  private def readLastPublished(label: String): Option[(String, ScaleSummary)] =
+    lastPublished.get(label)
 
   def main(args: Array[String]): Unit = {
     // NEUTRALIZE a foreign heap before measuring anything (round 15):
@@ -1410,6 +1838,13 @@ object Bench {
     // the artifact records both heaps.
     if (heapReexecEnabled && heapMismatchCause.isDefined)
       reexecAtExpectedHeap(args, Runtime.getRuntime.maxMemory / 1048576)
+    // child mode (round 16): run exactly one scale section and exit —
+    // the parent owns stdout, artifacts and death classification
+    sys.env.get(SectionChildEnv) match {
+      case Some(label) => runSectionChild(label); return
+      case None => ()
+    }
+    installSalvageHooks()
     val startNs = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - startNs) / 1e9
     def timeLeft(): Boolean = elapsed < deadlineSecs
@@ -1447,19 +1882,31 @@ object Bench {
                       diag: SampleDiag, cause: Option[String], suspect: Boolean)
 
     val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
+    // the in-flight pass's completed samples (round 16): emit() folds
+    // them in so a PER-SAMPLE emission carries everything finished,
+    // while reps_completed keeps counting whole passes only
+    var partialPass: Option[Pass] = None
     val scaleJsons = scala.collection.mutable.ArrayBuffer.empty[String]
     val scaleSummaries = scala.collection.mutable.ArrayBuffer.empty[ScaleSummary]
     val skippedWork = scala.collection.mutable.ArrayBuffer.empty[String]
     var truncated = false
+    // the in-flight file rides beside the artifact (verdict item 4: the
+    // last-started query must survive even a hook-less death)
+    inFlightFile = Some(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json") + ".inflight")
 
     /** Recompute the cumulative artifact from everything finished so far,
-      * rewrite bench_out.json and print the compact line. Called after
-      * every pass and every scale section (and once at the very end) —
-      * the driver greps the LAST `{`-line of the output tail, so each
-      * call strictly improves what a kill would salvage.
+      * rewrite bench_out.json and print the compact line + digest. Called
+      * after EVERY SAMPLE (round 16 — the r15 JVM died mid-section and
+      * the old per-pass/per-section cadence salvaged nothing), after
+      * every pass/section boundary, and once at the very end — the
+      * driver greps the LAST `{`-line of the output tail, so each call
+      * strictly improves what a kill (even -9) would salvage. Cost is
+      * string building + one small file write per sample, noise against
+      * second-scale samples.
       */
     def emit(): Unit = {
-      val ps = passes.toSeq
+      val ps = passes.toSeq ++ partialPass
       val runBest = (calibBaseline +: ps.flatMap(_.calibs)).min
       // A pass is CONTENDED when TWO OR MORE of its calibration points
       // ran hot ([[isHot]]) — a sustained window spans multiple bracket
@@ -1489,9 +1936,14 @@ object Bench {
       val judged: Seq[(String, Judged)] = ps.flatMap { p =>
         p.samples.flatMap { s =>
           s.res.toOption.map { secs =>
+            // the in-flight pass's trailing bracket may not exist yet
+            // (per-sample emission runs mid-pass): judge on the leading
+            // bracket alone until the next calibration point lands
+            val trailingHot = s.calibIdx + 1 < p.calibs.length &&
+              isHot(p.calibs(s.calibIdx + 1), runBest)
             val cause = envCause(s.diag).orElse(
-              if (isHot(p.calibs(s.calibIdx), runBest) ||
-                isHot(p.calibs(s.calibIdx + 1), runBest)) Some("calib_bracket")
+              if (isHot(p.calibs(s.calibIdx), runBest) || trailingHot)
+                Some("calib_bracket")
               else None)
             s.name -> Judged(secs, s.ts, s.loadBefore, s.load, s.diag,
               cause, cause.isDefined)
@@ -1583,7 +2035,7 @@ object Bench {
       // evidence (bloom-vs-plain regime, manifest provenance) must land
       // in the artifact that gets graded, not only in bench_out.json
       val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":$qs,"reps":$reps,"reps_completed":${ps.length},""" +
+        s""""queries":$qs,"reps":$reps,"reps_completed":${passes.length},""" +
         s""""truncated":$truncated,"calibration":$calibJson,""" +
         s""""calib_baseline":${fmt(calibBaseline)},""" +
         s""""contended":$contJson,"suspect":$nSuspect,""" +
@@ -1610,7 +2062,7 @@ object Bench {
         s""""suspect":$nSuspect,"clean_medians":true,""" +
         s""""no_clean_samples":${jarr(noClean)},""" +
         s""""pass_load":$loadJson,"reps":$reps,""" +
-        s""""reps_completed":${ps.length},"truncated":$truncated,""" +
+        s""""reps_completed":${passes.length},"truncated":$truncated,""" +
         s""""deadline_secs":${fmt(deadlineSecs)},"elapsed_secs":${fmt(elapsed)},""" +
         s""""query_cap_secs":${fmt(queryCap)},""" +
         s""""scale_query_cap_secs":${fmt(scaleQueryCap)},"interleaved":true,""" +
@@ -1631,10 +2083,12 @@ object Bench {
       // run-level bandwidth fingerprint: the scale sections' median probe
       // (they run first, youngest JVM); -1 (omitted) when none ran
       val membws = scaleSummaries.map(_.membwGbps).filter(_ > 0).toSeq
-      println(digestLine(total, reps, ps.length, truncated, contended,
+      val digest = digestLine(total, reps, passes.length, truncated, contended,
         nSuspect, noClean.length, failed.length,
         skippedWork.length + neverRan.length, medsMap, scaleSummaries.toSeq,
-        sfDir, if (membws.isEmpty) -1 else median(membws)))
+        sfDir, if (membws.isEmpty) -1 else median(membws))
+      lastDigest = digest // the shutdown salvage hook's source of truth
+      println(digest)
     }
 
     def runPasses(): Unit = (1 to reps).foreach { p =>
@@ -1659,15 +2113,22 @@ object Bench {
               // since round 12 the suspect rule judges on the measured
               // per-sample environment inside runOnce, not on either read
               val lb = loadAvg
+              noteInFlight(s"pass$p:${q.name}")
               val (r, leaked, diag) = runOnce(spark, q, sfDir, queryCap)
+              noteInFlight(s"(between samples; last=pass$p:${q.name})")
               samples += Sample(q.name, ts, lb, loadAvg, diag, r, leaked,
                 calibs.length - 1)
+              // per-sample salvage: fold the in-flight pass into the
+              // cumulative artifact and reprint the digest
+              partialPass = Some(Pass(calibs.toSeq, passLoad, samples.toSeq))
+              emit()
             }
           }
           calibs += calibrate(spark) // closing bracket
           // a pass that got zero samples in (deadline expired during its
           // warmup) is not a completed rep — don't let it inflate
           // reps_completed; its skip marker already rides in "skipped"
+          partialPass = None
           if (samples.nonEmpty) passes += Pass(calibs.toSeq, passLoad, samples.toSeq)
         } finally spark.stop()
         emit()
@@ -1685,17 +2146,29 @@ object Bench {
         .getOrElse(fallback)
     type Section = (String, String, Seq[String])
     def runScaleSections(sections: Seq[Section],
-                         sectionTimeLeft: () => Boolean): Seq[Section] =
+                         budgetLeft: () => Double): Seq[Section] =
       sections.flatMap { case s @ (label, d, names) =>
         if (!new java.io.File(d).isDirectory) None
-        else if (!sectionTimeLeft()) Some(s)
+        else if (budgetLeft() <= 0) Some(s)
         else {
-          val (frag, summary) =
-            scaleSection(label, d, cpus, catalog.filter(q => names.contains(q.name)),
-              sectionTimeLeft)
-          scaleJsons += frag
-          scaleSummaries += summary
-          emit()
+          // every publication REPLACES this section's fragment in the
+          // cumulative artifact and re-emits — per-sample salvage for
+          // scale sections, whether they run inline or in a child JVM
+          var idx = -1
+          def publish(frag: String, summary: ScaleSummary): Unit = {
+            if (idx < 0) {
+              scaleJsons += frag; scaleSummaries += summary
+              idx = scaleJsons.length - 1
+            } else { scaleJsons(idx) = frag; scaleSummaries(idx) = summary }
+            lastPublished += label -> (frag, summary)
+            emit()
+          }
+          if (sectionIsolate)
+            runSectionInChild(label, d, names, budgetLeft, publish)
+          else
+            scaleSection(label, d, cpus,
+              catalog.filter(q => names.contains(q.name)),
+              () => budgetLeft() > 0, publish)
           None
         }
       }
@@ -1707,21 +2180,22 @@ object Bench {
       ("sf100", sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/graft-sf100"),
         picked("SPARK_GRAFT_SF100_QUERIES", Sf100Queries)))
 
-    // SCALE SECTIONS RUN FIRST (round 13). Two reasons, both measured:
+    // SCALE SECTIONS RUN FIRST (round 13; re-examined round 16 when the
+    // sections moved into child JVMs). The original reason 1 — JVM
+    // youth: with the suite first, sf100 executed after ~875 samples of
+    // codegen/class-loading/GC history while every committed artifact
+    // ran near-fresh (the r12 driver channel measured sf100 MinHash at
+    // 143.3 s vs the committed 27.1 s on identical data) — is now
+    // guaranteed STRUCTURALLY: each section gets its own fresh child
+    // JVM wherever it runs in the schedule. The ordering stays for
+    // reason 2, which isolation cannot buy:
     //
-    //   1. JVM youth. Passes and scale sections share ONE JVM; with the
-    //      suite first, sf100 executed after ~875 samples of codegen/
-    //      class-loading/GC history, while every committed scale
-    //      artifact (docs/bench_scale_*.json) ran its sections in a
-    //      near-fresh JVM — the r12 driver channel measured the sf100
-    //      MinHash at 143.3 s where the committed artifact had 27.1 s
-    //      on identical data, and the CPU-only detector read clean.
-    //      Running scale first measures the sections under the same
-    //      conditions the committed artifacts were produced in.
     //   2. Host quiet. The suite's 875 samples churn the page cache and
     //      writeback queues for ~20 minutes before the old scale slot;
     //      the r12 sf1 section was the third consecutive driver-channel
-    //      sf1 to run contended.
+    //      sf1 to run contended — and the committed refs were all
+    //      measured in the quiet-host slot, so comparability also says
+    //      keep it.
     //
     // The scale phase is BUDGETED (default 1200 s — the committed
     // sections total ~460 s idle) so a pathological section cannot eat
@@ -1735,10 +2209,14 @@ object Bench {
     // driver-channel sequence).
     val scaleFirst = sys.env.getOrElse("SPARK_GRAFT_SCALE_FIRST", "true").toBoolean
     val scaleBudget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "1200").toDouble
+    // emit an (empty) artifact before any work: even a death inside the
+    // first section's warmup now leaves the driver a parsed line
+    emit()
+
     val pending =
       if (scaleFirst)
         runScaleSections(allSections,
-          () => elapsed < math.min(scaleBudget, deadlineSecs))
+          () => math.min(scaleBudget, deadlineSecs) - elapsed)
       else allSections
 
     runPasses()
@@ -1749,12 +2227,13 @@ object Bench {
     pending.foreach { case s @ (label, d, _) =>
       if (new java.io.File(d).isDirectory && !timeLeft()) {
         truncated = true; skippedWork += label
-      } else runScaleSections(Seq(s), () => timeLeft())
+      } else runScaleSections(Seq(s), () => deadlineSecs - elapsed)
     }
 
     // final cumulative line: every session is stopped, nothing can
     // interleave behind it — and if truncation marked work skipped after
     // the last mid-run emit, this is the line that records it
     emit()
+    finishedNormally.set(true) // disarm the shutdown salvage hook
   }
 }

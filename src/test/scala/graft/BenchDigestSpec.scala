@@ -331,6 +331,128 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(!Bench.isDivergent(0.0, 22.9))        // degenerate guard
   }
 
+  test("salvage line: appends salvage keys to the last digest; minimal fallback pre-emit") {
+    // the shutdown hook's output must parse exactly like a digest, plus
+    // the crash evidence (in-flight sample + failure class)
+    val withDigest = Bench.salvageLine(worstCaseDigest,
+      "sf1:q_dedup_winnow_pairs",
+      "java.lang.OutOfMemoryError: Java heap space (thread Executor task launch worker-7)")
+    val node = mapper.readTree(withDigest)
+    assert(node.get("salvage").asBoolean())
+    assert(node.get("in_flight").asText() == "sf1:q_dedup_winnow_pairs")
+    assert(node.get("failure").asText().contains("OutOfMemoryError"))
+    assert(node.get("metric").asText() == "total") // everything completed survives
+    assert(node.get("queries").size() == Bench.DigestQueries.length)
+    // death before the FIRST emit still yields a valid parsed line
+    val minimal = mapper.readTree(Bench.salvageLine(null, null, null))
+    assert(minimal.get("salvage").asBoolean())
+    assert(minimal.get("failure").asText() == "abnormal_exit")
+    assert(minimal.get("reps_completed").asInt() == 0)
+    // a failure message with quotes/newlines must not corrupt the JSON
+    val quoted = mapper.readTree(Bench.salvageLine(null,
+      "pass1:\"weird\"", "assertion failed:\n\t\"unroll\""))
+    assert(quoted.get("failure").asText().contains("unroll"))
+  }
+
+  test("section file codec: (fragment, summary) round-trips; torn input yields None") {
+    val frag = ""","sf1":{"q_a":1.234,"q_b":null},"sf1_contended":false,"sf1_dir":"/tmp/x""""
+    val sum = Bench.ScaleSummary("sf1",
+      Seq("q_a" -> Some(1.234), "q_b" -> None),
+      contended = true,
+      causes = Seq("q_a" -> "ext=3.1", "q_b" -> "watchdog cancel after 600.0s"),
+      membwGbps = 23.3)
+    val decoded = Bench.decodeSection(Bench.encodeSection(frag, sum))
+    assert(decoded.contains((frag, sum)))
+    // empty results/causes round-trip too (a death before the first sample)
+    val empty = Bench.ScaleSummary("sf100", Nil, contended = false)
+    assert(Bench.decodeSection(Bench.encodeSection(""","sf100":{}""", empty))
+      .contains((""","sf100":{}""", empty)))
+    assert(Bench.decodeSection("").isEmpty)
+    assert(Bench.decodeSection("FRAG\t,half a line").isEmpty) // no SUM
+    assert(Bench.decodeSection("garbage\nlines\n").isEmpty)
+  }
+
+  test("membw-aware divergence: uniform host drift self-classifies; unexplained drift stays divergent") {
+    // the run-#3 pattern (docs/HOST_DRIFT.md §2): winnow@sf100 measured
+    // 58.2 vs committed band ~33.3 — 1.75× over, every arm quiet. With
+    // the section's membw probe reading HALF the ref fingerprint
+    // (slowFactor 2.0), the entry classifies host_drift, not divergent.
+    val slowHost = Bench.membwFactor(13.8 / 6.9)
+    assert(slowHost == 2.0)
+    assert(Bench.divergenceClass(58.2, 33.3, slowHost, 1.0).contains("host_drift"))
+    // r15e's real curate entry: 76.3 vs ref 49.9 (1.53×) with the probe
+    // at 23.5 vs the ref-era 13.8 — FASTER memory, slowFactor 1 — the
+    // probe does NOT explain it and the honest divergent verdict stands
+    val f = Bench.membwFactor(13.8 / 23.5)
+    assert(f == 1.0)
+    assert(Bench.divergenceClass(76.3, 49.9, f, Bench.membwFactor(23.5 / 13.8))
+      .contains("divergent"))
+    // beyond even the drift-widened band stays divergent (factor caps at
+    // 2: an arbitrarily slow host cannot excuse a 4× regression)
+    assert(Bench.divergenceClass(140.0, 33.3, 2.0, 1.0).contains("divergent"))
+    // within the base band: no entry at all
+    assert(Bench.divergenceClass(40.0, 33.3, 2.0, 1.0).isEmpty)
+    // the too-fast arm widens symmetrically on a faster host
+    assert(Bench.divergenceClass(18.0, 33.3, 1.0, 2.0).contains("host_drift"))
+    assert(Bench.divergenceClass(18.0, 33.3, 1.0, 1.0).contains("divergent"))
+    // degenerate guards
+    assert(Bench.divergenceClass(0.0, 33.3, 1.0, 1.0).isEmpty)
+    assert(Bench.membwFactor(Double.NaN) == 1.0)
+    assert(Bench.membwFactor(-1.0) == 1.0)
+    // every ScaleRefs section carries a membw fingerprint to widen against
+    assert(Bench.ScaleRefs.keySet.subsetOf(Bench.ScaleRefMembw.keySet))
+  }
+
+  test("digest host_drift list: drift-explained entries leave the divergent list, ride with factor") {
+    // sf100 section measured 1.7× over every ref with the membw probe at
+    // half the ref-era fingerprint: all entries must land in host_drift
+    val refs = Bench.ScaleRefs("sf100")
+    val scales = Seq(Bench.ScaleSummary("sf100",
+      Bench.ScaleDigestPicks("sf100").map(n => n -> Some(refs(n) * 1.7)),
+      contended = false, causes = Nil,
+      membwGbps = Bench.ScaleRefMembw("sf100") / 2))
+    val node = mapper.readTree(Bench.digestLine(1.0, 5, 5, truncated = false,
+      contended = Nil, suspect = 0, noClean = 0, errors = 0, skipped = 0,
+      medians = Map.empty, scales = scales, sfDir = "/tmp/x",
+      membwGbps = Bench.ScaleRefMembw("sf100") / 2))
+    assert(node.get("divergent_n").asInt() == 0)
+    val hd = node.get("host_drift")
+    assert(hd != null && hd.isArray && hd.size() == refs.size, s"host_drift: $hd")
+    // entries are positional + factor only: measured rides in the section
+    // object, ref in its `_ref` array (tail-window budget)
+    val entries = (0 until hd.size()).map(hd.get(_).asText())
+    assert(entries.forall(_.matches("""sf100\[\d+\]~2\.0""")),
+      s"malformed host_drift entries: $entries")
+    // all-host_drift worst case: every section's every pick over band but
+    // membw-explained, AND every pick still env-caused — host_drift
+    // entries don't carry causes inline, so the per-section
+    // _suspect_causes maps (capped at 2) ride too; the digest must stay
+    // inside the tail window in this shape as well as the all-divergent
+    // one (the length test above)
+    val meds = Bench.DigestQueries.map(_ -> 999.999).toMap
+    val worstDrift = Seq("sf1", "sf30", "sf100").map { label =>
+      val r = Bench.ScaleRefs(label)
+      Bench.ScaleSummary(label,
+        Bench.ScaleDigestPicks(label).map(n => n -> Some(r.getOrElse(n, 10.0) * 1.9)),
+        contended = true,
+        causes = Bench.ScaleDigestPicks(label).map(_ -> "majflt=99999/s"),
+        membwGbps = Bench.ScaleRefMembw(label) / 2)
+    }
+    val driftLine = Bench.digestLine(99999.999, 99, 99, truncated = true,
+      contended = 1 to 99 by 11, suspect = 999, noClean = 999, errors = 999,
+      skipped = 999, medians = meds, scales = worstDrift,
+      sfDir = "/tmp/graft-scale-sections/some-long-sf-dir-name/sf0.1",
+      membwGbps = 9999.9)
+    assert(mapper.readTree(driftLine).get("host_drift") != null)
+    assert(driftLine.length < 1900,
+      s"all-host_drift worst case is ${driftLine.length} chars:\n$driftLine")
+    // the empty key is omitted outright
+    val clean = mapper.readTree(Bench.digestLine(1.0, 5, 5, truncated = false,
+      contended = Nil, suspect = 0, noClean = 0, errors = 0, skipped = 0,
+      medians = Map.empty, scales = Nil, sfDir = "/tmp/x"))
+    assert(clean.get("host_drift") == null)
+  }
+
   test("/proc/self/stat parser: utime+stime counted from after the LAST ')'") {
     // comm may contain spaces AND parentheses — fields count from the
     // final ')'; utime/stime are 1-based fields 14/15 (11/12 after state)
