@@ -1082,13 +1082,25 @@ object Bench {
     })
 
   private def newSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // unroll de-pressure knobs (round 16, verdict item 3): the r15
+      // driver crash was storage-memory exhaustion from 32 concurrent
+      // task unrolls of localCheckpoint blocks at the 8 g heap.
+      // CHECKPOINT_LEVEL=DISK_ONLY streams checkpoint blocks straight
+      // to DiskStore (no unroll at all — see Materialize.cut);
+      // STORAGE_FRACTION trades execution headroom for storage. Both
+      // default to Spark/library defaults; the measured decision is in
+      // docs/BENCH_SALVAGE.md + SCALING.md.
+      .config(graft.ops.Materialize.CheckpointLevelKey,
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_LEVEL", "MEMORY_AND_DISK"))
+    val spark = sys.env.get("SPARK_GRAFT_STORAGE_FRACTION")
+      .fold(b)(f => b.config("spark.memory.storageFraction", f))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.ops.{Cleanse, Matching, Restructure}
-import graft.sources.StageIO
+import graft.sources.{Sources, StageIO}
 
 /** Correctness-gate queries for the structural/projection/join/window
   * operator families (SURVEY.md §2.1-§2.4, §2.6-§2.7), each re-expressed
@@ -898,6 +898,98 @@ object CoreQueries {
               o_orderpriority
             FROM orders ORDER BY o_orderkey"""))
 
+  /** S2: PDS trips CSV source, fully oracled (round 16 — S5's conversion
+    * recipe; S2 was fixture-tested only until now). A wire-shaped trips
+    * payload (FIXTURES.md A3: ISO-8601 Zulu timestamps, the spaced
+    * `Boat Name` header, comma-bearing free text riding quoted) is
+    * generated deterministically from `orders`, written through Spark's
+    * quoting CSV writer, parsed back through
+    * [[graft.sources.Sources.pdsTrips]]'s typed contract, and
+    * hash-matched against a DuckDB replay of the same derivation
+    * straight from the parquet table — so header handling, timestamp
+    * parsing, typed casts and quote unescaping are all on the hash path.
+    * Reference: get_trips, R/ingestion.R:428-475.
+    */
+  val s2TripsCsv = Q("q_s2_trips_csv",
+    (s, dir) => withScratchTable(s) { tmp =>
+      val wire = Tables.orders(s, dir).select(
+        col("o_orderkey").as("Trip"),
+        lpad(col("o_custkey").cast(StringType), 15, "8").as("IMEI"),
+        col("o_orderstatus").as("Boat"),
+        col("o_orderpriority").as("Community"),
+        to_timestamp(col("o_orderdate")).as("Started"),
+        expr("to_timestamp(o_orderdate) + " +
+          "make_interval(0, 0, 0, 0, o_orderkey % 24, 30, 0)").as("Ended"),
+        // commas AND embedded quotes: the CSV quoting/unescaping path is
+        // on the hash channel, not just happy-path tokens
+        concat(col("o_orderpriority"), lit(", \""),
+          col("o_orderstatus"), lit("\"")).as("Boat Name"))
+      wire.coalesce(4).write.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .csv(tmp)
+      Sources.pdsTrips(s, tmp)
+        .select(col("Trip"), col("IMEI"), col("Boat"), col("Community"),
+          date_format(col("Started"), "yyyy-MM-dd HH:mm:ss").as("Started"),
+          date_format(col("Ended"), "yyyy-MM-dd HH:mm:ss").as("Ended"),
+          col("Boat Name"))
+        .orderBy("Trip")
+    },
+    Some("""SELECT o_orderkey AS Trip,
+              LPAD(CAST(o_custkey AS VARCHAR), 15, '8') AS IMEI,
+              o_orderstatus AS Boat,
+              o_orderpriority AS Community,
+              STRFTIME(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS Started,
+              STRFTIME(CAST(o_orderdate AS TIMESTAMP) + to_hours(o_orderkey % 24)
+                       + to_minutes(30), '%Y-%m-%d %H:%M:%S') AS Ended,
+              o_orderpriority || ', "' || o_orderstatus || '"' AS "Boat Name"
+            FROM orders ORDER BY Trip"""))
+
+  /** S3: PDS trip-points CSV source, fully oracled (round 16; same
+    * recipe as S2). Wire-shaped per-trip point payloads — the
+    * parenthesized unit headers (`Speed (M/S)`, `Range (Meters)`),
+    * typed doubles, JSON free text with embedded quotes in `Boat Name`
+    * — derived from `events`, round-tripped through
+    * [[graft.sources.Sources.pdsTripPoints]], DuckDB replaying the
+    * derivation from parquet. The fan-out contract itself (one file per
+    * trip → partition parallelism) is exercised by the multi-file write.
+    * Reference: get_trip_points, R/ingestion.R:539-629.
+    */
+  val s3PointsCsv = Q("q_s3_points_csv",
+    (s, dir) => withScratchTable(s) { tmp =>
+      val wire = Tables.events(s, dir).select(
+        col("event_id").as("Trip"),
+        col("ts").as("Time"),
+        (col("value") % 90).as("Lat"),
+        (col("value") % 180 - 90).as("Lng"),
+        col("event_type").as("Boat"),
+        col("value").as("Speed (M/S)"),
+        (col("value") * 3.5).as("Range (Meters)"),
+        (col("event_id") % 360).cast(DoubleType).as("Heading"),
+        col("props").as("Boat Name"),
+        substring(col("event_type"), 1, 3).as("Community"))
+      wire.coalesce(4).write.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .csv(tmp)
+      Sources.pdsTripPoints(s, tmp)
+        .select(col("Trip"),
+          date_format(col("Time"), "yyyy-MM-dd HH:mm:ss").as("Time"),
+          col("Lat"), col("Lng"), col("Boat"), col("Speed (M/S)"),
+          col("Range (Meters)"), col("Heading"), col("Boat Name"),
+          col("Community"))
+        .orderBy("Trip")
+    },
+    Some("""SELECT event_id AS Trip,
+              STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS Time,
+              fmod(value, 90) AS Lat,
+              fmod(value, 180) - 90 AS Lng,
+              event_type AS Boat,
+              value AS "Speed (M/S)",
+              value * 3.5 AS "Range (Meters)",
+              CAST(event_id % 360 AS DOUBLE) AS Heading,
+              props AS "Boat Name",
+              SUBSTRING(event_type, 1, 3) AS Community
+            FROM events ORDER BY Trip"""))
+
   def all: Seq[Q] = Seq(
     s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
@@ -906,5 +998,5 @@ object CoreQueries {
     rangeJoin, intervalOverlap, joinSalted, joinSaltedAuto, joinSkewReport,
     so3Union, soExceptIntersect,
     joinStreamIntervalTwin, soGlobalRowNumber, scd2Intervals, so6Complete,
-    s5AppendDedup, s5CompactRoundtrip)
+    s5AppendDedup, s5CompactRoundtrip, s2TripsCsv, s3PointsCsv)
 }
