@@ -699,4 +699,96 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Quantized squared-Euclidean distance from a vector column to a
+    * LITERAL center, as a long: Σᵢ ⌊(vᵢ−cᵢ)²·10¹² + ½⌋. Integer terms
+    * make the sum order-independent and the downstream argmax an integer
+    * comparison — the same cross-engine determinism discipline as
+    * [[ivfCentroids]]' quantized means (floor, not round: round's tie
+    * rule differs across engines). Codegen'd builtin HOFs, no UDF; at
+    * unit-scale embeddings each term is ≤ ~10¹², so thousands of
+    * dimensions fit a long with headroom.
+    */
+  private def d2qTo(v: Column, center: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, array(center.map(lit): _*),
+        (x, c) => floor((x - c) * (x - c) * lit(1e12) + lit(0.5)).cast(LongType)),
+      lit(0L), (acc, e) => acc + e)
+
+  /** Greedy k-center diverse-subset selection (Gonzalez 1985 — the
+    * classic farthest-point 2-approximation): seed with the smallest id,
+    * then k−1 times pick the point FARTHEST (quantized squared
+    * Euclidean, ties to the smaller id) from everything chosen so far.
+    * The selection family's diversity member, complementing
+    * [[graft.ops.Corpus.dsirScores]] (match-a-target) and the domain
+    * caps/budgets (quota): k-center picks the spanning subset — coreset
+    * seeds, eval-set anchors, dedup-cluster exemplars.
+    *
+    * Returns one row per pick: (`pick_order` 1-based, `idCol`, `d2q` =
+    * the pick's quantized squared distance to the previously chosen set
+    * at selection time — the classic coverage-radius curve; null for the
+    * seed). Deterministic end-to-end: quantized-integer distances, the
+    * min-id seed, and the (distance desc, id asc) argmax make every
+    * decision engine-reproducible — the oracle gate replays all k rounds
+    * in DuckDB decision-for-decision.
+    *
+    * 100 TB shape: the exact greedy algorithm is inherently O(n·k) —
+    * each round is ONE narrow scan of (id, vec, running-min) computing
+    * the distance to the single NEW center (a broadcast-literal array)
+    * plus a TakeOrdered(1) reduce; no shuffle anywhere. The running-min
+    * frame is lineage-cut per round (k cuts — the loop discipline every
+    * iterative op here uses), and the chosen centers are bounded model
+    * state (k rows) on the driver, the [[ivfCentroids]] contract. For
+    * k beyond a few hundred at corpus scale, compose with sampling or
+    * an IVF pre-partition; exactness of the greedy decisions is this
+    * operator's point.
+    *
+    * Null vectors are unscreenable (every distance null) and are
+    * EXCLUDED up front — a null-distance row would otherwise keep its
+    * +∞ running-min forever and win every argmax.
+    */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = corpus.sparkSession
+    val vecs = corpus
+      .select(col(idCol).cast(LongType).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+    val outSchema = StructType(Seq(
+      StructField("pick_order", IntegerType, nullable = false),
+      StructField(idCol, LongType),
+      StructField("d2q", LongType)))
+    def result(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), outSchema)
+    val seed = vecs.orderBy("__id").limit(1).collect()
+    if (seed.isEmpty) return result(Nil)
+    var picks = Vector(org.apache.spark.sql.Row(1, seed(0).getLong(0), null))
+    var centerVec: Seq[Double] = seed(0).getSeq[Double](1)
+    // running min-distance state; each round folds in ONLY the newest
+    // center's distance (least), so round cost is one scan, not |centers|
+    var state = vecs.filter(col("__id") =!= seed(0).getLong(0))
+      .withColumn("__mind", d2qTo(col("__v"), centerVec))
+      .lineageCut()
+    var round = 2
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val top = state
+        .orderBy(col("__mind").desc, col("__id").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        picks :+= org.apache.spark.sql.Row(round, id, top(0).getLong(2))
+        centerVec = top(0).getSeq[Double](1)
+        state = state.filter(col("__id") =!= id)
+          .withColumn("__mind",
+            least(col("__mind"), d2qTo(col("__v"), centerVec)))
+          .lineageCut()
+        round += 1
+      }
+    }
+    result(picks)
+  }
 }

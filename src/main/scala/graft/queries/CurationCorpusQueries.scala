@@ -703,5 +703,51 @@ private[graft] object CurationCorpusQueries {
               CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(corpusKmv, corpusKmvOverlap, corpusHll, corpusProfile, corpusQuantiles, corpusQuantileSketch, corpusQuantileEstimate, corpusWinsorize, corpusCms, graphPagerank, graphCC, graphHits, graphTriangles, selectDsir, selectDomainCap, curateChunk, textFingerprint)
+  /** Greedy k-center diverse-subset selection
+    * ([[graft.ops.Similarity.kCenterSelect]] — Gonzalez farthest-point,
+    * the selection family's diversity member beside DSIR's
+    * match-a-target and the caps/budgets' quotas) over the embeddings
+    * table, k = 8. Every decision is engine-reproducible by
+    * construction — quantized-integer squared distances, min-id seed,
+    * (distance desc, id asc) argmax — so the oracle UNROLLS all eight
+    * selection rounds as paired CTEs (`s_t` = round t's argmax over the
+    * running min-distance state `st_{t-1}`; `st_t` folds the new
+    * center's distance in with LEAST), replaying seed, every distance
+    * quantization, every argmax and every tiebreak decision-for-decision
+    * in DuckDB.
+    */
+  val selectKcenter = Q("q_select_kcenter",
+    (s, dir) => Similarity.kCenterSelect(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+      .orderBy("pick_order"),
+    Some {
+      // d2q(a,b): Σ⌊(aᵢ−bᵢ)²·10¹²+½⌋ as BIGINT — term-for-term the Spark
+      // expression (same IEEE ops, same association), integer-summed so
+      // order cannot matter
+      def d2q(a: String, b: String) =
+        s"""CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
+              p -> CAST(FLOOR((p[1] - p[2]) * (p[1] - p[2])
+                              * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"""
+      val rounds = (2 to 8).map { t =>
+        s"""s$t AS (SELECT id, vec, mind FROM st${t - 1}
+                    ORDER BY mind DESC, id LIMIT 1),
+            st$t AS (SELECT p.id, p.vec,
+                            LEAST(p.mind, ${d2q("p.vec", s"s$t.vec")}) AS mind
+                     FROM st${t - 1} p, s$t WHERE p.id <> s$t.id)"""
+      }.mkString(",\n            ")
+      val picks = (2 to 8)
+        .map(t => s"SELECT $t AS pick_order, id AS vec_id, mind AS d2q FROM s$t")
+        .mkString("\n            UNION ALL ")
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+                     FROM embeddings WHERE embedding IS NOT NULL),
+            s1 AS (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+            st1 AS (SELECT p.id, p.vec, ${d2q("p.vec", "s1.vec")} AS mind
+                    FROM v p, s1 WHERE p.id <> s1.id),
+            $rounds
+          SELECT 1 AS pick_order, id AS vec_id, CAST(NULL AS BIGINT) AS d2q FROM s1
+            UNION ALL $picks
+          ORDER BY pick_order"""
+    })
+
+  val all: Seq[Q] = Seq(corpusKmv, corpusKmvOverlap, corpusHll, corpusProfile, corpusQuantiles, corpusQuantileSketch, corpusQuantileEstimate, corpusWinsorize, corpusCms, graphPagerank, graphCC, graphHits, graphTriangles, selectDsir, selectDomainCap, selectKcenter, curateChunk, textFingerprint)
 }

@@ -313,6 +313,15 @@ class BenchDigestSpec extends AnyFunSuite {
         assert(m / ref < 1.4 && ref / m < 1.4,
           s"$label:$q ref $ref vs newest artifact $m - stale table?")
       }
+      // the membw fingerprint each section's drift factor widens against
+      // must be the SAME artifact's recorded probe (round 16): a refs
+      // table refreshed without its fingerprints would mis-scale every
+      // host_drift verdict
+      val bw = node.get(s"${label}_membw_gbps")
+      assert(bw != null, s"artifact lacks ${label}_membw_gbps")
+      assert(math.abs(bw.asDouble() - Bench.ScaleRefMembw(label)) < 0.1,
+        s"$label ScaleRefMembw ${Bench.ScaleRefMembw(label)} vs artifact " +
+          s"${bw.asDouble()} - refresh both together")
     }
   }
 

@@ -416,4 +416,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.6, s"rp recall $recall below floor") // measured 0.75+
     assert(run() == got) // projection is deterministic — reruns identical
   }
+
+  test("kCenterSelect: hand-traced greedy farthest-point picks, tiebreak, coverage radii") {
+    import spark.implicits._
+    // 2-d layout where every greedy decision is hand-checkable:
+    //   1 (0,0)  2 (0.1,0)  3 (10,0)  4 (10,0.1)  5 (5,0)
+    // seed = min id = 1; round 2: farthest is 4 (d²=100.01 beats 3's 100);
+    // round 3: mins are 2:0.01, 3:0.01, 5:25 → 5 (d²=25);
+    // round 4: 2 and 3 TIE at quantized 0.01 → min id wins → 2; round 5: 3
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)), (3L, Seq(10.0, 0.0)),
+      (4L, Seq(10.0, 0.1)), (5L, Seq(5.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(pts, "vec_id", "embedding", k = 5)
+      .orderBy("pick_order")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, 1L, -1L),
+      (2, 4L, (100.01e12 + 0.5).toLong),
+      (3, 5L, 25e12.toLong),
+      (4, 2L, (0.01e12 + 0.5).toLong),
+      (5, 3L, (0.01e12 + 0.5).toLong)), s"picks: ${got.toSeq}")
+    // k beyond the corpus stops at exhaustion; k=1 is just the seed
+    assert(Similarity.kCenterSelect(pts, "vec_id", "embedding", k = 9)
+      .count() == 5)
+    assert(Similarity.kCenterSelect(pts, "vec_id", "embedding", k = 1)
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // null vectors are excluded, never selected
+    val withNull = pts.unionByName(
+      Seq((0L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    assert(Similarity.kCenterSelect(withNull, "vec_id", "embedding", k = 2)
+      .collect().map(_.getLong(1)).toSet == Set(1L, 4L))
+  }
 }
