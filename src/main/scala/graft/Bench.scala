@@ -1403,8 +1403,14 @@ object Bench {
               s""","${label}_manifest":$s""" else ""
           } else ""
         }
+        // a non-default lineage-cut level is a PROTOCOL DEVIATION the
+        // fragment must disclose — set either by the caller or by the
+        // parent's degraded oom_child retry (runSectionInChild)
+        val levelJson = sys.env.get("SPARK_GRAFT_CHECKPOINT_LEVEL")
+          .filterNot(_ == "MEMORY_AND_DISK")
+          .fold("")(l => s""","${label}_checkpoint_level":"${jesc(l)}"""")
         val frag =
-          s""","$label":$entries$errJson$skipJson$retryJson$causeJson,""" +
+          s""","$label":$entries$errJson$skipJson$retryJson$causeJson$levelJson,""" +
             s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
             s""""${label}_contended":$hot,""" +
             s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -1728,7 +1734,10 @@ object Bench {
                                 budgetLeft: () => Double,
                                 publish: (String, ScaleSummary) => Unit): Unit = {
     import scala.jdk.CollectionConverters._
-    def attempt(n: Int): Option[(String, String)] = { // (cause, inFlight) on death
+    // (cause, inFlight) on death. `degrade` = run the child with
+    // DISK_ONLY lineage cuts (see the retry orchestration below)
+    def attempt(n: Int, degrade: Boolean,
+                publish1: (String, ScaleSummary) => Unit): Option[(String, String)] = {
       val out = java.nio.file.Files.createTempFile(s"graft-sect-$label-", ".txt")
       java.nio.file.Files.deleteIfExists(out)
       val outPath = out.toString
@@ -1748,15 +1757,17 @@ object Bench {
       env.put(SectionOutEnv, outPath)
       env.put(SectionBudgetEnv, budget.toLong.toString)
       env.put("SPARK_GRAFT_HEAP_REEXEC", "false") // already at protocol heap
+      if (degrade) env.put("SPARK_GRAFT_CHECKPOINT_LEVEL",
+        sys.env.getOrElse("SPARK_GRAFT_OOM_RETRY_LEVEL", "DISK_ONLY"))
       System.err.println(s"[bench] $label section -> child JVM (attempt $n, " +
-        s"budget ${budget.toLong}s)")
+        s"budget ${budget.toLong}s${if (degrade) ", DEGRADED checkpoint level" else ""})")
       val proc = pb.start()
       var lastLen = -1L
       def pollPublish(): Unit = {
         val f = new java.io.File(outPath)
         if (f.isFile && f.length != lastLen) {
           lastLen = f.length
-          readSectionFile(outPath).foreach { case (frag, sum) => publish(frag, sum) }
+          readSectionFile(outPath).foreach { case (frag, sum) => publish1(frag, sum) }
         }
       }
       val t0 = System.nanoTime()
@@ -1820,13 +1831,36 @@ object Bench {
       publish(frag,
         sum0.copy(causes = sum0.causes.filterNot(_._1 == key) :+ (key -> cause)))
     }
-    attempt(1) match {
+    attempt(1, degrade = false, publish) match {
       case None => ()
       case Some((cause1, inflight1)) =>
         publishDeath(1, cause1, inflight1)
-        if (sectionChildRetry && budgetLeft() > 60) attempt(2) match {
-          case None => ()
-          case Some((cause2, inflight2)) => publishDeath(2, cause2, inflight2)
+        if (sectionChildRetry && budgetLeft() > 60) {
+          // an OOM death retries DEGRADED: the retry child's lineage cuts
+          // run DISK_ONLY (Materialize.cut streams blocks to DiskStore —
+          // the MemoryStore unroll that killed attempt 1 does not EXIST
+          // on that path), measured live this round: the sf100 curate
+          // child died oom_child twice at the default level and completed
+          // at 69 s under DISK_ONLY (refs 49.9, inside the band). The
+          // fragment records the deviation (`<label>_checkpoint_level`,
+          // written by the child) and attempt 1's death survives every
+          // retry publication as `<label>_child_prior` — a degraded-mode
+          // number beats no number, and it carries its own evidence.
+          // Skipped when the caller pinned a level themselves.
+          val degrade = cause1 == "oom_child" &&
+            !sys.env.contains("SPARK_GRAFT_CHECKPOINT_LEVEL")
+          val priorNote =
+            s""","${label}_child_prior":{"attempt":1,"cause":"${jesc(cause1)}",""" +
+              s""""in_flight":"${jesc(inflight1)}"}"""
+          val priorKey = if (inflight1.nonEmpty) inflight1 else s"$label:section"
+          val publish2: (String, ScaleSummary) => Unit = (frag, sum) =>
+            publish(frag + priorNote,
+              sum.copy(causes =
+                sum.causes.filterNot(_._1 == priorKey) :+ (priorKey -> cause1)))
+          attempt(2, degrade, publish2) match {
+            case None => ()
+            case Some((cause2, inflight2)) => publishDeath(2, cause2, inflight2)
+          }
         }
     }
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Bpe, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text, Unigram}
+import graft.ops.{Bpe, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text, Unigram, Wordpiece}
 
 /** Packing/sampling/selection/LM gates: TF-IDF, sequence packing (greedy/bucketed/FFD/emit), samplers, token budgets, RRF, tokenizers (BPE/unigram), n-gram LMs and perplexity screens, corpus reports.
   *
@@ -659,6 +659,41 @@ private[graft] object CurationPackQueries {
         .orderBy("doc_id", "pos")
     },
     Some(Bpe.encodeOracle(8)))
+
+  /** WordPiece trainer ([[graft.ops.Wordpiece]] — the BERT-family
+    * tokenizer completing the triple beside BPE and unigram-LM): eight
+    * likelihood-scored merges over continuation-marked symbols. The
+    * oracle replays every round's pair counts, symbol-count
+    * denominators, the one-division score, the (score desc, l, r)
+    * argmax and the payload-stripping merge — decision-for-decision.
+    */
+  val wordpieceTrain = Q("q_wordpiece_train",
+    (s, dir) =>
+      Wordpiece.trainTable(Tables.documents(s, dir), "text", nMerges = 8)
+        .orderBy("step"),
+    Some(Wordpiece.trainOracle(8)))
+
+  /** WordPiece encoder under the vocabulary the 8-merge training run
+    * induces (corpus alphabet + merge results): greedy
+    * longest-match-first per word position, continuations
+    * `##`-prefixed. The oracle re-derives the rules, rebuilds the same
+    * vocabulary, greedy-matches every DISTINCT word through a
+    * recursive CTE whose every step consumes the longest matching
+    * piece, and joins segmentations back to all (doc, pos) tokens —
+    * encoder and trainer share one definition of the vocabulary across
+    * both engines. (The unknown-token path is structurally unreachable
+    * on the training corpus — every code unit is in the alphabet — and
+    * is pinned by WordpieceSpec instead.)
+    */
+  val wordpieceEncode = Q("q_wordpiece_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = Wordpiece.train(docs, "text", nMerges = 8)
+      Wordpiece.encode(docs, "text", "doc_id",
+        Wordpiece.vocabulary(docs, "text", rules))
+        .orderBy("doc_id", "pos")
+    },
+    Some(Wordpiece.encodeOracle(8)))
 
   /** Unigram-LM tokenizer trainer (`ops/Unigram.scala`) — the
     * SentencePiece-family sibling of `q_bpe_train`: substring seeding,
