@@ -747,6 +747,40 @@ object Similarity {
     * EXCLUDED up front — a null-distance row would otherwise keep its
     * +∞ running-min forever and win every argmax.
     */
+  /** Topic-balanced subsample: fit the deterministic [[ivfCentroids]]
+    * quantizer, assign every vector to its nearest cell (the TopCells
+    * rule every IVF/SemDeDup op shares), keep the `perCell`
+    * pseudo-randomly-ranked smallest per cell — rank key
+    * `(md5(id), id)`, the repo's deterministic sampling idiom
+    * ([[graft.ops.Corpus.sampleExactKPerStratum]]), so reruns pick the
+    * same rows on any engine. The selection family's BALANCED-COVERAGE
+    * member: DSIR matches a target, [[kCenterSelect]] spans the
+    * extremes, this one equalizes topic mass — the "don't let one
+    * domain drown the mixture" subsample (cells with fewer than
+    * `perCell` members are kept whole, the stratum semantics).
+    *
+    * 100 TB shape: one TopCells assignment scan (centroids are bounded
+    * broadcast-class model state), then ONE shuffle on `centroid_id`
+    * for the per-cell window — whose `row_number ≤ k` filter compiles
+    * to the rank-limited WindowGroupLimit path, so each cell's
+    * partition stops ranking past the quota. Returns
+    * (`centroid_id`, `idCol`, `rank`).
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, perCell: Int,
+                            iters: Int = 3): DataFrame = {
+    require(perCell >= 1, s"perCell=$perCell must be >= 1")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters)
+    val assigned = graft.ops.Dedup
+      .semanticCellIndex(corpus, vecCol, idCol, cents, indexAssign = 1)
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("centroid_id"), col(idCol), col("rank"))
+  }
+
   def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")

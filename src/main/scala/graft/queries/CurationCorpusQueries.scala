@@ -749,5 +749,35 @@ private[graft] object CurationCorpusQueries {
           ORDER BY pick_order"""
     })
 
-  val all: Seq[Q] = Seq(corpusKmv, corpusKmvOverlap, corpusHll, corpusProfile, corpusQuantiles, corpusQuantileSketch, corpusQuantileEstimate, corpusWinsorize, corpusCms, graphPagerank, graphCC, graphHits, graphTriangles, selectDsir, selectDomainCap, selectKcenter, curateChunk, textFingerprint)
+  /** Topic-balanced cluster subsample
+    * ([[graft.ops.Similarity.clusterBalancedSample]] — the selection
+    * family's balanced-coverage member beside DSIR and k-center):
+    * nlist = 16 / 3-step deterministic Lloyd fit, nearest-cell
+    * assignment, per-cell (md5(id), id) quota of 20. The oracle
+    * rebuilds the ENTIRE chain — the bit-reproducible Lloyd refinement
+    * ([[VecOracleSql.lloydCtesSql]]), the tie-ruled rank-1 assignment,
+    * and the per-cell window cut — the same Lloyd-replay machinery the
+    * IVF and semantic-dedup gates pin.
+    */
+  val sampleClusterBalanced = Q("q_sample_cluster_balanced",
+    (s, dir) => Similarity.clusterBalancedSample(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, perCell = 20)
+      .orderBy("centroid_id", "vec_id"),
+    Some(s"""WITH ${VecOracleSql.lloydCtesSql("16", 3)},
+            asn AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY ${VecOracleSql.cosSql("v.e", "c.cent")} DESC NULLS LAST,
+                                  c.centroid_id) AS rk
+                FROM v CROSS JOIN c3 c) WHERE rk = 1)
+          SELECT centroid_id, vec_id, CAST(rn AS INTEGER) AS rank FROM (
+            SELECT centroid_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY centroid_id
+                     ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM asn)
+          WHERE rn <= 20 ORDER BY centroid_id, vec_id"""))
+
+  val all: Seq[Q] = Seq(corpusKmv, corpusKmvOverlap, corpusHll, corpusProfile, corpusQuantiles, corpusQuantileSketch, corpusQuantileEstimate, corpusWinsorize, corpusCms, graphPagerank, graphCC, graphHits, graphTriangles, selectDsir, selectDomainCap, selectKcenter, sampleClusterBalanced, curateChunk, textFingerprint)
 }

@@ -417,6 +417,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(run() == got) // projection is deterministic — reruns identical
   }
 
+  test("clusterBalancedSample: per-cell quotas, short cells kept whole, deterministic reruns") {
+    import spark.implicits._
+    // two well-separated directions; nCells = 2 seeds on ids 1,2 puts
+    // ids 1,3,4,5 in the x-cluster and id 2 alone in the y-cluster
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.95, 0.05)), (5L, Seq(0.99, 0.01))).toDF("vec_id", "embedding")
+    def run() = Similarity.clusterBalancedSample(
+      pts, "vec_id", "embedding", nCells = 2, perCell = 2)
+      .orderBy("centroid_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = run()
+    // the quota binds the big cell to 2 rows; the singleton cell is kept
+    // whole — stratum semantics, and every rank is 1-based per cell
+    val byCell = got.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(byCell.values.toSet == Set(Seq(1, 2), Seq(1)), s"got: ${got.toSeq}")
+    assert(got.length == 3)
+    // the y-singleton must be id 2 in its own cell
+    assert(got.filter(_._3 == 1).map(_._2).contains(2L))
+    assert(run().toSeq == got.toSeq) // md5-rank sampling is deterministic
+  }
+
   test("kCenterSelect: hand-traced greedy farthest-point picks, tiebreak, coverage radii") {
     import spark.implicits._
     // 2-d layout where every greedy decision is hand-checkable:
