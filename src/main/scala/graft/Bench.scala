@@ -743,7 +743,13 @@ object Bench {
     // edit-distance pairs: the rarity-prefix candidate join's volume
     // tracks Σ df_full·df_prefix — the sf1 point evidences that the
     // prefix kept it near-linear where a plain gram index went df²
-    "q_dedup_editdist_pairs")
+    "q_dedup_editdist_pairs",
+    // round-16 selection-family and tokenizer additions: k-center is
+    // O(n·k) scans by construction (the sf1 point evidences the
+    // per-round scan staying flat), the balanced subsample is one
+    // assignment scan + one quota window, and the WordPiece trainer
+    // iterates the same Heaps'-bounded word-type table as BPE
+    "q_select_kcenter", "q_sample_cluster_balanced", "q_wordpiece_train")
 
   /** Headline medians for the DIGEST line ([[digestLine]]): one
     * representative per operator family, chosen so a reader of the ~1 KB
