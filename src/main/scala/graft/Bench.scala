@@ -1769,9 +1769,17 @@ object Bench {
         s"budget ${budget.toLong}s${if (degrade) ", DEGRADED checkpoint level" else ""})")
       val proc = pb.start()
       var lastLen = -1L
-      def pollPublish(): Unit = {
+      // `force` skips the cheap length gate: a retry publication that
+      // replaces one sample's value in-place can have the SAME byte
+      // length as its predecessor (e.g. "93.031" -> "41.502"), and if
+      // that is the child's final publish before a clean exit, a
+      // length-gated post-exit poll would keep the superseded number
+      // with no death record to flag it. The in-loop polls stay gated
+      // (they run every 5 s; a same-length miss there is caught by the
+      // next differing publish or the forced final read).
+      def pollPublish(force: Boolean = false): Unit = {
         val f = new java.io.File(outPath)
-        if (f.isFile && f.length != lastLen) {
+        if (f.isFile && (force || f.length != lastLen)) {
           lastLen = f.length
           readSectionFile(outPath).foreach { case (frag, sum) => publish1(frag, sum) }
         }
@@ -1786,7 +1794,7 @@ object Bench {
           dead = Some("child_timeout")
         }
       }
-      pollPublish()
+      pollPublish(force = true)
       val code = if (dead.isDefined) -1 else proc.exitValue()
       val oom = oomMarker.isFile
       if (code == 0 && !oom && dead.isEmpty) None

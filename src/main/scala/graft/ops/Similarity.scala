@@ -715,38 +715,6 @@ object Similarity {
         (x, c) => floor((x - c) * (x - c) * lit(1e12) + lit(0.5)).cast(LongType)),
       lit(0L), (acc, e) => acc + e)
 
-  /** Greedy k-center diverse-subset selection (Gonzalez 1985 — the
-    * classic farthest-point 2-approximation): seed with the smallest id,
-    * then k−1 times pick the point FARTHEST (quantized squared
-    * Euclidean, ties to the smaller id) from everything chosen so far.
-    * The selection family's diversity member, complementing
-    * [[graft.ops.Corpus.dsirScores]] (match-a-target) and the domain
-    * caps/budgets (quota): k-center picks the spanning subset — coreset
-    * seeds, eval-set anchors, dedup-cluster exemplars.
-    *
-    * Returns one row per pick: (`pick_order` 1-based, `idCol`, `d2q` =
-    * the pick's quantized squared distance to the previously chosen set
-    * at selection time — the classic coverage-radius curve; null for the
-    * seed). Deterministic end-to-end: quantized-integer distances, the
-    * min-id seed, and the (distance desc, id asc) argmax make every
-    * decision engine-reproducible — the oracle gate replays all k rounds
-    * in DuckDB decision-for-decision.
-    *
-    * 100 TB shape: the exact greedy algorithm is inherently O(n·k) —
-    * each round is ONE narrow scan of (id, vec, running-min) computing
-    * the distance to the single NEW center (a broadcast-literal array)
-    * plus a TakeOrdered(1) reduce; no shuffle anywhere. The running-min
-    * frame is lineage-cut per round (k cuts — the loop discipline every
-    * iterative op here uses), and the chosen centers are bounded model
-    * state (k rows) on the driver, the [[ivfCentroids]] contract. For
-    * k beyond a few hundred at corpus scale, compose with sampling or
-    * an IVF pre-partition; exactness of the greedy decisions is this
-    * operator's point.
-    *
-    * Null vectors are unscreenable (every distance null) and are
-    * EXCLUDED up front — a null-distance row would otherwise keep its
-    * +∞ running-min forever and win every argmax.
-    */
   /** Topic-balanced subsample: fit the deterministic [[ivfCentroids]]
     * quantizer, assign every vector to its nearest cell (the TopCells
     * rule every IVF/SemDeDup op shares), keep the `perCell`
@@ -781,6 +749,40 @@ object Similarity {
       .select(col("centroid_id"), col(idCol), col("rank"))
   }
 
+  /** Greedy k-center diverse-subset selection (Gonzalez 1985 — the
+    * classic farthest-point 2-approximation): seed with the smallest id,
+    * then k−1 times pick the point FARTHEST (quantized squared
+    * Euclidean, ties to the smaller id) from everything chosen so far.
+    * The selection family's diversity member, complementing
+    * [[graft.ops.Corpus.dsirScores]] (match-a-target) and the domain
+    * caps/budgets (quota): k-center picks the spanning subset — coreset
+    * seeds, eval-set anchors, dedup-cluster exemplars.
+    *
+    * Returns one row per pick: (`pick_order` 1-based, `idCol`, `d2q` =
+    * the pick's quantized squared distance to the previously chosen set
+    * at selection time — the classic coverage-radius curve; null for the
+    * seed). Deterministic end-to-end: quantized-integer distances, the
+    * min-id seed, and the (distance desc, id asc) argmax make every
+    * decision engine-reproducible — the oracle gate replays all k rounds
+    * in DuckDB decision-for-decision.
+    *
+    * 100 TB shape: the exact greedy algorithm is inherently O(n·k) —
+    * each round is ONE narrow scan of (id, vec, running-min) computing
+    * the distance to the single NEW center (a broadcast-literal array)
+    * plus a TakeOrdered(1) reduce; no shuffle anywhere. The running-min
+    * frame is lineage-cut per round with the superseded frame unpersisted
+    * once its successor materializes (the tokenizer trainers' loop
+    * discipline — block-manager residency stays ONE corpus-sized frame,
+    * not k), and the chosen centers are bounded model state (k rows) on
+    * the driver, the [[ivfCentroids]] contract. For k beyond a few
+    * hundred at corpus scale, compose with sampling or an IVF
+    * pre-partition; exactness of the greedy decisions is this
+    * operator's point.
+    *
+    * Null vectors are unscreenable (every distance null) and are
+    * EXCLUDED up front — a null-distance row would otherwise keep its
+    * +∞ running-min forever and win every argmax.
+    */
   def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
@@ -816,13 +818,16 @@ object Similarity {
         val id = top(0).getLong(0)
         picks :+= org.apache.spark.sql.Row(round, id, top(0).getLong(2))
         centerVec = top(0).getSeq[Double](1)
+        val old = state
         state = state.filter(col("__id") =!= id)
           .withColumn("__mind",
             least(col("__mind"), d2qTo(col("__v"), centerVec)))
           .lineageCut()
+        old.unpersist()
         round += 1
       }
     }
+    state.unpersist()
     result(picks)
   }
 }

@@ -77,10 +77,17 @@ object Wordpiece {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
           .otherwise(concat(acc, array(x))))
 
-  /** Train `nMerges` WordPiece rules. Stops early when the best
-    * remaining pair occurs fewer than `minPairCount` times (the raw
-    * count floor — a score floor would need corpus-size normalization
-    * to mean anything).
+  /** Train `nMerges` WordPiece rules. `minPairCount` is a CANDIDATE
+    * FILTER, not a stop test on the winner: pairs below the raw count
+    * floor are excluded from the score argmax (the HF/BERT trainer's
+    * `min_frequency` posture), and training stops only when no pair
+    * survives the floor. The distinction matters precisely because the
+    * argmax is by likelihood score — a hapax pair of two globally-rare
+    * symbols scores the maximum 1.0 and would otherwise win a round
+    * and terminate training while frequent eligible pairs remain.
+    * (BPE's stop-on-winner is sound because its argmax IS the count;
+    * here the floor must come before the argmax.) The oracle models
+    * the identical floor in each round's `b$$k` CTE.
     */
   def train(df: DataFrame, textCol: String, nMerges: Int,
             minPairCount: Long = 2L): Seq[Rule] = {
@@ -102,6 +109,7 @@ object Wordpiece {
           .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"),
           col("cnt"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("c"))
+        .filter(col("c") >= minPairCount)
       // per-symbol occurrence mass in the CURRENT state — the score
       // denominators; vocab-sized (alphabet + merges so far)
       val symCounts = state
@@ -117,7 +125,7 @@ object Wordpiece {
         .limit(1)
         .select("l", "r", "c", "score")
         .collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      if (best.isEmpty) done = true
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         val m = l + payload(r)
@@ -181,11 +189,12 @@ object Wordpiece {
 
   /** DuckDB SQL replaying `nMerges` training rounds: per round a
     * pair-count CTE, a symbol-count CTE (the denominators), the scored
-    * argmax with the identical one-division arithmetic and tiebreak,
-    * and the fixpoint-REPLACE merge ([[Bpe]]'s machinery with the
-    * continuation-stripping merged string).
+    * argmax with the identical one-division arithmetic and tiebreak —
+    * over candidates surviving the same `minPairCount` floor the
+    * engine applies — and the fixpoint-REPLACE merge ([[Bpe]]'s
+    * machinery with the continuation-stripping merged string).
     */
-  private def oracleRounds(nMerges: Int): String = {
+  private def oracleRounds(nMerges: Int, minPairCount: Long): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH RECURSIVE st0 AS MATERIALIZED (
@@ -221,6 +230,7 @@ object Wordpiece {
         |  FROM p$k
         |  JOIN sc$k sa ON sa.sym = p$k.l
         |  JOIN sc$k sb ON sb.sym = p$k.r
+        |  WHERE p$k.c >= $minPairCount
         |  ORDER BY score DESC, l, r LIMIT 1),
         |fix$k AS (
         |  SELECT word, cnt, seq FROM $prev
@@ -240,12 +250,12 @@ object Wordpiece {
   }
 
   /** Oracle for the trainer gate: the N scored argmax rows, ranked. */
-  def trainOracle(nMerges: Int): String = {
+  def trainOracle(nMerges: Int, minPairCount: Long = 2L): String = {
     val rows = (1 to nMerges)
       .map(k => s"SELECT $k AS step, l AS lhs, r AS rhs, m AS merged, " +
         s"c AS pair_count, score FROM b$k")
       .mkString("\n", "\nUNION ALL\n", "\n")
-    oracleRounds(nMerges) +
+    oracleRounds(nMerges, minPairCount) +
       s"""
         |SELECT CAST(step AS INTEGER) AS step, lhs, rhs, merged,
         |       CAST(pair_count AS BIGINT) AS pair_count,
@@ -264,10 +274,10 @@ object Wordpiece {
     * the unknown-token path stays spec territory
     * (WordpieceSpec) rather than oracle territory.
     */
-  def encodeOracle(nMerges: Int): String = {
+  def encodeOracle(nMerges: Int, minPairCount: Long = 2L): String = {
     val mergedPieces = (1 to nMerges)
       .map(k => s"SELECT m AS piece FROM b$k").mkString(" UNION ")
-    oracleRounds(nMerges) + s""",
+    oracleRounds(nMerges, minPairCount) + s""",
       |vocab AS MATERIALIZED (
       |  SELECT DISTINCT sym AS piece
       |  FROM (SELECT UNNEST(STRING_SPLIT(TRIM(seq), ' ')) AS sym FROM st0)

@@ -36,6 +36,25 @@ class WordpieceSpec extends SparkTestBase {
     assert(bpe.head.lhs == "a" && bpe.head.rhs == "a")
   }
 
+  test("minPairCount filters candidates BEFORE the score argmax; stop only when no pair survives") {
+    // "aa"×3 + hapax "xy": (x,##y) is a pair of two globally-unique
+    // symbols, so its likelihood score is the maximum 1/(1·1) = 1.0 and
+    // it would WIN a floor-less argmax — but its raw count is 1. With
+    // the count floor as a stop test on the winner (the old, wrong
+    // semantics) training would terminate round 1 with ZERO rules while
+    // the frequent (a,##a) pair (count 3, score 3/9) remains eligible.
+    // The HF/BERT posture — floor as candidate filter — merges (a,##a)
+    // in round 1 and stops in round 2 when nothing survives the floor.
+    val c = Seq((1L, "aa aa aa xy")).toDF("doc_id", "text")
+    val rules = Wordpiece.train(c, "text", nMerges = 5, minPairCount = 2L)
+    assert(rules.map(r => (r.step, r.lhs, r.rhs, r.merged, r.pairCount)) ==
+      Seq((1, "a", "##a", "aa", 3L)), s"rules: $rules")
+    // floor 1 admits the hapax, whose score 1.0 beats 3/9 — pinning that
+    // the filter changed eligibility, not the argmax's score ordering
+    val noFloor = Wordpiece.train(c, "text", nMerges = 1, minPairCount = 1L)
+    assert(noFloor.head.merged == "xy" && noFloor.head.score == 1.0)
+  }
+
   test("vocabulary: corpus alphabet (continuation-marked) plus merge results") {
     val rules = Wordpiece.train(corpus, "text", nMerges = 2)
     val vocab = Wordpiece.vocabulary(corpus, "text", rules)
