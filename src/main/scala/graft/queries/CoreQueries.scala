@@ -990,6 +990,63 @@ object CoreQueries {
               SUBSTRING(event_type, 1, 3) AS Community
             FROM events ORDER BY Trip"""))
 
+  /** S1: Kobo nested-JSON source, fully oracled (round 17 — the last
+    * dataflow-bearing source leg off the hash channel; S2/S3's recipe).
+    * A wire-shaped submission payload — one JSON document per line with
+    * Kobo's `_id`/`_uuid` system fields, the reference's injected
+    * `asset_id` (process_asset, R/ingestion.R:307-312), and a
+    * two-level nested survey group — is derived deterministically from
+    * `customer` and written through Spark's text writer. Every 17th
+    * document is TRUNCATED mid-string (always-malformed: the tail cut
+    * removes the closing braces), so the PERMISSIVE-mode
+    * corrupt-record isolation and drop — the Spark restatement of the
+    * reference's per-record `purrr::possibly` tolerance
+    * (R/ingestion.R:296) — is ON the hash channel, not just spec'd:
+    * a parser that threw, kept, or half-parsed a corrupt document
+    * would break the row count or the hash. Parse through
+    * [[graft.sources.Sources.koboSubmissions]] (schema inference +
+    * corrupt-drop), extract the nested fields, rename `_id` →
+    * `submission_id` exactly as the reference does
+    * (R/ingestion.R:324); DuckDB replays the surviving-document
+    * derivation straight from the parquet table.
+    */
+  val s1KoboJson = Q("q_s1_kobo_json",
+    (s, dir) => withScratchTable(s) { tmp =>
+      val doc = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        to_json(struct(
+          col("c_custkey").as("_id"),
+          concat(lit("uuid-"), col("c_custkey")).as("_uuid"),
+          lit("malawi_catch_survey").as("asset_id"),
+          struct(
+            struct(col("c_name").as("name"),
+              col("c_nationkey").as("nation")).as("group_info"),
+            struct(col("c_acctbal").as("weight"),
+              col("c_mktsegment").as("gear")).as("catch")).as("survey")))
+          .as("j"))
+      val wire = doc.select(
+        when(col("c_custkey") % 17 === 0,
+          expr("substring(j, 1, length(j) - 5)"))
+          .otherwise(col("j")).as("value"))
+      wire.coalesce(4).write.text(tmp)
+      Sources.koboSubmissions(s, tmp)
+        .select(col("_id").as("submission_id"),
+          col("_uuid"), col("asset_id"),
+          col("survey.group_info.name").as("group_name"),
+          col("survey.group_info.nation").cast(IntegerType).as("group_nation"),
+          col("survey.catch.weight").as("catch_weight"),
+          col("survey.catch.gear").as("catch_gear"))
+        .orderBy("submission_id")
+    },
+    Some("""SELECT c_custkey AS submission_id,
+              'uuid-' || c_custkey AS "_uuid",
+              'malawi_catch_survey' AS asset_id,
+              c_name AS group_name,
+              CAST(c_nationkey AS INTEGER) AS group_nation,
+              c_acctbal AS catch_weight,
+              c_mktsegment AS catch_gear
+            FROM customer WHERE c_custkey % 17 <> 0 ORDER BY submission_id"""))
+
   def all: Seq[Q] = Seq(
     s4ScanConform, r1Flatten, r2ExplodeIndex, r4SplitRename, p1Harmonize,
     p3CaseBank, j1MultiwayFullOuter, j2NullSafeFullOuter, j7AlertsLeft,
@@ -998,5 +1055,5 @@ object CoreQueries {
     rangeJoin, intervalOverlap, joinSalted, joinSaltedAuto, joinSkewReport,
     so3Union, soExceptIntersect,
     joinStreamIntervalTwin, soGlobalRowNumber, scd2Intervals, so6Complete,
-    s5AppendDedup, s5CompactRoundtrip, s2TripsCsv, s3PointsCsv)
+    s5AppendDedup, s5CompactRoundtrip, s1KoboJson, s2TripsCsv, s3PointsCsv)
 }
