@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Bpe, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text, Unigram}
+import graft.ops.{Bpe, Classifier, Corpus, Dedup, Graph, Layout, Multimodal, Similarity, Text, Unigram}
 
 /** Text-screen gates: quality/langid/Gopher, PII scrub, repetition, URL canon, winnowing, near-dup clustering, hash split/shuffle/z-order.
   *
@@ -644,5 +644,76 @@ private[graft] object CurationScreenQueries {
     * to the exact whole-corpus sketch.
     */
 
-  val all: Seq[Q] = Seq(textQuality, textLangid, curateAnnotate, dedupClusters, curateFilter, curateSplit, curateDomainFilter, textWinnow, dedupWinnowPairs, curateUrlCanon, layoutZorder, curateShuffle, curateScrub, curateRepetition, curateGopher)
+  /** Shared feature frame for the LR-classifier gates: label = "is
+    * English" (a deterministic, plausibly-learnable stand-in for a
+    * keep/drop quality label), features = the [[Text.qualityStruct]]
+    * ratios whose bit-identity against the SQL derivation below is
+    * already proven on this channel by `q_text_quality`.
+    */
+  private def lrFeats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+      Text.qualityStruct(col("text")).as("q"))
+      .select(col("doc_id"), col("y"),
+        col("q.mean_token_len").as("mtl"),
+        col("q.punct_ratio").as("punct"),
+        col("q.upper_ratio").as("upper"),
+        col("q.stopword_hit_ratio").as("stop"))
+
+  private val lrFeatureCols = Seq("mtl", "punct", "upper", "stop")
+
+  /** The same derivation in DuckDB — `q_text_quality`'s oracle CTE with
+    * the label and positional feature names (x1..x4 in the Spark call's
+    * featureCols order) the [[Classifier]] oracle chain expects.
+    */
+  private val lrFeatsSql =
+    """SELECT doc_id,
+      |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |  1.0 AS x0,
+      |  CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens ELSE 0.0 END AS x1,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS x2,
+      |  CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS x3,
+      |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS x4
+      |FROM (SELECT doc_id, lang,
+      |        LEN(text) AS n_chars,
+      |        LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS n_tokens,
+      |        LEN(REGEXP_EXTRACT_ALL(text, '[\.,;:!\?"'']')) AS n_punct,
+      |        LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) AS n_upper,
+      |        LEN(LIST_INTERSECT(
+      |          LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' ')),
+      |          ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop
+      |      FROM documents)""".stripMargin
+
+  /** Distributed quality-classifier TRAINING ([[Classifier.lrTrain]]):
+    * 6 full-batch GD iterations on the softsign-link linear model over
+    * the quality features, the whole coefficient trajectory on the
+    * hash channel — DuckDB replays every iteration's quantized
+    * gradient sums and weight updates decision-for-decision (the
+    * Lloyd/BPE/WordPiece replay discipline applied to a trainable
+    * model).
+    */
+  val textLrTrain = Q("q_text_lr_train",
+    (s, dir) => Classifier.lrTrainTable(
+      lrFeats(s, dir), lrFeatureCols, "y", nIters = 6)
+      .orderBy("iter", "feature"),
+    Some(Classifier.lrTrainOracle(lrFeatsSql, lrFeatureCols, nIters = 6)))
+
+  /** Scoring with the trained classifier ([[Classifier.lrScore]]): the
+    * final iteration's weights ride the plan as literals and every
+    * document gets an exact softsign score + ½-threshold class — one
+    * narrow codegen'd scan, oracle re-deriving the identical weights
+    * and scores.
+    */
+  val textLrScore = Q("q_text_lr_score",
+    (s, dir) => {
+      val f = lrFeats(s, dir)
+      val w = Classifier.lrTrain(f, lrFeatureCols, "y", nIters = 6)
+        .last.weights
+      Classifier.lrScore(f, lrFeatureCols, w, "doc_id").orderBy("doc_id")
+    },
+    Some(Classifier.lrScoreOracle(lrFeatsSql, "doc_id",
+      nFeatures = lrFeatureCols.size, nIters = 6)))
+
+  val all: Seq[Q] = Seq(textQuality, textLangid, curateAnnotate, dedupClusters, curateFilter, curateSplit, curateDomainFilter, textWinnow, dedupWinnowPairs, curateUrlCanon, layoutZorder, curateShuffle, curateScrub, curateRepetition, curateGopher, textLrTrain, textLrScore)
 }
