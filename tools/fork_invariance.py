@@ -36,6 +36,9 @@ def table_hash(con, d):
 
 def main():
     local_dir, table_dir, out = sys.argv[1], sys.argv[2], sys.argv[3]
+    what = (sys.argv[4] if len(sys.argv) > 4 else
+            "fork-strategy invariance: Verify catalog under "
+            "spark.graft.forkMaterialize=local vs =table")
     con = duckdb.connect()
     names = sorted(
         os.path.basename(p) for p in glob.glob(f"{local_dir}/q_*") if os.path.isdir(p))
@@ -52,8 +55,7 @@ def main():
             queries[name].update({"local_hash": lh, "table_hash": th,
                                   "local_rows": ln, "table_rows": tn})
     artifact = {
-        "what": "fork-strategy invariance: Verify catalog under "
-                "spark.graft.forkMaterialize=local vs =table",
+        "what": what,
         "n_queries": len(queries),
         "n_match": n_match,
         "all_match": n_match == len(queries),
