@@ -868,6 +868,25 @@ object Bench {
     if (ratio.isNaN || ratio.isInfinite || ratio <= 0) 1.0
     else math.min(2.0, math.max(1.0, ratio))
 
+  /** Tolerance multiplier from a sample's PSI-io stall fraction — the
+    * io-pressure arm the membw probe cannot provide (round 17, verdict
+    * item 2): membw fingerprints the BOOT's memory subsystem, uniform
+    * across a section, while writeback pressure is per-WINDOW — r16's
+    * curate sf1/sf100 spread was attributed to the boot's writeback
+    * class in prose (HOST_DRIFT §4) yet sprayed `divergent` because the
+    * classifier only knew membw. PSI `some` io = f means "for f of the
+    * sample's wall window, at least one runnable task was stalled on
+    * io"; full serialization would inflate wall time by at most
+    * 1/(1−f), so that is the factor — capped at 2 like [[membwFactor]]
+    * (an arbitrarily stalled host must not excuse anything), and inert
+    * below a 10% stall floor (every healthy sample shows a few percent;
+    * the arm must witness real pressure, not rounding noise). Only ever
+    * widens the SLOW arm: io stalls cannot make a sample run fast.
+    */
+  private[graft] def ioFactor(psiIoFrac: Double): Double =
+    if (psiIoFrac.isNaN || psiIoFrac.isInfinite || psiIoFrac < 0.10) 1.0
+    else math.min(2.0, 1.0 / (1.0 - math.min(psiIoFrac, 0.5)))
+
   /** Membw-aware divergence classification (round 16, verdict item 5):
     * the base 1.5× rule, but a sample that exceeds it while the
     * section's memory-bandwidth probe names a proportionate host drift
@@ -904,7 +923,8 @@ object Bench {
       results: Seq[(String, Option[Double])],
       contended: Boolean,
       causes: Seq[(String, String)] = Nil,
-      membwGbps: Double = -1)
+      membwGbps: Double = -1,
+      psiIo: Seq[(String, Double)] = Nil)
 
   /** The FINAL printed line — the one the driver actually parses.
     *
@@ -973,10 +993,17 @@ object Bench {
         membwFactor(refBw / s.membwGbps) else 1.0
       val fastF = if (s.membwGbps > 0 && refBw > 0)
         membwFactor(s.membwGbps / refBw) else 1.0
+      val psiByName = s.psiIo.toMap
       emittedPicks.zipWithIndex.foreach { case (n, i) =>
+        // per-SAMPLE io-pressure arm beside the per-SECTION membw arm
+        // (round 17): the effective slow tolerance is the LARGER of the
+        // two witnesses, never their product — divergence beyond 3×
+        // (1.5 × the shared 2× cap) always stays divergent
+        val ioF = ioFactor(psiByName.getOrElse(n, -1.0))
+        val slowEff = math.max(slowF, ioF)
         for (m <- s.results.collectFirst { case (`n`, Some(v)) => v };
              ref <- refs.get(n);
-             cls <- divergenceClass(m, ref, slowF, fastF)) cls match {
+             cls <- divergenceClass(m, ref, slowEff, fastF)) cls match {
           case "divergent" =>
             divNames += n
             divergent += s"${s.label}[$i]=${fmt1(m)}/${fmt1(ref)}" +
@@ -984,12 +1011,17 @@ object Bench {
           case _ =>
             // measured and ref already ride positionally in the section
             // object and its `_ref` array — the entry only needs the
-            // position and the applied membw factor (tail-window budget:
-            // the all-host_drift worst case must fit beside the rest).
-            // An entry in EITHER list subsumes the digest-level cause map
-            // (the full per-sample cause map is in bench_out.json).
+            // position and the applied factor (tail-window budget: the
+            // all-host_drift worst case must fit beside the rest). An
+            // `io` prefix marks the samples only the io arm explains —
+            // the reader must see WHICH witness spoke. An entry in
+            // EITHER list subsumes the digest-level cause map (the full
+            // per-sample cause map is in bench_out.json).
             divNames += n
-            hostDrift += s"${s.label}[$i]~${fmt1(math.max(slowF, fastF))}"
+            val viaIo = m / ref > 1.5 * math.max(slowF, fastF) && ioF > slowF
+            hostDrift +=
+              (if (viaIo) s"${s.label}[$i]~io${fmt1(ioF)}"
+               else s"${s.label}[$i]~${fmt1(math.max(slowF, fastF))}")
         }
       }
       val refJson =
@@ -1439,7 +1471,10 @@ object Bench {
             manifestJson +
             s""","${label}_dir":"$dir""""
         (frag, ScaleSummary(label, ran.map(r => r.name -> r.res.toOption), hot,
-          causes, membwGbps))
+          causes, membwGbps,
+          // the kept run's PSI-io stall fraction, per query — the
+          // digest's io-pressure divergence arm reads it ([[ioFactor]])
+          ran.map(r => r.name -> r.diag.psiIoFrac)))
       }
       def publishNow(): Unit = { val (f, s) = snapshot(); publish(f, s) }
       picked.foreach { q =>
@@ -1660,6 +1695,9 @@ object Bench {
       sb.append("CAUSE\t").append(n).append('\t')
         .append(c.replace("\n", " ")).append('\n')
     }
+    s.psiIo.foreach { case (n, v) =>
+      sb.append("PSI\t").append(n).append('\t').append(v).append('\n')
+    }
     sb.toString
   }
 
@@ -1682,8 +1720,12 @@ object Bench {
             val parts = l.split("\t", 3)
             parts(1) -> parts(2)
           }
+          val psiIo = lines.filter(_.startsWith("PSI\t")).toSeq.map { l =>
+            val Array(_, n, v) = l.split("\t", -1)
+            n -> v.toDouble
+          }
           Some((f, ScaleSummary(label, results, contended.toBoolean, causes,
-            membw.toDouble)))
+            membw.toDouble, psiIo)))
         case _ => None
       }
     } catch { case _: Throwable => None }
@@ -1749,10 +1791,27 @@ object Bench {
       val outPath = out.toString
       val oomMarker = new java.io.File(outPath + ".oom")
       val budget = math.max(60.0, budgetLeft())
-      // OnOutOfMemoryError leaves a marker even when the death path
-      // skips Spark's exit-52 handler (e.g. an OOM on a non-task thread)
-      val cmd = protocolJvmCmd(
-        Seq(s"-XX:OnOutOfMemoryError=/bin/touch ${oomMarker.getPath}"))
+      // OOM forensics hook (round 17, verdict item 1a): on
+      // OutOfMemoryError the dying child leaves the marker (even when
+      // the death path skips Spark's exit-52 handler, e.g. an OOM on a
+      // non-task thread) AND appends a class histogram of its own heap
+      // to the section log, so the allocation class that actually died
+      // has a name instead of a theory. jmap attaches from outside the
+      // wedged JVM; `timeout` bounds a hung attach so the classifier
+      // still sees oom_child, never child_timeout. The parent echoes
+      // the `[graft-oom]` block to stderr on death (below).
+      val hook = new java.io.File(outPath + ".oomhook")
+      val jmapBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "jmap").getPath
+      java.nio.file.Files.write(hook.toPath,
+        (s"""#!/bin/sh
+            |touch '${oomMarker.getPath}'
+            |{ echo "[graft-oom] class histogram (pid $$1):"
+            |  timeout -k 5 20 '$jmapBin' -histo "$$1" 2>&1 | head -44
+            |} >> '$outPath.log'
+            |""".stripMargin).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hook.setExecutable(true)
+      val cmd = protocolJvmCmd(Seq(s"-XX:OnOutOfMemoryError=${hook.getPath} %p"))
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(true)
       pb.redirectOutput(new java.io.File(outPath + ".log"))
@@ -1765,6 +1824,18 @@ object Bench {
       env.put("SPARK_GRAFT_HEAP_REEXEC", "false") // already at protocol heap
       if (degrade) env.put("SPARK_GRAFT_CHECKPOINT_LEVEL",
         sys.env.getOrElse("SPARK_GRAFT_OOM_RETRY_LEVEL", "DISK_ONLY"))
+      // sf100 defaults to the unroll-free checkpoint level (round 17,
+      // verdict item 1b): r16's driver run hit oom_child in a FRESH
+      // child at the default level — MemoryStore unroll pressure at
+      // sf100 working sets is a property of this host class, not of JVM
+      // age — and SCALING.md §11 measured DISK_ONLY within host noise.
+      // The child discloses the level in the fragment
+      // (`sf100_checkpoint_level`), a caller-pinned level always wins,
+      // and SPARK_GRAFT_SF100_CHECKPOINT_LEVEL=MEMORY_AND_DISK restores
+      // the old default for A/B runs.
+      else if (label == "sf100" && !sys.env.contains("SPARK_GRAFT_CHECKPOINT_LEVEL"))
+        env.put("SPARK_GRAFT_CHECKPOINT_LEVEL",
+          sys.env.getOrElse("SPARK_GRAFT_SF100_CHECKPOINT_LEVEL", "DISK_ONLY"))
       System.err.println(s"[bench] $label section -> child JVM (attempt $n, " +
         s"budget ${budget.toLong}s${if (degrade) ", DEGRADED checkpoint level" else ""})")
       val proc = pb.start()
@@ -1816,9 +1887,15 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).trim
         catch { case _: Throwable => "" }
         // the root exception must survive the driver's 2000-char tail:
-        // echo the child log's last lines to OUR stderr
+        // echo the child log's last lines to OUR stderr — plus the OOM
+        // hook's class-histogram block when one was written, so the
+        // dying allocation class lands in THIS process's stderr where
+        // the driver (and HOST_DRIFT) can quote it
+        val oomIdx = log.lastIndexOf("[graft-oom]")
+        val oomBlock =
+          if (oomIdx >= 0) "\n" + log.substring(oomIdx).take(4000) else ""
         System.err.println(s"[bench] $label child died ($cause, " +
-          s"in-flight: $inflight); log tail:\n${log.takeRight(1200)}")
+          s"in-flight: $inflight); log tail:\n${log.takeRight(1200)}$oomBlock")
         Some((cause, inflight))
       }
     }

@@ -369,7 +369,8 @@ class BenchDigestSpec extends AnyFunSuite {
       Seq("q_a" -> Some(1.234), "q_b" -> None),
       contended = true,
       causes = Seq("q_a" -> "ext=3.1", "q_b" -> "watchdog cancel after 600.0s"),
-      membwGbps = 23.3)
+      membwGbps = 23.3,
+      psiIo = Seq("q_a" -> 0.123, "q_b" -> 0.0))
     val decoded = Bench.decodeSection(Bench.encodeSection(frag, sum))
     assert(decoded.contains((frag, sum)))
     // empty results/causes round-trip too (a death before the first sample)
@@ -379,6 +380,53 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(Bench.decodeSection("").isEmpty)
     assert(Bench.decodeSection("FRAG\t,half a line").isEmpty) // no SUM
     assert(Bench.decodeSection("garbage\nlines\n").isEmpty)
+  }
+
+  test("io-pressure arm: writeback-stalled samples self-classify; the r16 unexplained minhash stays divergent") {
+    // REPLAY of the recorded r16 driver-channel sf100 numbers
+    // (BENCH_r16 / VERDICT r16): minhash 33.1 s vs ref 21.1 (1.57×)
+    // with the membw probe AT the ref fingerprint (13.8 → both membw
+    // factors 1) was the round's single honest divergent; winnow
+    // 40.7/33.3 and curate 70.8/49.9 sat within the 1.5× band. The
+    // same measurement inside a recorded PSI-io stall window is the
+    // writeback class HOST_DRIFT §4 could only ascribe in prose — now
+    // the classifier has the arm.
+    def digest(psiIo: Seq[(String, Double)], minhash: Double = 33.1) =
+      mapper.readTree(Bench.digestLine(
+        244.2, 5, 5, truncated = false, contended = Seq(1, 2, 5),
+        suspect = 0, noClean = 0, errors = 0, skipped = 0,
+        medians = Map.empty,
+        scales = Seq(Bench.ScaleSummary("sf100",
+          Seq("q_dedup_minhash_lsh_auto" -> Some(minhash),
+            "q_dedup_winnow_pairs" -> Some(40.7),
+            "q_curate_e2e_scale" -> Some(70.8)),
+          contended = false, membwGbps = 13.8, psiIo = psiIo)),
+        sfDir = "/root/testdata/sf0.1"))
+    // quiet io (3% stall — below the 10% floor): the honest divergent
+    // entry survives exactly as committed in BENCH_r16
+    val dry = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.03))
+    assert(dry.get("divergent_n").asInt() == 1)
+    assert(dry.get("divergent").get(0).asText().startsWith("sf100[0]=33.1/21.1"))
+    assert(dry.get("host_drift") == null)
+    // a 35% PSI-io stall window bounds wall inflation at 1/(1−0.35) ≈
+    // 1.54× — enough to explain 1.57×: host_drift with the io-prefixed
+    // entry naming WHICH witness spoke
+    val wet = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.35))
+    assert(wet.get("divergent_n").asInt() == 0)
+    assert(wet.get("host_drift").get(0).asText() == "sf100[0]~io1.5")
+    // the cap holds: a 90% stall claims at most 2× — a 3.8× sample
+    // (80.1/21.1) stays divergent no matter how stalled the window was
+    val capped = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.9), minhash = 80.1)
+    assert(capped.get("divergent_n").asInt() == 1)
+    // the arm never widens the FAST side: io stalls cannot explain a
+    // sample that beat its ref by 2×
+    val fast = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.45), minhash = 10.0)
+    assert(fast.get("divergent_n").asInt() == 1)
+    // factor function contract: floor, cap, invalids
+    assert(Bench.ioFactor(-1.0) == 1.0 && Bench.ioFactor(0.05) == 1.0)
+    assert(Bench.ioFactor(0.25) == 1.0 / 0.75)
+    assert(Bench.ioFactor(0.5) == 2.0 && Bench.ioFactor(0.99) == 2.0)
+    assert(Bench.ioFactor(Double.NaN) == 1.0)
   }
 
   test("membw-aware divergence: uniform host drift self-classifies; unexplained drift stays divergent") {
