@@ -1101,7 +1101,12 @@ object Bench {
     "q_dedup_winnow_pairs",           // capped fingerprint pair join
     // round-11: the rarity-prefix candidate join at 30× — evidences the
     // Σ df_full·df_prefix bound where a plain gram index goes df²
-    "q_dedup_editdist_pairs")
+    "q_dedup_editdist_pairs",
+    // round-17 (verdict stretch 8): the r16 selection/tokenizer ops'
+    // curves get their 30× points — k-center and the balanced
+    // subsample are scan-bound (sf1 measured 1.7→3.0 / 1.9→3.3 s over
+    // 40×), WordPiece tracks the word-type table like BPE (3.3→3.6 s)
+    "q_select_kcenter", "q_sample_cluster_balanced", "q_wordpiece_train")
 
   /** The sf100 memory-headroom set (round-11 stretch #7): ONLY the three
     * heaviest families at sf30 — the question at 100× is "does each
