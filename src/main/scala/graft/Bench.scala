@@ -1752,6 +1752,57 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** OOM class-histogram forensics (round 17, verdict item 1a): a
+    * daemon thread in the section CHILD that waits for the
+    * OnOutOfMemoryError marker file, then takes a class histogram of
+    * its OWN heap via the in-process DiagnosticCommand MBean
+    * (`gcClassHistogram` — the jcmd GC.class_histogram implementation,
+    * no attach round-trip) and writes the head to `<outPath>.oomlog`
+    * for the parent's death echo. Two designs were tried LIVE and
+    * fail structurally, which is why this one exists:
+    *
+    *   - attach-based (`jmap -histo` from the hook): the hook runs
+    *     synchronously on the OOMing thread and a mid-OOM VM does not
+    *     reliably start its attach listener — measured: six SIGQUIT
+    *     thread dumps, then `AttachNotSupportedException: target
+    *     process doesn't respond within 10500ms`, histogram never
+    *     taken. Attach also deadlocks by construction when the hook
+    *     waits on jmap and jmap waits on the VM the hook is blocking.
+    *   - hook-appends-to-the-section-log: the child's stdout redirect
+    *     is a NON-append fd whose lagging file offset silently
+    *     overwrites O_APPEND writes from a hook subprocess — measured:
+    *     the hook's block vanished from the live log while its marker
+    *     touch survived. Hence the separate `.oomlog` file.
+    *
+    * The histogram call triggers a full GC first (the DCmd default),
+    * which post-OOM typically frees the aborted task's garbage and
+    * makes the capture allocatable; a capture that itself OOMs
+    * degrades to a one-line note — the marker classification
+    * (`oom_child`) never depends on this thread.
+    */
+  private def startOomForensics(outPath: String): Unit = {
+    val t = new Thread(() => {
+      val marker = new java.io.File(outPath + ".oom")
+      while (!marker.isFile) Thread.sleep(200)
+      val histo =
+        try {
+          val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+          val name = new javax.management.ObjectName(
+            "com.sun.management:type=DiagnosticCommand")
+          server.invoke(name, "gcClassHistogram",
+            Array[AnyRef](null), Array("[Ljava.lang.String;"))
+            .asInstanceOf[String].linesIterator.take(44).mkString("\n")
+        } catch { case e: Throwable => s"histogram unavailable: $e" }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath + ".oomlog"),
+        (s"[graft-oom] class histogram (in-process, post-OOM):\n$histo\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }, "graft-oom-forensics")
+    t.setDaemon(true)
+    t.start()
+  }
+
   /** Child-mode entry: run ONE scale section in this (fresh, protocol-
     * heap) JVM, publishing the fragment file after every sample. No
     * stdout: the parent owns the driver-facing lines.
@@ -1759,6 +1810,7 @@ object Bench {
   private def runSectionChild(label: String): Unit = {
     val dir = sys.env(SectionDirEnv)
     val outPath = sys.env(SectionOutEnv)
+    startOomForensics(outPath)
     val budget = sys.env.getOrElse(SectionBudgetEnv, "1200").toDouble
     val names = sys.env.getOrElse(SectionQueriesEnv, "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -1796,27 +1848,14 @@ object Bench {
       val outPath = out.toString
       val oomMarker = new java.io.File(outPath + ".oom")
       val budget = math.max(60.0, budgetLeft())
-      // OOM forensics hook (round 17, verdict item 1a): on
-      // OutOfMemoryError the dying child leaves the marker (even when
-      // the death path skips Spark's exit-52 handler, e.g. an OOM on a
-      // non-task thread) AND appends a class histogram of its own heap
-      // to the section log, so the allocation class that actually died
-      // has a name instead of a theory. jmap attaches from outside the
-      // wedged JVM; `timeout` bounds a hung attach so the classifier
-      // still sees oom_child, never child_timeout. The parent echoes
-      // the `[graft-oom]` block to stderr on death (below).
-      val hook = new java.io.File(outPath + ".oomhook")
-      val jmapBin = new java.io.File(new java.io.File(
-        System.getProperty("java.home"), "bin"), "jmap").getPath
-      java.nio.file.Files.write(hook.toPath,
-        (s"""#!/bin/sh
-            |touch '${oomMarker.getPath}'
-            |{ echo "[graft-oom] class histogram (pid $$1):"
-            |  timeout -k 5 20 '$jmapBin' -histo "$$1" 2>&1 | head -44
-            |} >> '$outPath.log'
-            |""".stripMargin).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      hook.setExecutable(true)
-      val cmd = protocolJvmCmd(Seq(s"-XX:OnOutOfMemoryError=${hook.getPath} %p"))
+      // OnOutOfMemoryError leaves a marker even when the death path
+      // skips Spark's exit-52 handler (e.g. an OOM on a non-task
+      // thread). The marker doubles as the trigger for the child's
+      // in-process class-histogram forensics ([[startOomForensics]] —
+      // attach-based jmap provably cannot do this job, see that
+      // scaladoc); the parent echoes the resulting `.oomlog` on death.
+      val cmd = protocolJvmCmd(
+        Seq(s"-XX:OnOutOfMemoryError=/bin/touch ${oomMarker.getPath}"))
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(true)
       pb.redirectOutput(new java.io.File(outPath + ".log"))
@@ -1892,13 +1931,17 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).trim
         catch { case _: Throwable => "" }
         // the root exception must survive the driver's 2000-char tail:
-        // echo the child log's last lines to OUR stderr — plus the OOM
-        // hook's class-histogram block when one was written, so the
-        // dying allocation class lands in THIS process's stderr where
-        // the driver (and HOST_DRIFT) can quote it
-        val oomIdx = log.lastIndexOf("[graft-oom]")
-        val oomBlock =
-          if (oomIdx >= 0) "\n" + log.substring(oomIdx).take(4000) else ""
+        // echo the child log's last lines to OUR stderr — plus the
+        // child's post-OOM class-histogram forensics when it captured
+        // one, so the dying allocation class lands in THIS process's
+        // stderr where the driver (and HOST_DRIFT) can quote it
+        val oomBlock = try {
+          val p = java.nio.file.Paths.get(outPath + ".oomlog")
+          if (java.nio.file.Files.isRegularFile(p))
+            "\n" + new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).take(4000)
+          else ""
+        } catch { case _: Throwable => "" }
         System.err.println(s"[bench] $label child died ($cause, " +
           s"in-flight: $inflight); log tail:\n${log.takeRight(1200)}$oomBlock")
         Some((cause, inflight))
