@@ -1127,7 +1127,19 @@ object Bench {
   private def newSession(cpus: String): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to the thread count but are
+      // separately overridable (round 17): the REAL sf100 OOM class —
+      // named by the in-process histogram, docs/HOST_DRIFT.md §6 — is
+      // execution-side join-build/sort memory ([J pages of
+      // LongToUnsafeRowMap + sorter arrays), and its peak scales with
+      // build-side-bytes ÷ shuffle-partitions × concurrent-tasks. At
+      // sf100 working sets, 32 partitions make per-task builds
+      // gigabyte-class; 128 quarters them. AQE coalesces small
+      // shuffles back down, so the knob is near-free where data is
+      // small and load-bearing where it is not — the standard
+      // partitions-track-data sizing this library preaches for 100 TB.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -1452,8 +1464,13 @@ object Bench {
         val levelJson = sys.env.get("SPARK_GRAFT_CHECKPOINT_LEVEL")
           .filterNot(_ == "MEMORY_AND_DISK")
           .fold("")(l => s""","${label}_checkpoint_level":"${jesc(l)}"""")
+        // non-thread-count shuffle partitioning is likewise a disclosed
+        // protocol deviation (round 17 — the sf100 join-build OOM fix)
+        val shufJson = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+          .filter(p => p.nonEmpty && p.forall(_.isDigit) && p != cpus)
+          .fold("")(p => s""","${label}_shuffle_partitions":$p""")
         val frag =
-          s""","$label":$entries$errJson$skipJson$retryJson$causeJson$levelJson,""" +
+          s""","$label":$entries$errJson$skipJson$retryJson$causeJson$levelJson$shufJson,""" +
             s""""${label}_calibration":[${calibs.map(fmt).mkString(",")}],""" +
             s""""${label}_contended":$hot,""" +
             s""""${label}_suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -1880,6 +1897,15 @@ object Bench {
       else if (label == "sf100" && !sys.env.contains("SPARK_GRAFT_CHECKPOINT_LEVEL"))
         env.put("SPARK_GRAFT_CHECKPOINT_LEVEL",
           sys.env.getOrElse("SPARK_GRAFT_SF100_CHECKPOINT_LEVEL", "DISK_ONLY"))
+      // sf100 also gets data-scaled shuffle partitions (round 17): the
+      // histogram-named OOM class is per-task join-build/sort memory,
+      // whose peak is build-bytes ÷ partitions × concurrency — 128
+      // quarters it vs the thread-count default of 32. Disclosed in the
+      // fragment (`sf100_shuffle_partitions`); a caller-pinned value
+      // wins; AQE coalesces where the data is small.
+      if (label == "sf100" && !sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
+        env.put("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_SF100_SHUFFLE_PARTITIONS", "128"))
       System.err.println(s"[bench] $label section -> child JVM (attempt $n, " +
         s"budget ${budget.toLong}s${if (degrade) ", DEGRADED checkpoint level" else ""})")
       val proc = pb.start()

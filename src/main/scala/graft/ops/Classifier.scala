@@ -144,17 +144,21 @@ object Classifier {
     if (s.contains('E') || s.contains('e') || s.contains('.')) s else s + ".0"
   }
 
-  /** The shared iteration chain: `feats` (from `featsSql`, which must
-    * yield columns `y, x0=1.0, x1..xF` plus any carried id columns),
-    * then per iteration a quantized-gradient CTE and an updated-weights
-    * CTE, each written with the exact arithmetic and association order
-    * the engine uses.
+  /** The shared iteration chain as a spliceable CTE list (no leading
+    * `WITH`): `feats` (from `featsSql`, which must yield columns
+    * `y, x0=1.0, x1..xF` plus any carried id columns), then per
+    * iteration a quantized-gradient CTE and an updated-weights CTE,
+    * each written with the exact arithmetic and association order the
+    * engine uses. Public so composed-pipeline oracles (the curate
+    * LR-screen gate) can splice the replay into their own WITH chain;
+    * CTE names (`feats`/`cnt`/`it*`/`g*`) are the splice contract.
     */
-  private def oracleChain(featsSql: String, nf: Int, nIters: Int,
-                          lr: Double, scale: Double): String = {
+  private[graft] def lrOracleCtes(featsSql: String, nf: Int, nIters: Int,
+                                  lr: Double = 1.0,
+                                  scale: Double = 1e8): String = {
     val sb = new StringBuilder
     val idx = 0 until nf
-    sb.append(s"WITH feats AS MATERIALIZED ($featsSql),\n")
+    sb.append(s"feats AS MATERIALIZED ($featsSql),\n")
     sb.append("cnt AS (SELECT COUNT(*) AS n FROM feats),\n")
     sb.append("it0 AS (SELECT " +
       idx.map(i => s"0.0 AS w$i").mkString(", ") + ")")
@@ -191,7 +195,7 @@ object Classifier {
     val rows = (1 to nIters).flatMap(t => names.zipWithIndex.map {
       case (nm, i) => s"SELECT $t AS iter, '$nm' AS feature, w$i AS weight FROM it$t"
     }).mkString("\nUNION ALL\n")
-    oracleChain(featsSql, names.size, nIters, lr, scale) +
+    "WITH " + lrOracleCtes(featsSql, names.size, nIters, lr, scale) +
       s"\nSELECT iter, feature, weight FROM (\n$rows\n) ORDER BY iter, feature"
   }
 
@@ -204,7 +208,7 @@ object Classifier {
                     scale: Double = 1e8): String = {
     val nf = nFeatures + 1
     val zChain = (0 until nf).map(i => s"w.w$i * f.x$i").mkString(" + ")
-    oracleChain(featsSql, nf, nIters, lr, scale) + s"""
+    "WITH " + lrOracleCtes(featsSql, nf, nIters, lr, scale) + s"""
       |SELECT $idCol, score, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
       |FROM (SELECT f.$idCol, 0.5 + 0.5 * z / (1.0 + ABS(z)) AS score
       |      FROM (SELECT f.$idCol, $zChain AS z

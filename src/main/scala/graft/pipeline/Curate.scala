@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Corpus, Dedup, Materialize, Text}
+import graft.ops.{Classifier, Corpus, Dedup, Materialize, Text}
 
 /** The composed training-data curation stage: the per-op building blocks
   * (each individually oracle-gated) chained in the order a corpus
@@ -12,8 +12,9 @@ import graft.ops.{Corpus, Dedup, Materialize, Text}
   *   [domain blocklist] → [NFC canonicalize] → exact dedup →
   *   near-dup keep-one → [benchmark decontaminate] → [substring strip] →
   *   [line-level keep-first dedup] → [perplexity-bucket screen] →
-  *   quality filter → PII scrub → [DSIR top-k selection] →
-  *   content-hash split → context-window chunking
+  *   [trained LR quality screen] → quality filter → PII scrub →
+  *   [DSIR top-k selection] → content-hash split →
+  *   context-window chunking
   *
   * (bracketed stages optional, default off — the e2e gates run the
   * default chain so their oracles stay byte-exact)
@@ -72,6 +73,9 @@ object Curate {
             blockedDomains: Seq[String] = Nil,
             pplKeepBuckets: Seq[String] = Nil,
             pplLangCol: Option[String] = None,
+            lrQualityTarget: Option[DataFrame] = None,
+            lrQualityMinScore: Double = 0.5,
+            lrQualityIters: Int = 6,
             dsirTarget: Option[DataFrame] = None,
             dsirK: Int = 0,
             nearDupFamily: String = "ngram",
@@ -242,7 +246,44 @@ object Curate {
         mat.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
       case _ => lineStripped
     }
-    val kept = pplScreened
+    // Optional TRAINED quality screen (round 17) — the CCNet posture
+    // with a fitted model instead of fixed heuristics: positives = the
+    // reference corpus (`lrQualityTarget`), negatives = this corpus's
+    // own deduped survivors ("reference vs crawl"; class overlap is
+    // expected and harmless — the boundary learns "more reference-like
+    // than not"), features = the oracled [[Text.qualityStruct]] ratios
+    // on both sides, trainer = [[Classifier.lrTrain]]'s exactly-
+    // replayable full-batch GD. Same slot as the perplexity screen for
+    // the same two reasons: fitting on DEDUPED survivors keeps
+    // duplicates from weighting the gradient, and the screen precedes
+    // the token band so quality judges only documents that ship.
+    // Deterministic end-to-end, so the e2e gate's oracle replays the
+    // TRAINING inside the pipeline replay.
+    val lrScreened = lrQualityTarget match {
+      case Some(target) if lrQualityIters > 0 =>
+        // fork: negative examples, the scoring scan and the semi-join
+        // left side all consume the survivor chain
+        val mat = Materialize.fork(pplScreened)
+        val featCols = Seq("__mtl", "__punct", "__upper", "__stop")
+        def feats(df: DataFrame): DataFrame =
+          df.withColumn("__q", Text.qualityStruct(col(textCol)))
+            .withColumn("__mtl", col("__q.mean_token_len"))
+            .withColumn("__punct", col("__q.punct_ratio"))
+            .withColumn("__upper", col("__q.upper_ratio"))
+            .withColumn("__stop", col("__q.stopword_hit_ratio"))
+        val train = feats(target.select(col(textCol))).withColumn("__y", lit(1.0))
+          .select((featCols.map(col) :+ col("__y")): _*)
+          .unionByName(feats(mat.select(col(textCol))).withColumn("__y", lit(0.0))
+            .select((featCols.map(col) :+ col("__y")): _*))
+        val w = Classifier.lrTrain(train, featCols, "__y", lrQualityIters)
+          .last.weights
+        val keep = Classifier.lrScore(feats(mat), featCols, w, idCol)
+          .filter(col("score") >= lrQualityMinScore)
+          .select(col(idCol))
+        mat.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
+      case _ => pplScreened
+    }
+    val kept = lrScreened
       .withColumn("__q", Text.qualityStruct(col(textCol)))
       .filter(col("__q.n_tokens").between(minTokens, maxTokens) &&
         col("__q.mean_token_len").between(minMeanTokenLen, maxMeanTokenLen))

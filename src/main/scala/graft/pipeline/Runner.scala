@@ -122,6 +122,9 @@ object Runner {
       pplLangCol = c.pplLangCol,
       dsirTarget = c.dsirTargetPath.map(spark.read.parquet(_)),
       dsirK = c.dsirK,
+      lrQualityTarget = c.lrQualityTargetPath.map(spark.read.parquet(_)),
+      lrQualityMinScore = c.lrQualityMinScore,
+      lrQualityIters = c.lrQualityIters,
       nearDupFamily = c.nearDupFamily,
       minhashBands = c.minhashBands,
       minhashRowsPerBand = c.minhashRowsPerBand), tables.curatedChunks)

@@ -151,6 +151,98 @@ private[graft] object CurationCurateQueries {
       graft.pipeline.Curate(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id"),
     Some(curateOracle(plantTail = false)))
 
+  /** Trained-LR-screen twin of [[curateE2E]] (round 17): the composed
+    * pipeline with the [[graft.ops.Classifier]] quality screen ON —
+    * positives = the src0–3 reference slice (planted tail included),
+    * negatives = the pipeline's own deduped survivors (the CCNet
+    * "reference vs crawl" posture; class overlap is expected — the
+    * boundary learns "more reference-like than not"), 6 quantized-
+    * gradient iterations, keep score ≥ ½. What this gate pins is the
+    * COMPOSITION plus the TRAINING-inside-the-pipeline replay: the
+    * oracle re-runs exact dedup → near-dup closure → the full LR
+    * training chain ([[graft.ops.Classifier.lrOracleCtes]] spliced
+    * into the pipeline WITH) → per-doc softsign scoring → the keep →
+    * token band → scrub → split → chunk. A screen fit on the wrong
+    * corpus slice (raw instead of deduped survivors), a reordered
+    * slot, or one ulp of training drift moves the final chunk set.
+    */
+  val curateE2ELrQuality = Q("q_curate_e2e_lrquality",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567"))
+          .as("text"),
+        col("source"))
+      val target = planted
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("text"))
+      graft.pipeline.Curate(planted.select(col("doc_id"), col("text")),
+        lrQualityTarget = Some(target))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(curateLrOracle))
+
+  /** Oracle for [[curateE2ELrQuality]]: the [[curateOracle]] body with
+    * the trained screen spliced between the near-dup survivors and the
+    * token-band filter. The splice re-derives the quality-ratio
+    * features (the `q_text_quality`-proven SQL) for the positive slice
+    * and the survivors, runs the training replay, scores every
+    * survivor with the identical softsign arithmetic, and narrows `qf`
+    * to the keeps.
+    */
+  private def curateLrOracle: String = {
+    // the 4 ratio features (x1..x4 in the Spark featureCols order:
+    // mean_token_len, punct_ratio, upper_ratio, stopword_hit_ratio)
+    // over a relation exposing `text` (+ carried id columns)
+    def stats(rel: String, carry: String) =
+      s"""SELECT $carry
+         |       LEN(text) AS n_chars,
+         |       LEN(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS n_tokens,
+         |       LEN(REGEXP_EXTRACT_ALL(text, '[\\.,;:!\\?"'']')) AS n_punct,
+         |       LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) AS n_upper,
+         |       LEN(LIST_INTERSECT(
+         |         LIST_DISTINCT(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ')),
+         |         ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop
+         |FROM $rel""".stripMargin
+    def ratios(carry: String) =
+      s"""$carry
+         |  1.0 AS x0,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens ELSE 0.0 END AS x1,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS x2,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS x3,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS x4""".stripMargin
+    val zChain = (0 to 4).map(i => s"w.w$i * f.x$i").mkString(" + ")
+    val splice =
+      s"""lrpstats AS (${stats(
+           """(SELECT text || ' contact user@example.com or https://ex.com/d/x42 tel +265 99 123 4567' AS text
+             |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))""".stripMargin, "")}),
+         |lrdstats AS (${stats("surv", "doc_id,")}),
+         |lrdocfeats AS (
+         |  SELECT ${ratios("doc_id,")}
+         |  FROM lrdstats),
+         |${graft.ops.Classifier.lrOracleCtes(
+             s"""SELECT ${ratios("1.0 AS y,")}
+                |FROM lrpstats
+                |UNION ALL
+                |SELECT 0.0 AS y, x0, x1, x2, x3, x4 FROM lrdocfeats""".stripMargin,
+             nf = 5, nIters = 6)},
+         |lrkeep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT f.doc_id, 0.5 + 0.5 * z / (1.0 + ABS(z)) AS score
+         |    FROM (SELECT f.doc_id, $zChain AS z
+         |          FROM lrdocfeats f CROSS JOIN it6 w) f)
+         |  WHERE score >= 0.5),
+         |""".stripMargin
+    val anchor = "qf AS (\n              SELECT doc_id, text FROM surv\n              WHERE LEN(t) BETWEEN 30 AND 200"
+    val body = curateOracle(plantTail = true)
+    require(body.contains(anchor), "curateOracle qf anchor moved — update curateLrOracle")
+    body.replace(anchor,
+      splice + "qf AS (\n              SELECT doc_id, text FROM surv\n              " +
+        "WHERE doc_id IN (SELECT doc_id FROM lrkeep)\n              " +
+        "AND LEN(t) BETWEEN 30 AND 200")
+  }
+
   /** One oracle body for both curate e2e gates: identical pipeline SQL,
     * with or without the planted PII tail on the input corpus.
     */
@@ -382,5 +474,5 @@ private[graft] object CurationCurateQueries {
             ORDER BY doc_id, chunk_id"""
   }
 
-  val all: Seq[Q] = Seq(curateE2E, curateE2EScreens, curateE2EMinhash, curateE2EScale)
+  val all: Seq[Q] = Seq(curateE2E, curateE2EScreens, curateE2EMinhash, curateE2EScale, curateE2ELrQuality)
 }

@@ -36,6 +36,9 @@ object PipelineConfig {
                           pplLangCol: Option[String] = None,
                           dsirTargetPath: Option[String] = None,
                           dsirK: Int = 0,
+                          lrQualityTargetPath: Option[String] = None,
+                          lrQualityMinScore: Double = 0.5,
+                          lrQualityIters: Int = 6,
                           nearDupFamily: String = "ngram",
                           minhashBands: Int = 64,
                           minhashRowsPerBand: Int = 2)
@@ -80,6 +83,9 @@ object PipelineConfig {
       getString("curation.ppl_lang_col"),
       getString("curation.dsir_target_path"),
       getDouble("curation.dsir_k").map(_.toInt).getOrElse(0),
+      getString("curation.lr_quality_target_path"),
+      getDouble("curation.lr_quality_min_score").getOrElse(0.5),
+      getDouble("curation.lr_quality_iters").map(_.toInt).getOrElse(6),
       getString("curation.near_dup_family").getOrElse("ngram"),
       getDouble("curation.minhash_bands").map(_.toInt).getOrElse(64),
       getDouble("curation.minhash_rows_per_band").map(_.toInt).getOrElse(2))

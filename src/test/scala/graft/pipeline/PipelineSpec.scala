@@ -261,6 +261,32 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("split")).forall(Set("train", "valid", "test")))
   }
 
+  test("curate: trained-LR quality screen keeps reference-like docs, drops junk the token band passes") {
+    // prose docs: stopword-scaffolded, doc-specific words interleaved so
+    // no two docs share a 3-shingle (the near-dup stage must not cluster
+    // them); junk docs: punctuation-soaked stopword-free tokens that PASS
+    // the heuristic token band (30..200 tokens, mtl <= 12) — only the
+    // trained screen can tell them from prose
+    def prose(i: Int) =
+      s"the a$i of b$i and c$i is d$i that e$i it f$i for g$i " +
+        (1 to 30).map(j => s"p$i$j").mkString(" ")
+    def junk(i: Int) = (1 to 40).map(j => s"zx$i$j.;!").mkString(" ")
+    val docs = ((1 to 6).map(i => (i.toLong, prose(i))) ++
+      (11 to 16).map(i => (i.toLong, junk(i)))).toDF("doc_id", "text")
+    val target = (21 to 30).map(i => Tuple1(prose(i))).toDF("text")
+    // control: without the screen, BOTH classes ship (junk passes the band)
+    val base = Curate(docs).select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(base == (1L to 6L).toSet ++ (11L to 16L).toSet, s"control: $base")
+    val screened = Curate(docs, lrQualityTarget = Some(target))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(screened == (1L to 6L).toSet,
+      s"screen should keep prose and drop junk: $screened")
+    // determinism: the trained screen picks the same set on a rerun
+    val again = Curate(docs, lrQualityTarget = Some(target))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(again == screened)
+  }
+
   test("curate: minhash near-dup family keeps the same docs, fixed or planner-sized banding") {
     val filler = (1 to 40).map(i => s"word$i").mkString(" ")
     val docs = Seq(

@@ -259,6 +259,19 @@ class SourcesSpec extends SparkTestBase {
     val ln = PipelineConfig.parse(
       "default:\n  curation:\n    strip_line_dups: true\n").curationConf
     assert(ln.stripLineDups && !empty.curationConf.stripLineDups)
+    // trained-LR quality-screen knobs (round 17)
+    val lr = PipelineConfig.parse(
+      """default:
+        |  curation:
+        |    lr_quality_target_path: /data/ref/quality.parquet
+        |    lr_quality_min_score: 0.6
+        |    lr_quality_iters: 12
+        |""".stripMargin).curationConf
+    assert(lr.lrQualityTargetPath.contains("/data/ref/quality.parquet"))
+    assert(lr.lrQualityMinScore == 0.6 && lr.lrQualityIters == 12)
+    assert(empty.curationConf.lrQualityTargetPath.isEmpty &&
+      empty.curationConf.lrQualityMinScore == 0.5 &&
+      empty.curationConf.lrQualityIters == 6)
   }
 
   test("compact: fragmented table rewrites to the targeted file count, data intact") {
