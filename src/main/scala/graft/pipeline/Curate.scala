@@ -75,6 +75,7 @@ object Curate {
             pplLangCol: Option[String] = None,
             lrQualityTarget: Option[DataFrame] = None,
             lrQualityMinScore: Double = 0.5,
+            lrQualityKeepK: Int = 0,
             lrQualityIters: Int = 6,
             dsirTarget: Option[DataFrame] = None,
             dsirK: Int = 0,
@@ -277,10 +278,26 @@ object Curate {
             .select((featCols.map(col) :+ col("__y")): _*))
         val w = Classifier.lrTrain(train, featCols, "__y", lrQualityIters)
           .last.weights
-        val keep = Classifier.lrScore(feats(mat), featCols, w, idCol)
-          .filter(col("score") >= lrQualityMinScore)
-          .select(col(idCol))
-        mat.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
+        val scored = Classifier.lrScore(feats(mat), featCols, w, idCol)
+        // two operating modes, DSIR's posture: `lrQualityKeepK > 0`
+        // keeps the k MOST reference-like documents (score desc, id
+        // tiebreak — a TakeOrdered, the right cut when classes overlap
+        // and absolute calibration is meaningless: a reference slice
+        // drawn from the corpus itself pushes every score below ½,
+        // which is a prior statement, not a quality one); otherwise
+        // the absolute `lrQualityMinScore` threshold (the calibrated-
+        // classifier mode — a genuinely held-out reference corpus).
+        if (lrQualityKeepK > 0) {
+          // k rows — the planner's broadcast is right for the semi join
+          val keep = scored.orderBy(col("score").desc, col(idCol))
+            .limit(lrQualityKeepK).select(col(idCol))
+          mat.join(keep, Seq(idCol), "left_semi")
+        } else {
+          // corpus-sized keep list — pin the shuffle side
+          val keep = scored.filter(col("score") >= lrQualityMinScore)
+            .select(col(idCol))
+          mat.join(keep.hint("shuffle_hash"), Seq(idCol), "left_semi")
+        }
       case _ => pplScreened
     }
     val kept = lrScreened

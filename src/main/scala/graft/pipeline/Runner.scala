@@ -124,6 +124,7 @@ object Runner {
       dsirK = c.dsirK,
       lrQualityTarget = c.lrQualityTargetPath.map(spark.read.parquet(_)),
       lrQualityMinScore = c.lrQualityMinScore,
+      lrQualityKeepK = c.lrQualityKeepK,
       lrQualityIters = c.lrQualityIters,
       nearDupFamily = c.nearDupFamily,
       minhashBands = c.minhashBands,

@@ -157,14 +157,20 @@ private[graft] object CurationCurateQueries {
     * negatives = the pipeline's own deduped survivors (the CCNet
     * "reference vs crawl" posture; class overlap is expected — the
     * boundary learns "more reference-like than not"), 6 quantized-
-    * gradient iterations, keep score ≥ ½. What this gate pins is the
-    * COMPOSITION plus the TRAINING-inside-the-pipeline replay: the
-    * oracle re-runs exact dedup → near-dup closure → the full LR
-    * training chain ([[graft.ops.Classifier.lrOracleCtes]] spliced
-    * into the pipeline WITH) → per-doc softsign scoring → the keep →
-    * token band → scrub → split → chunk. A screen fit on the wrong
-    * corpus slice (raw instead of deduped survivors), a reordered
-    * slot, or one ulp of training drift moves the final chunk set.
+    * gradient iterations, keep the TOP-200 by score (score desc, id
+    * tiebreak — the budgeted DSIR-style cut, the right operating mode
+    * when the reference slice is drawn from the corpus itself: class
+    * overlap plus the negative prior pushes every absolute score below
+    * ½, so a fixed threshold keeps nothing — measured 0.189–0.214 on
+    * this corpus — while the RANKING still orders documents by
+    * reference-likeness). What this gate pins is the COMPOSITION plus
+    * the TRAINING-inside-the-pipeline replay: the oracle re-runs exact
+    * dedup → near-dup closure → the full LR training chain
+    * ([[graft.ops.Classifier.lrOracleCtes]] spliced into the pipeline
+    * WITH) → per-doc softsign scoring → the rank cut → token band →
+    * scrub → split → chunk. A screen fit on the wrong corpus slice
+    * (raw instead of deduped survivors), a reordered slot, or one ulp
+    * of training drift moves the final chunk set.
     */
   val curateE2ELrQuality = Q("q_curate_e2e_lrquality",
     (s, dir) => {
@@ -178,7 +184,7 @@ private[graft] object CurationCurateQueries {
         .filter(col("source").isin("src0", "src1", "src2", "src3"))
         .select(col("text"))
       graft.pipeline.Curate(planted.select(col("doc_id"), col("text")),
-        lrQualityTarget = Some(target))
+        lrQualityTarget = Some(target), lrQualityKeepK = 200)
         .orderBy("doc_id", "chunk_id")
     },
     Some(curateLrOracle))
@@ -232,7 +238,7 @@ private[graft] object CurationCurateQueries {
          |    SELECT f.doc_id, 0.5 + 0.5 * z / (1.0 + ABS(z)) AS score
          |    FROM (SELECT f.doc_id, $zChain AS z
          |          FROM lrdocfeats f CROSS JOIN it6 w) f)
-         |  WHERE score >= 0.5),
+         |  ORDER BY score DESC, doc_id LIMIT 200),
          |""".stripMargin
     val anchor = "qf AS (\n              SELECT doc_id, text FROM surv\n              WHERE LEN(t) BETWEEN 30 AND 200"
     val body = curateOracle(plantTail = true)

@@ -38,6 +38,7 @@ object PipelineConfig {
                           dsirK: Int = 0,
                           lrQualityTargetPath: Option[String] = None,
                           lrQualityMinScore: Double = 0.5,
+                          lrQualityKeepK: Int = 0,
                           lrQualityIters: Int = 6,
                           nearDupFamily: String = "ngram",
                           minhashBands: Int = 64,
@@ -85,6 +86,7 @@ object PipelineConfig {
       getDouble("curation.dsir_k").map(_.toInt).getOrElse(0),
       getString("curation.lr_quality_target_path"),
       getDouble("curation.lr_quality_min_score").getOrElse(0.5),
+      getDouble("curation.lr_quality_keep_k").map(_.toInt).getOrElse(0),
       getDouble("curation.lr_quality_iters").map(_.toInt).getOrElse(6),
       getString("curation.near_dup_family").getOrElse("ngram"),
       getDouble("curation.minhash_bands").map(_.toInt).getOrElse(64),

@@ -277,12 +277,16 @@ class PipelineSpec extends SparkTestBase {
     // control: without the screen, BOTH classes ship (junk passes the band)
     val base = Curate(docs).select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(base == (1L to 6L).toSet ++ (11L to 16L).toSet, s"control: $base")
-    val screened = Curate(docs, lrQualityTarget = Some(target))
+    // budgeted mode: keep the 6 most reference-like — the cut must land
+    // exactly on the prose class (the ranking claim, threshold-free)
+    val screened = Curate(docs, lrQualityTarget = Some(target),
+      lrQualityKeepK = 6)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(screened == (1L to 6L).toSet,
       s"screen should keep prose and drop junk: $screened")
     // determinism: the trained screen picks the same set on a rerun
-    val again = Curate(docs, lrQualityTarget = Some(target))
+    val again = Curate(docs, lrQualityTarget = Some(target),
+      lrQualityKeepK = 6)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(again == screened)
   }

@@ -265,12 +265,15 @@ class SourcesSpec extends SparkTestBase {
         |  curation:
         |    lr_quality_target_path: /data/ref/quality.parquet
         |    lr_quality_min_score: 0.6
+        |    lr_quality_keep_k: 50000
         |    lr_quality_iters: 12
         |""".stripMargin).curationConf
     assert(lr.lrQualityTargetPath.contains("/data/ref/quality.parquet"))
     assert(lr.lrQualityMinScore == 0.6 && lr.lrQualityIters == 12)
+    assert(lr.lrQualityKeepK == 50000)
     assert(empty.curationConf.lrQualityTargetPath.isEmpty &&
       empty.curationConf.lrQualityMinScore == 0.5 &&
+      empty.curationConf.lrQualityKeepK == 0 &&
       empty.curationConf.lrQualityIters == 6)
   }
 
