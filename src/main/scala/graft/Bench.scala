@@ -1899,13 +1899,19 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_SF100_CHECKPOINT_LEVEL", "DISK_ONLY"))
       // sf100 also gets data-scaled shuffle partitions (round 17): the
       // histogram-named OOM class is per-task join-build/sort memory,
-      // whose peak is build-bytes ÷ partitions × concurrency — 128
-      // quarters it vs the thread-count default of 32. Disclosed in the
-      // fragment (`sf100_shuffle_partitions`); a caller-pinned value
-      // wins; AQE coalesces where the data is small.
+      // whose peak is build-bytes ÷ partitions × concurrency. 64 (not
+      // 128) after a same-window fresh-child A/B at 32/64/128
+      // (docs/HOST_DRIFT.md §6): minhash pays monotonically for
+      // partition count (26.7 / 29.3 / 37.1 s — more map outputs per
+      // band shuffle), winnow/curate move within host noise — so 64
+      // buys the 2× peak-memory halving that clears the observed
+      // borderline deaths at ~10% minhash cost, where 128's further
+      // halving costs ~30%. Disclosed in the fragment
+      // (`sf100_shuffle_partitions`); a caller-pinned value wins; AQE
+      // coalesces where the data is small.
       if (label == "sf100" && !sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
         env.put("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-          sys.env.getOrElse("SPARK_GRAFT_SF100_SHUFFLE_PARTITIONS", "128"))
+          sys.env.getOrElse("SPARK_GRAFT_SF100_SHUFFLE_PARTITIONS", "64"))
       System.err.println(s"[bench] $label section -> child JVM (attempt $n, " +
         s"budget ${budget.toLong}s${if (degrade) ", DEGRADED checkpoint level" else ""})")
       val proc = pb.start()
