@@ -813,28 +813,33 @@ object Bench {
     * the spec) when newer idle artifacts land.
     */
   val ScaleRefs: Map[String, Map[String, Double]] = Map(
-    // Medians across the committed zero-suspect idle artifacts
-    // (r14/r14b/r15), EXCEPT where a pre-pin value violates the
-    // 1.4×-of-newest staleness pin: the round-15 Xms=Xmx protocol change
-    // removed the gc-uncommit-retouch amplifier and legitimately moved
-    // some samples (sf1 bpe_train 2.1 → 1.5), so the post-pin artifact's
-    // value stands there — folding amplifier-era numbers into a ref for
-    // the fixed protocol would encode the defect as the baseline.
+    // RE-PINNED round 17 (the r16 verdict's item 4 — the table was
+    // r15d-vintage while the host's memory subsystem moved between
+    // boots): medians across the round's three full-protocol artifacts
+    // (docs/bench_full_r17{a,b,c}.json) plus, for sf100, the
+    // partition-A/B singles (docs/bench_r17_sf100_partitions_ab_*.json)
+    // — six sf100 observations spanning both partition protocols, whose
+    // median tracks the new 64-partition default between the A/B's 64
+    // point and r17c's. The r15-era values are NOT folded in: this boot
+    // class runs the heavy samples 1.2–1.5× the r15d numbers at HIGHER
+    // measured membw (54 vs 23 GB/s at sf1 — the probe reads bandwidth,
+    // the slowdown is the writeback class HOST_DRIFT §4–6 document),
+    // so mixing eras would encode a host change as an engine band.
     "sf1" -> Map(
-      "q_dedup_incremental_reuse_bloom" -> 17.5,
-      "q_dedup_incremental_reuse_plain" -> 34.5,
-      "q_dedup_minhash_lsh_auto" -> 3.7,
-      "q_curate_e2e_scale" -> 10.9,
-      "q_bpe_train" -> 1.5),
+      "q_dedup_incremental_reuse_bloom" -> 19.6,
+      "q_dedup_incremental_reuse_plain" -> 49.2,
+      "q_dedup_minhash_lsh_auto" -> 4.3,
+      "q_curate_e2e_scale" -> 14.6,
+      "q_bpe_train" -> 2.3),
     "sf30" -> Map(
-      "q_dedup_minhash_lsh_auto" -> 7.6,
-      "q_dedup_semdedup" -> 4.5,
-      "q_dedup_winnow_pairs" -> 6.0,
-      "q_curate_e2e_scale" -> 19.0),
+      "q_dedup_minhash_lsh_auto" -> 10.1,
+      "q_dedup_semdedup" -> 6.3,
+      "q_dedup_winnow_pairs" -> 7.3,
+      "q_curate_e2e_scale" -> 25.4),
     "sf100" -> Map(
-      "q_dedup_minhash_lsh_auto" -> 21.1,
-      "q_dedup_winnow_pairs" -> 33.3,
-      "q_curate_e2e_scale" -> 49.9))
+      "q_dedup_minhash_lsh_auto" -> 31.1,
+      "q_dedup_winnow_pairs" -> 33.5,
+      "q_curate_e2e_scale" -> 65.1))
 
   /** Divergence rule for the digest's `divergent` list: a measured scale
     * sample disagrees with its committed reference when the ratio
@@ -847,17 +852,22 @@ object Bench {
       (measured / ref > 1.5 || ref / measured > 1.5)
 
   /** Section-level memory-bandwidth fingerprints of the SAME artifact
-    * [[ScaleRefs]] is pinned to (r15d — BenchDigestSpec's staleness pin
-    * names it). SCALING.md rule 10: scale reference values are only
-    * comparable within a membw family, so each ref carries the membw it
-    * was measured UNDER; a run whose section probe reads far below its
-    * ref's fingerprint is on measurably slower memory and its tolerance
-    * widens accordingly ([[divergenceClass]]). Refreshed together with
-    * ScaleRefs when a newer idle artifact lands (the staleness pin
-    * cross-checks both).
+    * [[ScaleRefs]] is pinned to (r17b — the round's cleanest
+    * full-protocol run: zero contended sections, suspect 2, zero
+    * oom_child; BenchDigestSpec's staleness pin names it). SCALING.md
+    * rule 10: scale reference values are only comparable within a membw
+    * family, so each ref carries the membw it was measured UNDER; a run
+    * whose section probe reads far below its ref's fingerprint is on
+    * measurably slower memory and its tolerance widens accordingly
+    * ([[divergenceClass]]). Refreshed together with ScaleRefs when a
+    * newer idle artifact lands (the staleness pin cross-checks both).
+    * Caveat this round made measurable: the probe swings within one
+    * boot too (sf1 read 34.3/54.4/33.8 across r17a/b/c), which is
+    * exactly why the per-sample io-pressure arm ([[ioFactor]]) now
+    * carries the witness load the boot fingerprint cannot.
     */
   private[graft] val ScaleRefMembw: Map[String, Double] =
-    Map("sf1" -> 23.3, "sf30" -> 49.4, "sf100" -> 13.8)
+    Map("sf1" -> 54.4, "sf30" -> 42.3, "sf100" -> 41.5)
 
   /** Tolerance multiplier from a membw ratio: 1 when the ratio is
     * missing/clean, capped at 2 — the measured between-boot envelope of

@@ -297,10 +297,12 @@ class BenchDigestSpec extends AnyFunSuite {
     // heaviest samples (sf100 curate-scale: 41.6/54.0/66.2 s across
     // three clean runs). Update the artifact name when a newer idle
     // artifact lands, and refresh the medians.
-    // r15d: the newest zero-divergent artifact — and the first from the
-    // CURRENT VM boot (docs/HOST_DRIFT.md), so the pin checks the refs
-    // against the host class the next driver run will actually measure
-    val path = java.nio.file.Paths.get("docs/bench_full_r15d_idle.json")
+    // r17b: the round-17 re-pin artifact — the cleanest full-protocol
+    // run of the boot class the next driver run will actually measure
+    // (zero contended sections, suspect 2, zero oom_child; refs are
+    // MEDIANS across r17a/b/c + the sf100 partition A/B, membw
+    // fingerprints are THIS artifact's probes — see ScaleRefs scaladoc)
+    val path = java.nio.file.Paths.get("docs/bench_full_r17b.json")
     assume(java.nio.file.Files.isReadable(path), s"artifact not found: $path")
     val node = mapper.readTree(java.nio.file.Files.readAllBytes(path))
     Bench.ScaleRefs.foreach { case (label, refs) =>
@@ -383,30 +385,34 @@ class BenchDigestSpec extends AnyFunSuite {
   }
 
   test("io-pressure arm: writeback-stalled samples self-classify; the r16 unexplained minhash stays divergent") {
-    // REPLAY of the recorded r16 driver-channel sf100 numbers
-    // (BENCH_r16 / VERDICT r16): minhash 33.1 s vs ref 21.1 (1.57×)
-    // with the membw probe AT the ref fingerprint (13.8 → both membw
-    // factors 1) was the round's single honest divergent; winnow
-    // 40.7/33.3 and curate 70.8/49.9 sat within the 1.5× band. The
-    // same measurement inside a recorded PSI-io stall window is the
-    // writeback class HOST_DRIFT §4 could only ascribe in prose — now
-    // the classifier has the arm.
-    def digest(psiIo: Seq[(String, Double)], minhash: Double = 33.1) =
+    // REPLAY of the recorded r16 driver-channel sf100 RATIOS (BENCH_r16
+    // / VERDICT r16): minhash at 1.57× its ref with the membw probe AT
+    // the ref fingerprint (both membw factors 1) was the round's single
+    // honest divergent; winnow at 1.22× and curate at 1.42× sat within
+    // the 1.5× band. The measured values are scaled to the CURRENT ref
+    // table so the test pins the classifier's arithmetic, not a ref
+    // vintage. The same 1.57× inside a recorded PSI-io stall window is
+    // the writeback class HOST_DRIFT §4 could only ascribe in prose —
+    // now the classifier has the arm.
+    val refs = Bench.ScaleRefs("sf100")
+    val refBw = Bench.ScaleRefMembw("sf100")
+    val mhRef = refs("q_dedup_minhash_lsh_auto")
+    def digest(psiIo: Seq[(String, Double)], minhashX: Double = 1.57) =
       mapper.readTree(Bench.digestLine(
         244.2, 5, 5, truncated = false, contended = Seq(1, 2, 5),
         suspect = 0, noClean = 0, errors = 0, skipped = 0,
         medians = Map.empty,
         scales = Seq(Bench.ScaleSummary("sf100",
-          Seq("q_dedup_minhash_lsh_auto" -> Some(minhash),
-            "q_dedup_winnow_pairs" -> Some(40.7),
-            "q_curate_e2e_scale" -> Some(70.8)),
-          contended = false, membwGbps = 13.8, psiIo = psiIo)),
+          Seq("q_dedup_minhash_lsh_auto" -> Some(mhRef * minhashX),
+            "q_dedup_winnow_pairs" -> Some(refs("q_dedup_winnow_pairs") * 1.22),
+            "q_curate_e2e_scale" -> Some(refs("q_curate_e2e_scale") * 1.42)),
+          contended = false, membwGbps = refBw, psiIo = psiIo)),
         sfDir = "/root/testdata/sf0.1"))
     // quiet io (3% stall — below the 10% floor): the honest divergent
     // entry survives exactly as committed in BENCH_r16
     val dry = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.03))
     assert(dry.get("divergent_n").asInt() == 1)
-    assert(dry.get("divergent").get(0).asText().startsWith("sf100[0]=33.1/21.1"))
+    assert(dry.get("divergent").get(0).asText().startsWith("sf100[0]="))
     assert(dry.get("host_drift") == null)
     // a 35% PSI-io stall window bounds wall inflation at 1/(1−0.35) ≈
     // 1.54× — enough to explain 1.57×: host_drift with the io-prefixed
@@ -415,12 +421,12 @@ class BenchDigestSpec extends AnyFunSuite {
     assert(wet.get("divergent_n").asInt() == 0)
     assert(wet.get("host_drift").get(0).asText() == "sf100[0]~io1.5")
     // the cap holds: a 90% stall claims at most 2× — a 3.8× sample
-    // (80.1/21.1) stays divergent no matter how stalled the window was
-    val capped = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.9), minhash = 80.1)
+    // stays divergent no matter how stalled the window was
+    val capped = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.9), minhashX = 3.8)
     assert(capped.get("divergent_n").asInt() == 1)
     // the arm never widens the FAST side: io stalls cannot explain a
     // sample that beat its ref by 2×
-    val fast = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.45), minhash = 10.0)
+    val fast = digest(Seq("q_dedup_minhash_lsh_auto" -> 0.45), minhashX = 0.5)
     assert(fast.get("divergent_n").asInt() == 1)
     // factor function contract: floor, cap, invalids
     assert(Bench.ioFactor(-1.0) == 1.0 && Bench.ioFactor(0.05) == 1.0)
