@@ -44,6 +44,25 @@ class ClassifierSpec extends SparkTestBase {
       "separable corpus separates after 8 iterations")
   }
 
+  test("plan shape: scoring is one exchange-free codegen'd projection") {
+    // the weights ride the plan as literals (bounded model state), so
+    // the scorer must compile to a narrow scan over the source: no
+    // Exchange anywhere, one whole-stage codegen span — the scaladoc's
+    // 100 TB claim as a pinned contract, not prose. A parquet-backed
+    // frame, not a local relation (Catalyst folds a LocalTableScan's
+    // projection away entirely, which proves nothing).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("double").as("x1"))
+    val plan = Classifier.lrScore(docs, Seq("x1"), Seq(0.1, 0.2), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
+    // `*(1)` is executedPlan.toString's whole-stage-codegen span marker;
+    // the score/pred projection must sit inside stage 1 with the scan
+    assert(plan.contains("*(1) Project"), s"scoring fell out of codegen:\n$plan")
+    assert(plan.split("\n").count(_.contains("*(")) >= 1 &&
+      !plan.contains("*(2)"), s"scoring spans more than one stage:\n$plan")
+  }
+
   test("trainTable layout and contracts") {
     val t = Classifier.lrTrainTable(separable, Seq("x1"), "y", nIters = 3)
     assert(t.columns.toSeq == Seq("iter", "feature", "weight"))
