@@ -362,4 +362,45 @@ object GraftProps extends Properties("graft") {
       } yield (ia, ib, d)).toSet
       got == want
     }
+
+  // feature values spanning sign, magnitude, and dyadic vs non-dyadic
+  // fractions — the quantization floor and the fixed-association IEEE
+  // chains must agree with the reference on all of them
+  private val lrVal: Gen[Double] =
+    Gen.oneOf(0.0, 1.0, -1.0, 0.1, -2.5, 3.75, -0.125, 7.25)
+
+  property("lrTrain equals an in-memory quantized-GD reference bit-for-bit") =
+    forAll(for {
+      n <- Gen.chooseNum(1, 10)
+      rows <- Gen.listOfN(n, for {
+        y <- Gen.oneOf(0.0, 1.0); a <- lrVal; b <- lrVal
+      } yield (y, a, b))
+      iters <- Gen.chooseNum(1, 3)
+    } yield (rows, iters)) { case (rows, iters) =>
+      val got = Classifier
+        .lrTrain(rows.toDF("y", "a", "b"), Seq("a", "b"), "y", iters)
+        .map(_.weights.toVector)
+      // driver-side reference with the IDENTICAL arithmetic: softsign
+      // link, per-row long-quantized gradient terms, left-associated z
+      // chain, update w − lr·(Σg/scale/n). Any divergence — a changed
+      // association order, a rounding mode, a lost quantization — is a
+      // broken cross-engine replay contract, caught here without DuckDB.
+      val scale = 1e8
+      var w = Vector(0.0, 0.0, 0.0)
+      val want = (1 to iters).map { _ =>
+        val gs = Array(0L, 0L, 0L)
+        rows.foreach { case (y, a, b) =>
+          val xs = Array(1.0, a, b)
+          val z = w(0) * xs(0) + w(1) * xs(1) + w(2) * xs(2)
+          val p = 0.5 + 0.5 * z / (1.0 + math.abs(z))
+          var j = 0
+          while (j <= 2) {
+            gs(j) += math.floor((p - y) * xs(j) * scale + 0.5).toLong; j += 1
+          }
+        }
+        w = Vector.tabulate(3)(j => w(j) - 1.0 * (gs(j).toDouble / scale / rows.size))
+        w
+      }.toList
+      got == want
+    }
 }
