@@ -171,6 +171,13 @@ private[graft] object CurationCurateQueries {
     * scrub → split → chunk. A screen fit on the wrong corpus slice
     * (raw instead of deduped survivors), a reordered slot, or one ulp
     * of training drift moves the final chunk set.
+    *
+    * COST NOTE (measured r17b/c at sf0.1): 10.2–13.6 s per pass ≈
+    * [[curateE2E]] + ~0.5–1.5 s — the screen's marginal cost is six
+    * F+1-column aggregation passes over a ~5k-row feature frame plus
+    * one scoring scan; the planted near-dup stage dominates, exactly
+    * as in the siblings. Excluded from every scale set like them (the
+    * planted corpus is corpus²-shaped by construction).
     */
   val curateE2ELrQuality = Q("q_curate_e2e_lrquality",
     (s, dir) => {
